@@ -1,0 +1,202 @@
+"""Vector / similarity-search queries over the ``embeddings`` table —
+the Chroma k-NN retrieval re-expressed Spark-first (reference
+backend/chroma_utils.py:237-263, retriever k from backend/config.py:34).
+
+Physical strategy (100 TB design point):
+
+- Query vectors are tiny → ``broadcast`` them against the big vector
+  table: the scan side never shuffles; scoring is a map-only stage.
+- Top-k per query via ``row_number`` over (score DESC, id ASC) —
+  WindowGroupLimit makes this a partial top-k before any exchange.
+- Metadata filters (label) are applied *below* scoring so partition /
+  row-group pruning kicks in before any math.
+- Approximate variants (LSH / IVF) live in operators/knn.py; here are
+  the exact paths that have DuckDB-expressible oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact as X
+from ..functions import vector as V
+
+K = 5
+N_QUERIES = 5  # vec_id < 5 are the designated query vectors
+
+
+def _scored_pairs(embeddings: DataFrame, same_label_only: bool) -> DataFrame:
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if same_label_only:
+        cond = cond & (F.col("qlabel") == F.col("clabel"))
+    return (
+        cand.join(F.broadcast(queries), cond)
+        .withColumn("score", V.cosine(F.col("qv"), F.col("cv")))
+    )
+
+
+def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J4 — exact cosine top-k (k=5) for 5 query vectors against the
+    full collection, deterministic (score DESC, neighbor_id ASC)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        _scored_pairs(emb, same_label_only=False)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            X.pround(F.col("score"), 4).alias("score"),
+        )
+    )
+
+
+def knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+W3 — metadata-filtered k-NN: neighbors restricted to the
+    query's own label partition *before* scoring (the Chroma
+    ``where={"file_id": ...}`` pushdown, backend/chroma_utils.py:250-253)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        _scored_pairs(emb, same_label_only=True)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            X.pround(F.col("score"), 4).alias("score"),
+        )
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block
+    (cosine ≥ 0.3; blocking on label keeps the pair space linear-ish)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        V.as_double(F.col("embedding")).alias("va"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        V.as_double(F.col("embedding")).alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    score = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("score", score)
+        .where(F.col("score") >= 0.3)
+        .select("vec_a", "vec_b", X.pround(F.col("score"), 4).alias("score"))
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norms — array aggregation via element-wise
+    running sums (posexplode + groupBy dim), the scalable layout for
+    centroid computation (used by the IVF coarse quantizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(V.as_double(F.col("embedding"))).alias("dim", "x")
+    )
+    # decimal-exact sums so the per-dim mean (and the norm built from it)
+    # is bit-identical to the oracle regardless of summation order
+    per_dim = exploded.groupBy("label", "dim").agg(
+        (F.sum(F.col("x").cast("decimal(28,10)")).cast("double") / F.count("x")).alias(
+            "mean_x"
+        )
+    )
+    sq = (F.col("mean_x") * F.col("mean_x")).cast("decimal(38,20)")
+    return per_dim.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        X.pround(F.sqrt(F.sum(sq).cast("double")), 4).alias("centroid_norm"),
+    )
+
+
+QUERIES = {
+    "knn_exact": knn_exact,
+    "knn_label_filtered": knn_label_filtered,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "label_centroids": label_centroids,
+}
+
+
+_COS = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+    "sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+ORACLE = {
+    "knn_exact": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings)
+        SELECT query_id, neighbor_id, rank, {{pr}} AS score
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS} AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_COS} DESC, b.vec_id ASC) AS rank
+            FROM e a JOIN e b ON a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+        ) WHERE rank <= {K}
+    """.replace("{pr}", X.pround_sql("score", 4)),
+    "knn_label_filtered": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings)
+        SELECT query_id, neighbor_id, rank, {{pr}} AS score
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS} AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_COS} DESC, b.vec_id ASC) AS rank
+            FROM e a JOIN e b
+              ON a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+             AND a.label = b.label
+        ) WHERE rank <= {K}
+    """.replace("{pr}", X.pround_sql("score", 4)),
+    "embedding_neardup_pairs": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {X.pround_sql(_COS, 4)} AS score
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.3
+    """,
+    "label_centroids": """
+        WITH idx AS (
+            SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+        ), exploded AS (
+            SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+            FROM idx
+        ), per_dim AS (
+            SELECT label, dim,
+                   CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x) AS mean_x
+            FROM exploded GROUP BY 1, 2
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+               {pr_norm}
+                   AS centroid_norm
+        FROM per_dim GROUP BY label
+    """.format(pr_norm=X.pround_sql(
+        "sqrt(CAST(sum(CAST(mean_x * mean_x AS DECIMAL(38,20))) AS DOUBLE))", 4)),
+}
