@@ -1,20 +1,39 @@
-"""Vector math over ``array<float>`` embedding columns as pure Column
-expressions (`zip_with` + `aggregate` — JVM-side, no UDF). At scale the
-per-row cost is a tight codegen loop over the 64-dim arrays; the heavy
-k-NN paths additionally have a numpy ``mapInPandas`` variant in
-``operators/knn.py`` for matrix-batched scoring.
+"""Vector math over ``array<float>`` embedding columns.
+
+Two tiers:
+
+- ``dot_fixed``/``norm_fixed``/``cosine_fixed`` — for a known dimension,
+  a *flat left-associated* sum of ``a[i]*b[i]`` terms. This stays inside
+  WholeStageCodegen (plain arithmetic, zero per-row allocations), unlike
+  the higher-order-function tier below which allocates intermediate
+  arrays per evaluation (zip_with result + accumulators) and thrashes GC
+  on million-pair joins. Left association keeps the summation order
+  identical to the sequential fold, so scores are bit-identical to the
+  generic tier and to the DuckDB oracle.
+- ``dot``/``norm``/``cosine`` — generic `zip_with` + `aggregate`
+  expressions for unknown dimensions (still JVM-side, no Python).
+
+The heavy k-NN paths additionally have a numpy ``mapInPandas`` variant
+in ``operators/knn.py`` for matrix-batched scoring at cluster scale.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64  # driver testdata embedding dimension
 
 
 def as_double(vec: Column) -> Column:
     """Promote array<float> → array<double> so score math matches the
     float64 oracle bit-for-bit (modulo summation order)."""
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+# ---------------------------------------------------------------- generic (HOF)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -33,5 +52,30 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ------------------------------------------------------- fixed-dim (codegen)
+
+
+def _elem(vec: Column, i: int) -> Column:
+    # element_at is 1-based; cast each float element to double at use
+    # site (no intermediate double-array allocation)
+    return F.element_at(vec, i + 1).cast("double")
+
+
+def dot_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
+    terms = [_elem(a, i) * _elem(b, i) for i in range(dim)]
+    # left-associated chain == sequential-fold summation order
+    return reduce(lambda acc, t: acc + t, terms)
+
+
+def norm_fixed(a: Column, dim: int = EMBEDDING_DIM) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
+def cosine_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
+    return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
+
+
 def cosine_rounded(a: Column, b: Column, digits: int = 4) -> Column:
-    return F.round(cosine(a, b), digits)
+    from .exact import pround
+
+    return pround(cosine(a, b), digits)

@@ -83,11 +83,21 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic via per-language stopword-marker counts."""
     docs = load_table(spark, sf_dir, "documents")
     scores = TS.lang_scores(F.col("text"))
-    return docs.select(
+    scored = docs.select(
         "doc_id",
         "lang",
-        TS.lang_id(F.col("text")).alias("lang_pred"),
         *[scores[lang].cast("long").alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+    # argmax over the materialized score columns (computed once, not
+    # re-derived from text per candidate language)
+    pairs = [
+        F.struct(F.col(f"score_{lang}").alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ]
+    best = F.array_max(F.array(*pairs))
+    return scored.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
     )
 
 
@@ -148,7 +158,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, shingle): inverted-index self-join → per-pair intersection
     count → |A∪B| = |A|+|B|−|A∩B|. No quadratic candidate step."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
+    # no .cache(): the shingle projection is cheap to recompute, and a
+    # lingering cached RDD steals executor memory from later queries
+    sh = _shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

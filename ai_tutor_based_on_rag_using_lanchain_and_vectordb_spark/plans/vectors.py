@@ -28,22 +28,31 @@ N_QUERIES = 5  # vec_id < 5 are the designated query vectors
 
 
 def _scored_pairs(embeddings: DataFrame, same_label_only: bool) -> DataFrame:
+    # Fixed-dim flat-expression scoring: stays in WholeStageCodegen with
+    # zero per-pair allocations (the zip_with/aggregate form allocates an
+    # intermediate array per pair and GC-thrashes million-pair joins).
+    # Norms are precomputed per row, not per pair.
     queries = embeddings.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        V.as_double(F.col("embedding")).alias("qv"),
+        F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        V.norm_fixed(F.col("embedding")).alias("qnorm"),
     )
     cand = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
-        V.as_double(F.col("embedding")).alias("cv"),
+        F.col("embedding").alias("cv"),
         F.col("label").alias("clabel"),
+        V.norm_fixed(F.col("embedding")).alias("cnorm"),
     )
     cond = F.col("query_id") != F.col("neighbor_id")
     if same_label_only:
         cond = cond & (F.col("qlabel") == F.col("clabel"))
     return (
         cand.join(F.broadcast(queries), cond)
-        .withColumn("score", V.cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "score",
+            V.dot_fixed(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
 
 
@@ -90,15 +99,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
-        V.as_double(F.col("embedding")).alias("va"),
+        F.col("embedding").alias("va"),
         F.col("label").alias("la"),
+        V.norm_fixed(F.col("embedding")).alias("norm_a"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
-        V.as_double(F.col("embedding")).alias("vb"),
+        F.col("embedding").alias("vb"),
         F.col("label").alias("lb"),
+        V.norm_fixed(F.col("embedding")).alias("norm_b"),
     )
-    score = V.cosine(F.col("va"), F.col("vb"))
+    score = V.dot_fixed(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("score", score)

@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (forces every
+column and operator to execute; ``count()`` would let Catalyst prune the
+work we mean to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark import plans  # noqa: E402
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+# Headline set: one per major operator family (SURVEY.md §2).
+HEADLINE = [
+    "pricing_summary",        # wide aggregate over the big fact table
+    "shipping_priority",      # 3-way join + top-k
+    "local_supplier_volume",  # 6-way join with broadcast dims
+    "top_customers",          # agg→broadcast join
+    "chat_history_topk",      # window top-k per group
+    "session_windows",        # session windows (gap semantics)
+    "rate_limit_windows",     # tumbling windows
+    "running_customer_spend", # window frames
+    "doc_dedup_exact",        # hash groupBy dedup
+    "doc_lang_id",            # expression-heavy text analysis
+    "doc_fixed_chunks",       # explode-producing chunker
+    "ngram_jaccard_pairs",    # inverted-index similarity self-join
+    "knn_exact",              # broadcast brute-force cosine top-k
+    "embedding_neardup_pairs",  # blocked vector self-join
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    spark = get_spark("ai-tutor-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_queries = plans.all_queries()
+
+    # JVM/codegen warmup on a trivial scan so q1 isn't charged for it
+    materialize(all_queries["unique_sessions"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(all_queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
