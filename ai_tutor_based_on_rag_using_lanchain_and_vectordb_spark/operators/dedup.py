@@ -1,0 +1,236 @@
+"""Deduplication operators for the training-data pipeline (and the
+reference's UNIQUE(file_hash) ingest gate, backend/db_utils.py:173,221-225):
+
+- exact:       sha256 hash-groupBy / anti-join against a catalog
+- MinHash+LSH: shingle → minhash signature → banded bucket-join →
+               exact-Jaccard verification of candidates only
+- SimHash:     64-bit sign-of-sums signature → banded blocking →
+               Hamming-distance filter
+- n-gram Jaccard: inverted-index self-join (plans/documents.py)
+
+All candidate generation is blocked (LSH bands / signature bytes) so
+nothing goes quadratic: at 100 TB the only shuffles are on band keys,
+and verification touches candidate pairs only. Everything is JVM
+expressions — no Python in any per-pair path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (smallest id) per key — set-based rewrite of
+    the reference's per-row UNIQUE violation (semantic divergence
+    documented in SURVEY.md §4.5)."""
+    return (
+        df.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(Window.partitionBy("_k").orderBy(F.col(id_col))))
+        .where(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
+
+
+def anti_join_new(new: DataFrame, catalog: DataFrame, hash_col: str = "file_hash") -> DataFrame:
+    """Ingest gate: rows of `new` whose hash is not already cataloged
+    (reference backend/db_utils.py:221-225 → HTTP 409 path)."""
+    return new.join(catalog.select(hash_col), hash_col, "left_anti")
+
+
+# ------------------------------------------------------------------- shingles
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+# -------------------------------------------------------------------- MinHash
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
+    """Array of `num_hashes` min-hashes; hash_i(s) = xxhash64(i, s)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_arr, lambda s: F.xxhash64(i, s))
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 LSH band.
+
+    rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b —
+    (16,4) targets Jaccard ≳ 0.5. Join key is (band_idx, band_hash): a
+    plain shuffle-hash join, never a cross product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes).alias(
+            "_sig"
+        ),
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("_sig", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with *exact* Jaccard (array_intersect /
+    array_union on the candidates only)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def _bit_votes(token: Column) -> Column:
+    """64-element ±1 vote array from a token's xxhash64 bits (literal
+    shift counts — Spark's shift functions don't take column shifts)."""
+    h = F.xxhash64(token)
+    return F.array(
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(64)
+        ]
+    )
+
+
+def _pack_bits(votes: Column, lo: int, hi: int) -> Column:
+    """Sign bits [lo, hi) of the vote array packed into one long."""
+    terms = [
+        F.when(F.element_at(votes, i + 1) > 0, F.lit(1 << (i - lo)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(lo, hi)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_signature(text: Column) -> Column:
+    """64-bit SimHash as struct<lo long, hi long> (two 32-bit halves —
+    avoids signed-overflow on bit 63). Map-only, one pass per document."""
+    toks = tokens_col(text)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, _bit_votes(t), lambda c, v: c + v),
+    )
+    return F.struct(
+        _pack_bits(votes, 0, 32).alias("lo"),
+        _pack_bits(votes, 32, 64).alias("hi"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    signature quarters (pigeonhole: Hamming ≤ 3 guarantees a shared
+    quarter; small distances collide with high probability)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        simhash_signature(F.col(text_col)).alias("_sig"),
+    ).select("_id", F.col("_sig.lo").alias("_lo"), F.col("_sig.hi").alias("_hi"))
+    quarters = sig.select(
+        "_id",
+        "_lo",
+        "_hi",
+        F.posexplode(
+            F.array(
+                F.col("_lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("_hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("q_idx", "q_val"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    ham = F.bit_count(F.col("a._lo").bitwiseXOR(F.col("b._lo"))) + F.bit_count(
+        F.col("a._hi").bitwiseXOR(F.col("b._hi"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.q_idx") == F.col("b.q_idx"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -10,9 +10,9 @@ rounded identically on both sides so value-hashes match despite
 summation-order differences.
 """
 
-from . import documents, relational, vectors
+from . import documents, pipeline, relational, vectors
 
-ALL_MODULES = (relational, documents, vectors)
+ALL_MODULES = (relational, documents, vectors, pipeline)
 
 
 def all_queries():

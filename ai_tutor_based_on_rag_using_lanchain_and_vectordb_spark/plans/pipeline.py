@@ -1,0 +1,85 @@
+"""Rows-only queries() entries for operators whose semantics aren't
+ANSI-SQL-expressible (custom splitter, LSH/IVF approximate search,
+signature-based dedup, the stubbed-LLM chat pipeline, multimodal
+stages). The driver records a rows-only check for these; their real
+correctness coverage lives in tests/ (property tests, recall-vs-exact,
+batch-vs-streaming equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as DD
+from ..operators import embed as EMB
+from ..operators import knn as KNN
+from ..operators import splitter as SPL
+from . import chat
+
+
+def recursive_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — recursive character splitter with ordinals (size 300 /
+    overlap 60 over the fixture corpus; production defaults are the
+    reference's 1000/200)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SPL.split_documents(docs, text_col="text", id_col="doc_id", size=300, overlap=60)
+
+
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 on 64-bit signatures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs, max_hamming=12)
+
+
+def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing-trick embeddings for the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", EMB.hashing_embedding(F.col("text")).alias("embedding")
+    )
+
+
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-cell) approximate k-NN for the 5 query vectors —
+    recall-vs-exact asserted in tests/test_knn.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return KNN.knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=3)
+
+
+def knn_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force k-NN (partition-local partial top-k) —
+    the throughput path; equivalence to the expression path is tested."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+    qids = np.asarray([r["vec_id"] for r in q], dtype=np.int64)
+    return KNN.knn_bruteforce_numpy(emb, qm, qids, k=5)
+
+
+def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end-to-end chat dataflow with the deterministic LLM stub."""
+    return chat.rag_answers(spark, sf_dir)
+
+
+QUERIES = {
+    "recursive_chunks": recursive_chunks,
+    "minhash_neardup": minhash_neardup,
+    "simhash_neardup": simhash_neardup,
+    "doc_embeddings": doc_embeddings,
+    "knn_ivf_approx": knn_ivf_approx,
+    "knn_numpy_topk": knn_numpy_topk,
+    "rag_chat_answers": rag_chat_answers,
+}
+
+ORACLE: dict[str, str] = {}  # rows-only: non-SQL-expressible operators
