@@ -10,9 +10,9 @@ rounded identically on both sides so value-hashes match despite
 summation-order differences.
 """
 
-from . import documents, pipeline, relational, vectors
+from . import documents, misc, pipeline, relational, vectors
 
-ALL_MODULES = (relational, documents, vectors, pipeline)
+ALL_MODULES = (relational, documents, vectors, misc, pipeline)
 
 
 def all_queries():

@@ -1,0 +1,182 @@
+"""Second-wave §2 coverage: derived-arithmetic stats (A9/F15), unpivot
+(the message-role fan-out shape), ordered scans + limits (W2/W5/W6),
+CUBE grouping sets, lead/lag frames, validation predicates (P7/P9), and
+the timezone countdown (F11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact as X
+
+
+def api_call_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — the /api-stats endpoint's derived arithmetic (4 calls → 3
+    calls per message, 25% saving; reference backend/main.py:494-511)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.count("*").alias("total_messages")).select(
+        "total_messages",
+        (F.col("total_messages") * 4).alias("old_api_calls"),
+        (F.col("total_messages") * 3).alias("new_api_calls"),
+        (F.col("total_messages")).alias("calls_saved"),
+        F.lit(25.0).alias("cost_reduction_pct"),
+    )
+
+
+def unpivot_event_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row→two-messages unpivot (backend/db_utils.py:126-133)
+    via stack: each event yields a ('type', event_type) and a
+    ('props', props) row."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.expr("stack(2, 'type', event_type, 'props', props) AS (field, val)"),
+    )
+
+
+def doc_catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W5 — the /list-docs ordered catalog scan with LIMIT
+    (backend/db_utils.py:253-257), deterministic tie-break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets the reference lacks (free in Spark): CUBE over
+    status × priority with exact money sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        X.dsum(F.col("o_totalprice")).alias("total_value"),
+    )
+
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag frame — per-user inter-event gap in microseconds (the
+    inactivity measure behind session expiry, backend/db_utils.py:304-348)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P9 — the Pydantic edge checks as column predicates: length
+    bounds (1..2000, models.py:25-30), non-blank (models.py:41-48),
+    alnum-hyphen id shape (models.py:50-61)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.length("text").between(1, 2000)).alias("len_ok"),
+        (F.length(F.trim("text")) > 0).alias("nonblank"),
+        F.col("source").rlike("^[A-Za-z0-9-]+$").alias("source_id_ok"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_consistent"),
+    )
+
+
+def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15-style derived percentages: per-segment customer share via a
+    window over the aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_seg = cust.groupBy("c_mktsegment").agg(F.count("*").alias("n_customers"))
+    total = Window.partitionBy()
+    return per_seg.select(
+        "c_mktsegment",
+        "n_customers",
+        X.pround(F.col("n_customers") * 100.0 / F.sum("n_customers").over(total), 2).alias(
+            "pct_share"
+        ),
+    )
+
+
+def midnight_pt_countdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — seconds until the next midnight US/Pacific for each event
+    (the Gemini quota-reset computation, backend/main.py:180-188).
+    January fixtures sit safely inside PST (no DST edge)."""
+    events = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/Los_Angeles")
+    secs_into_day = F.unix_timestamp(local) % 86400
+    return events.select(
+        "event_id",
+        (F.lit(86400) - secs_into_day).alias("seconds_to_reset"),
+    )
+
+
+QUERIES = {
+    "api_call_savings": api_call_savings,
+    "unpivot_event_fields": unpivot_event_fields,
+    "doc_catalog_list": doc_catalog_list,
+    "cube_order_stats": cube_order_stats,
+    "event_gaps": event_gaps,
+    "validation_flags": validation_flags,
+    "segment_share": segment_share,
+    "midnight_pt_countdown": midnight_pt_countdown,
+}
+
+
+ORACLE = {
+    "api_call_savings": """
+        SELECT CAST(count(*) AS BIGINT) AS total_messages,
+               CAST(count(*) * 4 AS BIGINT) AS old_api_calls,
+               CAST(count(*) * 3 AS BIGINT) AS new_api_calls,
+               CAST(count(*) AS BIGINT) AS calls_saved,
+               25.0 AS cost_reduction_pct
+        FROM events
+    """,
+    "unpivot_event_fields": """
+        SELECT event_id, user_id, 'type' AS field, event_type AS val FROM events
+        UNION ALL
+        SELECT event_id, user_id, 'props' AS field, props AS val FROM events
+    """,
+    "doc_catalog_list": """
+        SELECT doc_id, source, lang, n_chars
+        FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+    "cube_order_stats": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {X.dsum_sql('o_totalprice')} AS total_value
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "event_gaps": """
+        SELECT event_id, user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    """,
+    "validation_flags": """
+        SELECT doc_id,
+               length(text) BETWEEN 1 AND 2000 AS len_ok,
+               length(trim(text)) > 0 AS nonblank,
+               regexp_full_match(source, '[A-Za-z0-9-]+') AS source_id_ok,
+               length(text) = n_chars AS n_chars_consistent
+        FROM documents
+    """,
+    "segment_share": """
+        SELECT c_mktsegment, n_customers,
+               {pr} AS pct_share
+        FROM (
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer GROUP BY c_mktsegment
+        )
+    """.format(pr=X.pround_sql("n_customers * 100.0 / sum(n_customers) OVER ()", 2)),
+    "midnight_pt_countdown": """
+        SELECT event_id,
+               86400 - (CAST(floor(epoch(CAST(ts AS TIMESTAMPTZ)
+                   AT TIME ZONE 'America/Los_Angeles')) AS BIGINT) % 86400)
+                   AS seconds_to_reset
+        FROM events
+    """,
+}
