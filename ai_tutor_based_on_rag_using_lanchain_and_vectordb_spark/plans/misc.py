@@ -114,7 +114,60 @@ def midnight_pt_countdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iso_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — ISO-8601 timestamp formatting (datetime.utcnow().isoformat(),
+    backend/main.py:130,174)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregate (linear interpolation — same spec as
+    DuckDB quantile_cont) per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        X.pround(F.expr("percentile(value, 0.5)"), 2).alias("median_value"),
+        X.pround(F.expr("percentile(value, 0.9)"), 2).alias("p90_value"),
+    )
+
+
+def customer_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: per-customer 1996-H1 revenue, top 20, joined to
+    nation (broadcast) — agg-then-join keeps the wide join small."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(X.disc_price()).alias("rev_dec"))
+        .orderBy(F.desc("rev_dec"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    return (
+        cust.join(F.broadcast(rev), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            X.pround(F.col("rev_dec").cast("double")).alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
+    "iso_timestamps": iso_timestamps,
+    "median_value_by_type": median_value_by_type,
+    "customer_revenue_q10": customer_revenue_q10,
     "api_call_savings": api_call_savings,
     "unpivot_event_fields": unpivot_event_fields,
     "doc_catalog_list": doc_catalog_list,
@@ -127,6 +180,36 @@ QUERIES = {
 
 
 ORACLE = {
+    "iso_timestamps": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+               strftime(ts, '%Y-%m-%d') AS iso_date
+        FROM events
+    """,
+    "median_value_by_type": """
+        SELECT event_type,
+               {p50} AS median_value,
+               {p90} AS p90_value
+        FROM events GROUP BY event_type
+    """.format(
+        p50=X.pround_sql("quantile_cont(value, 0.5)", 2),
+        p90=X.pround_sql("quantile_cont(value, 0.9)", 2),
+    ),
+    "customer_revenue_q10": f"""
+        WITH rev AS (
+            SELECT o_custkey, sum({X.DISC_PRICE_SQL}) AS rev_dec
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY o_custkey
+            ORDER BY rev_dec DESC, o_custkey ASC LIMIT 20
+        )
+        SELECT c_custkey, c_name, n_name,
+               {X.pround_sql('CAST(rev_dec AS DOUBLE)')} AS revenue
+        FROM customer
+        JOIN rev ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    """,
     "api_call_savings": """
         SELECT CAST(count(*) AS BIGINT) AS total_messages,
                CAST(count(*) * 4 AS BIGINT) AS old_api_calls,
