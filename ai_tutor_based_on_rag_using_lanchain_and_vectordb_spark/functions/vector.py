@@ -55,20 +55,24 @@ def cosine(a: Column, b: Column) -> Column:
 # ------------------------------------------------------- fixed-dim (codegen)
 
 
-def _elem(vec: Column, i: int) -> Column:
-    # element_at is 1-based; cast each float element to double at use
-    # site (no intermediate double-array allocation)
-    return F.element_at(vec, i + 1).cast("double")
+def _elem(vec: Column, i: int, cast: bool) -> Column:
+    # element_at is 1-based
+    e = F.element_at(vec, i + 1)
+    return e.cast("double") if cast else e
 
 
-def dot_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
-    terms = [_elem(a, i) * _elem(b, i) for i in range(dim)]
+def dot_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM, cast: bool = True) -> Column:
+    """Flat left-associated dot product. Pass ``cast=False`` when the
+    arrays are already array<double> (pre-cast per row with
+    ``as_double``) — halves the expression size, which matters both for
+    Janino compile time and per-pair evaluation."""
+    terms = [_elem(a, i, cast) * _elem(b, i, cast) for i in range(dim)]
     # left-associated chain == sequential-fold summation order
     return reduce(lambda acc, t: acc + t, terms)
 
 
-def norm_fixed(a: Column, dim: int = EMBEDDING_DIM) -> Column:
-    return F.sqrt(dot_fixed(a, a, dim))
+def norm_fixed(a: Column, dim: int = EMBEDDING_DIM, cast: bool = True) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim, cast))
 
 
 def cosine_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:

@@ -141,14 +141,19 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles per doc: tokens → sliding n-grams.
-    Built with transform over an index sequence (JVM-side)."""
+    Built with transform over an index sequence (JVM-side). The explicit
+    repartition fans the generation out — a single parquet split would
+    otherwise evaluate every doc's shingle expressions in one task."""
+    from ..session import default_parallelism
+
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        docs.select("doc_id", "lang", F.explode(grams).alias("s"))
+        docs.repartition(default_parallelism())
+        .select("doc_id", "lang", F.explode(grams).alias("s"))
         .distinct()
     )
 
@@ -162,16 +167,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lingering cached RDD steals executor memory from later queries
     sh = _shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Inverted-index pair generation (no self-join): group the posting
+    # list per (lang, shingle), emit each unordered doc pair inside the
+    # list, then count pair occurrences = |A∩B|. One shuffle on the
+    # shingle key + one on the pair key; document-frequency bounds the
+    # per-group fan-out (df ≤ ~15 here ⇒ ≤ ~100 pairs/shingle). The
+    # explicit repartition keeps the explode stage parallel (AQE would
+    # coalesce the small grouped output to one partition otherwise).
+    from ..session import default_parallelism
+
+    ids = F.col("ids")
+    pair_list = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: F.struct(
+                    F.element_at(ids, i + 1).alias("doc_a"),
+                    F.element_at(ids, j + 1).alias("doc_b"),
+                ),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    pairs = (
+        sh.groupBy("lang", "s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .repartition(default_parallelism())
+        .select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     ca = counts.alias("ca")

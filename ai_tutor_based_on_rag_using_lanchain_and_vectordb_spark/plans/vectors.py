@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions import exact as X
 from ..functions import vector as V
+from ..session import default_parallelism
 
 K = 5
 N_QUERIES = 5  # vec_id < 5 are the designated query vectors
@@ -34,24 +35,31 @@ def _scored_pairs(embeddings: DataFrame, same_label_only: bool) -> DataFrame:
     # Norms are precomputed per row, not per pair.
     queries = embeddings.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
+        V.as_double(F.col("embedding")).alias("qv"),
         F.col("label").alias("qlabel"),
         V.norm_fixed(F.col("embedding")).alias("qnorm"),
     )
     cand = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
+        V.as_double(F.col("embedding")).alias("cv"),
         F.col("label").alias("clabel"),
         V.norm_fixed(F.col("embedding")).alias("cnorm"),
     )
     cond = F.col("query_id") != F.col("neighbor_id")
     if same_label_only:
         cond = cond & (F.col("qlabel") == F.col("clabel"))
+    # explicit repartition: the scan side is one small parquet file (one
+    # input split), which would make the broadcast-join scoring stage a
+    # single task; a fixed-count round-robin fans the N×Q scoring out
+    # across the executor threads (AQE never coalesces explicit counts)
+    n_parts = default_parallelism()
     return (
-        cand.join(F.broadcast(queries), cond)
+        cand.repartition(n_parts)
+        .join(F.broadcast(queries), cond)
         .withColumn(
             "score",
-            V.dot_fixed(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")),
+            V.dot_fixed(F.col("qv"), F.col("cv"), cast=False)
+            / (F.col("qnorm") * F.col("cnorm")),
         )
     )
 
@@ -97,21 +105,35 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a label block
     (cosine ≥ 0.3; blocking on label keeps the pair space linear-ish)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Broadcast-hash self-join: a sort-merge join here would shuffle two
+    # tiny inputs, AQE would coalesce them to one partition, and the
+    # O(N²/labels) pair *output* would then score on a single task. The
+    # build side (id, vec, norm) is small by construction, so broadcast
+    # it and fan the probe side out with an explicit round-robin
+    # repartition (explicit counts are exempt from AQE coalescing); the
+    # scoring stage then parallelizes across all executor threads with
+    # no shuffle at all. At 100 TB with an un-broadcastable build side,
+    # the equivalent treatment is salting the blocking key.
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
+        V.as_double(F.col("embedding")).alias("va"),
         F.col("label").alias("la"),
         V.norm_fixed(F.col("embedding")).alias("norm_a"),
-    )
+    ).repartition(default_parallelism())
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
+        V.as_double(F.col("embedding")).alias("vb"),
         F.col("label").alias("lb"),
         V.norm_fixed(F.col("embedding")).alias("norm_b"),
     )
-    score = V.dot_fixed(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b"))
+    score = V.dot_fixed(F.col("va"), F.col("vb"), cast=False) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
     return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            F.broadcast(b),
+            (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")),
+        )
         .withColumn("score", score)
         .where(F.col("score") >= 0.3)
         .select("vec_a", "vec_b", X.pround(F.col("score"), 4).alias("score"))
