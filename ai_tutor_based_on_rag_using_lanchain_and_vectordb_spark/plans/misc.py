@@ -164,7 +164,48 @@ def customer_revenue_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional aggregation after a fact-fact join —
+    per linestatus, how many high- vs low-priority orders shipped late
+    (ship > order + 90 days). CASE-sum keeps it one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share — broadcast the part dim,
+    conditional decimal-exact numerator over the full revenue
+    denominator."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    num = F.sum(F.when(promo, X.disc_price()).otherwise(F.lit(0).cast("decimal(24,6)")))
+    den = F.sum(X.disc_price())
+    return joined.agg(
+        X.pround(F.lit(100.0) * num.cast("double") / den.cast("double"), 4).alias(
+            "promo_revenue_pct"
+        ),
+        X.pround(den.cast("double"), 2).alias("total_revenue"),
+    )
+
+
 QUERIES = {
+    "priority_shipmode_counts": priority_shipmode_counts,
+    "promo_revenue_share": promo_revenue_share,
     "iso_timestamps": iso_timestamps,
     "median_value_by_type": median_value_by_type,
     "customer_revenue_q10": customer_revenue_q10,
@@ -180,6 +221,27 @@ QUERIES = {
 
 
 ORACLE = {
+    "priority_shipmode_counts": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+    """,
+    "promo_revenue_share": f"""
+        SELECT {X.pround_sql(
+            "100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN " + X.DISC_PRICE_SQL +
+            " ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)"
+            " / CAST(sum(" + X.DISC_PRICE_SQL + ") AS DOUBLE)", 4)} AS promo_revenue_pct,
+               {X.pround_sql("CAST(sum(" + X.DISC_PRICE_SQL + ") AS DOUBLE)", 2)}
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
     "iso_timestamps": """
         SELECT event_id,
                strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
