@@ -10,9 +10,9 @@ rounded identically on both sides so value-hashes match despite
 summation-order differences.
 """
 
-from . import documents, misc, pipeline, relational, vectors
+from . import curation, documents, misc, pipeline, relational, vectors
 
-ALL_MODULES = (relational, documents, vectors, misc, pipeline)
+ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline)
 
 
 def all_queries():

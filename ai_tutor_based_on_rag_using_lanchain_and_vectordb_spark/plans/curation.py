@@ -1,0 +1,168 @@
+"""Training-data curation queries — the selection/filtering shapes a
+100 TB corpus pipeline runs after dedup and scoring: correlated-minimum
+selection, event funnels, per-group quantile gates, deterministic
+sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact as X
+from ..functions import textstats as TS
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-minimum (TPC-H Q2 shape): for each part, the supplier
+    whose line offers the lowest unit price — window-min + equality
+    filter instead of a correlated subquery re-scan; suppkey min as the
+    deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    w = Window.partitionBy("l_partkey")
+    priced = li.select("l_partkey", "l_suppkey", unit).withColumn(
+        "min_unit", F.min("unit_price").over(w)
+    )
+    return (
+        priced.where(F.col("unit_price") == F.col("min_unit"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.min("l_suppkey").alias("best_suppkey"),
+            X.pround(F.min("min_unit"), 4).alias("best_unit_price"),
+        )
+    )
+
+
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, first signup → first purchase *after* it;
+    conversion flag for the 7-day window. One pass with conditional
+    min aggregates — no self-join."""
+    events = load_table(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    per_user = events.groupBy("user_id").agg(first_signup.alias("signup_ts"))
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    joined = (
+        per_user.where(F.col("signup_ts").isNotNull())
+        .join(purchases, "user_id", "left")
+        .where(F.col("purchase_ts").isNull() | (F.col("purchase_ts") >= F.col("signup_ts")))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("purchase_ts").alias("first_purchase_ts"))
+    )
+    hours = (
+        F.unix_micros(F.col("first_purchase_ts")) - F.unix_micros(F.col("signup_ts"))
+    ) / 3600000000.0
+    return joined.select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        F.coalesce(
+            (hours <= 7 * 24) & F.col("first_purchase_ts").isNotNull(), F.lit(False)
+        ).alias("converted_7d"),
+        X.pround(hours, 2).alias("hours_to_convert"),
+    )
+
+
+def quality_above_lang_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile gate: keep documents whose quality score is
+    strictly above their language's median — the classifier-threshold
+    curation step, as a groupBy quantile + broadcast join."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", TS.quality_score(F.col("text")).alias("quality"))
+    medians = scored.groupBy("lang").agg(
+        F.expr("percentile(quality, 0.5)").alias("median_q")
+    )
+    return (
+        scored.join(F.broadcast(medians), "lang")
+        .where(F.col("quality") > F.col("median_q"))
+        .select("doc_id", "lang", "quality", X.pround(F.col("median_q"), 4).alias("median_q"))
+    )
+
+
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% key-sample per language (the reproducible
+    train/eval split pattern: mod on the stable id, never rand())."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+QUERIES = {
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "signup_purchase_funnel": signup_purchase_funnel,
+    "quality_above_lang_median": quality_above_lang_median,
+    "deterministic_doc_sample": deterministic_doc_sample,
+}
+
+_QUALITY_SQL = r"""
+    SELECT doc_id, lang,
+           (floor(((least(length(text) / 500.0, 1.0)
+              + (1.0 - least((floor((length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) * 1.0
+                      / greatest(length(text), 1)) * 10000 + 0.5) / 10000) * 4, 1.0))
+              + least((floor((len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                      t -> list_contains([{stops}], t))) * 1.0
+                      / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1)) * 10000 + 0.5) / 10000) * 5, 1.0))
+              / 3) * 10000 + 0.5) / 10000) AS quality
+    FROM documents
+""".replace("{stops}", ", ".join(f"'{w}'" for w in TS.EN_STOPWORDS))
+
+
+ORACLE = {
+    "cheapest_supplier_per_part": """
+        WITH priced AS (
+            SELECT l_partkey, l_suppkey,
+                   l_extendedprice / l_quantity AS unit_price,
+                   min(l_extendedprice / l_quantity)
+                       OVER (PARTITION BY l_partkey) AS min_unit
+            FROM lineitem
+        )
+        SELECT l_partkey AS p_partkey,
+               min(l_suppkey) AS best_suppkey,
+               {pr} AS best_unit_price
+        FROM priced WHERE unit_price = min_unit
+        GROUP BY l_partkey
+    """.format(pr=X.pround_sql("min(min_unit)", 4)),
+    "signup_purchase_funnel": """
+        WITH su AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'signup') AS signup_ts
+            FROM events GROUP BY user_id
+        ), joined AS (
+            SELECT su.user_id, su.signup_ts, min(p.ts) AS first_purchase_ts
+            FROM su LEFT JOIN events p
+              ON p.user_id = su.user_id AND p.event_type = 'purchase'
+             AND p.ts >= su.signup_ts
+            WHERE su.signup_ts IS NOT NULL
+            GROUP BY su.user_id, su.signup_ts
+        )
+        SELECT user_id, signup_ts, first_purchase_ts,
+               coalesce((epoch_us(first_purchase_ts) - epoch_us(signup_ts))
+                        / 3600000000.0 <= 168 AND first_purchase_ts IS NOT NULL,
+                        false) AS converted_7d,
+               {pr} AS hours_to_convert
+        FROM joined
+    """.format(
+        pr=X.pround_sql(
+            "(epoch_us(first_purchase_ts) - epoch_us(signup_ts)) / 3600000000.0", 2
+        )
+    ),
+    "quality_above_lang_median": f"""
+        WITH scored AS ({_QUALITY_SQL}),
+        medians AS (
+            SELECT lang, quantile_cont(quality, 0.5) AS median_q
+            FROM scored GROUP BY lang
+        )
+        SELECT doc_id, scored.lang, quality,
+               {X.pround_sql('median_q', 4)} AS median_q
+        FROM scored JOIN medians ON scored.lang = medians.lang
+        WHERE quality > median_q
+    """,
+    "deterministic_doc_sample": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 = 0
+    """,
+}
