@@ -203,7 +203,28 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /health endpoint's component probe (reference
+    backend/main.py:125-168: DB row counts + vector-store count) as one
+    unioned aggregate over the engine's stores."""
+    parts = []
+    for name in ("events", "documents", "embeddings"):
+        df = load_table(spark, sf_dir, name)
+        parts.append(
+            df.agg(F.count("*").alias("row_count")).select(
+                F.lit(name).alias("component"),
+                "row_count",
+                (F.col("row_count") > 0).alias("healthy"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
+    "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
     "promo_revenue_share": promo_revenue_share,
     "iso_timestamps": iso_timestamps,
@@ -221,6 +242,14 @@ QUERIES = {
 
 
 ORACLE = {
+    "health_status": """
+        SELECT 'events' AS component, CAST(count(*) AS BIGINT) AS row_count,
+               count(*) > 0 AS healthy FROM events
+        UNION ALL
+        SELECT 'documents', CAST(count(*) AS BIGINT), count(*) > 0 FROM documents
+        UNION ALL
+        SELECT 'embeddings', CAST(count(*) AS BIGINT), count(*) > 0 FROM embeddings
+    """,
     "priority_shipmode_counts": """
         SELECT l_linestatus,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
