@@ -92,7 +92,31 @@ def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    signup at-or-before it (union+window merge form, operators/asof.py —
+    no range-join blow-up)."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, signups, key="user_id", right_payload=("event_id",))
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("matched_ts").alias("signup_ts"),
+        F.col("matched_event_id").alias("signup_event_id"),
+    )
+
+
 QUERIES = {
+    "purchase_asof_signup": purchase_asof_signup,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "signup_purchase_funnel": signup_purchase_funnel,
     "quality_above_lang_median": quality_above_lang_median,
@@ -113,6 +137,17 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "purchase_asof_signup": """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), s AS (
+            SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               s.ts AS signup_ts, s.event_id AS signup_event_id
+        FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
     "cheapest_supplier_per_part": """
         WITH priced AS (
             SELECT l_partkey, l_suppkey,
