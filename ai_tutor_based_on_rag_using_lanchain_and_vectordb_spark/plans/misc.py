@@ -223,7 +223,23 @@ def health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide format: per-user counts of each event type (the
+    session-feature matrix shape). Explicit value list keeps the pivot
+    a single pass (no distinct-values pre-query)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
 QUERIES = {
+    "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
     "promo_revenue_share": promo_revenue_share,
@@ -242,6 +258,15 @@ QUERIES = {
 
 
 ORACLE = {
+    "user_event_pivot": """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
     "health_status": """
         SELECT 'events' AS component, CAST(count(*) AS BIGINT) AS row_count,
                count(*) > 0 AS healthy FROM events

@@ -40,6 +40,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",    # inverted-index similarity self-join
     "knn_exact",              # broadcast brute-force cosine top-k
     "embedding_neardup_pairs",  # blocked vector self-join
+    "purchase_asof_signup",   # as-of join (union+window merge)
+    "signup_purchase_funnel", # conditional-min funnel
+    "promo_revenue_share",    # broadcast dim + conditional decimal agg
+    "user_event_pivot",       # wide pivot
 ]
 
 
