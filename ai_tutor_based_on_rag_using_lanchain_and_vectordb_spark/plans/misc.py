@@ -238,7 +238,63 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style OR-of-ANDs across a join: revenue from three
+    disjoint (brand × size × quantity) bands. Catalyst splits the
+    disjunction into join-key + residual filters; the common subterms
+    still push to the scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10)
+    band2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20)
+    band3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30)
+    return j.where(band1 | band2 | band3).agg(
+        F.count("*").alias("n_lines"),
+        X.pround(F.sum(X.disc_price()).cast("double"), 2).alias("revenue"),
+    )
+
+
+def doc_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-search scan: LIKE/contains predicates push to the
+    parquet reader (StringContains filter); per-source hit counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").contains("spark") & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_hits"),
+            X.davg(F.col("n_chars")).alias("avg_len"),
+        )
+    )
+
+
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window: 7-day moving average of daily order revenue
+    (rangeBetween on day numbers, not rows — calendar gaps count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(X.money("o_totalprice")).alias("rev_dec")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        X.pround(F.col("rev_dec").cast("double")).alias("daily_revenue"),
+        X.pround(
+            F.sum(F.col("rev_dec")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            2,
+        ).alias("ma7_revenue"),
+    )
+
+
 QUERIES = {
+    "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
+    "doc_text_search": doc_text_search,
+    "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -258,6 +314,39 @@ QUERIES = {
 
 
 ORACLE = {
+    "disjunctive_predicate_revenue": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_lines,
+               {X.pround_sql("CAST(sum(" + X.DISC_PRICE_SQL + ") AS DOUBLE)", 2)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 10)
+           OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 20)
+           OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 30)
+    """,
+    "doc_text_search": f"""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_hits,
+               {X.davg_sql("n_chars")} AS avg_len
+        FROM documents
+        WHERE text LIKE '%spark%' AND lang = 'en'
+        GROUP BY source
+    """,
+    "moving_avg_daily_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+                   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dayno
+            FROM orders GROUP BY 1, 3
+        )
+        SELECT day,
+               {pr_daily} AS daily_revenue,
+               {pr_ma} AS ma7_revenue
+        FROM daily
+        WINDOW w AS (ORDER BY dayno RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """.format(
+        pr_daily=X.pround_sql("CAST(rev_dec AS DOUBLE)"),
+        pr_ma=X.pround_sql(
+            "CAST(sum(rev_dec) OVER w AS DOUBLE) / count(*) OVER w", 2
+        ),
+    ),
     "user_event_pivot": """
         SELECT user_id,
                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
