@@ -115,7 +115,50 @@ def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (operators/upsert.py): re-ingest every 7th
+    document with a revised payload plus one brand-new row; updates win
+    on collision, everything else passes through."""
+    from ..operators.upsert import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    updates = docs.where(F.pmod("doc_id", F.lit(7)) == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+        "lang",
+        F.lit("reingest").alias("source"),
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    new_row = spark.createDataFrame(
+        [(10_000_000, "brand new doc", "en", "reingest", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    merged = merge_upsert(docs, updates.unionByName(new_row), "doc_id")
+    return merged.select("doc_id", "lang", "source", "n_chars")
+
+
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking: lifetime-spend quartiles with per-quartile stats
+    (deterministic order: spend desc, custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(X.money("o_totalprice")).alias("spent_dec")
+    )
+    w = Window.orderBy(F.desc("spent_dec"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            X.pround(F.sum("spent_dec").cast("double")).alias("total_spend"),
+            X.pround(F.min("spent_dec").cast("double")).alias("min_spend"),
+        )
+    )
+
+
 QUERIES = {
+    "catalog_merge_upsert": catalog_merge_upsert,
+    "customer_spend_quartiles": customer_spend_quartiles,
     "purchase_asof_signup": purchase_asof_signup,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "signup_purchase_funnel": signup_purchase_funnel,
@@ -137,6 +180,38 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "catalog_merge_upsert": """
+        WITH updates AS (
+            SELECT doc_id, text || ' [rev2]' AS text, lang,
+                   'reingest' AS source, n_chars + 7 AS n_chars
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT 10000000, 'brand new doc', 'en', 'reingest', 13
+        )
+        SELECT coalesce(u.doc_id, t.doc_id) AS doc_id,
+               coalesce(u.lang, t.lang) AS lang,
+               coalesce(u.source, t.source) AS source,
+               coalesce(u.n_chars, t.n_chars) AS n_chars
+        FROM documents t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id
+    """,
+    "customer_spend_quartiles": """
+        WITH spend AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spent_dec
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               {pr_total} AS total_spend,
+               {pr_min} AS min_spend
+        FROM (
+            SELECT spent_dec,
+                   ntile(4) OVER (ORDER BY spent_dec DESC, o_custkey ASC) AS quartile
+            FROM spend
+        ) GROUP BY quartile
+    """.format(
+        pr_total=X.pround_sql("CAST(sum(spent_dec) AS DOUBLE)"),
+        pr_min=X.pround_sql("CAST(min(spent_dec) AS DOUBLE)"),
+    ),
     "purchase_asof_signup": """
         WITH p AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
