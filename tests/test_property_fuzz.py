@@ -1,0 +1,66 @@
+"""Property/fuzz tests: the cross-engine rounding contract and splitter
+invariants under random inputs (hypothesis)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.splitter import (
+    split_text,
+)
+
+# -- pround parity: the floor-based formula must agree between DuckDB and
+# -- Python float semantics (same IEEE ops); Spark-side agreement is
+# -- covered by the 60-query oracle gate, this fuzzes the formula itself.
+
+_doubles = st.floats(
+    min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+)
+
+
+def _py_pround(x: float, d: int) -> float:
+    import math
+
+    p = 10 ** d
+    return math.floor(x * p + 0.5) / p
+
+
+@given(xs=st.lists(_doubles, min_size=1, max_size=50), d=st.integers(0, 6))
+@settings(max_examples=50, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_pround_formula_cross_engine(xs, d):
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": xs}))
+    p = 10 ** d
+    duck = con.sql(f"SELECT floor(x * {p} + 0.5) / {p} AS r FROM t").df()["r"].tolist()
+    py = [_py_pround(x, d) for x in xs]
+    assert duck == py
+
+
+# -- splitter invariants under random separator-rich text
+
+_chunks_text = st.lists(
+    st.sampled_from(["a", "bb", "word", " ", "\n", "\n\n", ".", "longtokenxyz"]),
+    min_size=0,
+    max_size=600,
+).map("".join)
+
+
+@given(text=_chunks_text, size=st.integers(20, 200), overlap=st.integers(0, 19))
+@settings(max_examples=80, deadline=None)
+def test_splitter_invariants_fuzz(text, size, overlap):
+    chunks = split_text(text, size=size, overlap=overlap)
+    if not text:
+        assert chunks == []
+        return
+    assert chunks[0][1] == 0
+    assert chunks[-1][2] == len(text)
+    for c, s, e in chunks:
+        assert text[s:e] == c
+        assert 0 < e - s <= size
+    for (_, s1, e1), (_, s2, e2) in zip(chunks, chunks[1:]):
+        assert s2 > s1 and e2 > e1
+        assert s2 <= e1              # no gaps
+        assert e1 - s2 <= overlap    # bounded overlap
