@@ -10,9 +10,9 @@ rounded identically on both sides so value-hashes match despite
 summation-order differences.
 """
 
-from . import curation, documents, misc, pipeline, relational, vectors
+from . import curation, documents, misc, pipeline, relational, tpch_extra, vectors
 
-ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline)
+ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline, tpch_extra)
 
 
 def all_queries():

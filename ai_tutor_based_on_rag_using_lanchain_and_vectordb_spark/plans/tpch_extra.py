@@ -1,0 +1,410 @@
+"""Advanced TPC-H-shaped queries: nation-pair self-joined dims, share-of-
+total, correlated-average predicates, HAVING-subquery join-backs, and
+scalar-subquery thresholds (SURVEY.md §2.3-2.6 stretch coverage — join
+shapes the reference's SQLite queries only imply).
+
+The driver's star schema has no partsupp table, so Q9/Q16/Q20 shapes are
+adapted to use lineitem as the part↔supplier link.
+
+Scale notes (100 TB design point):
+
+- Nation/region dims are broadcast on both sides of the Q7/Q8 pair
+  joins — the fact table never shuffles for dimension lookups.
+- Scalar thresholds (total value, average balance, max revenue) are
+  1-row aggregates broadcast-cross-joined into the plan, never collected
+  to the driver; each query stays a single Catalyst plan.
+- The Q17 correlated average is rewritten as an aggregate-then-join:
+  the per-part averages (|part| rows, small) broadcast against the fact
+  scan instead of a per-row correlated subquery.
+- Q18's HAVING-subquery is an aggregate on the already-shuffled
+  l_orderkey grouping, then a semi-join back — one shuffle, reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact as X
+
+
+def _year(col: str) -> F.Column:
+    return F.year(col).alias("l_year")
+
+
+def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — revenue shipped between two nations, by direction
+    and year. The nation dim joins twice under different roles (supplier
+    nation / customer nation); both are broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rev_pair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair | rev_pair)
+        .groupBy("supp_nation", "cust_nation", _year("l_shipdate"))
+        .agg(X.pround(F.sum(X.disc_price()).cast("double")).alias("revenue"))
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — NATION_8's share of supplier revenue into ASIA-
+    region customers, per order year: conditional-sum / total-sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = X.disc_price()
+    national = F.when(F.col("supp_nation") == "NATION_8", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            X.pround(
+                F.sum(national).cast("double") / F.sum(vol).cast("double"), 4
+            ).alias("mkt_share")
+        )
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp, amount = disc_price) —
+    widget-part revenue by supplier nation and ship year. The part filter
+    (LIKE) prunes before the join; part and nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), _year("l_shipdate"))
+        .agg(X.pround(F.sum(X.disc_price()).cast("double")).alias("sum_profit"))
+    )
+
+
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose lineitem value exceeds 0.08% of
+    total value. The global total is a 1-row broadcast, not a driver
+    collect."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        X.dec_sum_raw(X.disc_price().cast("double")).alias("part_value_dec")
+    )
+    total = F.broadcast(
+        li.agg(X.dec_sum_raw(X.disc_price().cast("double")).alias("total_dec"))
+    )
+    return (
+        per_part.crossJoin(total)
+        .where(
+            F.col("part_value_dec")
+            > F.col("total_dec") * F.lit(0.0008).cast("decimal(6,4)")
+        )
+        .select(
+            "l_partkey",
+            X.pround(F.col("part_value_dec").cast("double")).alias("part_value"),
+        )
+    )
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) with the maximum 1996 revenue.
+    Ties kept (exact decimal compare, no float ambiguity); the max is a
+    1-row broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        X.dec_sum_raw(X.disc_price().cast("double")).alias("rev_dec")
+    )
+    mx = F.broadcast(rev.agg(F.max("rev_dec").alias("max_dec")))
+    return (
+        rev.crossJoin(mx)
+        .where(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            X.pround(F.col("rev_dec").cast("double")).alias("total_revenue"),
+        )
+    )
+
+
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem as the part↔supplier link) —
+    distinct-supplier counts per brand/type/size, excluding one brand and
+    low-balance suppliers (the NOT IN anti-join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from Brand#13 lineitems whose quantity is
+    below half the part's average quantity. The correlated subquery is
+    rewritten as aggregate-then-broadcast-join (per-part averages are
+    |part| rows — tiny next to the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    # Exact-numerator average: decimal sum / count, divided in double —
+    # bit-identical to the oracle's formulation.
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast(X.DEC)).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_q")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_q"))
+        .agg(
+            X.dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds 250, joined
+    back to customer detail; top 100 by order totalprice. The HAVING
+    aggregate and the join-back reuse one l_orderkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(X.dec_sum_raw(F.col("l_quantity").cast("double")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            X.pround(F.col("qty_dec").cast("double")).alias("total_qty"),
+        )
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with above-average positive balance
+    and no order in the final year of data, counted per nation.
+    Scalar-subquery threshold broadcast + anti-join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = F.broadcast(
+        cust.where(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast(X.DEC)).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            X.dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+QUERIES = {
+    "volume_shipping_pairs": volume_shipping_pairs,
+    "nation_market_share": nation_market_share,
+    "product_type_profit": product_type_profit,
+    "important_parts_value": important_parts_value,
+    "top_revenue_supplier": top_revenue_supplier,
+    "brand_supplier_counts": brand_supplier_counts,
+    "small_qty_avg_revenue": small_qty_avg_revenue,
+    "large_volume_orders": large_volume_orders,
+    "idle_rich_customers": idle_rich_customers,
+}
+
+
+_PR_REV = X.pround_sql(f"CAST(sum({X.DISC_PRICE_SQL}) AS DOUBLE)")
+
+ORACLE = {
+    "volume_shipping_pairs": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_PR_REV} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "nation_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               {X.pround_sql(
+                   f"CAST(sum(CASE WHEN sn.n_name = 'NATION_8' THEN {X.DISC_PRICE_SQL} "
+                   f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
+                   f"/ CAST(sum({X.DISC_PRICE_SQL}) AS DOUBLE)", 4)} AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region    ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY 1
+    """,
+    "product_type_profit": f"""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS l_year,
+               {_PR_REV} AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "important_parts_value": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(CAST({X.DISC_PRICE_SQL} AS DOUBLE) AS {X.DEC_SQL}))
+                       AS part_value_dec
+            FROM lineitem GROUP BY l_partkey
+        ), total AS (
+            SELECT sum(CAST(CAST({X.DISC_PRICE_SQL} AS DOUBLE) AS {X.DEC_SQL}))
+                       AS total_dec
+            FROM lineitem
+        )
+        SELECT l_partkey,
+               {X.pround_sql('CAST(part_value_dec AS DOUBLE)')} AS part_value
+        FROM per_part, total
+        WHERE part_value_dec > total_dec * CAST(0.0008 AS DECIMAL(6,4))
+    """,
+    "top_revenue_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(CAST({X.DISC_PRICE_SQL} AS DOUBLE) AS {X.DEC_SQL}))
+                       AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               {X.pround_sql('CAST(rev_dec AS DOUBLE)')} AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+    """,
+    "brand_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "small_qty_avg_revenue": f"""
+        WITH avg_qty AS (
+            SELECT l_partkey AS a_partkey,
+                   CAST(sum(CAST(l_quantity AS {X.DEC_SQL})) AS DOUBLE)
+                       / count(l_quantity) AS avg_q
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {X.dsum_sql('l_extendedprice')} AS small_qty_revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN avg_qty ON l_partkey = a_partkey
+        WHERE p_brand = 'Brand#13' AND l_quantity < 0.5 * avg_q
+    """,
+    "large_volume_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   sum(CAST(CAST(l_quantity AS DOUBLE) AS {X.DEC_SQL})) AS qty_dec
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(CAST(l_quantity AS DOUBLE) AS {X.DEC_SQL})) > 250
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               {X.pround_sql('CAST(qty_dec AS DOUBLE)')} AS total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "idle_rich_customers": f"""
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               {X.dsum_sql('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT CAST(sum(CAST(c_acctbal AS {X.DEC_SQL})) AS DOUBLE)
+                       / count(c_acctbal)
+                FROM customer WHERE c_acctbal > 0)
+          AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-08-01')
+        GROUP BY c_nationkey
+    """,
+}
