@@ -1,0 +1,91 @@
+"""Distributed connected components via min-label propagation.
+
+The near-duplicate detectors (minhash/simhash/n-gram Jaccard,
+operators/dedup.py) emit *pairs*; turning pairs into dedup groups —
+"keep one document per cluster" — needs the transitive closure. This is
+the standard iterative-join formulation:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated until fixpoint. Each iteration is two distributed hash
+shuffles (edge⋈label join + per-node min); no driver-side graph state —
+only the converged-yet? count crosses to the driver, so the algorithm
+runs unchanged on a 1000-executor cluster.
+
+Scale notes (100 TB design point):
+
+- Each round composes one-hop propagation with pointer jumping
+  (label <- label(label), i.e. path halving as in Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"), so convergence is
+  O(log diameter) rounds, not O(diameter) — a 1M-node chain resolves
+  in ~20 rounds. Near-dup clusters are dense and shallow, so 2-4
+  rounds are typical; `max_iter` bounds the pathological case.
+- `localCheckpoint` truncates the growing lineage each round;
+  otherwise every iteration replans the whole prefix and the DAG
+  explodes quadratically.
+- Labels and edges shuffle on the same node key every round, so AQE
+  reuses co-partitioned exchanges where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve undirected ``edges`` into components.
+
+    Returns ``(node, component)`` for every node that appears in an
+    edge, where ``component`` is the minimum node id reachable —
+    a deterministic, engine-independent cluster id.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        propagated = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # Pointer jumping (path halving): label <- label(label). One hop
+        # of propagation alone needs O(diameter) rounds; composing it
+        # with a label-of-label jump shortens chains geometrically, so
+        # long paths converge in O(log diameter) rounds.
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            propagated.join(parent, propagated["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -209,8 +209,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: the Jaccard pair set resolved into
+    connected components (transitive closure), giving one deterministic
+    cluster id — min doc_id — per group of mutually-similar documents.
+    This is the "keep one per cluster" dedup step that pairwise output
+    alone can't provide (A~B, B~C ⇒ {A,B,C} one cluster)."""
+    from ..operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 QUERIES = {
     "doc_dedup_exact": doc_dedup_exact,
+    "neardup_components": neardup_components,
     "doc_previews": doc_previews,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
@@ -329,7 +344,39 @@ ORACLE = {
         FROM documents
     """,
     "ngram_jaccard_pairs": r"""
-        WITH toks AS (
+        WITH """ + "_JACCARD_CTES" + r"""
+        SELECT doc_a, doc_b,
+               (floor((inter * 1.0 / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.05
+    """,
+    "neardup_components": r"""
+        WITH RECURSIVE """ + "_JACCARD_CTES" + r""", good AS (
+            SELECT doc_a, doc_b
+            FROM pairs
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.05
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM good
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM good
+        ), reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+        )
+        SELECT node AS doc_id, min(label) AS component
+        FROM reach GROUP BY node
+    """,
+}
+
+# Shared candidate-pair CTE chain (3-gram shingles → inverted-index
+# pairs → per-doc shingle counts); spliced into both oracles above so
+# the pair definition can't drift between them.
+_JACCARD_CTES_SQL = r"""toks AS (
             SELECT doc_id, lang,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS t
             FROM documents
@@ -348,12 +395,7 @@ ORACLE = {
             FROM sh a JOIN sh b
               ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               (floor((inter * 1.0 / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000) AS jaccard
-        FROM pairs
-        JOIN counts ca ON ca.doc_id = doc_a
-        JOIN counts cb ON cb.doc_id = doc_b
-        WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.05
-    """,
-}
+        )"""
+
+for _k in ("ngram_jaccard_pairs", "neardup_components"):
+    ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)

@@ -1,0 +1,35 @@
+"""Connected components: transitive closure of near-dup pairs."""
+
+from __future__ import annotations
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.components import (
+    connected_components,
+)
+
+
+def _resolve(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_merges_transitively(spark):
+    # A~B, B~C, C~D: one component rooted at the min id, despite no
+    # direct A~D edge — the property pairwise dedup output lacks.
+    got = _resolve(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_merge_of_two_clusters_via_bridge(spark):
+    got = _resolve(spark, [(5, 6), (8, 9), (6, 8)])
+    assert got == {5: 5, 6: 5, 8: 5, 9: 5}
+
+
+def test_edge_direction_irrelevant(spark):
+    assert _resolve(spark, [(7, 2)]) == _resolve(spark, [(2, 7)]) == {2: 2, 7: 2}
+
+
+def test_long_path_converges(spark):
+    n = 25
+    got = _resolve(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
