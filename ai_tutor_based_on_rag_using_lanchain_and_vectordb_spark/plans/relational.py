@@ -195,6 +195,55 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a per-user day spine (sequence+explode over
+    each user's [first, last] activity span) left-joined against actual
+    daily aggregates, zero-filling silent days. The spine generation is
+    expression-only and the join key (user_id, day) matches the
+    aggregate's grouping, so it's one shuffle each side."""
+    events = load_table(spark, sf_dir, "events")
+    spans = events.groupBy("user_id").agg(
+        F.date_trunc("DAY", F.min("ts")).alias("d0"),
+        F.date_trunc("DAY", F.max("ts")).alias("d1"),
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = events.groupBy(
+        "user_id", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        X.dsum(F.col("value")).alias("v"),
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("v"), F.lit(0.0)).alias("day_value"),
+    )
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket width 50): a single
+    scan + one tiny-key shuffle; the bucket id is a codegen'd floor
+    expression, never a UDF."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50).cast("int")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * 50).cast("double").alias("hi"),
+            "n_events",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style relational queries (join/agg inventory §2.3-2.6)
 # --------------------------------------------------------------------------
@@ -417,6 +466,8 @@ QUERIES = {
     "session_previews": session_previews,
     "daily_activity": daily_activity,
     "session_windows": session_windows,
+    "user_daily_gapfill": user_daily_gapfill,
+    "value_histogram": value_histogram,
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "local_supplier_volume": local_supplier_volume,
@@ -529,6 +580,35 @@ ORACLE = {
                {dsum_value} AS session_value
         FROM islands GROUP BY user_id, island
     """.format(dsum_value=X.dsum_sql("value")),
+    "user_daily_gapfill": f"""
+        WITH spans AS (
+            SELECT user_id,
+                   date_trunc('day', min(ts)) AS d0,
+                   date_trunc('day', max(ts)) AS d1
+            FROM events GROUP BY user_id
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM spans
+        ), daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {X.dsum_sql('value')} AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT s.user_id, s.day,
+               coalesce(n, 0) AS n_events,
+               coalesce(v, 0.0) AS day_value
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    "value_histogram": """
+        SELECT CAST(floor(value / 50) AS INT) AS bucket,
+               CAST(floor(value / 50) AS INT) * CAST(50 AS DOUBLE) AS lo,
+               (CAST(floor(value / 50) AS INT) + 1) * CAST(50 AS DOUBLE) AS hi,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    """,
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {X.dsum_sql('l_quantity')} AS sum_qty,
