@@ -115,6 +115,29 @@ def retention_filter(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST5 continuous-ingest dedup — the UNIQUE(file_hash) gate
+    (backend/db_utils.py:173,221-225) for a never-ending stream.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` keeps per-key state
+    only until the event-time watermark passes it, so state is bounded
+    by (watermark horizon x key arrival rate) — the only formulation
+    that survives an unbounded stream; a plain ``dropDuplicates`` on a
+    stream accumulates every key ever seen. Batch: the same call site
+    degrades to exact ``dropDuplicates``.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 60):
     """Test harness: drain an availableNow stream into a memory sink and
     return the collected rows."""
