@@ -46,7 +46,12 @@ def connected_components(
     a deterministic, engine-independent cluster id.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the edge list once: without this every iteration
+    # re-derives the upstream pair-generation plan (for near-dup input,
+    # the whole shingle/inverted-index pipeline) from scratch.
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -69,23 +74,28 @@ def connected_components(
         parent = propagated.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        new_labels = (
-            propagated.join(parent, propagated["label"] == parent["p_node"], "left")
-            .select(
+        jumped = propagated.join(
+            parent, propagated["label"] == parent["p_node"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # One materialization per round: carry the previous label along
+        # so the convergence check is a filter over the checkpointed
+        # result, not a second full join job.
+        staged = (
+            jumped.alias("n")
+            .join(
+                labels.select("node", F.col("label").alias("old")).alias("o"),
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
             )
+            .select("node", "label", "old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.where(F.col("label") < F.col("old")).count()
+        labels = staged.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

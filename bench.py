@@ -44,6 +44,12 @@ HEADLINE = [
     "signup_purchase_funnel", # conditional-min funnel
     "promo_revenue_share",    # broadcast dim + conditional decimal agg
     "user_event_pivot",       # wide pivot
+    "volume_shipping_pairs",  # twice-joined broadcast dim (Q7 shape)
+    "large_volume_orders",    # HAVING-subquery join-back (Q18 shape)
+    "brand_supplier_counts",  # count-distinct after anti-join (Q16 shape)
+    "user_daily_gapfill",     # day-spine generate + left join zero-fill
+    "value_histogram",        # codegen bucket histogram
+    "neardup_components",     # iterative connected components
 ]
 
 
