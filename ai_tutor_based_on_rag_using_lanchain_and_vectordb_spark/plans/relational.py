@@ -195,6 +195,21 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranks — percent_rank + cume_dist of customer balance
+    within each nation (distribution-position functions the reference
+    lacks; deterministic: rank arithmetic only, no float aggregation)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        X.pround(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        X.pround(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
 def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill: a per-user day spine (sequence+explode over
     each user's [first, last] activity span) left-joined against actual
@@ -466,6 +481,7 @@ QUERIES = {
     "session_previews": session_previews,
     "daily_activity": daily_activity,
     "session_windows": session_windows,
+    "balance_percentiles": balance_percentiles,
     "user_daily_gapfill": user_daily_gapfill,
     "value_histogram": value_histogram,
     "pricing_summary": pricing_summary,
@@ -580,6 +596,16 @@ ORACLE = {
                {dsum_value} AS session_value
         FROM islands GROUP BY user_id, island
     """.format(dsum_value=X.dsum_sql("value")),
+    "balance_percentiles": f"""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               {X.pround_sql(
+                   "percent_rank() OVER (PARTITION BY c_nationkey "
+                   "ORDER BY c_acctbal, c_custkey)", 6)} AS bal_pct_rank,
+               {X.pround_sql(
+                   "cume_dist() OVER (PARTITION BY c_nationkey "
+                   "ORDER BY c_acctbal, c_custkey)", 6)} AS bal_cume_dist
+        FROM customer
+    """,
     "user_daily_gapfill": f"""
         WITH spans AS (
             SELECT user_id,
