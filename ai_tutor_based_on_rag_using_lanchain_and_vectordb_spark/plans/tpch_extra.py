@@ -268,6 +268,117 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — revenue delta from dropping mid-band discounts on
+    small-quantity 1997 lineitems. Pure scan-side predicate aggregate:
+    every filter reaches the parquet scan (PushedFilters), no join, no
+    shuffle beyond the 1-row final agg. Discount compared in decimal so
+    the band edges are exact (0.03/0.07 are not representable doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = X.rate("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (disc >= F.lit("0.03").cast("decimal(4,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(4,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            X.pround(
+                F.sum(X.money("l_extendedprice") * disc).cast("double")
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted: priority exclusion replaces the o_comment
+    NOT LIKE — the testdata has no comment column) — distribution of
+    customers by order count, including zero-order customers via the
+    left outer join. Two groupBys: the first shuffles on c_custkey, the
+    second is over ≤|distinct counts| rows (tiny)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: lineitem is the part↔supplier link; the
+    testdata has no partsupp) — suppliers whose 1997 shipped quantity of
+    any red-named part exceeds a threshold, as nested semi-joins: the
+    correlated availability subquery becomes aggregate-then-filter, and
+    the supplier list is a left_semi join (never duplicates suppliers).
+    The quantity threshold compares the exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(X.dec_sum_raw(F.col("l_quantity").cast("double")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: l_returnflag='R' stands in for the
+    receipt>commit lateness predicate — the testdata has no commit/receipt
+    dates) — suppliers whose returned lineitem on a finished multi-
+    supplier order is the ONLY returned one: EXISTS → left_semi with a
+    non-equi suppkey clause, NOT EXISTS → left_anti with the same shape.
+    All three lineitem sides shuffle on l_orderkey once each; the
+    supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    return (
+        l1.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 QUERIES = {
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
@@ -278,6 +389,10 @@ QUERIES = {
     "small_qty_avg_revenue": small_qty_avg_revenue,
     "large_volume_orders": large_volume_orders,
     "idle_rich_customers": idle_rich_customers,
+    "forecast_revenue_change": forecast_revenue_change,
+    "customer_order_distribution": customer_order_distribution,
+    "promotable_part_suppliers": promotable_part_suppliers,
+    "waiting_suppliers": waiting_suppliers,
 }
 
 
@@ -406,5 +521,58 @@ ORACLE = {
               SELECT o_custkey FROM orders
               WHERE o_orderdate >= TIMESTAMP '2000-08-01')
         GROUP BY c_nationkey
+    """,
+    "forecast_revenue_change": f"""
+        SELECT {X.pround_sql(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)")} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.03 AS DECIMAL(4,2))
+                                                   AND CAST(0.07 AS DECIMAL(4,2))
+          AND l_quantity < 24
+    """,
+    "customer_order_distribution": """
+        WITH c_orders AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+    "promotable_part_suppliers": f"""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(CAST(CAST(l_quantity AS DOUBLE) AS {X.DEC_SQL})) > 50)
+    """,
+    "waiting_suppliers": """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+        GROUP BY s_name
     """,
 }
