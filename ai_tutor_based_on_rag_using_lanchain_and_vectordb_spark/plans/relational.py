@@ -210,6 +210,18 @@ def balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (attribution) join — purchases matched to the same
+    user's clicks within the preceding hour. Shares its implementation
+    with the streaming stream-stream join operator
+    (streaming/windows.py click_purchase_attribution), so the batch
+    oracle here also certifies the streaming join's matching logic."""
+    from ..streaming.windows import click_purchase_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(events)
+
+
 def user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill: a per-user day spine (sequence+explode over
     each user's [first, last] activity span) left-joined against actual
@@ -482,6 +494,7 @@ QUERIES = {
     "daily_activity": daily_activity,
     "session_windows": session_windows,
     "balance_percentiles": balance_percentiles,
+    "purchase_attribution": purchase_attribution,
     "user_daily_gapfill": user_daily_gapfill,
     "value_histogram": value_histogram,
     "pricing_summary": pricing_summary,
@@ -605,6 +618,21 @@ ORACLE = {
                    "cume_dist() OVER (PARTITION BY c_nationkey "
                    "ORDER BY c_acctbal, c_custkey)", 6)} AS bal_cume_dist
         FROM customer
+    """,
+    "purchase_attribution": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
     "user_daily_gapfill": f"""
         WITH spans AS (

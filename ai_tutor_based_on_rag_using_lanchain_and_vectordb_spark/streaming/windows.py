@@ -138,6 +138,49 @@ def dedup_stream(
     return events.dropDuplicates(list(keys))
 
 
+def click_purchase_attribution(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval (attribution) join: each purchase matched
+    to the same user's clicks in the preceding ``within`` interval.
+
+    Streaming: both sides derive from one watermarked source, so the
+    join runs as a watermarked stream-stream inner join — the explicit
+    time-range clause gives Spark the state-eviction bound (a buffered
+    click is dropped once the watermark passes click_ts + within), so
+    join state stays bounded on an unbounded stream. Batch: the same
+    condition runs as a range-predicated hash equi-join on user_id (the
+    equality clause keeps it off the cartesian path).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    clicks = src.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 60):
     """Test harness: drain an availableNow stream into a memory sink and
     return the collected rows."""

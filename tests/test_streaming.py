@@ -97,6 +97,23 @@ def test_active_users_approx_close_to_exact(spark, sf_dir):
     assert rel_err.max() <= 0.1
 
 
+def test_attribution_join_batch_vs_stream(spark, sf_dir):
+    batch = W.click_purchase_attribution(
+        load_table(spark, sf_dir, "events")
+    ).toPandas()
+    stream = _drain(
+        spark,
+        W.click_purchase_attribution(_stream_events(spark, sf_dir)),
+        "attr_stream",
+        "append",
+    )
+    assert len(batch) > 0
+    key = ["click_id", "purchase_id"]
+    assert sorted(map(tuple, batch[key].values.tolist())) == sorted(
+        map(tuple, stream[key].values.tolist())
+    )
+
+
 def test_retention_filter_batch(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     kept = W.retention_filter(events, horizon="7 days")
