@@ -50,6 +50,9 @@ HEADLINE = [
     "user_daily_gapfill",     # day-spine generate + left join zero-fill
     "value_histogram",        # codegen bucket histogram
     "neardup_components",     # iterative connected components
+    "waiting_suppliers",      # EXISTS/NOT-EXISTS self-joins (Q21 shape)
+    "customer_order_distribution",  # left-outer count distribution (Q13)
+    "purchase_attribution",   # interval range-join (stream-capable)
 ]
 
 
