@@ -66,6 +66,36 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive sequence aggregation — each user's first-20-event
+    type path as one string (the sequence-mining / next-event-prediction
+    feature shape). ``collect_list`` alone is shuffle-order-
+    nondeterministic; collecting (ts, event_id, type) structs and
+    ``sort_array``-ing inside each row makes the journey deterministic
+    without any global sort. The per-user cap (row_number ≤ 20, a
+    WindowGroupLimit partial top-k) bounds per-key state — an unbounded
+    per-user array is the thing that OOMs a 100 TB run."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    packed = capped.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    return packed.select(
+        "user_id",
+        F.array_join(
+            F.transform("seq", lambda s: s["event_type"]), ","
+        ).alias("journey"),
+        F.size("seq").cast("long").alias("n_events"),
+    )
+
+
 def quality_above_lang_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantile gate: keep documents whose quality score is
     strictly above their language's median — the classifier-threshold
@@ -162,6 +192,7 @@ QUERIES = {
     "purchase_asof_signup": purchase_asof_signup,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "signup_purchase_funnel": signup_purchase_funnel,
+    "user_event_journeys": user_event_journeys,
     "quality_above_lang_median": quality_above_lang_median,
     "deterministic_doc_sample": deterministic_doc_sample,
 }
@@ -180,6 +211,19 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "user_event_journeys": """
+        WITH ranked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM ranked WHERE rn <= 20
+        GROUP BY user_id
+    """,
     "catalog_merge_upsert": """
         WITH updates AS (
             SELECT doc_id, text || ' [rev2]' AS text, lang,
