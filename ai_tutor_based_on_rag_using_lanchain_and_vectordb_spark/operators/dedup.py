@@ -47,11 +47,22 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def shingle_starts(toks: Column, n: int) -> Column:
+    """Start indexes [0, size-n] for n-gram windows, empty when the doc
+    has fewer than n tokens. Guarded: Spark's ``sequence(start, stop)``
+    counts DOWN when start > stop, so an unguarded ``sequence(0, size-n)``
+    yields [0, -1] for short docs and the downstream ``slice`` throws
+    INVALID_PARAMETER_VALUE.START."""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (JVM-side)."""
     toks = tokens_col(text)
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        shingle_starts(toks, n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return F.array_distinct(grams)

@@ -29,6 +29,15 @@ CHUNK_SIZE = 120
 CHUNK_OVERLAP = 24
 CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP  # 96
 
+# Document-frequency ceiling for the inverted-index near-dup join: a
+# shingle appearing in more than MAX_SHINGLE_DF documents (boilerplate,
+# license headers) is dropped from candidate generation — the standard
+# MinHash-literature stoplist-by-df. Without it one hot shingle makes an
+# O(df²) pair explosion and a skewed pair key at 100 TB scale. |A| and
+# |B| (the Jaccard denominators) still count every shingle; only the
+# intersection evidence is restricted to informative shingles.
+MAX_SHINGLE_DF = 100
+
 
 def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one group per sha256(text), keeping
@@ -146,9 +155,11 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     otherwise evaluate every doc's shingle expressions in one task."""
     from ..session import default_parallelism
 
+    from ..operators.dedup import shingle_starts
+
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        shingle_starts(toks, n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
@@ -158,11 +169,14 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by 3-gram Jaccard ≥ 0.05, blocked on
+def ngram_jaccard_pairs_df(
+    docs: DataFrame, threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Near-duplicate pairs by 3-gram Jaccard ≥ ``threshold``, blocked on
     (lang, shingle): inverted-index self-join → per-pair intersection
-    count → |A∪B| = |A|+|B|−|A∩B|. No quadratic candidate step."""
-    docs = load_table(spark, sf_dir, "documents")
+    count → |A∪B| = |A|+|B|−|A∩B|. No quadratic candidate step; shingles
+    with document frequency > ``max_df`` are excluded from candidate
+    generation (hot-key ceiling)."""
     # no .cache(): the shingle projection is cheap to recompute, and a
     # lingering cached RDD steals executor memory from later queries
     sh = _shingles(docs)
@@ -192,7 +206,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         sh.groupBy("lang", "s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
+        # df ceiling: 2 ≤ |posting list| ≤ max_df — a hot shingle
+        # (boilerplate) would otherwise fan out O(df²) pairs on one key
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_df))
         .repartition(default_parallelism())
         .select(F.explode(pair_list).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -204,9 +220,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
         .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
-        .where(jac >= 0.05)
+        .where(jac >= threshold)
         .select("doc_a", "doc_b", X.pround(jac, 4).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs over the ``documents`` table (see
+    :func:`ngram_jaccard_pairs_df`)."""
+    return ngram_jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,12 +412,20 @@ _JACCARD_CTES_SQL = r"""toks AS (
             FROM idx
         ), counts AS (
             SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), informative AS (
+            SELECT lang, s FROM sh GROUP BY lang, s
+            HAVING count(*) BETWEEN 2 AND {max_df}
+        ), sh2 AS (
+            SELECT sh.* FROM sh SEMI JOIN informative
+              ON sh.lang = informative.lang AND sh.s = informative.s
         ), pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM sh a JOIN sh b
+            FROM sh2 a JOIN sh2 b
               ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )"""
+
+_JACCARD_CTES_SQL = _JACCARD_CTES_SQL.replace("{max_df}", str(MAX_SHINGLE_DF))
 
 for _k in ("ngram_jaccard_pairs", "neardup_components"):
     ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)

@@ -101,25 +101,45 @@ def knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Salt buckets for the near-dup self-join: each label block's pair space
+# is split across this many join keys so no single task owns a whole
+# label (the blocking key's O(N_label²) pair output is the skew risk).
+NEARDUP_SALTS = 16
+
+
+def embedding_neardup_pairs_df(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    salts: int = NEARDUP_SALTS,
+    broadcast_build: bool = False,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a label block
-    (cosine ≥ 0.3; blocking on label keeps the pair space linear-ish)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Broadcast-hash self-join: a sort-merge join here would shuffle two
-    # tiny inputs, AQE would coalesce them to one partition, and the
-    # O(N²/labels) pair *output* would then score on a single task. The
-    # build side (id, vec, norm) is small by construction, so broadcast
-    # it and fan the probe side out with an explicit round-robin
-    # repartition (explicit counts are exempt from AQE coalescing); the
-    # scoring stage then parallelizes across all executor threads with
-    # no shuffle at all. At 100 TB with an un-broadcastable build side,
-    # the equivalent treatment is salting the blocking key.
+    (cosine ≥ ``threshold``; blocking on label keeps the pair space
+    linear-ish). Exact within the block — every same-label pair is
+    scored.
+
+    Default physical plan (the 100 TB shape): a **salt-replicated
+    shuffled-hash self-join** on (label, salt). Side A gets a
+    deterministic salt = hash(vec_id) mod S; side B is replicated to all
+    S salts, so each unordered pair meets exactly once (at A's salt) and
+    each label's pair space is spread across S join keys instead of one
+    hot key. Both sides shuffle on (label, salt) — nothing is
+    broadcast, so an un-broadcastable build side can't kill the plan.
+    Replication costs S× on side B's shuffle, the standard trade for
+    skew-free exact pair generation (fragment-replicate join).
+
+    ``broadcast_build=True`` is the size-gated local fast path: broadcast
+    the whole table as build side and fan the probe side out round-robin
+    — only valid when the table fits in a broadcast (small corpora).
+    """
+    salt_a = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts)).cast("int")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         V.as_double(F.col("embedding")).alias("va"),
         F.col("label").alias("la"),
         V.norm_fixed(F.col("embedding")).alias("norm_a"),
-    ).repartition(default_parallelism())
+        salt_a.alias("salt_a"),
+    )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         V.as_double(F.col("embedding")).alias("vb"),
@@ -129,15 +149,45 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = V.dot_fixed(F.col("va"), F.col("vb"), cast=False) / (
         F.col("norm_a") * F.col("norm_b")
     )
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")),
+    if broadcast_build:
+        joined = (
+            a.drop("salt_a")
+            .repartition(default_parallelism())
+            .join(
+                F.broadcast(b),
+                (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")),
+            )
         )
-        .withColumn("score", score)
-        .where(F.col("score") >= 0.3)
+    else:
+        b_rep = b.withColumn(
+            "salt_b", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+        )
+        # explicit repartition on the join keys: it satisfies the join's
+        # required hash distribution (no extra exchange) AND pins the
+        # partition count — AQE would otherwise coalesce these tiny local
+        # shuffles to one partition and serialize the pair-scoring stage,
+        # whose OUTPUT (not input) is the heavy part
+        n_parts = default_parallelism()
+        a_p = a.repartition(n_parts, "la", "salt_a")
+        b_p = b_rep.repartition(n_parts, "lb", "salt_b")
+        joined = a_p.hint("shuffle_hash").join(
+            b_p,
+            (F.col("la") == F.col("lb"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+    return (
+        joined.withColumn("score", score)
+        .where(F.col("score") >= threshold)
         .select("vec_a", "vec_b", X.pround(F.col("score"), 4).alias("score"))
     )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the ``embeddings`` table via
+    the scale-safe salted self-join (see :func:`embedding_neardup_pairs_df`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs_df(emb)
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,6 +26,13 @@ def _corpus(spark):
         (6, "yet another unrelated document mentioning minhash signatures "
             "locality sensitive hashing banding technique and jaccard similarity "
             "estimation for large scale near duplicate detection systems"),
+        # short/empty docs: fewer tokens than the shingle width n=3 —
+        # regression guard for the descending-sequence slice crash
+        # (sequence(0, size-n) counts down when size < n)
+        (7, ""),
+        (8, "   "),
+        (9, "one"),
+        (10, "two words"),
     ]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -33,7 +40,7 @@ def _corpus(spark):
 def test_exact_dedup_keeps_min_id(spark):
     df = _corpus(spark)
     out = DD.exact_dedup(df, F.sha2(F.col("text"), 256)).toPandas()
-    assert sorted(out["doc_id"]) == [1, 3, 4, 5, 6]  # 2 dropped (dup of 1)
+    assert sorted(out["doc_id"]) == [1, 3, 4, 5, 6, 7, 8, 9, 10]  # 2 dropped (dup of 1)
 
 
 def test_exact_dedup_idempotent(spark):
@@ -50,7 +57,7 @@ def test_anti_join_gate(spark):
     catalog = new.where(F.col("doc_id") == 1).select("file_hash")
     fresh = DD.anti_join_new(new, catalog)
     # rows 1 AND 2 share the cataloged hash → both rejected
-    assert sorted(r["doc_id"] for r in fresh.collect()) == [3, 4, 5, 6]
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [3, 4, 5, 6, 7, 8, 9, 10]
 
 
 def test_minhash_finds_planted_neardups(spark):
@@ -81,3 +88,32 @@ def test_simhash_neardups_and_blocking(spark):
     tight = DD.simhash_pairs(df, max_hamming=6).toPandas()
     tight_pairs = {tuple(sorted((a, b))) for a, b in zip(tight["id_a"], tight["id_b"])}
     assert (1, 5) not in tight_pairs and (5, 6) not in tight_pairs
+
+
+def test_short_docs_produce_no_shingle_pairs(spark):
+    """Docs with < n tokens flow through candidate generation without
+    crashing and never pair with anything via MinHash (no shingles)."""
+    df = _corpus(spark)
+    pairs = DD.minhash_dedup_pairs(df, threshold=0.1).toPandas()
+    short_ids = {7, 8, 9, 10}
+    assert not (set(pairs["id_a"]) | set(pairs["id_b"])) & short_ids
+    sh = df.select(DD.shingles_col(F.col("text")).alias("sh"), "doc_id").collect()
+    for r in sh:
+        if r["doc_id"] in short_ids:
+            assert r["sh"] == []
+
+
+def test_hot_shingle_df_ceiling(spark):
+    """A pathological shingle shared by every doc (license-header shape)
+    must not generate O(df²) candidate pairs once df exceeds max_df."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import (
+        ngram_jaccard_pairs_df,
+    )
+
+    hot = "standard license header"
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c", "en") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    capped = ngram_jaccard_pairs_df(docs, threshold=0.01, max_df=10)
+    assert capped.count() == 0  # hot shingle (df=40 > 10) is excluded
+    uncapped = ngram_jaccard_pairs_df(docs, threshold=0.01, max_df=10**9)
+    assert uncapped.count() == 40 * 39 // 2  # every pair via the hot key

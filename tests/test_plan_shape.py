@@ -74,6 +74,16 @@ def test_knn_broadcasts_and_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in p  # fully expression-based scoring
 
 
+def test_neardup_pairs_default_has_no_fulltable_broadcast(spark, sf_dir):
+    # The scale-safe default must be a salted shuffled-hash self-join:
+    # broadcasting the whole embeddings table as build side dies at
+    # 100 TB, so its presence here is a regression.
+    p = _plan(_q("embedding_neardup_pairs", spark, sf_dir))
+    assert "BroadcastExchange" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
+
+
 @pytest.mark.parametrize("name", bench.HEADLINE)
 def test_headline_queries_have_no_python_rows_path(spark, sf_dir, name):
     # Every benchmarked query must stay inside the JVM: no row-at-a-time
