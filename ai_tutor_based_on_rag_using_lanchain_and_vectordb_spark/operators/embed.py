@@ -26,8 +26,9 @@ DEFAULT_DIM = 64
 
 def hashing_embedding(text: Column, dim: int = DEFAULT_DIM) -> Column:
     """Signed feature hashing: for each token t, index = xxhash64(t) mod
-    dim, sign = bit 63 of xxhash64(1, t); accumulate, then L2-normalize.
-    Empty/blank text → zero vector."""
+    dim, sign = bit 62 of xxhash64(1, t) (any fixed hash bit works as a
+    sign source; 62 avoids the two's-complement sign bit); accumulate,
+    then L2-normalize. Empty/blank text → zero vector."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     counts = F.aggregate(
         toks,

@@ -139,12 +139,15 @@ def split_documents(
     id_col: str = "doc_id",
     size: int = DEFAULT_SIZE,
     overlap: int = DEFAULT_OVERLAP,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Document → chunk rows with the reference's ordinal metadata
     (chunk_index, total_chunks; backend/chroma_utils.py:119-125).
 
     posexplode provides the ordinal without a window; total_chunks comes
     from the array size (computed before exploding — no second pass).
+    ``keep_cols`` are carried through unchanged (lineage columns like the
+    file-level document id or source filename).
     """
     udf = make_splitter_udf(size, overlap)
     with_chunks = docs.withColumn("_chunks", udf(F.col(text_col)))
@@ -152,11 +155,13 @@ def split_documents(
         with_chunks.withColumn("total_chunks", F.size("_chunks"))
         .select(
             F.col(id_col).alias("doc_id"),
+            *keep_cols,
             "total_chunks",
             F.posexplode("_chunks").alias("chunk_index", "_c"),
         )
         .select(
             "doc_id",
+            *keep_cols,
             F.col("chunk_index").cast("int").alias("chunk_index"),
             F.col("total_chunks").cast("int").alias("total_chunks"),
             F.col("_c.chunk_text").alias("page_content"),

@@ -32,7 +32,16 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     t = target.alias("t")
     u = updates.alias("u")
     joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    # Resolve on match PRESENCE (u.key non-null after the outer join),
+    # not per-column value nullness: an update row carrying an explicit
+    # NULL must overwrite the target value, exactly like Delta MERGE's
+    # "WHEN MATCHED THEN UPDATE SET *". coalesce(u.c, t.c) would leak
+    # the stale target value through a NULL update column.
+    matched = F.col(f"u.{key}").isNotNull()
     merged_cols = [
-        F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in target.columns
+        F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key)
+        if c == key
+        else F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
     ]
     return joined.select(*merged_cols)

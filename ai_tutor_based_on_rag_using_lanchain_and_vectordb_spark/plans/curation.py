@@ -233,9 +233,9 @@ ORACLE = {
             SELECT 10000000, 'brand new doc', 'en', 'reingest', 13
         )
         SELECT coalesce(u.doc_id, t.doc_id) AS doc_id,
-               coalesce(u.lang, t.lang) AS lang,
-               coalesce(u.source, t.source) AS source,
-               coalesce(u.n_chars, t.n_chars) AS n_chars
+               CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE t.lang END AS lang,
+               CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE t.source END AS source,
+               CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE t.n_chars END AS n_chars
         FROM documents t FULL OUTER JOIN updates u ON t.doc_id = u.doc_id
     """,
     "customer_spend_quartiles": """

@@ -134,14 +134,18 @@ def ingest(
         SPL.split_documents(
             pages.withColumn(
                 "page_doc_id", F.xxhash64(F.col("doc_id"), F.col("page_no"))
-            ),
+            ).withColumnRenamed("doc_id", "file_doc_id"),
             text_col="page_text",
             id_col="page_doc_id",
             size=chunk_size,
             overlap=chunk_overlap,
+            # lineage: the file-level doc id rides along so delete/list
+            # flows can address chunks by catalog id directly
+            keep_cols=("file_doc_id", "source_file", "page_no"),
         )
-        .withColumnRenamed("doc_id", "page_doc_id_out")
-        .withColumn("chunk_id", F.xxhash64("page_doc_id_out", "chunk_index"))
+        .withColumnRenamed("doc_id", "page_doc_id")
+        .withColumnRenamed("file_doc_id", "doc_id")
+        .withColumn("chunk_id", F.xxhash64("page_doc_id", "chunk_index"))
     )
     vectors = EMB.embed_documents(
         chunks, text_col="page_content", id_col="chunk_id", dim=embedding_dim
@@ -159,7 +163,11 @@ def delete_document(
     catalog: DataFrame, chunks: DataFrame, doc_id: int
 ) -> tuple[DataFrame, DataFrame]:
     """POST /delete-doc (backend/main.py:443-486): anti-join rewrite of
-    both tables — the Spark-native metadata-predicate delete."""
-    new_catalog = catalog.where(~(F.col("id") == doc_id))
-    new_chunks = chunks.where(~(F.col("doc_id") == doc_id))
+    both tables — the Spark-native metadata-predicate delete. Chunks are
+    addressed by the file-level ``doc_id`` that ``ingest()`` carries on
+    every chunk row. Null-safe: a NULL id compares as "not the victim"
+    and survives (``~(col == x)`` would silently delete NULL-keyed rows
+    because three-valued logic filters them out)."""
+    new_catalog = catalog.where(F.col("id").isNull() | (F.col("id") != doc_id))
+    new_chunks = chunks.where(F.col("doc_id").isNull() | (F.col("doc_id") != doc_id))
     return new_catalog, new_chunks

@@ -73,7 +73,25 @@ def test_delete_document_flow(spark, upload_dir):
     res = ING.ingest(spark, upload_dir + "/*")
     cat = res.catalog_rows
     doc = cat.limit(1).collect()[0]
-    chunks = res.chunks.select(F.col("page_doc_id_out").alias("doc_id"), "chunk_id")
+    # chunks carry the file-level doc_id directly — no rename needed
+    chunks = res.chunks
+    victim_chunks = chunks.where(F.col("doc_id") == doc["id"]).count()
+    assert victim_chunks > 0
     new_cat, new_chunks = ING.delete_document(cat, chunks, doc["id"])
     assert new_cat.where(F.col("id") == doc["id"]).count() == 0
     assert new_cat.count() == cat.count() - 1
+    assert new_chunks.where(F.col("doc_id") == doc["id"]).count() == 0
+    assert new_chunks.count() == chunks.count() - victim_chunks
+
+
+def test_delete_document_null_safe(spark):
+    cat = spark.createDataFrame(
+        [(1, "a.html"), (None, "orphan.html")], "id long, filename string"
+    )
+    chunks = spark.createDataFrame(
+        [(1, 10), (None, 11)], "doc_id long, chunk_id long"
+    )
+    new_cat, new_chunks = ING.delete_document(cat, chunks, 1)
+    # NULL-keyed rows must survive the delete, not vanish via 3VL
+    assert [r["filename"] for r in new_cat.collect()] == ["orphan.html"]
+    assert [r["chunk_id"] for r in new_chunks.collect()] == [11]
