@@ -6,10 +6,11 @@ The reference uses PyPDFLoader / Docx2txtLoader / UnstructuredHTMLLoader
     spark.read.format("binaryFile") → decode pandas_udf → posexplode pages
 
 Decoders: HTML and plain text are real (regex strip-tags — no external
-deps). PDF/DOCX decoding needs libs absent from this container, so those
-go through ``_decode_stub``: a clearly-marked deterministic fake (STUB)
-that preserves the real pipeline shape (binary in → page list out) and
-is replaced by a pypdf/docx2txt call when available (import-gated).
+deps). PDF/DOCX use a three-step chain: pypdf/docx2txt when installed
+(import-gated) → the pure-stdlib extractors in ``minidecode.py`` (real
+decode for Flate/uncompressed PDF text streams and ECMA-376 DOCX XML)
+→ ``_decode_stub`` as a last resort for payloads neither path can read
+(encrypted/exotic PDFs), keeping the pipeline shape intact.
 
 MIME sniffing (P8, backend/file_utils.py:73-121) checks magic bytes on
 the binary head — fail-open like the reference.
@@ -81,7 +82,7 @@ def _decode_stub(data: bytes, kind: str) -> list[str]:
 
 
 def decode_pdf(data: bytes) -> list[str]:
-    try:  # real decoder when available
+    try:  # full-featured decoder when available
         import io
 
         from pypdf import PdfReader  # type: ignore
@@ -89,7 +90,11 @@ def decode_pdf(data: bytes) -> list[str]:
         reader = PdfReader(io.BytesIO(data))
         return [p.extract_text() or "" for p in reader.pages]
     except ImportError:
-        return _decode_stub(data, "pdf")
+        pass
+    from .minidecode import pdf_pages
+
+    pages = pdf_pages(data)  # real stdlib extractor (zlib + text ops)
+    return pages if pages else _decode_stub(data, "pdf")
 
 
 def decode_docx(data: bytes) -> list[str]:
@@ -100,7 +105,11 @@ def decode_docx(data: bytes) -> list[str]:
 
         return [docx2txt.process(io.BytesIO(data))]
     except ImportError:
-        return _decode_stub(data, "docx")
+        pass
+    from .minidecode import docx_pages
+
+    pages = docx_pages(data)  # real stdlib extractor (zipfile + etree)
+    return pages if pages else _decode_stub(data, "docx")
 
 
 DECODERS = {

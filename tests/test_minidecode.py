@@ -1,0 +1,188 @@
+"""Golden-fixture tests for the real (non-stub) PDF/DOCX decode path:
+hand-assembled, structurally valid files exercised through
+minidecode.pdf_pages / docx_pages and the decode_pdf/decode_docx chain
+(reference ingest path backend/chroma_utils.py:60-74)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import zlib
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import loaders
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+    docx_pages,
+    pdf_pages,
+)
+
+# --------------------------------------------------------------- builders
+
+
+def make_pdf(page_streams: list[bytes], compress: bool = True) -> bytes:
+    """Assemble a minimal valid PDF: catalog → pages → one page + one
+    content stream per entry, offsets and xref computed properly."""
+    n_pages = len(page_streams)
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_num = 3 + 2 * n_pages
+    for i, stream in enumerate(page_streams):
+        page_num, cont_num = 3 + 2 * i, 4 + 2 * i
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {cont_num} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+        ).encode()
+        body = zlib.compress(stream) if compress else stream
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs[cont_num] = (
+            b"<< " + filt + f"/Length {len(body)} >>".encode()
+            + b"\nstream\n" + body + b"\nendstream"
+        )
+    objs[font_num] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = out.tell()
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(f"xref\n0 {len(objs) + 1}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for num in sorted(objs):
+        out.write(f"{offsets[num]:010d} 00000 n \n".encode())
+    out.write(
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return out.getvalue()
+
+
+def text_stream(lines: list[bytes]) -> bytes:
+    ops = b" ".join(l + b" Tj 0 -14 Td" for l in lines)
+    return b"BT /F1 12 Tf 72 720 Td " + ops + b" ET"
+
+
+def make_docx(paragraphs: list[str]) -> bytes:
+    ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+    body = "".join(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs)
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<w:document {ns}><w:body>{body}</w:body></w:document>"
+    )
+    types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument'
+        '.wordprocessingml.document.main+xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", types)
+        zf.writestr("word/document.xml", document)
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------------ PDF
+
+
+def test_pdf_two_pages_flate():
+    pdf = make_pdf(
+        [
+            text_stream([b"(Hello Spark PDF)"]),
+            text_stream([b"(Second page text)"]),
+        ]
+    )
+    pages = pdf_pages(pdf)
+    assert pages == ["Hello Spark PDF", "Second page text"]
+
+
+def test_pdf_uncompressed_stream():
+    pdf = make_pdf([text_stream([b"(plain stream)"])], compress=False)
+    assert pdf_pages(pdf) == ["plain stream"]
+
+
+def test_pdf_escapes_and_octal():
+    pdf = make_pdf([text_stream([rb"(paren \( close \) back\\ oct \101)"])])
+    assert pdf_pages(pdf) == ["paren ( close ) back\\ oct A"]
+
+
+def test_pdf_tj_array_kerning():
+    stream = b"BT /F1 12 Tf [(Hel) -20 (lo) 5 ( world)] TJ ET"
+    pdf = make_pdf([stream])
+    assert pdf_pages(pdf) == ["Hello world"]
+
+
+def test_pdf_hex_string():
+    # "Hi!" = 48 69 21
+    stream = b"BT /F1 12 Tf <486921> Tj ET"
+    pdf = make_pdf([stream])
+    assert pdf_pages(pdf) == ["Hi!"]
+
+
+def test_pdf_garbage_returns_empty():
+    assert pdf_pages(b"%PDF-1.4 not really a pdf") == []
+    assert pdf_pages(b"plain text, no pdf magic") == []
+
+
+def test_decode_pdf_routes_to_real_extractor():
+    pdf = make_pdf([text_stream([b"(real branch)"])])
+    pages = loaders.decode_pdf(pdf)
+    assert pages == ["real branch"]
+    assert not any("[pdf-page-" in p for p in pages)  # not the stub
+
+
+def test_decode_pdf_falls_back_to_stub_on_unreadable():
+    pages = loaders.decode_pdf(b"%PDF-1.4 " + b"garbage " * 50)
+    assert pages and pages[0].startswith("[pdf-page-0]")
+
+
+# ----------------------------------------------------------------- DOCX
+
+
+def test_docx_paragraphs():
+    docx = make_docx(["First paragraph.", "Second one."])
+    assert docx_pages(docx) == ["First paragraph.\nSecond one."]
+
+
+def test_decode_docx_routes_to_real_extractor():
+    docx = make_docx(["Real docx body text"])
+    pages = loaders.decode_docx(docx)
+    assert pages == ["Real docx body text"]
+
+
+def test_decode_docx_falls_back_to_stub():
+    pages = loaders.decode_docx(b"PK\x03\x04 not a zip at all")
+    assert pages and pages[0].startswith("[docx-page-0]")
+
+
+# ------------------------------------------------------- Spark pipeline
+
+
+def test_ingest_real_pdf_and_docx(spark, tmp_path):
+    (tmp_path / "real.pdf").write_bytes(
+        make_pdf([text_stream([b"(ingested pdf sentence one)"]),
+                  text_stream([b"(ingested pdf sentence two)"])])
+    )
+    (tmp_path / "real.docx").write_bytes(make_docx(["ingested docx body"]))
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import (
+        ingest as ING,
+    )
+
+    res = ING.ingest(spark, str(tmp_path) + "/*")
+    assert res.rejected.count() == 0
+    chunks = res.chunks.toPandas()
+    text = " ".join(chunks["page_content"])
+    assert "ingested pdf sentence one" in text
+    assert "ingested pdf sentence two" in text
+    assert "ingested docx body" in text
+    assert "[pdf-page-" not in text and "[docx-page-" not in text
+    # per-page fan-out: the 2-stream pdf became 2 page rows
+    pdf_pages_seen = chunks[chunks["source_file"] == "real.pdf"]["page_no"].nunique()
+    assert pdf_pages_seen == 2
