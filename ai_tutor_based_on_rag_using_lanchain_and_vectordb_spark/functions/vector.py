@@ -75,6 +75,14 @@ def norm_fixed(a: Column, dim: int = EMBEDDING_DIM, cast: bool = True) -> Column
     return F.sqrt(dot_fixed(a, a, dim, cast))
 
 
+def dot_const(vec: Column, consts, cast: bool = True) -> Column:
+    """Flat dot product against a Python-side constant vector (e.g. a
+    centroid): every c_i folds into the codegen as a literal — no
+    array column, no HOF allocation."""
+    terms = [_elem(vec, i, cast) * F.lit(float(c)) for i, c in enumerate(consts)]
+    return reduce(lambda acc, t: acc + t, terms)
+
+
 def cosine_fixed(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
     return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
 

@@ -10,6 +10,22 @@ parquet table.
 
     index = build_ivf_index(vectors, path, n_cells=16)
     hits  = search_ivf_index(spark, path, query_vectors, k=5, nprobe=3)
+
+Incremental maintenance (streaming ingest):
+
+    upsert_ivf_index(spark, path, new_vectors)   # per micro-batch
+    stream_ivf_index(stream_df, path)            # foreachBatch wrapper
+
+New vectors are assigned to the EXISTING centroids with a pure-column
+argmin (no MLlib model needed at serve time) and merged into only the
+touched cell partitions (dynamic partition overwrite — untouched cells
+are never rewritten). Matching ids are replaced, Delta-MERGE style.
+``upsert`` also tracks centroid drift: when the corpus has grown past
+``refit_growth`` × the size at fit time, or the mean
+assignment distance of incoming batches exceeds ``refit_drift`` × the
+mean at fit time, it flags a re-fit (the caller runs
+``build_ivf_index`` again — cheap relative to the corpus scan it
+amortizes).
 """
 
 from __future__ import annotations
@@ -17,7 +33,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -30,8 +46,10 @@ def build_ivf_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = V.EMBEDDING_DIM,
 ) -> None:
-    """Fit the coarse quantizer and write the cell-partitioned layout."""
+    """Fit the coarse quantizer and write the cell-partitioned layout
+    (plus centroids and the fit-time stats that drive re-fit triggers)."""
     model, centroids = fit_ivf_centroids(vectors, n_cells, vec_col)
     assigned = (
         model.transform(unit_vectors_ml(vectors, vec_col))
@@ -48,6 +66,188 @@ def build_ivf_index(
     spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # fit-time stats: corpus size and mean unit-sphere assignment
+    # distance — the baselines the drift trigger compares against
+    cells = [int(r[0]) for r in cent_rows]
+    _, dist = _nearest_cell_expr(F.col(vec_col), centroids, cells, dim)
+    agg = vectors.select(
+        F.count("*").alias("n"), F.avg(dist).alias("mean_dist")
+    ).collect()[0]
+    _write_stats(spark, path, fit_n=agg["n"], fit_mean_dist=float(agg["mean_dist"]),
+                 cur_n=agg["n"])
+
+
+def _nearest_cell_expr(
+    vec: Column, centroids: np.ndarray, cells: list[int], dim: int
+) -> tuple[Column, Column]:
+    """(cell, unit-sphere distance) columns assigning a raw embedding to
+    its nearest centroid — pure codegen arithmetic, no MLlib model at
+    maintenance time. On unit vectors argmin ||u−c||² == argmin
+    (|c|²/2 − u·c), so each centroid contributes one flat literal dot.
+    Ties break on the lower cell id (array_min on struct(d, cell))."""
+    nrm = V.norm_fixed(vec, dim)
+    pairs = []
+    for row_idx, cell in enumerate(cells):
+        c = np.asarray(centroids[row_idx], dtype=np.float64)
+        proxy = F.lit(float(c @ c) / 2.0) - V.dot_const(vec, c) / nrm
+        pairs.append(F.struct(proxy.alias("d"), F.lit(int(cell)).alias("cell")))
+    best = F.array_min(F.array(*pairs))
+    # ||u−c||² = 1 + |c|² − 2·u·c = 1 + 2·proxy
+    dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) + 2.0 * best["d"]))
+    return best["cell"], dist
+
+
+def _stats_path(path: str) -> str:
+    return os.path.join(path, "stats")
+
+
+def _write_stats(spark: SparkSession, path: str, fit_n: int, fit_mean_dist: float,
+                 cur_n: int) -> None:
+    spark.createDataFrame(
+        [(int(fit_n), float(fit_mean_dist), int(cur_n))],
+        "fit_n long, fit_mean_dist double, cur_n long",
+    ).coalesce(1).write.mode("overwrite").parquet(_stats_path(path))
+
+
+def read_stats(spark: SparkSession, path: str) -> dict:
+    row = spark.read.parquet(_stats_path(path)).collect()[0]
+    return dict(row.asDict())
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = V.EMBEDDING_DIM,
+    refit_growth: float = 2.0,
+    refit_drift: float = 1.5,
+) -> dict:
+    """Merge a batch of vectors into the persistent IVF layout.
+
+    - assignment against the EXISTING centroids (column expression);
+    - matching ids are replaced (Delta-MERGE upsert semantics);
+    - only the touched cell partitions are rewritten (dynamic partition
+      overwrite) — at 100 TB a batch touching 3 of 1024 cells rewrites
+      3 partitions, not the index;
+    - returns drift/growth telemetry and ``refit_recommended``.
+    """
+    cent_pdf = spark.read.parquet(os.path.join(path, "centroids")).toPandas()
+    centroids = np.vstack(cent_pdf["centroid"].to_numpy())
+    cells = [int(c) for c in cent_pdf["cell"].to_numpy()]
+    cell_col, dist_col = _nearest_cell_expr(F.col(vec_col), centroids, cells, dim)
+
+    assigned = (
+        new_vectors.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .withColumn("cell", cell_col)
+        .withColumn("_dist", dist_col)
+    )
+    # one pass for the telemetry + touched-cell set; batch is the small
+    # side by construction so a collect of its per-cell rollup is tiny
+    batch_stats = assigned.groupBy("cell").agg(
+        F.count("*").alias("n"), F.sum("_dist").alias("dist_sum")
+    ).collect()
+    touched = sorted(int(r["cell"]) for r in batch_stats)
+    n_batch = sum(int(r["n"]) for r in batch_stats)
+    batch_mean_dist = (
+        sum(float(r["dist_sum"]) for r in batch_stats) / n_batch if n_batch else 0.0
+    )
+    if not touched:
+        stats = read_stats(spark, path)
+        return {"added": 0, "replaced": 0, "touched_cells": [],
+                "batch_mean_dist": 0.0, "refit_recommended": False, **stats}
+
+    vectors_path = os.path.join(path, "vectors")
+    existing = spark.read.parquet(vectors_path).where(F.col("cell").isin(touched))
+    n_existing_touched = existing.count()
+    keep = existing.join(assigned.select(id_col), id_col, "left_anti")
+    merged = keep.select(id_col, vec_col, "cell").unionByName(
+        assigned.select(id_col, vec_col, "cell")
+    )
+    # materialize before overwriting the files the plan reads from
+    merged = merged.localCheckpoint(eager=True)
+    n_keep = merged.count() - n_batch
+    replaced = n_existing_touched - n_keep
+    (
+        merged.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(vectors_path)
+    )
+
+    stats = read_stats(spark, path)
+    cur_n = int(stats["cur_n"]) + n_batch - replaced
+    _write_stats(spark, path, stats["fit_n"], stats["fit_mean_dist"], cur_n)
+    refit = (cur_n >= refit_growth * max(int(stats["fit_n"]), 1)) or (
+        stats["fit_mean_dist"] > 0
+        and batch_mean_dist > refit_drift * float(stats["fit_mean_dist"])
+    )
+    return {
+        "added": n_batch - replaced,
+        "replaced": replaced,
+        "touched_cells": touched,
+        "batch_mean_dist": batch_mean_dist,
+        "refit_recommended": refit,
+        "fit_n": int(stats["fit_n"]),
+        "cur_n": cur_n,
+        "fit_mean_dist": float(stats["fit_mean_dist"]),
+    }
+
+
+def refit_ivf_index(
+    spark: SparkSession,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = V.EMBEDDING_DIM,
+) -> None:
+    """Re-fit the coarse quantizer over the CURRENT index contents and
+    rewrite the layout (the action behind ``refit_recommended``)."""
+    full = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)  # break lineage before overwrite
+    )
+    build_ivf_index(full, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col, dim=dim)
+
+
+def stream_ivf_index(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = V.EMBEDDING_DIM,
+    auto_refit: bool = False,
+    n_cells: int = 16,
+    available_now: bool = True,
+):
+    """ST5-style continuous index maintenance: every micro-batch runs the
+    partition-scoped upsert; with ``auto_refit`` the centroid re-fit
+    fires inline when drift/growth trips (otherwise the flag is left to
+    an external scheduler). Returns the started StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        info = upsert_ivf_index(
+            batch_df.sparkSession, path, batch_df, id_col=id_col, vec_col=vec_col,
+            dim=dim,
+        )
+        if auto_refit and info["refit_recommended"]:
+            refit_ivf_index(
+                batch_df.sparkSession, path, n_cells=n_cells,
+                id_col=id_col, vec_col=vec_col, dim=dim,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def search_ivf_index(

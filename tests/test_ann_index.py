@@ -30,6 +30,111 @@ def test_ivf_index_partition_pruning_and_recall(spark, sf_dir, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_ivf_incremental_upsert_matches_single_batch(spark, sf_dir, tmp_path):
+    """Streaming maintenance invariant: upserting in N micro-batches
+    leaves exactly the same stored index as one batch — and search over
+    the incrementally-maintained index with nprobe=all equals exact
+    brute force over the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    base = emb.where(F.col("vec_id") < 240)
+    rest = emb.where(F.col("vec_id") >= 240)
+
+    path_inc = str(tmp_path / "ivf_inc")
+    path_one = str(tmp_path / "ivf_one")
+    for p in (path_inc, path_one):
+        ann_index.build_ivf_index(base, p, n_cells=8)
+
+    for lo, hi in ((240, 300), (300, 360), (360, 400)):
+        info = ann_index.upsert_ivf_index(
+            spark, path_inc,
+            rest.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+        )
+        assert info["added"] == hi - lo and info["replaced"] == 0
+    one = ann_index.upsert_ivf_index(spark, path_one, rest)
+    assert one["added"] == 160
+
+    inc_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(path_inc + "/vectors").collect()
+    )
+    one_rows = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(path_one + "/vectors").collect()
+    )
+    assert inc_rows == one_rows and len(inc_rows) == 400
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = ann_index.search_ivf_index(spark, path_inc, queries, k=5, nprobe=8).toPandas()
+    exact = KNN.knn_exact_expr(emb, queries, k=5).toPandas()
+    assert sorted(zip(got["query_id"], got["neighbor_id"])) == sorted(
+        zip(exact["query_id"], exact["neighbor_id"])
+    )
+
+
+def test_ivf_upsert_replaces_matching_ids_and_tracks_growth(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf_up")
+    ann_index.build_ivf_index(emb, path, n_cells=4)
+
+    # re-upsert 10 existing ids with a different payload (vector of the
+    # id+1 row) → replaced, not duplicated
+    moved = (
+        emb.where(F.col("vec_id") < 10)
+        .alias("a")
+        .join(
+            emb.selectExpr("vec_id - 1 AS vec_id", "embedding AS new_emb").alias("b"),
+            "vec_id",
+        )
+        .select("vec_id", F.col("new_emb").alias("embedding"))
+    )
+    info = ann_index.upsert_ivf_index(spark, path, moved)
+    assert info["added"] == 0 and info["replaced"] == 10
+    assert info["cur_n"] == 100
+    stored = spark.read.parquet(path + "/vectors")
+    assert stored.count() == 100
+    assert stored.select("vec_id").distinct().count() == 100
+
+    # growth trigger: doubling the corpus recommends a re-fit
+    new_ids = emb.selectExpr("vec_id + 1000 AS vec_id", "embedding")
+    info2 = ann_index.upsert_ivf_index(spark, path, new_ids, refit_growth=2.0)
+    assert info2["cur_n"] == 200
+    assert info2["refit_recommended"]
+    ann_index.refit_ivf_index(spark, path, n_cells=4)
+    stats = ann_index.read_stats(spark, path)
+    assert stats["fit_n"] == 200 and stats["cur_n"] == 200
+
+
+def test_ivf_stream_maintenance(spark, sf_dir, tmp_path):
+    """foreachBatch wiring: stream vector files into the index, then
+    search results equal exact brute force (nprobe=all)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    base = emb.where(F.col("vec_id") < 120)
+    path = str(tmp_path / "ivf_stream")
+    ann_index.build_ivf_index(base, path, n_cells=4)
+
+    src = str(tmp_path / "incoming")
+    for lo, hi in ((120, 160), (160, 200)):
+        (
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select("vec_id", "embedding")
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    q = ann_index.stream_ivf_index(
+        stream, path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(path + "/vectors").count() == 200
+    queries = emb.where(F.col("vec_id") < 3)
+    got = ann_index.search_ivf_index(spark, path, queries, k=5, nprobe=4).toPandas()
+    exact = KNN.knn_exact_expr(emb, queries, k=5).toPandas()
+    assert sorted(zip(got["query_id"], got["neighbor_id"])) == sorted(
+        zip(exact["query_id"], exact["neighbor_id"])
+    )
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Bucketing both sides on the join key co-locates them: the join
     plan has no Exchange (the write-time layout replaces the runtime
