@@ -231,6 +231,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
 
 
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking recall for the MinHash-LSH near-dup path: ground
+    truth = exact shingle-Jaccard pairs (inverted index, uncapped) at
+    ≥ 0.8; candidates = LSH-banded MinHash (32 hashes × 8 bands — r=4
+    rows/band puts the S-curve's high-recall region at j ≥ 0.8) with the
+    same exact-Jaccard verification. One row: recall + pass/fail at 0.9.
+    Non-SQL-expressible (LSH) → rows-only driver check; the pass flag
+    and a pytest assertion make it a real gate anyway."""
+    from ..operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs_df(docs, threshold=0.8, max_df=10**9).select(
+        "doc_a", "doc_b"
+    )
+    approx = minhash_dedup_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.8
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(1).alias("_hit"),
+    )
+    joined = exact.join(approx, ["doc_a", "doc_b"], "left")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_caught"),
+    )
+    recall = F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+        F.col("n_caught") / F.col("n_exact")
+    )
+    return agg.select(
+        F.lit("minhash_lsh").alias("strategy"),
+        "n_exact",
+        "n_caught",
+        F.round(recall, 4).alias("recall"),
+        (recall >= 0.9).alias("passed"),
+    )
+
+
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate *clusters*: the Jaccard pair set resolved into
     connected components (transitive closure), giving one deterministic
@@ -248,6 +286,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
+    "minhash_recall": minhash_recall,
     "doc_previews": doc_previews,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,

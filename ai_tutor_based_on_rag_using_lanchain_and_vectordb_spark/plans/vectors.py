@@ -190,6 +190,41 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_df(emb)
 
 
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking recall for the BucketedRandomProjectionLSH cosine
+    join: ground truth = the exact salted self-join pairs (cosine ≥ 0.3
+    within label); candidates = MLlib LSH approxSimilarityJoin over the
+    whole table (no label blocking — a superset space). One row with a
+    pass flag at recall ≥ 0.9. Rows-only (LSH is not SQL-expressible);
+    pytest asserts the flag."""
+    from ..operators.knn import lsh_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = embedding_neardup_pairs_df(emb).select("vec_a", "vec_b")
+    approx = lsh_similarity_join(
+        emb, emb, threshold_cosine=0.3, num_hash_tables=6
+    ).where(F.col("id_a") < F.col("id_b")).select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.lit(1).alias("_hit"),
+    )
+    joined = exact.join(approx, ["vec_a", "vec_b"], "left")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_caught"),
+    )
+    recall = F.when(F.col("n_exact") == 0, F.lit(1.0)).otherwise(
+        F.col("n_caught") / F.col("n_exact")
+    )
+    return agg.select(
+        F.lit("brp_lsh_cosine").alias("strategy"),
+        "n_exact",
+        "n_caught",
+        F.round(recall, 4).alias("recall"),
+        (recall >= 0.9).alias("passed"),
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — array aggregation via element-wise
     running sums (posexplode + groupBy dim), the scalable layout for
@@ -216,6 +251,7 @@ QUERIES = {
     "knn_exact": knn_exact,
     "knn_label_filtered": knn_label_filtered,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_lsh_recall": embedding_lsh_recall,
     "label_centroids": label_centroids,
 }
 
