@@ -169,29 +169,11 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs_df(
-    docs: DataFrame, threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF
-) -> DataFrame:
-    """Near-duplicate pairs by 3-gram Jaccard ≥ ``threshold``, blocked on
-    (lang, shingle): inverted-index self-join → per-pair intersection
-    count → |A∪B| = |A|+|B|−|A∩B|. No quadratic candidate step; shingles
-    with document frequency > ``max_df`` are excluded from candidate
-    generation (hot-key ceiling)."""
-    # no .cache(): the shingle projection is cheap to recompute, and a
-    # lingering cached RDD steals executor memory from later queries
-    sh = _shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Inverted-index pair generation (no self-join): group the posting
-    # list per (lang, shingle), emit each unordered doc pair inside the
-    # list, then count pair occurrences = |A∩B|. One shuffle on the
-    # shingle key + one on the pair key; document-frequency bounds the
-    # per-group fan-out (df ≤ ~15 here ⇒ ≤ ~100 pairs/shingle). The
-    # explicit repartition keeps the explode stage parallel (AQE would
-    # coalesce the small grouped output to one partition otherwise).
-    from ..session import default_parallelism
-
-    ids = F.col("ids")
-    pair_list = F.flatten(
+def _pairs_from_sorted_ids(ids: "F.Column") -> "F.Column":
+    """All unordered (a<b) pairs from a SORTED id array, as an array of
+    structs — the shared expansion used by posting lists and duplicate
+    groups."""
+    return F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(ids) - 1),
             lambda j: F.transform(
@@ -203,6 +185,48 @@ def ngram_jaccard_pairs_df(
             ),
         )
     )
+
+
+def ngram_jaccard_pairs_df(
+    docs: DataFrame, threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Near-duplicate pairs by 3-gram Jaccard ≥ ``threshold``, blocked on
+    (lang, shingle): inverted-index self-join → per-pair intersection
+    count → |A∪B| = |A|+|B|−|A∩B|. No quadratic candidate step; shingles
+    with document frequency > ``max_df`` are excluded from candidate
+    generation (hot-key ceiling).
+
+    **Duplicate collapse**: real corpora are full of byte-identical
+    documents, and every duplicate multiplies shingle document frequency
+    and pair fan-out (10 copies ⇒ ~100× pair work — measured ×51 wall at
+    a 10×-replicated stress scale). So the expensive shingle math runs
+    once per DISTINCT (lang, text): exact-duplicate groups are collapsed
+    to a representative, representative pairs are scored, and the full
+    pair set is expanded back through the groups afterwards. Identical
+    texts have Jaccard exactly 1 and identical texts share every score,
+    so the expansion reproduces the naive output exactly — the cost
+    becomes O(distinct² + |output|) instead of O(total²)."""
+    # collapse: one representative (min doc_id) per identical (lang, text)
+    groups = docs.groupBy("lang", "text").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+        F.min("doc_id").alias("_rep"),
+    )
+    reps = groups.select(F.col("_rep").alias("doc_id"), "lang", "text")
+
+    # no .cache(): the shingle projection is cheap to recompute, and a
+    # lingering cached RDD steals executor memory from later queries
+    sh = _shingles(reps)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Inverted-index pair generation (no self-join): group the posting
+    # list per (lang, shingle), emit each unordered doc pair inside the
+    # list, then count pair occurrences = |A∩B|. One shuffle on the
+    # shingle key + one on the pair key; document-frequency bounds the
+    # per-group fan-out (df ≤ ~15 here ⇒ ≤ ~100 pairs/shingle). The
+    # explicit repartition keeps the explode stage parallel (AQE would
+    # coalesce the small grouped output to one partition otherwise).
+    from ..session import default_parallelism
+
+    pair_list = _pairs_from_sorted_ids(F.col("ids"))
     pairs = (
         sh.groupBy("lang", "s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -217,18 +241,110 @@ def ngram_jaccard_pairs_df(
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     jac = F.col("inter") / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
-    return (
+    rep_pairs = (
         pairs.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
         .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", X.pround(jac, 4).alias("jaccard"))
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            X.pround(jac, 4).alias("jaccard"),
+        )
     )
+
+    # expand representative pairs back to every member pair (scores are
+    # identical for identical texts, ordering restored via least/greatest).
+    # shuffled-hash on the rep id: the groups side has distinct-text
+    # cardinality — broadcasting it would die at corpus scale
+    ga = groups.select(F.col("_rep").alias("rep_a"), F.col("_ids").alias("ids_a"))
+    gb = groups.select(F.col("_rep").alias("rep_b"), F.col("_ids").alias("ids_b"))
+    cross = (
+        rep_pairs.join(ga.hint("shuffle_hash"), "rep_a")
+        .join(gb.hint("shuffle_hash"), "rep_b")
+        .select(F.explode("ids_a").alias("a_id"), "ids_b", "jaccard")
+        .select("a_id", F.explode("ids_b").alias("b_id"), "jaccard")
+        .select(
+            F.least("a_id", "b_id").alias("doc_a"),
+            F.greatest("a_id", "b_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical texts ⇒ Jaccard exactly 1 (provided
+    # the text has at least one shingle — short docs have no pairs)
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    within = (
+        groups.where((F.size("_ids") >= 2) & (n_toks >= 3))
+        .select(F.explode(_pairs_from_sorted_ids(F.col("_ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+        .where(F.lit(1.0) >= threshold)
+    )
+    return cross.unionByName(within)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs over the ``documents`` table (see
     :func:`ngram_jaccard_pairs_df`)."""
     return ngram_jaccard_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def _pii_synth_col() -> "F.Column":
+    """Deterministic PII-laden text derived from (doc_id, text): the
+    fixture corpus is synthetic word soup with no PII, so the scrub
+    operator is exercised on injected addresses/ids — the same
+    construction on the oracle side makes the regex semantics (not just
+    row counts) hash-checked."""
+    did = F.col("doc_id").cast("string")
+    four = F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0")
+    octet = F.pmod(F.col("doc_id"), 256).cast("string")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.lit(" call +1-555-123-"), four,
+        F.lit(" ssn 987-65-"), four,
+        F.lit(" from 10.0."), octet, F.lit(".7"),
+        F.lit(" via https://example.com/doc/"), did,
+    )
+
+
+_PII_SYNTH_SQL = (
+    "substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' || ' call +1-555-123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    " || ' via https://example.com/doc/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation scrub: emails/SSNs/phones/IPs/URLs replaced with typed
+    placeholders + per-category counts (the pre-training PII pass)."""
+    from ..functions import scrub as SC
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = _pii_synth_col()
+    counts = SC.pii_counts(synth)
+    return docs.select(
+        "doc_id",
+        SC.scrub_pii(synth).alias("scrubbed"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+
+
+def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup hashing: lowercase,
+    punctuation→space, whitespace collapse; emits the normalized hash
+    (the key exact dedup should group on) and length."""
+    from ..functions import scrub as SC
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = SC.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.substring(norm, 1, 80).alias("norm_preview"),
+        TX.file_hash(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
 
 
 def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,6 +403,8 @@ QUERIES = {
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
     "minhash_recall": minhash_recall,
+    "doc_pii_scrub": doc_pii_scrub,
+    "doc_normalized": doc_normalized,
     "doc_previews": doc_previews,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
@@ -406,24 +524,13 @@ ORACLE = {
     """,
     "ngram_jaccard_pairs": r"""
         WITH """ + "_JACCARD_CTES" + r"""
-        SELECT doc_a, doc_b,
-               (floor((inter * 1.0 / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000) AS jaccard
-        FROM pairs
-        JOIN counts ca ON ca.doc_id = doc_a
-        JOIN counts cb ON cb.doc_id = doc_b
-        WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.05
+        SELECT doc_a, doc_b, jaccard FROM all_pairs
     """,
     "neardup_components": r"""
-        WITH RECURSIVE """ + "_JACCARD_CTES" + r""", good AS (
-            SELECT doc_a, doc_b
-            FROM pairs
-            JOIN counts ca ON ca.doc_id = doc_a
-            JOIN counts cb ON cb.doc_id = doc_b
-            WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.05
-        ), edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM good
+        WITH RECURSIVE """ + "_JACCARD_CTES" + r""", edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM all_pairs
             UNION ALL
-            SELECT doc_b AS a, doc_a AS b FROM good
+            SELECT doc_b AS a, doc_a AS b FROM all_pairs
         ), reach(node, label) AS (
             SELECT a, a FROM edges
             UNION
@@ -434,13 +541,18 @@ ORACLE = {
     """,
 }
 
-# Shared candidate-pair CTE chain (3-gram shingles → inverted-index
-# pairs → per-doc shingle counts); spliced into both oracles above so
-# the pair definition can't drift between them.
-_JACCARD_CTES_SQL = r"""toks AS (
-            SELECT doc_id, lang,
+# Shared pair CTE chain, mirroring the engine's duplicate-collapse
+# algorithm (grp → representative shingles → inverted-index rep pairs →
+# cross/within expansion); spliced into both oracles above so the pair
+# definition can't drift between them.
+_JACCARD_CTES_SQL = r"""grp AS (
+            SELECT lang, text, min(doc_id) AS rep,
+                   list_sort(list(doc_id)) AS ids
+            FROM documents GROUP BY lang, text
+        ), toks AS (
+            SELECT rep AS doc_id, lang,
                    regexp_split_to_array(lower(trim(text)), '\s+') AS t
-            FROM documents
+            FROM grp
         ), idx AS (
             SELECT doc_id, lang, t,
                    unnest(generate_series(1, len(t) - 2)) AS i
@@ -462,9 +574,67 @@ _JACCARD_CTES_SQL = r"""toks AS (
             FROM sh2 a JOIN sh2 b
               ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        ), rep_scored AS (
+            SELECT doc_a AS rep_a, doc_b AS rep_b,
+                   (floor((inter * 1.0 / (ca.n + cb.n - inter)) * 10000 + 0.5)
+                       / 10000) AS jaccard
+            FROM pairs
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE inter * 1.0 / (ca.n + cb.n - inter) >= 0.05
+        ), c1 AS (
+            SELECT r.jaccard, unnest(ga.ids) AS a_id, gb.ids AS ids_b
+            FROM rep_scored r
+            JOIN grp ga ON ga.rep = r.rep_a
+            JOIN grp gb ON gb.rep = r.rep_b
+        ), c2 AS (
+            SELECT jaccard, a_id, unnest(ids_b) AS b_id FROM c1
+        ), w1 AS (
+            SELECT ids, unnest(ids) AS a_id
+            FROM grp
+            WHERE len(ids) >= 2
+              AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 3
+        ), w2 AS (
+            SELECT a_id, unnest(ids) AS b_id FROM w1
+        ), all_pairs AS (
+            SELECT least(a_id, b_id) AS doc_a, greatest(a_id, b_id) AS doc_b,
+                   CAST(jaccard AS DOUBLE) AS jaccard
+            FROM c2
+            UNION ALL
+            SELECT a_id AS doc_a, b_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+            FROM w2 WHERE a_id < b_id
         )"""
 
 _JACCARD_CTES_SQL = _JACCARD_CTES_SQL.replace("{max_df}", str(MAX_SHINGLE_DF))
 
 for _k in ("ngram_jaccard_pairs", "neardup_components"):
     ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)
+
+
+def _pii_oracle_sql() -> str:
+    from ..functions import scrub as SC
+
+    names = ("emails", "ssns", "phones", "ips", "urls")
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(s, '{pattern}')) AS BIGINT) AS n_{name}"
+        for name, (pattern, _) in zip(names, SC.PII_RULES)
+    )
+    return (
+        f"WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS s FROM documents) "
+        f"SELECT doc_id, {SC.scrub_sql('s')} AS scrubbed, {count_cols} FROM synth"
+    )
+
+
+def _normalized_oracle_sql() -> str:
+    from ..functions import scrub as SC
+
+    norm = SC.normalize_sql("text")
+    return (
+        f"SELECT doc_id, substring({norm}, 1, 80) AS norm_preview, "
+        f"sha256({norm}) AS norm_hash, "
+        f"CAST(length({norm}) AS BIGINT) AS norm_len FROM documents"
+    )
+
+
+ORACLE["doc_pii_scrub"] = _pii_oracle_sql()
+ORACLE["doc_normalized"] = _normalized_oracle_sql()

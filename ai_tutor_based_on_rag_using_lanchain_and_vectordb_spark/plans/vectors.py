@@ -107,18 +107,11 @@ def knn_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_SALTS = 16
 
 
-def embedding_neardup_pairs_df(
-    emb: DataFrame,
-    threshold: float = 0.3,
-    salts: int = NEARDUP_SALTS,
-    broadcast_build: bool = False,
+def _salted_pair_scores(
+    vectors: DataFrame, threshold: float, salts: int, broadcast_build: bool
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a label block
-    (cosine ≥ ``threshold``; blocking on label keeps the pair space
-    linear-ish). Exact within the block — every same-label pair is
-    scored.
-
-    Default physical plan (the 100 TB shape): a **salt-replicated
+    """Exact same-label pair scoring (cosine ≥ threshold) over a vectors
+    frame. Default physical plan (the 100 TB shape): a **salt-replicated
     shuffled-hash self-join** on (label, salt). Side A gets a
     deterministic salt = hash(vec_id) mod S; side B is replicated to all
     S salts, so each unordered pair meets exactly once (at A's salt) and
@@ -133,14 +126,14 @@ def embedding_neardup_pairs_df(
     — only valid when the table fits in a broadcast (small corpora).
     """
     salt_a = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts)).cast("int")
-    a = emb.select(
+    a = vectors.select(
         F.col("vec_id").alias("vec_a"),
         V.as_double(F.col("embedding")).alias("va"),
         F.col("label").alias("la"),
         V.norm_fixed(F.col("embedding")).alias("norm_a"),
         salt_a.alias("salt_a"),
     )
-    b = emb.select(
+    b = vectors.select(
         F.col("vec_id").alias("vec_b"),
         V.as_double(F.col("embedding")).alias("vb"),
         F.col("label").alias("lb"),
@@ -181,6 +174,73 @@ def embedding_neardup_pairs_df(
         .where(F.col("score") >= threshold)
         .select("vec_a", "vec_b", X.pround(F.col("score"), 4).alias("score"))
     )
+
+
+def embedding_neardup_pairs_df(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    salts: int = NEARDUP_SALTS,
+    broadcast_build: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block
+    (cosine ≥ ``threshold``; blocking on label keeps the pair space
+    linear-ish). Exact within the block — every same-label pair is
+    scored.
+
+    **Duplicate collapse**: byte-identical vectors are grouped first and
+    the O(N²/labels) scoring runs on one representative per group; the
+    full pair set is expanded back afterwards (cross-group pairs carry
+    the representative score — identical vectors score identically —
+    and within-group pairs carry the rep's self-cosine, the same float
+    expression a naive pair of identical vectors evaluates). On a
+    duplicate-heavy corpus (the realistic case for embedding dedup) the
+    scored pair space shrinks quadratically; output is unchanged."""
+    groups = emb.groupBy("label", "embedding").agg(
+        F.sort_array(F.collect_list("vec_id")).alias("_ids"),
+        F.min("vec_id").alias("_rep"),
+    )
+    reps = groups.select(F.col("_rep").alias("vec_id"), "embedding", "label")
+    rep_pairs = _salted_pair_scores(reps, threshold, salts, broadcast_build)
+
+    # expansion joins: shuffled-hash on the rep id — the groups side has
+    # distinct-vector cardinality, so broadcasting it dies at scale just
+    # like broadcasting the table would
+    ga = groups.select(F.col("_rep").alias("vec_a"), F.col("_ids").alias("ids_a"))
+    gb = groups.select(F.col("_rep").alias("vec_b"), F.col("_ids").alias("ids_b"))
+    cross = (
+        rep_pairs.join(ga.hint("shuffle_hash"), "vec_a")
+        .join(gb.hint("shuffle_hash"), "vec_b")
+        .select(F.explode("ids_a").alias("a_id"), "ids_b", "score")
+        .select("a_id", F.explode("ids_b").alias("b_id"), "score")
+        .select(
+            F.least("a_id", "b_id").alias("vec_a"),
+            F.greatest("a_id", "b_id").alias("vec_b"),
+            "score",
+        )
+    )
+    # within-group pairs: score = the rep's self-cosine, evaluated with
+    # the exact expression shape of the pair join so floats agree
+    vdbl = V.as_double(F.col("embedding"))
+    self_score = V.dot_fixed(vdbl, vdbl, cast=False) / (
+        V.norm_fixed(F.col("embedding")) * V.norm_fixed(F.col("embedding"))
+    )
+    from ..plans.documents import _pairs_from_sorted_ids
+
+    within = (
+        groups.where(F.size("_ids") >= 2)
+        .withColumn("_s", self_score)
+        .where(F.col("_s") >= threshold)
+        .select(
+            F.explode(_pairs_from_sorted_ids(F.col("_ids"))).alias("p"),
+            X.pround(F.col("_s"), 4).alias("score"),
+        )
+        .select(
+            F.col("p.doc_a").alias("vec_a"),
+            F.col("p.doc_b").alias("vec_b"),
+            "score",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +321,13 @@ _COS = (
     "sqrt(list_dot_product(b.v, b.v)))"
 )
 
+# self-cosine of a representative vector — the same float expression a
+# naive pair of identical vectors evaluates (≈1.0 up to rounding)
+_SELF_COS = (
+    "list_dot_product(v, v) / (sqrt(list_dot_product(v, v)) * "
+    "sqrt(list_dot_product(v, v)))"
+)
+
 
 ORACLE = {
     "knn_exact": f"""
@@ -292,12 +359,34 @@ ORACLE = {
         ) WHERE rank <= {K}
     """.replace("{pr}", X.pround_sql("score", 4)),
     "embedding_neardup_pairs": f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-                   FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {X.pround_sql(_COS, 4)} AS score
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_COS} >= 0.3
+        WITH grp AS (
+            SELECT label, embedding, min(vec_id) AS rep,
+                   list_sort(list(vec_id)) AS ids
+            FROM embeddings GROUP BY label, embedding
+        ), r AS (
+            SELECT rep AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label, ids
+            FROM grp
+        ), rep_pairs AS (
+            SELECT {X.pround_sql(_COS, 4)} AS score,
+                   a.ids AS ids_a, b.ids AS ids_b
+            FROM r a JOIN r b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.3
+        ), c1 AS (
+            SELECT score, unnest(ids_a) AS a_id, ids_b FROM rep_pairs
+        ), c2 AS (
+            SELECT score, a_id, unnest(ids_b) AS b_id FROM c1
+        ), selfs AS (
+            SELECT {X.pround_sql(_SELF_COS, 4)} AS score, ids
+            FROM r WHERE len(ids) >= 2 AND {_SELF_COS} >= 0.3
+        ), w1 AS (
+            SELECT score, ids, unnest(ids) AS a_id FROM selfs
+        ), w2 AS (
+            SELECT score, a_id, unnest(ids) AS b_id FROM w1
+        )
+        SELECT least(a_id, b_id) AS vec_a, greatest(a_id, b_id) AS vec_b, score
+        FROM c2
+        UNION ALL
+        SELECT a_id AS vec_a, b_id AS vec_b, score FROM w2 WHERE a_id < b_id
     """,
     "label_centroids": """
         WITH idx AS (

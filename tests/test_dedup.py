@@ -103,6 +103,57 @@ def test_short_docs_produce_no_shingle_pairs(spark):
             assert r["sh"] == []
 
 
+def test_ngram_collapse_equals_naive_on_duplicate_heavy_corpus(spark):
+    """The duplicate-collapse fast path must reproduce the naive
+    all-docs inverted-index output exactly: within-group pairs at
+    jaccard 1, cross-group pairs carrying the representative score."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import (
+        ngram_jaccard_pairs_df,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        2: "totally different words about spark shuffles and joins here",
+        3: "xx",  # too short for shingles
+    }
+    rows = []
+    did = 0
+    for t_id, text in texts.items():
+        for _ in range(3 if t_id in (0, 1) else 2):  # duplicate groups
+            rows.append((did, text, "en"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_df(docs, threshold=0.05).collect()
+    }
+
+    # naive reference: python all-pairs over shingle sets
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(rows[i][1]) for i in range(len(rows))}
+    expect = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.05:
+                import math
+
+                expect[(a, b)] = math.floor(j * 10000 + 0.5) / 10000
+    assert got == expect
+    # sanity: within-group pairs present at 1.0, short docs absent
+    assert got[(0, 1)] == 1.0 and got[(6, 7)] == 1.0
+    assert not any(8 in p or 9 in p for p in got)
+
+
 def test_hot_shingle_df_ceiling(spark):
     """A pathological shingle shared by every doc (license-header shape)
     must not generate O(df²) candidate pairs once df exceeds max_df."""
