@@ -92,9 +92,17 @@ def _nearest_cell_expr(
         proxy = F.lit(float(c @ c) / 2.0) - V.dot_const(vec, c) / nrm
         pairs.append(F.struct(proxy.alias("d"), F.lit(int(cell)).alias("cell")))
     best = F.array_min(F.array(*pairs))
+    # A null or all-zero embedding has no unit direction: the division
+    # yields NULL (Spark /0 → NULL), which would otherwise surface as a
+    # NULL proxy inside the argmin struct. Make the no-cell case explicit
+    # and DETERMINISTIC — both outputs NULL — so callers can route such
+    # rows to a skip/quarantine path instead of crashing on None cells.
+    unassignable = vec.isNull() | nrm.isNull() | (nrm == 0.0)
+    cell_out = F.when(unassignable, F.lit(None).cast("int")).otherwise(best["cell"])
     # ||u−c||² = 1 + |c|² − 2·u·c = 1 + 2·proxy
     dist = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) + 2.0 * best["d"]))
-    return best["cell"], dist
+    dist_out = F.when(unassignable, F.lit(None).cast("double")).otherwise(dist)
+    return cell_out, dist_out
 
 
 def _stats_path(path: str) -> str:
@@ -127,7 +135,12 @@ def upsert_ivf_index(
     """Merge a batch of vectors into the persistent IVF layout.
 
     - assignment against the EXISTING centroids (column expression);
-    - matching ids are replaced (Delta-MERGE upsert semantics);
+    - matching ids are replaced (Delta-MERGE upsert semantics) — INCLUDING
+      ids whose new embedding assigns to a different cell: prior rows are
+      located by a column-pruned (id, cell) probe of the whole index, and
+      their cells join the rewrite set so no stale duplicate survives;
+    - null / zero-norm embeddings are quarantined (``skipped`` count),
+      not batch-killing;
     - only the touched cell partitions are rewritten (dynamic partition
       overwrite) — at 100 TB a batch touching 3 of 1024 cells rewrites
       3 partitions, not the index;
@@ -145,31 +158,54 @@ def upsert_ivf_index(
         .withColumn("_dist", dist_col)
     )
     # one pass for the telemetry + touched-cell set; batch is the small
-    # side by construction so a collect of its per-cell rollup is tiny
+    # side by construction so a collect of its per-cell rollup is tiny.
+    # NULL cell = unassignable vector (null / zero-norm embedding) —
+    # quarantined out of the merge rather than crashing the batch.
     batch_stats = assigned.groupBy("cell").agg(
         F.count("*").alias("n"), F.sum("_dist").alias("dist_sum")
     ).collect()
-    touched = sorted(int(r["cell"]) for r in batch_stats)
+    n_skipped = sum(int(r["n"]) for r in batch_stats if r["cell"] is None)
+    batch_stats = [r for r in batch_stats if r["cell"] is not None]
+    assigned = assigned.where(F.col("cell").isNotNull())
     n_batch = sum(int(r["n"]) for r in batch_stats)
     batch_mean_dist = (
         sum(float(r["dist_sum"]) for r in batch_stats) / n_batch if n_batch else 0.0
     )
-    if not touched:
+    if not batch_stats:
         stats = read_stats(spark, path)
-        return {"added": 0, "replaced": 0, "touched_cells": [],
-                "batch_mean_dist": 0.0, "refit_recommended": False, **stats}
+        return {"added": 0, "replaced": 0, "skipped": n_skipped,
+                "touched_cells": [], "batch_mean_dist": 0.0,
+                "refit_recommended": False, **stats}
 
     vectors_path = os.path.join(path, "vectors")
+    # Prior locations of the batch ids ANYWHERE in the index — an updated
+    # vector may assign to a DIFFERENT cell than its stored row, and the
+    # stale row in the old cell must be removed or the index grows
+    # duplicate ids and can serve stale vectors. The probe is a
+    # column-pruned (id, cell) scan semi-joined against the broadcast
+    # batch ids: map-only, no shuffle, reads two thin columns of the
+    # index — cheap relative to the partition rewrite it guards. (A
+    # Delta/Hudi deployment would use the table's key index instead.)
+    prior_cells_rows = (
+        spark.read.parquet(vectors_path)
+        .select(id_col, "cell")
+        .join(F.broadcast(assigned.select(id_col)), id_col, "left_semi")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    replaced = sum(int(r["n"]) for r in prior_cells_rows)
+    touched = sorted(
+        {int(r["cell"]) for r in batch_stats}
+        | {int(r["cell"]) for r in prior_cells_rows}
+    )
     existing = spark.read.parquet(vectors_path).where(F.col("cell").isin(touched))
-    n_existing_touched = existing.count()
     keep = existing.join(assigned.select(id_col), id_col, "left_anti")
     merged = keep.select(id_col, vec_col, "cell").unionByName(
         assigned.select(id_col, vec_col, "cell")
     )
     # materialize before overwriting the files the plan reads from
     merged = merged.localCheckpoint(eager=True)
-    n_keep = merged.count() - n_batch
-    replaced = n_existing_touched - n_keep
     (
         merged.repartition("cell")
         .write.mode("overwrite")
@@ -188,6 +224,7 @@ def upsert_ivf_index(
     return {
         "added": n_batch - replaced,
         "replaced": replaced,
+        "skipped": n_skipped,
         "touched_cells": touched,
         "batch_mean_dist": batch_mean_dist,
         "refit_recommended": refit,

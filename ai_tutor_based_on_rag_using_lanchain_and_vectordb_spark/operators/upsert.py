@@ -30,18 +30,18 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
             f"schema mismatch: {sorted(target.columns)} vs {sorted(updates.columns)}"
         )
     t = target.alias("t")
-    u = updates.alias("u")
+    # Presence marker, not key nullness: a NULL-key update row never
+    # matches the equi-join (SQL null semantics, same as Delta MERGE's ON
+    # clause) and must be INSERTED with its own payload — resolving on
+    # u.key IS NOT NULL would take t.* (all NULL) for it instead. The
+    # marker also keeps the matched branch correct when an update carries
+    # explicit NULLs: "WHEN MATCHED THEN UPDATE SET *" overwrites, so no
+    # coalesce(u.c, t.c) which would leak stale target values through.
+    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
     joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
-    # Resolve on match PRESENCE (u.key non-null after the outer join),
-    # not per-column value nullness: an update row carrying an explicit
-    # NULL must overwrite the target value, exactly like Delta MERGE's
-    # "WHEN MATCHED THEN UPDATE SET *". coalesce(u.c, t.c) would leak
-    # the stale target value through a NULL update column.
-    matched = F.col(f"u.{key}").isNotNull()
+    matched = F.col("u._u_present").isNotNull()
     merged_cols = [
-        F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key)
-        if c == key
-        else F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in target.columns
     ]
     return joined.select(*merged_cols)

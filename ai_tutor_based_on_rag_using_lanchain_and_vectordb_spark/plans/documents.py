@@ -38,6 +38,15 @@ CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP  # 96
 # intersection evidence is restricted to informative shingles.
 MAX_SHINGLE_DF = 100
 
+# Hot-key ceiling for *duplicate-group* expansion, the group-size analog
+# of MAX_SHINGLE_DF: a text replicated g times implies g²/2 output pairs,
+# so a boilerplate doc copied 10⁶ times would emit 5·10¹¹ pairs no matter
+# how the work is distributed. Groups above this size are truncated to
+# their representative for pair expansion (the rep still participates in
+# scoring, so cross-group similarity is preserved) — mirroring how
+# shingles above MAX_SHINGLE_DF are dropped from candidate generation.
+MAX_DUP_GROUP = 100
+
 
 def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one group per sha256(text), keeping
@@ -188,7 +197,10 @@ def _pairs_from_sorted_ids(ids: "F.Column") -> "F.Column":
 
 
 def ngram_jaccard_pairs_df(
-    docs: DataFrame, threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF
+    docs: DataFrame,
+    threshold: float = 0.05,
+    max_df: int = MAX_SHINGLE_DF,
+    max_group: int = MAX_DUP_GROUP,
 ) -> DataFrame:
     """Near-duplicate pairs by 3-gram Jaccard ≥ ``threshold``, blocked on
     (lang, shingle): inverted-index self-join → per-pair intersection
@@ -204,14 +216,30 @@ def ngram_jaccard_pairs_df(
     to a representative, representative pairs are scored, and the full
     pair set is expanded back through the groups afterwards. Identical
     texts have Jaccard exactly 1 and identical texts share every score,
-    so the expansion reproduces the naive output exactly — the cost
-    becomes O(distinct² + |output|) instead of O(total²)."""
-    # collapse: one representative (min doc_id) per identical (lang, text)
-    groups = docs.groupBy("lang", "text").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("_ids"),
-        F.min("doc_id").alias("_rep"),
+    so with ``max_df`` and ``max_group`` non-binding the expansion
+    reproduces the naive output exactly; the cost becomes
+    O(distinct² + |output|) instead of O(total²).
+
+    Expansion is ROW-based (member joins on the representative id), never
+    an in-row g² array — a million-copy group stays a million rows spread
+    across partitions, not one million²-element struct array in a single
+    row. Groups larger than ``max_group`` are truncated to their
+    representative for expansion (see ``MAX_DUP_GROUP``): their g² pair
+    output is the one term no physical plan can bound."""
+    # collapse: one representative (min doc_id) + group size per
+    # identical (lang, text), via a window — no collect_list, so a
+    # giant duplicate group never materializes as one array
+    wg = Window.partitionBy("lang", "text")
+    members = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.min("doc_id").over(wg).alias("_rep"),
+        F.count("*").over(wg).alias("_gsz"),
     )
-    reps = groups.select(F.col("_rep").alias("doc_id"), "lang", "text")
+    reps = members.where(F.col("doc_id") == F.col("_rep")).select(
+        "doc_id", "lang", "text"
+    )
 
     # no .cache(): the shingle projection is cheap to recompute, and a
     # lingering cached RDD steals executor memory from later queries
@@ -254,15 +282,18 @@ def ngram_jaccard_pairs_df(
 
     # expand representative pairs back to every member pair (scores are
     # identical for identical texts, ordering restored via least/greatest).
-    # shuffled-hash on the rep id: the groups side has distinct-text
-    # cardinality — broadcasting it would die at corpus scale
-    ga = groups.select(F.col("_rep").alias("rep_a"), F.col("_ids").alias("ids_a"))
-    gb = groups.select(F.col("_rep").alias("rep_b"), F.col("_ids").alias("ids_b"))
+    # Row-based member joins, shuffled-hash on the rep id: the members
+    # side has corpus cardinality — broadcasting it would die at scale,
+    # and an array-of-ids expansion would put a whole group in one row.
+    # Oversized groups (> max_group) participate as representative only.
+    mem = members.where(
+        (F.col("_gsz") <= max_group) | (F.col("doc_id") == F.col("_rep"))
+    )
+    ma = mem.select(F.col("_rep").alias("rep_a"), F.col("doc_id").alias("a_id"))
+    mb = mem.select(F.col("_rep").alias("rep_b"), F.col("doc_id").alias("b_id"))
     cross = (
-        rep_pairs.join(ga.hint("shuffle_hash"), "rep_a")
-        .join(gb.hint("shuffle_hash"), "rep_b")
-        .select(F.explode("ids_a").alias("a_id"), "ids_b", "jaccard")
-        .select("a_id", F.explode("ids_b").alias("b_id"), "jaccard")
+        rep_pairs.join(ma.hint("shuffle_hash"), "rep_a")
+        .join(mb.hint("shuffle_hash"), "rep_b")
         .select(
             F.least("a_id", "b_id").alias("doc_a"),
             F.greatest("a_id", "b_id").alias("doc_b"),
@@ -270,12 +301,23 @@ def ngram_jaccard_pairs_df(
         )
     )
     # within-group pairs: identical texts ⇒ Jaccard exactly 1 (provided
-    # the text has at least one shingle — short docs have no pairs)
+    # the text has at least one shingle — short docs have no pairs).
+    # Self-join on the rep id; per-key fan-out bounded by max_group².
     n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    wm = members.where(
+        (F.col("_gsz") >= 2) & (F.col("_gsz") <= max_group) & (n_toks >= 3)
+    )
+    wa = wm.select(F.col("_rep").alias("_g"), F.col("doc_id").alias("a_id"))
+    wb = wm.select(F.col("_rep").alias("_g"), F.col("doc_id").alias("b_id"))
     within = (
-        groups.where((F.size("_ids") >= 2) & (n_toks >= 3))
-        .select(F.explode(_pairs_from_sorted_ids(F.col("_ids"))).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+        wa.hint("shuffle_hash")
+        .join(wb, "_g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
         .where(F.lit(1.0) >= threshold)
     )
     return cross.unionByName(within)
@@ -358,9 +400,9 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_dedup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs_df(docs, threshold=0.8, max_df=10**9).select(
-        "doc_a", "doc_b"
-    )
+    exact = ngram_jaccard_pairs_df(
+        docs, threshold=0.8, max_df=10**9, max_group=10**9
+    ).select("doc_a", "doc_b")
     approx = minhash_dedup_pairs(
         docs, num_hashes=32, bands=8, threshold=0.8
     ).select(

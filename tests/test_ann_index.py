@@ -104,6 +104,61 @@ def test_ivf_upsert_replaces_matching_ids_and_tracks_growth(spark, sf_dir, tmp_p
     assert stats["fit_n"] == 200 and stats["cur_n"] == 200
 
 
+def test_ivf_upsert_removes_stale_row_on_cell_move(spark, sf_dir, tmp_path):
+    """An update whose new embedding assigns to a DIFFERENT cell than the
+    stored row must delete the stale row in the old cell — with enough
+    cells that the batch does NOT touch every partition (the case a
+    touched-cells-only anti-join silently corrupts)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    path = str(tmp_path / "ivf_move")
+    ann_index.build_ivf_index(emb, path, n_cells=16)
+
+    stored = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in spark.read.parquet(path + "/vectors").collect()
+    }
+    # pick an id X and a donor Y stored in a different cell; re-upsert X
+    # with Y's embedding so X's new assignment lands in Y's cell
+    x = min(stored)
+    y = next(v for v, c in sorted(stored.items()) if c != stored[x])
+    donor = emb.where(F.col("vec_id") == y).select(
+        F.lit(x).cast("long").alias("vec_id"), "embedding"
+    )
+    info = ann_index.upsert_ivf_index(spark, path, donor)
+    assert info["replaced"] == 1 and info["added"] == 0
+    assert stored[x] in info["touched_cells"]  # old cell rewritten
+
+    after = spark.read.parquet(path + "/vectors")
+    rows = after.where(F.col("vec_id") == x).collect()
+    assert len(rows) == 1, "stale duplicate id survived the cell move"
+    assert int(rows[0]["cell"]) == stored[y]
+    assert after.count() == 400
+    assert ann_index.read_stats(spark, path)["cur_n"] == 400
+
+
+def test_ivf_upsert_quarantines_unassignable_vectors(spark, sf_dir, tmp_path):
+    """Zero-norm and NULL embeddings have no nearest cell: they are
+    skipped (reported in telemetry), not a batch-killing TypeError."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    path = str(tmp_path / "ivf_zero")
+    ann_index.build_ivf_index(emb, path, n_cells=4)
+
+    good = emb.where(F.col("vec_id") == 5).select(
+        F.lit(1000).cast("long").alias("vec_id"), "embedding"
+    )
+    bad = spark.createDataFrame(
+        [(1001, [0.0] * V.EMBEDDING_DIM), (1002, None)],
+        "vec_id long, embedding array<float>",
+    )
+    info = ann_index.upsert_ivf_index(spark, path, good.unionByName(bad))
+    assert info["added"] == 1 and info["skipped"] == 2
+    after = spark.read.parquet(path + "/vectors")
+    assert after.count() == 101
+    assert after.where(F.col("vec_id").isin(1001, 1002)).count() == 0
+
+
 def test_ivf_stream_maintenance(spark, sf_dir, tmp_path):
     """foreachBatch wiring: stream vector files into the index, then
     search results equal exact brute force (nprobe=all)."""

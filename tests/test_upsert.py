@@ -33,6 +33,27 @@ def test_matched_update_overwrites_with_null(spark):
     assert out[4]["name"] == "new-d"  # brand-new key inserted
 
 
+def test_null_key_update_row_is_inserted_with_payload(spark):
+    """A NULL-key update row never matches the equi-join (SQL null
+    semantics, same as Delta MERGE's ON clause) → it must be INSERTED
+    carrying its own payload, not collapse to an all-NULL row. NULL-key
+    target rows likewise pass through untouched."""
+    target = spark.createDataFrame(
+        [(1, "old-a", 10), (None, "null-t", 70)],
+        "id long, name string, size long",
+    )
+    updates = spark.createDataFrame(
+        [(None, "null-u", 80), (1, "new-a", 11)],
+        "id long, name string, size long",
+    )
+    rows = merge_upsert(target, updates, "id").collect()
+    assert len(rows) == 3
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["null-u"]["size"] == 80 and by_name["null-u"]["id"] is None
+    assert by_name["null-t"]["size"] == 70  # target null-key row kept
+    assert by_name["new-a"]["size"] == 11  # matched row updated
+
+
 def test_schema_mismatch_rejected(spark):
     target, updates = _frames(spark)
     with pytest.raises(ValueError):
