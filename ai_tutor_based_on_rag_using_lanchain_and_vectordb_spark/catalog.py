@@ -5,11 +5,14 @@ and column-prunable; ``spark.read.parquet`` + explicit ``.schema`` means
 Catalyst can push predicates to Parquet row groups and prune columns to
 exactly the ``ReadSchema`` the query needs.
 
-Timestamp note: the driver parquet stores TIMESTAMP(NANOS,false), which
-Spark's reader rejects as a timestamp type. We read those columns as
-raw INT64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and convert
-with ``timestamp_micros(ns div 1000)`` — identical truncation semantics
-to DuckDB's nanos→micros read, so oracle comparisons line up exactly.
+Timestamp note: some driver generations store ``events.ts`` as
+TIMESTAMP(NANOS,false), which Spark's reader rejects as a timestamp
+type; others store plain TIMESTAMP(MICROS). We sniff the parquet footer
+(one cheap metadata read per (dir, table), cached) and only when the
+physical unit is nanos do we read the column as raw INT64
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert with
+``timestamp_micros(ns div 1000)`` — identical truncation semantics to
+DuckDB's nanos→micros read, so oracle comparisons line up exactly.
 The conversion is a codegen-inline projection; pushdown on the derived
 timestamp still works for partition-style pruning because the filter is
 applied to the long column after Catalyst folds the comparison.
@@ -28,16 +31,42 @@ from . import schemas
 TABLE_NAMES = tuple(schemas.DRIVER_TABLES)
 
 
-# Columns physically stored as TIMESTAMP(NANOS) — Spark rejects the
-# type, so these read as INT64 nanos and convert via timestamp_micros.
-# (orders.o_orderdate / lineitem.l_shipdate are timestamp[ms]: native.)
+# Columns that MAY be stored as TIMESTAMP(NANOS) depending on the
+# writer; verified per-path against the parquet footer before the
+# long-read workaround is applied.
+# (orders.o_orderdate / lineitem.l_shipdate are timestamp[ms/us]: native.)
 NANOS_TS_COLUMNS = {"events": ("ts",)}
 
+# (path, column) -> True if physically nanos. One footer read per table
+# path for the life of the process — irrelevant at any scale.
+_NANOS_CACHE: dict[tuple[str, str], bool] = {}
 
-def _read_schema(name: str) -> tuple[T.StructType, tuple[str, ...]]:
+
+def _stored_as_nanos(path: str, column: str) -> bool:
+    key = (path, column)
+    if key not in _NANOS_CACHE:
+        result = False
+        try:
+            import pyarrow.dataset as ds
+            import pyarrow.types as pat
+
+            field = ds.dataset(path, format="parquet").schema.field(column)
+            result = pat.is_timestamp(field.type) and field.type.unit == "ns"
+        except Exception:
+            # No footer access (e.g. non-local path in a unit test):
+            # assume native timestamp; the schema-pinned read will
+            # surface a loud PARQUET_TYPE_ILLEGAL if that's wrong.
+            result = False
+        _NANOS_CACHE[key] = result
+    return _NANOS_CACHE[key]
+
+
+def _read_schema(name: str, path: str) -> tuple[T.StructType, tuple[str, ...]]:
     """Physical read schema (nanos timestamps as longs) + the list of
     columns needing long→timestamp conversion."""
-    nanos = NANOS_TS_COLUMNS.get(name, ())
+    nanos = tuple(
+        c for c in NANOS_TS_COLUMNS.get(name, ()) if _stored_as_nanos(path, c)
+    )
     fields = [
         T.StructField(f.name, T.LongType()) if f.name in nanos else f
         for f in schemas.DRIVER_TABLES[name].fields
@@ -55,8 +84,9 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_nanos_conf(spark)
-    read_schema, ts_cols = _read_schema(name)
-    df = spark.read.schema(read_schema).parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
+    read_schema, ts_cols = _read_schema(name, path)
+    df = spark.read.schema(read_schema).parquet(path)
     for c in ts_cols:
         # integer division: double division would lose precision at
         # nanosecond-epoch magnitudes (> 2^53)

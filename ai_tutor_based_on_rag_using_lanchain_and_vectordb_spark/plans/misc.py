@@ -439,9 +439,12 @@ ORACLE = {
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "event_gaps": """
+        -- CAST to TIMESTAMP (micros) first: epoch_us on a TIMESTAMP_NS
+        -- column returns nanoseconds; the cast truncates ns -> us the
+        -- same way the Spark reader's `ns div 1000` does.
         SELECT event_id, user_id,
-               epoch_us(ts) - epoch_us(lag(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+               epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
         FROM events
     """,
     "validation_flags": """

@@ -18,7 +18,7 @@ from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.streaming import wi
 def _stream_events(spark, sf_dir):
     """events.parquet as a stream (nanos → timestamp, same as batch)."""
     ensure_nanos_conf(spark)
-    schema, nanos = _read_schema("events")
+    schema, nanos = _read_schema("events", f"{sf_dir}/events.parquet")
     df = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
