@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------- exact
 
 
+def has_exact_duplicates(df: DataFrame, *cols: str) -> bool:
+    """Cheap pre-flight for the duplicate-collapse rewrites: does any
+    (*cols) combination repeat?  Count vs distinct-count of a 64-bit
+    hash — the partial aggregate dedupes map-side, so the shuffle
+    carries ~8 bytes per DISTINCT combination instead of whole payloads
+    (the collapse window would shuffle full rows). A hash collision can
+    only over-report duplicates, which routes to the collapse path —
+    a performance miss, never a wrong answer."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.xxhash64(*cols)).alias("d"),
+    ).first()
+    return int(row["n"]) != int(row["d"])
+
+
 def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row (smallest id) per key — set-based rewrite of
     the reference's per-row UNIQUE violation (semantic divergence

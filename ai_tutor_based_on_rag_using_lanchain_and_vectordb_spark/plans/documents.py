@@ -201,6 +201,7 @@ def ngram_jaccard_pairs_df(
     threshold: float = 0.05,
     max_df: int = MAX_SHINGLE_DF,
     max_group: int = MAX_DUP_GROUP,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by 3-gram Jaccard ≥ ``threshold``, blocked on
     (lang, shingle): inverted-index self-join → per-pair intersection
@@ -225,21 +226,36 @@ def ngram_jaccard_pairs_df(
     across partitions, not one million²-element struct array in a single
     row. Groups larger than ``max_group`` are truncated to their
     representative for expansion (see ``MAX_DUP_GROUP``): their g² pair
-    output is the one term no physical plan can bound."""
-    # collapse: one representative (min doc_id) + group size per
-    # identical (lang, text), via a window — no collect_list, so a
-    # giant duplicate group never materializes as one array
-    wg = Window.partitionBy("lang", "text")
-    members = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.min("doc_id").over(wg).alias("_rep"),
-        F.count("*").over(wg).alias("_gsz"),
-    )
-    reps = members.where(F.col("doc_id") == F.col("_rep")).select(
-        "doc_id", "lang", "text"
-    )
+    output is the one term no physical plan can bound.
+
+    ``collapse=None`` (default) size-gates the rewrite: one cheap
+    hash-distinct pre-flight decides whether any (lang, text) repeats at
+    all. A duplicate-free corpus (e.g. already exact-deduped upstream)
+    skips the collapse window and both expansion joins entirely — on
+    such data the two plans are identical by construction (every group
+    has size 1), so the gate trades nothing but the pre-flight scan."""
+    from ..operators.dedup import has_exact_duplicates
+
+    if collapse is None:
+        collapse = has_exact_duplicates(docs, "lang", "text")
+    if collapse:
+        # collapse: one representative (min doc_id) + group size per
+        # identical (lang, text), via a window — no collect_list, so a
+        # giant duplicate group never materializes as one array
+        wg = Window.partitionBy("lang", "text")
+        members = docs.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.min("doc_id").over(wg).alias("_rep"),
+            F.count("*").over(wg).alias("_gsz"),
+        )
+        reps = members.where(F.col("doc_id") == F.col("_rep")).select(
+            "doc_id", "lang", "text"
+        )
+    else:
+        members = None
+        reps = docs.select("doc_id", "lang", "text")
 
     # no .cache(): the shingle projection is cheap to recompute, and a
     # lingering cached RDD steals executor memory from later queries
@@ -279,6 +295,14 @@ def ngram_jaccard_pairs_df(
             X.pround(jac, 4).alias("jaccard"),
         )
     )
+    if not collapse:
+        # duplicate-free: representatives ARE the documents; no
+        # expansion and no within-group pairs exist
+        return rep_pairs.select(
+            F.col("rep_a").alias("doc_a"),
+            F.col("rep_b").alias("doc_b"),
+            "jaccard",
+        )
 
     # expand representative pairs back to every member pair (scores are
     # identical for identical texts, ordering restored via least/greatest).

@@ -172,6 +172,12 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 1000
     ).select("s_suppkey")
+    # Explicit two-level distinct instead of countDistinct: dedupe
+    # (brand,type,size,suppkey) first — the partial (map-side) hash agg
+    # collapses every repeated pair before the shuffle, so shuffle bytes
+    # and final-agg state scale with |distinct combos|, not |lineitem|.
+    # countDistinct's single-pass plan keeps per-group distinct sets in
+    # the aggregation buffers, which grew superlinearly on stress data.
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(
@@ -179,8 +185,10 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.count("*").alias("supplier_cnt"))
     )
 
 

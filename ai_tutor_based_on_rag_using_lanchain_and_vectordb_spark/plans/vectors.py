@@ -181,6 +181,7 @@ def embedding_neardup_pairs_df(
     threshold: float = 0.3,
     salts: int = NEARDUP_SALTS,
     broadcast_build: bool = False,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a label block
     (cosine ≥ ``threshold``; blocking on label keeps the pair space
@@ -194,7 +195,23 @@ def embedding_neardup_pairs_df(
     and within-group pairs carry the rep's self-cosine, the same float
     expression a naive pair of identical vectors evaluates). On a
     duplicate-heavy corpus (the realistic case for embedding dedup) the
-    scored pair space shrinks quadratically; output is unchanged."""
+    scored pair space shrinks quadratically; output is unchanged.
+
+    ``collapse=None`` (default) size-gates the rewrite with one cheap
+    hash-distinct pre-flight over (label, embedding): a duplicate-free
+    table (every group size 1) skips the group-by and both expansion
+    joins — the plans are identical on such data by construction."""
+    from ..operators.dedup import has_exact_duplicates
+
+    if collapse is None:
+        collapse = has_exact_duplicates(emb, "label", "embedding")
+    if not collapse:
+        return _salted_pair_scores(
+            emb.select("vec_id", "embedding", "label"),
+            threshold,
+            salts,
+            broadcast_build,
+        )
     groups = emb.groupBy("label", "embedding").agg(
         F.sort_array(F.collect_list("vec_id")).alias("_ids"),
         F.min("vec_id").alias("_rep"),

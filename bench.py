@@ -75,17 +75,22 @@ def main() -> None:
     # JVM/codegen warmup on a trivial scan so q1 isn't charged for it
     materialize(all_queries["unique_sessions"](spark, sf_dir))
 
-    # best-of-2: the first run pays codegen compile + IO warm-up, and the
-    # shared host adds run-to-run noise; min-of-k is the standard
-    # noise-robust point estimate
+    # median-of-3: the first run pays codegen compile + IO warm-up, and
+    # the shared host adds run-to-run noise; the median absorbs both a
+    # cold first run and a single noisy outlier, and the reported spread
+    # lets a regression gate tell signal from host noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             materialize(all_queries[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -95,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": sf_num,
             }
         )

@@ -168,3 +168,74 @@ def test_hot_shingle_df_ceiling(spark):
     assert capped.count() == 0  # hot shingle (df=40 > 10) is excluded
     uncapped = ngram_jaccard_pairs_df(docs, threshold=0.01, max_df=10**9)
     assert uncapped.count() == 40 * 39 // 2  # every pair via the hot key
+
+
+def test_has_exact_duplicates_gate(spark):
+    dup = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a", "en"), (3, "b", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert DD.has_exact_duplicates(dup, "lang", "text")
+    clean = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a", "de"), (3, "b", "en")],
+        "doc_id long, text string, lang string",
+    )
+    assert not DD.has_exact_duplicates(clean, "lang", "text")
+
+
+def test_ngram_collapse_gate_paths_agree_on_clean_corpus(spark):
+    """On a duplicate-free corpus the size-gate skips the collapse; a
+    forced collapse=True run must produce the identical pair set."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import (
+        ngram_jaccard_pairs_df,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota", "en"),
+        (2, "totally different words about spark shuffles and joins here", "en"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta", "de"),  # same text, other lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def pairset(df):
+        return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()}
+
+    auto = pairset(ngram_jaccard_pairs_df(docs, threshold=0.05))
+    forced = pairset(ngram_jaccard_pairs_df(docs, threshold=0.05, collapse=True))
+    assert auto == forced and auto  # non-empty: (0,1) is a near-dup pair
+
+
+def test_embedding_collapse_gate_paths_agree(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
+        embedding_neardup_pairs_df,
+    )
+
+    def v(*head):  # pad to the engine's fixed 64-dim layout
+        return list(head) + [0.0] * (64 - len(head))
+
+    clean = spark.createDataFrame(
+        [
+            (1, v(1.0), 0),
+            (2, v(0.9, 0.1), 0),
+            (3, v(0.0, 1.0), 0),
+            (4, v(1.0), 1),  # same vector, different label
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    def pairset(df):
+        return {(r["vec_a"], r["vec_b"], r["score"]) for r in df.collect()}
+
+    auto = pairset(embedding_neardup_pairs_df(clean, threshold=0.3))
+    forced = pairset(embedding_neardup_pairs_df(clean, threshold=0.3, collapse=True))
+    assert auto == forced and auto
+
+    dup = clean.unionByName(
+        spark.createDataFrame(
+            [(5, v(1.0), 0)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    auto_d = pairset(embedding_neardup_pairs_df(dup, threshold=0.3))
+    naive_d = pairset(embedding_neardup_pairs_df(dup, threshold=0.3, collapse=False))
+    assert auto_d == naive_d and any(5 in (a, b) for a, b, _ in auto_d)
