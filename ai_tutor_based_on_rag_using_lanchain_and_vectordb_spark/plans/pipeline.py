@@ -27,6 +27,66 @@ def recursive_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SPL.split_documents(docs, text_col="text", id_col="doc_id", size=300, overlap=60)
 
 
+def splitter_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 self-check (same pattern as the recall gates): evaluates the
+    splitter's pinned invariants (SURVEY.md §5.3) over the whole corpus
+    inside the engine and returns ONE row with a pass flag — so the
+    driver artifact records an asserted gate, not just "ran". Checked,
+    per chunk of recursive_chunks (size=300, overlap=60):
+
+    - substring fidelity: page_content == text[char_start:char_end]
+    - size bound: 0 < len ≤ size (len > size only for a single
+      unsplittable atom, which size=300 over word text never produces)
+    - coverage: first chunk starts at 0, last ends at len(text),
+      consecutive chunks leave no gap (next.start ≤ prev.end)
+    - overlap bound: prev.end − next.start ∈ [0, overlap]
+    - ordinals: chunk_index is 0..total_chunks−1 dense per doc
+
+    pytest asserts the flag (tests/test_splitter.py)."""
+    from pyspark.sql import Window
+
+    size, overlap = 300, 60
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = SPL.split_documents(docs, text_col="text", id_col="doc_id",
+                                 size=size, overlap=overlap)
+    joined = chunks.join(docs.select("doc_id", "text", "n_chars"), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("chunk_index")
+    prev_end = F.lag("char_end").over(w)
+    clen = F.col("char_end") - F.col("char_start")
+    per_chunk = joined.select(
+        "doc_id",
+        (F.col("page_content")
+         == F.expr("substring(text, char_start + 1, char_end - char_start)")
+         ).alias("ok_substr"),
+        ((clen > 0) & (clen <= size)).alias("ok_size"),
+        (F.length("page_content") == clen).alias("ok_len"),
+        F.when(prev_end.isNull(), F.col("char_start") == 0)
+         .otherwise((F.col("char_start") <= prev_end)
+                    & (prev_end - F.col("char_start") <= overlap)
+                    & (F.col("char_start") > F.lag("char_start").over(w)))
+         .alias("ok_chain"),
+        (F.row_number().over(w) - 1 == F.col("chunk_index")).alias("ok_ordinal"),
+        (F.max(F.col("char_end")).over(Window.partitionBy("doc_id"))
+         == F.col("n_chars")).alias("ok_tail"),
+        (F.max("total_chunks").over(Window.partitionBy("doc_id"))
+         == F.count("*").over(Window.partitionBy("doc_id"))).alias("ok_total"),
+    )
+    flags = ["ok_substr", "ok_size", "ok_len", "ok_chain", "ok_ordinal",
+             "ok_tail", "ok_total"]
+    agg = per_chunk.agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        *[F.sum(F.when(F.col(c), 0).otherwise(1)).cast("long").alias(f"bad_{c[3:]}")
+          for c in flags],
+    )
+    bad_total = sum(F.col(f"bad_{c[3:]}") for c in flags)
+    return agg.select(
+        F.lit("recursive_splitter").alias("strategy"),
+        "n_chunks",
+        *[f"bad_{c[3:]}" for c in flags],
+        (bad_total == 0).alias("passed"),
+    )
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
@@ -74,6 +134,7 @@ def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "recursive_chunks": recursive_chunks,
+    "splitter_invariants": splitter_invariants,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,

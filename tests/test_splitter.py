@@ -81,3 +81,15 @@ def test_spark_split_documents(spark, sf_dir):
     for _, r in some.iterrows():
         text = docs_pd.loc[r["doc_id"], "text"]
         assert text[r["char_start"]: r["char_end"]] == r["page_content"]
+
+
+def test_splitter_invariants_gate_passes(spark, sf_dir):
+    """The registered splitter_invariants self-check query must report
+    zero violations over the fixture corpus."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        splitter_invariants,
+    )
+
+    row = splitter_invariants(spark, sf_dir).first()
+    assert row["passed"] is True, row.asDict()
+    assert row["n_chunks"] > 0
