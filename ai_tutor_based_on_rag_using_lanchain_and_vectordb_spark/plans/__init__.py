@@ -27,7 +27,8 @@ _DRIVER_PRIORITY = (
     "purchase_asof_signup", "cheapest_supplier_per_part",
     "signup_purchase_funnel", "user_event_journeys",
     "quality_above_lang_median", "deterministic_doc_sample",
-    "recursive_chunks", "splitter_invariants", "minhash_neardup", "simhash_neardup",
+    "recursive_chunks", "splitter_invariants", "media_decode_gate",
+    "minhash_neardup", "simhash_neardup",
     "doc_embeddings", "knn_ivf_approx", "knn_numpy_topk",
     "rag_chat_answers", "volume_shipping_pairs", "nation_market_share",
     "product_type_profit", "important_parts_value",

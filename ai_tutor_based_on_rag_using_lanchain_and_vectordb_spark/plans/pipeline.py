@@ -87,6 +87,96 @@ def splitter_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal self-check (driver-visible gate for the mediadecode
+    kernels): synthesize REAL PNG and WAV payloads in-engine with
+    dimensions/rates derived from doc_id, run them through the strict
+    (no-stub) image/audio feature stages, and compare decoded metadata
+    against the expected values. One row, pass flag; pytest asserts it
+    (tests/test_mediadecode.py covers the kernels directly)."""
+    import io
+    import math
+    import struct
+    import wave
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import multimodal as MM
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def png(w, h):
+            def chunk(ctype, body):
+                return (
+                    struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = b"".join(b"\x00" + b"\x7f" * (w * 3) for _ in range(h))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        def wav(rate, n):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(rate)
+                f.writeframes(
+                    b"".join(
+                        struct.pack("<h", int(16383 * math.sin(2 * math.pi * 440 * i / rate)))
+                        for i in range(n)
+                    )
+                )
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 32, 8 + (did * 7) % 32
+                rows.append({"asset_id": did, "owner_id": 0, "media_type": "image",
+                             "content": png(w, h), "meta": {"ext": "png"}})
+                rate = 8000 + (did % 3) * 4000
+                rows.append({"asset_id": did, "owner_id": 0, "media_type": "audio",
+                             "content": wav(rate, rate // 10), "meta": {"ext": "wav"}})
+            yield pd.DataFrame(rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 64
+    )
+    assets = docs.mapInPandas(synth, MM.MEDIA_ASSETS)
+    img = MM.image_features(assets, strict=True).select(
+        "asset_id",
+        ((F.col("format") == "png")
+         & (F.col("width") == 8 + F.col("asset_id") % 32)
+         & (F.col("height") == 8 + (F.col("asset_id") * 7) % 32)
+         & (F.col("channels") == 3)).alias("ok"),
+    )
+    aud = MM.audio_features(assets, strict=True).select(
+        "asset_id",
+        ((F.col("format") == "wav")
+         & (F.col("sample_rate") == 8000 + (F.col("asset_id") % 3) * 4000)
+         & (F.col("n_samples") == F.col("sample_rate") / 10)
+         & (F.col("duration_ms") == 100)
+         & (F.col("rms") > 0.2) & (F.col("rms") < 0.5)
+         & (F.col("peak") > 0.4) & (F.col("peak") <= 0.51)).alias("ok"),
+    )
+    both = img.unionByName(aud)
+    agg = both.agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
+    )
+    return agg.select(
+        F.lit("media_decode").alias("strategy"),
+        "n_assets",
+        "n_bad",
+        ((F.col("n_bad") == 0) & (F.col("n_assets") > 0)).alias("passed"),
+    )
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.5."""
     docs = load_table(spark, sf_dir, "documents")
@@ -135,6 +225,7 @@ def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "recursive_chunks": recursive_chunks,
     "splitter_invariants": splitter_invariants,
+    "media_decode_gate": media_decode_gate,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,

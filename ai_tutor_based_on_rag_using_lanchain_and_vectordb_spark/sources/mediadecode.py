@@ -1,0 +1,188 @@
+"""Pure-stdlib media header decoders — the real (non-stub) kernels
+behind the multimodal stages, same approach as ``minidecode.py`` for
+PDF/DOCX: parse the container format directly instead of depending on
+PIL/cv2/librosa (not in this environment).
+
+Scope is header/metadata decode, not pixel/sample decode:
+
+- PNG:  IHDR width/height/bit-depth/color-type → channels
+- GIF:  87a/89a logical screen descriptor
+- BMP:  BITMAPINFOHEADER (and the legacy BITMAPCOREHEADER)
+- JPEG: SOF0/1/2/3/5/6/7/9/10/11/13/14/15 frame header scan
+- WAV:  RIFF fmt chunk (channels/rate/bits) + PCM16 data stats
+        (n_samples, duration, rms, peak — numpy over the raw buffer)
+
+These cover the formats a metadata/curation pipeline actually filters
+on (dimensions, aspect, channel count, duration, loudness) without any
+per-pixel work. Everything is called from Arrow-batched ``mapInPandas``
+kernels (multimodal.py) — bytes in, small tuples out, no Python in any
+per-row Spark expression.
+
+Reference analog: the upload path accepts arbitrary binary
+(backend/main.py:332); the reference itself never decodes media — this
+is part of the beyond-reference training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+
+class ImageInfo(NamedTuple):
+    format: str  # "png" | "gif" | "bmp" | "jpeg"
+    width: int
+    height: int
+    channels: int
+
+
+class AudioInfo(NamedTuple):
+    format: str  # "wav"
+    channels: int
+    sample_rate: int
+    bits_per_sample: int
+    n_samples: int  # per channel
+    duration_ms: int
+    rms: float  # 0..1 normalized, PCM16 only (0.0 otherwise)
+    peak: float  # 0..1 normalized, PCM16 only (0.0 otherwise)
+
+
+# ------------------------------------------------------------------ images
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (palette indexes at 1 byte count as 1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# SOF markers that carry frame dimensions (C0-CF minus C4/C8/CC which
+# are DHT/JPG/DAC)
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def decode_png(data: bytes) -> ImageInfo | None:
+    if len(data) < 33 or not data.startswith(_PNG_SIG):
+        return None
+    # first chunk must be IHDR: length(4) type(4) data(13)
+    if data[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", data[16:24])
+    color_type = data[25]
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or not (0 < width and 0 < height):
+        return None
+    return ImageInfo("png", width, height, channels)
+
+
+def decode_gif(data: bytes) -> ImageInfo | None:
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", data[6:10])
+    if not (width and height):
+        return None
+    return ImageInfo("gif", width, height, 3)  # palette entries are RGB
+
+
+def decode_bmp(data: bytes) -> ImageInfo | None:
+    if len(data) < 26 or data[:2] != b"BM":
+        return None
+    header_size = struct.unpack("<I", data[14:18])[0]
+    if header_size == 12:  # BITMAPCOREHEADER: 16-bit dims
+        width, height = struct.unpack("<HH", data[18:22])
+        bpp = struct.unpack("<H", data[24:26])[0]
+    elif header_size >= 40 and len(data) >= 30:  # BITMAPINFOHEADER+
+        width, height = struct.unpack("<ii", data[18:26])
+        height = abs(height)  # negative = top-down DIB
+        bpp = struct.unpack("<H", data[28:30])[0]
+    else:
+        return None
+    if not (0 < width and 0 < height and bpp):
+        return None
+    channels = 4 if bpp == 32 else (3 if bpp >= 16 else 1)
+    return ImageInfo("bmp", width, abs(height), channels)
+
+
+def decode_jpeg(data: bytes) -> ImageInfo | None:
+    if len(data) < 4 or data[:2] != b"\xff\xd8":  # SOI
+        return None
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:  # resync on stray bytes
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 2 + seg_len > n or seg_len < 8:
+                return None
+            height, width = struct.unpack(">HH", data[i + 5 : i + 9])
+            channels = data[i + 9]
+            if not (width and height and channels):
+                return None
+            return ImageInfo("jpeg", width, height, channels)
+        i += 2 + seg_len
+    return None
+
+
+def decode_image(data: bytes) -> ImageInfo | None:
+    """Sniff + decode any supported image container; None if none match
+    (caller decides: strict raise vs deterministic stub)."""
+    if not data:
+        return None
+    for dec in (decode_png, decode_jpeg, decode_gif, decode_bmp):
+        info = dec(data)
+        if info is not None:
+            return info
+    return None
+
+
+# ------------------------------------------------------------------- audio
+
+
+def decode_wav(data: bytes) -> AudioInfo | None:
+    """RIFF/WAVE fmt + data chunk walk. Stats (rms/peak, normalized to
+    [0,1]) are computed for 16-bit PCM; other encodings return header
+    fields with zero stats rather than failing."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(data)
+    channels = rate = bits = None
+    audio_fmt = None
+    pcm = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not (channels and rate and bits is not None) or pcm is None:
+        return None
+    bytes_per_frame = channels * max(bits, 8) // 8
+    n_samples = len(pcm) // bytes_per_frame if bytes_per_frame else 0
+    duration_ms = int(n_samples * 1000 // rate) if rate else 0
+    rms = peak = 0.0
+    if audio_fmt == 1 and bits == 16 and n_samples:
+        import numpy as np
+
+        x = np.frombuffer(pcm[: n_samples * bytes_per_frame], dtype="<i2")
+        x = x.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(x * x)))
+        peak = float(np.max(np.abs(x)))
+    return AudioInfo("wav", channels, rate, bits, n_samples, duration_ms, rms, peak)

@@ -1,9 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed by Arrow-batched stages over
-``mapInPandas``. The decode kernels themselves are STUBBED (image/audio
-libraries are not in this container): each stub either raises
-NotImplementedError (strict mode) or produces a deterministic fake
-derived from the bytes — the Spark-side plumbing (schemas, batch
+``mapInPandas``.
+
+Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels)
+and WAV audio (header + PCM16 stats) are REAL pure-stdlib decoders
+(``mediadecode.py`` — same move as minidecode.py for PDF/DOCX). The
+deterministic fake is only the fallback for unrecognized codecs, and
+``strict=True`` raises on those instead. Pixel-level decode (real
+image embeddings) and video codecs remain stubbed: each stub either
+raises NotImplementedError (strict mode) or produces a deterministic
+fake derived from the bytes — the Spark-side plumbing (schemas, batch
 iteration, partitioning, output shapes) is real and tested.
 
 Design for 100 TB: binary payloads stay in Arrow record batches
@@ -24,15 +30,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import mediadecode as MD
 from ..schemas import MEDIA_ASSETS  # noqa: F401  (canonical schema)
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
     ]
 )
 
@@ -63,22 +85,36 @@ def _fake_image_embedding(data: bytes, dim: int = 16) -> list[float]:
 
 
 def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode + feature-extract stage: binary → (dims, embedding)."""
+    """Decode + feature-extract stage: binary → (format, dims, embedding).
+
+    Dimensions/channels come from the REAL stdlib header decoders
+    (PNG/GIF/BMP/JPEG, mediadecode.py). Bytes no decoder recognizes
+    raise in ``strict`` mode, else fall back to the deterministic fake
+    with ``format="unknown"`` so downstream can filter honestly. The
+    embedding is always the deterministic stub — a real vision encoder
+    needs a model runtime this container doesn't ship."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real image decoding requires PIL/cv2 (not in this container); "
-                "run with strict=False for the deterministic stub"
-            )
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r["content"]) if r["content"] is not None else b""
-                w, h, c = _fake_decode_image(data)
+                info = MD.decode_image(data)
+                if info is not None:
+                    fmt, w, h, c = info.format, info.width, info.height, info.channels
+                elif strict:
+                    raise NotImplementedError(
+                        f"unsupported image codec for asset {r['asset_id']} "
+                        "(stdlib decoders cover png/gif/bmp/jpeg); run with "
+                        "strict=False to stub unrecognized payloads"
+                    )
+                else:
+                    fmt = "unknown"
+                    w, h, c = _fake_decode_image(data)
                 rows.append(
                     {
                         "asset_id": r["asset_id"],
+                        "format": fmt,
                         "width": w,
                         "height": h,
                         "channels": c,
@@ -90,6 +126,57 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     return assets.where(F.col("media_type") == "image").select(
         "asset_id", "content"
     ).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def audio_features(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio metadata + loudness stage: binary → (header fields, PCM16
+    rms/peak). WAV is decoded for real (mediadecode.decode_wav); other
+    containers raise in strict mode or emit a null-stats row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["content"]) if r["content"] is not None else b""
+                info = MD.decode_wav(data)
+                if info is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"unsupported audio codec for asset {r['asset_id']} "
+                            "(stdlib decoder covers RIFF/WAV)"
+                        )
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "format": "unknown",
+                            "channels": 0,
+                            "sample_rate": 0,
+                            "bits_per_sample": 0,
+                            "n_samples": 0,
+                            "duration_ms": 0,
+                            "rms": 0.0,
+                            "peak": 0.0,
+                        }
+                    )
+                else:
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "format": info.format,
+                            "channels": info.channels,
+                            "sample_rate": info.sample_rate,
+                            "bits_per_sample": info.bits_per_sample,
+                            "n_samples": info.n_samples,
+                            "duration_ms": info.duration_ms,
+                            "rms": info.rms,
+                            "peak": info.peak,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return assets.where(F.col("media_type") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:

@@ -1,0 +1,181 @@
+"""Golden-fixture tests for the stdlib media header decoders: real
+PNG/GIF/BMP/JPEG/WAV byte streams built in-test (no binary fixtures in
+the repo), decoded both directly and through the Spark mapInPandas
+stages (non-stub branch)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import math
+import pytest
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark import schemas
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import mediadecode as MD
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import multimodal as MM
+
+
+def make_png(width=5, height=3, color_type=2):
+    """Fully valid PNG (IHDR + IDAT + IEND, correct CRCs)."""
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (width * channels) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width=12, height=7):
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x80\x00\x00"  # flags, bg, aspect
+        + b"\x00\x00\x00\xff\xff\xff"  # 2-entry palette
+        + b"\x3b"  # trailer
+    )
+
+
+def make_bmp(width=9, height=4, bpp=24):
+    row = (width * bpp // 8 + 3) & ~3
+    pixel_data = b"\x00" * (row * height)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                      len(pixel_data), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
+    return hdr + dib + pixel_data
+
+
+def make_jpeg(width=33, height=21, channels=3):
+    """SOI + APP0 (JFIF) + DQT stub + SOF0 + EOI — enough structure for
+    any marker-walking parser."""
+    app0_body = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    dqt_body = b"\x00" + bytes(64)
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + len(dqt_body)) + dqt_body
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    sof_body = struct.pack(">BHHB", 8, height, width, channels) + comp
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+
+def make_wav(rate=8000, freq=440.0, duration_s=0.25, channels=1, amp=0.5):
+    buf = io.BytesIO()
+    n = int(rate * duration_s)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<" + "h" * channels,
+                *([int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))] * channels),
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue(), n
+
+
+def test_png_header():
+    info = MD.decode_image(make_png(5, 3, color_type=2))
+    assert info == ("png", 5, 3, 3)
+    assert MD.decode_image(make_png(7, 9, color_type=6)) == ("png", 7, 9, 4)
+    assert MD.decode_image(make_png(2, 2, color_type=0)) == ("png", 2, 2, 1)
+
+
+def test_gif_header():
+    assert MD.decode_image(make_gif(12, 7)) == ("gif", 12, 7, 3)
+
+
+def test_bmp_header():
+    assert MD.decode_image(make_bmp(9, 4, 24)) == ("bmp", 9, 4, 3)
+    assert MD.decode_image(make_bmp(6, 6, 32)) == ("bmp", 6, 6, 4)
+
+
+def test_jpeg_header():
+    assert MD.decode_image(make_jpeg(33, 21, 3)) == ("jpeg", 33, 21, 3)
+    assert MD.decode_image(make_jpeg(640, 480, 1)) == ("jpeg", 640, 480, 1)
+
+
+def test_garbage_returns_none():
+    assert MD.decode_image(b"") is None
+    assert MD.decode_image(b"\x89PNG fake") is None
+    assert MD.decode_image(b"RIFF not an image") is None
+    assert MD.decode_wav(b"\xff\xd8 not audio") is None
+
+
+def test_wav_header_and_stats():
+    data, n = make_wav(rate=8000, duration_s=0.25, amp=0.5)
+    info = MD.decode_wav(data)
+    assert info.format == "wav"
+    assert info.channels == 1 and info.sample_rate == 8000
+    assert info.bits_per_sample == 16
+    assert info.n_samples == n
+    assert info.duration_ms == n * 1000 // 8000
+    # 0.5-amplitude sine: rms ≈ 0.5/√2, peak ≈ 0.5
+    assert abs(info.rms - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(info.peak - 0.5) < 0.01
+
+
+def test_wav_stereo():
+    data, n = make_wav(rate=16000, duration_s=0.1, channels=2)
+    info = MD.decode_wav(data)
+    assert info.channels == 2 and info.sample_rate == 16000
+    assert info.n_samples == n
+
+
+@pytest.fixture(scope="module")
+def real_assets(spark):
+    rows = [
+        (1, 20, "image", make_png(5, 3), {"ext": "png"}),
+        (2, 20, "image", make_jpeg(33, 21), {"ext": "jpg"}),
+        (3, 20, "image", make_gif(12, 7), {"ext": "gif"}),
+        (4, 20, "image", make_bmp(9, 4), {"ext": "bmp"}),
+        (5, 21, "audio", make_wav()[0], {"ext": "wav"}),
+    ]
+    return spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+
+
+def test_image_features_real_decode_branch(spark, real_assets):
+    out = (
+        MM.image_features(real_assets, strict=True)  # strict: stub branch forbidden
+        .toPandas()
+        .set_index("asset_id")
+        .sort_index()
+    )
+    assert out.loc[1, ["format", "width", "height", "channels"]].tolist() == ["png", 5, 3, 3]
+    assert out.loc[2, ["format", "width", "height", "channels"]].tolist() == ["jpeg", 33, 21, 3]
+    assert out.loc[3, ["format", "width", "height", "channels"]].tolist() == ["gif", 12, 7, 3]
+    assert out.loc[4, ["format", "width", "height", "channels"]].tolist() == ["bmp", 9, 4, 3]
+
+
+def test_audio_features_real_decode_branch(spark, real_assets):
+    out = MM.audio_features(real_assets, strict=True).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["format"] == "wav" and r["sample_rate"] == 8000
+    assert abs(r["rms"] - 0.5 / math.sqrt(2)) < 0.01
+
+
+def test_media_decode_gate_passes(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        media_decode_gate,
+    )
+
+    row = media_decode_gate(spark, sf_dir).first()
+    assert row["passed"] is True, row.asDict()
+    assert row["n_assets"] > 0 and row["n_bad"] == 0
