@@ -15,11 +15,17 @@ common cases instead of a stub:
   ``/FlateDecode`` streams with ``zlib``, and collects the literal
   strings shown by text operators. Handled: escape sequences
   (``\\n \\( \\) \\\\``, octal), line continuations, hex strings
-  ``<…> Tj``, uncompressed streams. Not handled (falls back to the
-  caller's stub): encrypted PDFs, CID/Type0 composite fonts with
-  non-ASCII encodings, object streams (``/ObjStm``), cross-stream page
-  segmentation — each stream with a ``BT`` text block is treated as one
-  page, which matches simple single-stream-per-page documents.
+  ``<…> Tj``, uncompressed streams, object streams (``/ObjStm`` are
+  inflated and their packed objects merged into the object table), and
+  REAL page segmentation: the ``/Root → /Pages → /Kids`` tree is walked
+  and each ``/Type/Page``'s ``/Contents`` refs (single or array) are
+  concatenated into that page's text — PyPDFLoader's page-per-Document
+  semantics (reference backend/chroma_utils.py:61-63). When no page
+  tree resolves (damaged xref, exotic layouts) the extractor falls back
+  to the previous stream heuristic: each content stream with a ``BT``
+  block is one pseudo-page. Not handled (falls back to the caller's
+  stub): encrypted PDFs and CID/Type0 composite fonts with non-ASCII
+  encodings.
 
 Both return ``[]`` when the payload yields nothing, so callers can
 fall back (loaders.decode_pdf / decode_docx keep their import-gated
@@ -129,23 +135,136 @@ def _stream_text(content: bytes) -> str:
     return "\n".join(s for _, s in shows if s)
 
 
+# indirect objects: "N G obj ... endobj". Non-greedy body; stream
+# payloads containing the literal "endobj" would truncate — acceptable
+# for the text-bearing documents this targets (pypdf handles the rest).
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_OBJ_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\s*endstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_NUM_VAL_RE = {
+    name: re.compile(rb"/" + name + rb"\s+(\d+)\b") for name in (b"N", b"First")
+}
+
+
+def _inflate(params: bytes, body: bytes) -> bytes | None:
+    if b"/FlateDecode" in params:
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return None
+    if b"/Filter" in params:
+        return None  # unsupported filter (DCT, LZW, ...)
+    return body
+
+
+def _object_table(data: bytes) -> dict[int, bytes]:
+    """objnum → object body, with /ObjStm packed objects inflated and
+    merged in (their bodies are plain dicts — never nested streams)."""
+    table: dict[int, bytes] = {}
+    objstms: list[tuple[int, int, bytes]] = []
+    for m in _OBJ_RE.finditer(data):
+        num, body = int(m.group(1)), m.group(2)
+        table[num] = body
+        sm = _OBJ_STREAM_RE.search(body)
+        if sm and b"/ObjStm" in sm.group(1):
+            inflated = _inflate(sm.group(1), sm.group(2))
+            if inflated is not None:
+                n_m = _NUM_VAL_RE[b"N"].search(sm.group(1))
+                first_m = _NUM_VAL_RE[b"First"].search(sm.group(1))
+                if n_m and first_m:
+                    objstms.append((int(n_m.group(1)), int(first_m.group(1)), inflated))
+    for n, first, payload in objstms:
+        header = payload[:first].split()
+        # header: N pairs of "objnum offset" (offsets relative to First)
+        pairs = [
+            (int(header[i]), int(header[i + 1]))
+            for i in range(0, min(len(header), 2 * n), 2)
+        ]
+        for idx, (objnum, off) in enumerate(pairs):
+            end = pairs[idx + 1][1] if idx + 1 < len(pairs) else len(payload) - first
+            table.setdefault(objnum, payload[first + off : first + end])
+    return table
+
+
+def _page_content_objs(table: dict[int, bytes]) -> list[list[int]] | None:
+    """Depth-first /Pages-tree walk → per-page lists of /Contents object
+    numbers, or None when no catalog/page tree resolves."""
+    pages_root = None
+    for body in table.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            root_m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+            if root_m:
+                pages_root = int(root_m.group(1))
+                break
+    if pages_root is None or pages_root not in table:
+        return None
+    out: list[list[int]] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in table:  # cycles / dangling refs
+            return
+        seen.add(num)
+        body = table[num]
+        if b"/Page" in body and b"/Pages" not in body:
+            cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+            if cm:
+                out.append([int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))])
+            else:
+                out.append([])
+            return
+        kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+        if kids_m:
+            for r in _REF_RE.finditer(kids_m.group(1)):
+                walk(int(r.group(1)))
+
+    walk(pages_root)
+    return out if out else None
+
+
+def _content_stream(body: bytes) -> bytes | None:
+    sm = _OBJ_STREAM_RE.search(body)
+    if sm is None:
+        return None
+    return _inflate(sm.group(1), sm.group(2))
+
+
 def pdf_pages(data: bytes) -> list[str]:
-    """Page texts, one entry per content stream containing a BT text
-    block (the single-stream-per-page approximation). ``[]`` when the
+    """Page texts. Primary path: walk the /Pages tree and concatenate
+    each page's /Contents streams (one output entry per real page, in
+    tree order — empty pages stay as empty strings so page numbering
+    matches the document). Fallback when no tree resolves: one entry
+    per content stream containing a BT text block. ``[]`` when the
     document has no parseable text streams."""
     if not data.startswith(b"%PDF"):
         return []
-    pages: list[str] = []
+    table = _object_table(data)
+    page_refs = _page_content_objs(table)
+    if page_refs is not None:
+        pages: list[str] = []
+        any_stream = False
+        for refs in page_refs:
+            parts: list[str] = []
+            for num in refs:
+                body = table.get(num)
+                if body is None:
+                    continue
+                content = _content_stream(body)
+                if content is None:
+                    continue
+                any_stream = True
+                if b"BT" in content:
+                    txt = _stream_text(content)
+                    if txt:
+                        parts.append(txt)
+            pages.append("\n".join(parts))
+        if any_stream:
+            return pages
+    # heuristic fallback: stream-per-page
+    pages = []
     for m in _STREAM_RE.finditer(data):
-        params, body = m.group(1), m.group(2)
-        if b"/FlateDecode" in params:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                continue
-        elif b"/Filter" in params:
-            continue  # unsupported filter (DCT, LZW, ...)
-        if b"BT" not in body:
-            continue  # not a text content stream (image, font program)
+        body = _inflate(m.group(1), m.group(2))
+        if body is None or b"BT" not in body:
+            continue
         pages.append(_stream_text(body))
     return pages

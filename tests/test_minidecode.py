@@ -186,3 +186,121 @@ def test_ingest_real_pdf_and_docx(spark, tmp_path):
     # per-page fan-out: the 2-stream pdf became 2 page rows
     pdf_pages_seen = chunks[chunks["source_file"] == "real.pdf"]["page_no"].nunique()
     assert pdf_pages_seen == 2
+
+
+def make_pdf_multistream(pages: list[list[bytes]]) -> bytes:
+    """PDF where each page's /Contents is an ARRAY of stream refs —
+    exercises the page-tree walk (the stream heuristic would emit one
+    pseudo-page per stream)."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    next_num = 3
+    page_nums = []
+    for streams in pages:
+        page_num = next_num
+        cont_nums = list(range(next_num + 1, next_num + 1 + len(streams)))
+        next_num += 1 + len(streams)
+        page_nums.append(page_num)
+        arr = " ".join(f"{c} 0 R" for c in cont_nums).encode()
+        objs[page_num] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents [" + arr + b"] >>"
+        )
+        for c, s in zip(cont_nums, streams):
+            body = zlib.compress(s)
+            objs[c] = (
+                b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+                + b" >>\nstream\n" + body + b"\nendstream"
+            )
+    kids = " ".join(f"{p} 0 R" for p in page_nums).encode()
+    objs[2] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(n_pages).encode() + b" >>"
+    )
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return out.getvalue()
+
+
+def make_pdf_objstm(page_texts: list[bytes]) -> bytes:
+    """PDF whose catalog/pages/page dicts are packed inside a
+    /Type/ObjStm object stream (PDF 1.5 compressed-xref layout);
+    content streams stay as regular objects."""
+    n = len(page_texts)
+    page_nums = [10 + i for i in range(n)]
+    cont_nums = [20 + i for i in range(n)]
+    packed_objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            b"<< /Type /Pages /Kids ["
+            + " ".join(f"{p} 0 R" for p in page_nums).encode()
+            + b"] /Count " + str(n).encode() + b" >>",
+        ),
+    ]
+    for p, c in zip(page_nums, cont_nums):
+        packed_objs.append(
+            (p, b"<< /Type /Page /Parent 2 0 R /Contents "
+             + str(c).encode() + b" 0 R >>")
+        )
+    bodies = [b for _, b in packed_objs]
+    offsets, cur = [], 0
+    for b in bodies:
+        offsets.append(cur)
+        cur += len(b) + 1
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(packed_objs, offsets)
+    ).encode() + b" "
+    payload = header + b"".join(b + b" " for b in bodies)
+    compressed = zlib.compress(payload)
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    out.write(
+        b"5 0 obj\n<< /Type /ObjStm /N " + str(len(packed_objs)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length " + str(len(compressed)).encode()
+        + b" >>\nstream\n" + compressed + b"\nendstream\nendobj\n"
+    )
+    for c, t in zip(cont_nums, page_texts):
+        body = zlib.compress(text_stream([t]))
+        out.write(
+            f"{c} 0 obj\n".encode()
+            + b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+    out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    return out.getvalue()
+
+
+def test_pdf_multistream_page_merged_by_page_tree():
+    pdf = make_pdf_multistream(
+        [
+            [text_stream([b"(page one part A)"]), text_stream([b"(page one part B)"])],
+            [text_stream([b"(page two)"])],
+        ]
+    )
+    pages = pdf_pages(pdf)
+    assert len(pages) == 2  # NOT 3: two streams merged into page 1
+    assert pages[0] == "page one part A\npage one part B"
+    assert pages[1] == "page two"
+
+
+def test_pdf_empty_page_keeps_page_numbering():
+    pdf = make_pdf_multistream(
+        [
+            [text_stream([b"(first)"])],
+            [b"BT ET"],  # text block with nothing shown
+            [text_stream([b"(third)"])],
+        ]
+    )
+    pages = pdf_pages(pdf)
+    assert pages == ["first", "", "third"]
+
+
+def test_pdf_objstm_packed_page_tree():
+    pdf = make_pdf_objstm([b"(packed page 1)", b"(packed page 2)"])
+    pages = pdf_pages(pdf)
+    assert pages == ["packed page 1", "packed page 2"]
