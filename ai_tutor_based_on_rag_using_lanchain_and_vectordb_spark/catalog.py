@@ -48,10 +48,24 @@ def _stored_as_nanos(path: str, column: str) -> bool:
         result = False
         try:
             import pyarrow.dataset as ds
-            import pyarrow.types as pat
+            import pyarrow.parquet as pq
 
-            field = ds.dataset(path, format="parquet").schema.field(column)
-            result = pat.is_timestamp(field.type) and field.type.unit == "ns"
+            d = ds.dataset(path, format="parquet")
+            files = getattr(d, "files", None)
+            target = files[0] if files else path
+            md = pq.ParquetFile(target).metadata.schema
+            for i in range(len(md)):
+                col = md.column(i)
+                if col.name == column:
+                    # Only logical TIMESTAMP(NANOS) over physical INT64
+                    # needs the long-read workaround; INT96 (legacy
+                    # Spark/Impala timestamps — pyarrow also reports
+                    # those as timestamp[ns]) reads natively.
+                    result = (
+                        col.physical_type == "INT64"
+                        and "nanoseconds" in str(col.logical_type).lower()
+                    )
+                    break
         except Exception:
             # No footer access (e.g. non-local path in a unit test):
             # assume native timestamp; the schema-pinned read will

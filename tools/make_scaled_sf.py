@@ -6,10 +6,22 @@ hide superlinear behavior (pair fan-outs, iterative convergence). This
 tool manufactures an sfN-ish directory purely from the existing data —
 every fact/doc/vector table is unioned K times with its join keys
 shifted by ``replica * BASE`` (dims like region/nation are shared, as
-in TPC-H). Identical document/vector payloads across replicas are kept
-on purpose: they stress the dedup operators' duplicate-group handling.
+in TPC-H).
+
+Two modes:
+
+- default (replicated payloads): identical document/vector payloads
+  across replicas — stresses the dedup operators' duplicate-group
+  handling (the duplicate-collapse design point).
+- ``--distinct``: payloads are deterministically varied per replica
+  (documents get a per-replica suffix token, embeddings get a
+  per-replica perturbation on one coordinate), so DISTINCT cardinality
+  grows with K too — this is the "genuine sf1" shape that exposes
+  distinct-state superlinearity (count-distinct aggs, the near-dup
+  paths' distinct² term) that replicated data hides.
 
     python tools/make_scaled_sf.py /root/testdata/sf0.1 .bench/sf1 10
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 .bench/sf1d 10 --distinct
 """
 
 from __future__ import annotations
@@ -44,21 +56,49 @@ KEY_COLS: dict[str, tuple[str, ...]] = {
 BASE = 1_000_000_000  # far above any real key at any driver sf
 
 
-def scale_dir(spark, src: str, dst: str, k: int) -> None:
+def scale_dir(spark, src: str, dst: str, k: int, distinct: bool = False) -> None:
     ensure_nanos_conf(spark)
     for name, keys in KEY_COLS.items():
-        schema, _ = _read_schema(name)  # nanos ts stays a raw long
-        df = spark.read.schema(schema).parquet(table_path(src, name))
+        path = table_path(src, name)
+        schema, _ = _read_schema(name, path)  # nanos ts (if any) stays a raw long
+        df = spark.read.schema(schema).parquet(path)
         if keys and k > 1:
             shift = F.col("_r").cast("long") * F.lit(BASE).cast("long")
+            cols = []
+            for c in schema.fieldNames():
+                col = F.col(c)
+                if c in keys:
+                    col = (col + shift).alias(c)
+                elif distinct and name == "documents" and c == "text":
+                    # replica 0 keeps the original bytes; others get a
+                    # distinct suffix token (near-dup across replicas —
+                    # realistic for crawl-ish corpora, and it keeps the
+                    # shingle space overlapping rather than disjoint)
+                    col = F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                        F.concat(F.col("text"), F.lit(" rep"), F.col("_r"))
+                    ).alias(c)
+                elif distinct and name == "documents" and c == "n_chars":
+                    col = F.when(F.col("_r") == 0, F.col("n_chars")).otherwise(
+                        F.col("n_chars")
+                        + F.lit(4)
+                        + F.length(F.col("_r").cast("string"))
+                    ).alias(c)
+                elif distinct and name == "embeddings" and c == "embedding":
+                    # perturb one coordinate per replica: vectors become
+                    # distinct but stay near-duplicates of their source
+                    target = F.pmod(F.col("vec_id"), F.lit(64)).cast("int")
+                    col = F.transform(
+                        F.col("embedding"),
+                        lambda x, i: x
+                        + F.when(
+                            (i == target) & (F.col("_r") > 0),
+                            F.col("_r").cast("float") * F.lit(0.013),
+                        ).otherwise(F.lit(0.0)).cast("float"),
+                    ).alias(c)
+                cols.append(col)
             df = df.withColumn(
                 "_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
-            ).select(
-                *[
-                    (F.col(c) + shift).alias(c) if c in keys else F.col(c)
-                    for c in schema.fieldNames()
-                ]
-            )
+            ).select(*cols)
         df.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
         print(f"wrote {name}", flush=True)
 
@@ -66,6 +106,10 @@ def scale_dir(spark, src: str, dst: str, k: int) -> None:
 if __name__ == "__main__":
     src, dst = sys.argv[1], sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    distinct = "--distinct" in sys.argv[4:]
     spark = get_spark("scale-testdata")
+    # micros on disk: matches the driver generator's current encoding and
+    # keeps DuckDB/pyarrow readers unit-exact (INT96 would read as ns)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.sparkContext.setLogLevel("ERROR")
-    scale_dir(spark, src, dst, k)
+    scale_dir(spark, src, dst, k, distinct=distinct)
