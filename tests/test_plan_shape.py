@@ -75,13 +75,34 @@ def test_knn_broadcasts_and_stays_jvm_side(spark, sf_dir):
 
 
 def test_neardup_pairs_default_has_no_fulltable_broadcast(spark, sf_dir):
-    # The scale-safe default must be a salted shuffled-hash self-join:
-    # broadcasting the whole embeddings table as build side dies at
-    # 100 TB, so its presence here is a regression.
+    # The scale-safe default partitions both sides on (label, salt):
+    # either the salted shuffled-hash self-join (expression engine) or
+    # the cogrouped numpy kernel (default engine — shows up as
+    # FlatMapCoGroupsInPandas over two hash exchanges). Broadcasting the
+    # whole embeddings table as build side dies at 100 TB, so its
+    # presence here is a regression, as is a cartesian product.
     p = _plan(_q("embedding_neardup_pairs", spark, sf_dir))
     assert "BroadcastExchange" not in p
-    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert (
+        "FlatMapCoGroupsInPandas" in p
+        or "ShuffledHashJoin" in p
+        or "SortMergeJoin" in p
+    )
     assert "CartesianProduct" not in p
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
+        embedding_neardup_pairs_df,
+    )
+
+    # the expression engine stays available and keeps its join shape
+    pe = _plan(
+        embedding_neardup_pairs_df(
+            load_table(spark, sf_dir, "embeddings"), engine="expr"
+        )
+    )
+    assert "BroadcastExchange" not in pe
+    assert "ShuffledHashJoin" in pe or "SortMergeJoin" in pe
 
 
 @pytest.mark.parametrize("name", bench.HEADLINE)
