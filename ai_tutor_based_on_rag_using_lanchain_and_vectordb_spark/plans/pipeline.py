@@ -205,6 +205,39 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=3)
 
 
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking recall for the IVF approximate k-NN path (same
+    pattern as the minhash/LSH recall gates): ground truth = exact
+    broadcast top-k, candidates = KMeans-cell IVF with nprobe=4 of 8
+    cells. One row with mean recall + pass flag at ≥ 0.5 (half the
+    space visited; nprobe=3 measured ~0.48 at sf0.01 — the gate pins a
+    configuration whose expected recall clears the bar with margin).
+    Rows-only: KMeans is not SQL-expressible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    k = 5
+    exact = KNN.knn_exact_expr(emb, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = KNN.knn_ivf(emb, queries, k=k, n_clusters=8, nprobe=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        (F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*")).alias("recall_q")
+    )
+    agg = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("recall_q"), 4).alias("mean_recall"),
+    )
+    return agg.select(
+        F.lit("ivf_kmeans").alias("strategy"),
+        "n_queries",
+        "mean_recall",
+        (F.col("mean_recall") >= 0.5).alias("passed"),
+    )
+
+
 def knn_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force k-NN (partition-local partial top-k) —
     the throughput path; equivalence to the expression path is tested."""
@@ -230,6 +263,7 @@ QUERIES = {
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,
     "knn_ivf_approx": knn_ivf_approx,
+    "knn_ivf_recall": knn_ivf_recall,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
 }

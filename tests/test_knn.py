@@ -56,3 +56,13 @@ def test_lsh_similarity_join_sanity(spark, sf_dir):
     assert np.allclose(selfs["cosine"], 1.0, atol=1e-6)
     # reported cosine respects the threshold (allow lsh approximation slack)
     assert (out["cosine"] >= 0.2 - 1e-9).all()
+
+
+def test_knn_ivf_recall_gate_passes(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        knn_ivf_recall,
+    )
+
+    row = knn_ivf_recall(spark, sf_dir).first()
+    assert row["passed"] is True, row.asDict()
+    assert row["n_queries"] == 5
