@@ -132,6 +132,20 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             return buf.getvalue()
 
+        def box(btype, payload):
+            return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+        def mp4(duration_ms, w, h):
+            mvhd = box(b"mvhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+                       + struct.pack(">II", 1000, duration_ms) + b"\x00" * 80)
+            tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+                       + struct.pack(">I", 1) + b"\x00" * 4
+                       + struct.pack(">I", duration_ms) + b"\x00" * 52
+                       + struct.pack(">II", w << 16, h << 16))
+            return (box(b"ftyp", b"isom\x00\x00\x02\x00")
+                    + box(b"moov", mvhd + box(b"trak", tkhd))
+                    + box(b"mdat", b"\x00" * 32))
+
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -142,6 +156,9 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = 8000 + (did % 3) * 4000
                 rows.append({"asset_id": did, "owner_id": 0, "media_type": "audio",
                              "content": wav(rate, rate // 10), "meta": {"ext": "wav"}})
+                rows.append({"asset_id": did, "owner_id": 0, "media_type": "video",
+                             "content": mp4(500 + did * 10, 64 + did, 36 + did),
+                             "meta": {"ext": "mp4"}})
             yield pd.DataFrame(rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields])
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
@@ -164,7 +181,15 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("rms") > 0.2) & (F.col("rms") < 0.5)
          & (F.col("peak") > 0.4) & (F.col("peak") <= 0.51)).alias("ok"),
     )
-    both = img.unionByName(aud)
+    vid = MM.video_metadata(assets, strict=True).select(
+        "asset_id",
+        ((F.col("format") == "mp4")
+         & (F.col("duration_ms") == 500 + F.col("asset_id") * 10)
+         & (F.col("width") == 64 + F.col("asset_id"))
+         & (F.col("height") == 36 + F.col("asset_id"))
+         & (F.col("n_tracks") == 1)).alias("ok"),
+    )
+    both = img.unionByName(aud).unionByName(vid)
     agg = both.agg(
         F.count("*").cast("long").alias("n_assets"),
         F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),

@@ -186,3 +186,70 @@ def decode_wav(data: bytes) -> AudioInfo | None:
         rms = float(np.sqrt(np.mean(x * x)))
         peak = float(np.max(np.abs(x)))
     return AudioInfo("wav", channels, rate, bits, n_samples, duration_ms, rms, peak)
+
+
+# ------------------------------------------------------------------- video
+
+
+class VideoInfo(NamedTuple):
+    format: str  # "mp4"
+    duration_ms: int
+    width: int  # 0 when no video track header found
+    height: int
+    n_tracks: int
+
+
+def _mp4_boxes(data: bytes, lo: int, hi: int):
+    """Yield (type, body_lo, body_hi) for the boxes in data[lo:hi]."""
+    pos = lo
+    while pos + 8 <= hi:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > hi:
+                return
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            body = pos + 16
+        elif size == 0:  # box extends to end
+            size = hi - pos
+        if size < 8 or pos + size > hi:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def decode_mp4(data: bytes) -> VideoInfo | None:
+    """ISO BMFF (MP4/MOV) metadata: mvhd timescale+duration and the
+    first video track's tkhd 16.16-fixed width/height. Box walk only —
+    no sample/codec decode (that stays a stub in multimodal.py)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    duration_ms = width = height = n_tracks = 0
+    found_moov = False
+    for btype, lo, hi in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        found_moov = True
+        for ctype, clo, chi in _mp4_boxes(data, lo, hi):
+            if ctype == b"mvhd" and chi - clo >= 20:
+                version = data[clo]
+                if version == 1 and chi - clo >= 28:
+                    timescale = struct.unpack(">I", data[clo + 20 : clo + 24])[0]
+                    duration = struct.unpack(">Q", data[clo + 24 : clo + 32])[0]
+                else:
+                    timescale = struct.unpack(">I", data[clo + 12 : clo + 16])[0]
+                    duration = struct.unpack(">I", data[clo + 16 : clo + 20])[0]
+                if timescale:
+                    duration_ms = int(duration * 1000 // timescale)
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, tlo, thi in _mp4_boxes(data, clo, chi):
+                    if ttype == b"tkhd" and thi - tlo >= 84:
+                        w = struct.unpack(">I", data[thi - 8 : thi - 4])[0] >> 16
+                        h = struct.unpack(">I", data[thi - 4 : thi])[0] >> 16
+                        if w and h and not width:
+                            width, height = w, h
+    if not found_moov:
+        return None
+    return VideoInfo("mp4", duration_ms, width, height, n_tracks)

@@ -179,3 +179,62 @@ def test_media_decode_gate_passes(spark, sf_dir):
     row = media_decode_gate(spark, sf_dir).first()
     assert row["passed"] is True, row.asDict()
     assert row["n_assets"] > 0 and row["n_bad"] == 0
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(duration_s=2.5, timescale=1000, width=320, height=240):
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version+flags
+        + struct.pack(">II", 0, 0)  # ctime mtime
+        + struct.pack(">II", timescale, int(duration_s * timescale))
+        + b"\x00" * 80,
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", int(duration_s * timescale))
+        + b"\x00" * 8
+        + b"\x00" * 8  # layer/alt/volume/reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", b"\x00" * 64)
+    return ftyp + moov + mdat
+
+
+def test_mp4_metadata():
+    info = MD.decode_mp4(make_mp4(2.5, 1000, 320, 240))
+    assert info.format == "mp4"
+    assert info.duration_ms == 2500
+    assert (info.width, info.height) == (320, 240)
+    assert info.n_tracks == 1
+    assert MD.decode_mp4(b"\x00\x00ftyp fake video") is None
+    assert MD.decode_mp4(b"RIFF not video") is None
+
+
+def test_video_metadata_stage(spark):
+    rows = [
+        (7, 30, "video", make_mp4(1.25, 600, 640, 360), {"ext": "mp4"}),
+        (8, 30, "video", b"\x00\x00ftypnot-really" * 100, {"ext": "avi"}),
+    ]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = MM.video_metadata(assets).toPandas().set_index("asset_id").sort_index()
+    assert out.loc[7, "format"] == "mp4"
+    assert out.loc[7, "duration_ms"] == 1250
+    assert (out.loc[7, ["width", "height", "n_tracks"]] == [640, 360, 1]).all()
+    assert out.loc[8, "format"] == "unknown"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        MM.video_metadata(assets, strict=True).collect()
+    assert "NotImplementedError" in str(exc.value) or "unsupported video" in str(exc.value)
