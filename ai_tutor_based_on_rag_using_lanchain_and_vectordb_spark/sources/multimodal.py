@@ -238,18 +238,29 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
-    """Frame-sampling stage: one row per sampled frame. STUB slices the
-    payload; a real implementation calls the video decoder per batch."""
+    """Frame-sampling stage: one row per sampled frame. Frame TIMING is
+    real for ISO-BMFF containers (one frame per ``every_ms`` across the
+    mvhd duration); frame CONTENT is the stub (payload slice) — actual
+    sample decode needs a codec library this container doesn't ship.
+    Unrecognized containers raise in strict mode, else fall back to
+    byte-slicing with synthetic timestamps."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError("real video decoding not available; use strict=False")
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r["content"]) if r["content"] is not None else b""
-                n_frames = max(len(data) // 4096, 1)
-                for i in range(n_frames):
+                info = MD.decode_mp4(data)
+                if info is not None and info.duration_ms > 0:
+                    n_frames = info.duration_ms // every_ms + 1
+                elif strict:
+                    raise NotImplementedError(
+                        f"unsupported video container for asset {r['asset_id']} "
+                        "(stdlib timing covers ISO BMFF / MP4); use strict=False"
+                    )
+                else:
+                    n_frames = max(len(data) // 4096, 1)
+                for i in range(int(n_frames)):
                     rows.append(
                         {
                             "asset_id": r["asset_id"],

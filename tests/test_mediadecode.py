@@ -238,3 +238,11 @@ def test_video_metadata_stage(spark):
     with _pytest.raises(Exception) as exc:
         MM.video_metadata(assets, strict=True).collect()
     assert "NotImplementedError" in str(exc.value) or "unsupported video" in str(exc.value)
+
+
+def test_sample_frames_uses_real_mp4_duration(spark):
+    rows = [(9, 31, "video", make_mp4(2.2, 1000, 64, 36), {"ext": "mp4"})]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    frames = MM.sample_frames(assets, every_ms=500).toPandas()
+    # duration 2200 ms at 500 ms cadence -> frames at 0..2000 (5 frames)
+    assert sorted(frames["frame_ts_ms"]) == [0, 500, 1000, 1500, 2000]
