@@ -251,6 +251,10 @@ def _cogroup_pair_scores_numpy(
                                  "score": pd.Series(dtype="float64")})
         return pd.concat(frames, ignore_index=True)[out_cols]
 
+    # a NULL embedding scores NULL in the expression plan and is dropped
+    # by the >= threshold filter; np.stack would instead crash on it, so
+    # drop nulls up front — same output, and the filter reaches the scan
+    vectors = vectors.where(F.col("embedding").isNotNull())
     salt_a = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salts)).cast("int")
     a = vectors.select("vec_id", "embedding", "label", salt_a.alias("salt"))
     # fresh attribute names on the B side: a self-cogroup whose sides

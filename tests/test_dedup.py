@@ -239,3 +239,22 @@ def test_embedding_collapse_gate_paths_agree(spark):
     auto_d = pairset(embedding_neardup_pairs_df(dup, threshold=0.3))
     naive_d = pairset(embedding_neardup_pairs_df(dup, threshold=0.3, collapse=False))
     assert auto_d == naive_d and any(5 in (a, b) for a, b, _ in auto_d)
+
+
+def test_embedding_numpy_engine_drops_null_embeddings(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
+        embedding_neardup_pairs_df,
+    )
+
+    def v(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [(1, v(1.0), 0), (2, v(0.9, 0.1), 0), (3, None, 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def pairset(df):
+        return {(r["vec_a"], r["vec_b"], r["score"]) for r in df.collect()}
+
+    a = pairset(embedding_neardup_pairs_df(emb, engine="numpy", collapse=False))
+    b = pairset(embedding_neardup_pairs_df(emb, engine="expr", collapse=False))
+    assert a == b and not any(3 in (x, y) for x, y, _ in a) and a
