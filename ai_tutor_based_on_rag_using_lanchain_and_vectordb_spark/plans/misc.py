@@ -442,9 +442,13 @@ ORACLE = {
         -- CAST to TIMESTAMP (micros) first: epoch_us on a TIMESTAMP_NS
         -- column returns nanoseconds; the cast truncates ns -> us the
         -- same way the Spark reader's `ns div 1000` does.
+        -- the window also orders by the CAST value: ordering by raw
+        -- TIMESTAMP_NS would tie-break sub-microsecond neighbors by ns
+        -- while Spark (micros) falls through to event_id
         SELECT event_id, user_id,
                epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) AS gap_us
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS TIMESTAMP)) AS gap_us
         FROM events
     """,
     "validation_flags": """

@@ -188,7 +188,10 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count("*").alias("supplier_cnt"))
+        # count(col), not count(*): a NULL suppkey surviving distinct()
+        # must not count — countDistinct ignores NULLs, and so does the
+        # oracle's count(DISTINCT l_suppkey)
+        .agg(F.count("l_suppkey").alias("supplier_cnt"))
     )
 
 

@@ -132,13 +132,13 @@ def _salted_pair_scores(
         F.col("label").alias("la"),
         V.norm_fixed(F.col("embedding")).alias("norm_a"),
         salt_a.alias("salt_a"),
-    )
+    ).where(F.col("norm_a") > 0)  # zero-norm excluded: cosine undefined
     b = vectors.select(
         F.col("vec_id").alias("vec_b"),
         V.as_double(F.col("embedding")).alias("vb"),
         F.col("label").alias("lb"),
         V.norm_fixed(F.col("embedding")).alias("norm_b"),
-    )
+    ).where(F.col("norm_b") > 0)
     score = V.dot_fixed(F.col("va"), F.col("vb"), cast=False) / (
         F.col("norm_a") * F.col("norm_b")
     )
@@ -222,6 +222,16 @@ def _cogroup_pair_scores_numpy(
                 acc = acc + M[:, i] * M[:, i]
             return np.sqrt(acc)
 
+        # zero-norm vectors are excluded by contract (cosine undefined)
+        # — mirrors the expression engine's norm > 0 filter
+        keep_a = seq_sq_norm(A) > 0.0
+        A, ids_a = A[keep_a], ids_a[keep_a]
+        keep_b = seq_sq_norm(B) > 0.0
+        B, ids_b = B[keep_b], ids_b[keep_b]
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
         nb_norm = seq_sq_norm(B)
         frames = []
         BLOCK = 2048
@@ -346,6 +356,9 @@ def embedding_neardup_pairs_df(
 
     within = (
         groups.where(F.size("_ids") >= 2)
+        # zero-norm excluded (cosine undefined); also keeps the division
+        # 0/0-free under ANSI mode
+        .where(V.norm_fixed(F.col("embedding")) > 0)
         .withColumn("_s", self_score)
         .where(F.col("_s") >= threshold)
         .select(
@@ -450,7 +463,9 @@ _SELF_COS = (
 ORACLE = {
     "knn_exact": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-                   FROM embeddings)
+                   FROM embeddings
+                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) > 0)
         SELECT query_id, neighbor_id, rank, {{pr}} AS score
         FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -463,7 +478,9 @@ ORACLE = {
     """.replace("{pr}", X.pround_sql("score", 4)),
     "knn_label_filtered": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-                   FROM embeddings)
+                   FROM embeddings
+                   WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) > 0)
         SELECT query_id, neighbor_id, rank, {{pr}} AS score
         FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -482,8 +499,12 @@ ORACLE = {
                    list_sort(list(vec_id)) AS ids
             FROM embeddings GROUP BY label, embedding
         ), r AS (
+            -- zero-norm vectors are excluded by operator contract
+            -- (cosine undefined), matching both Spark engines
             SELECT rep AS vec_id, CAST(embedding AS DOUBLE[]) AS v, label, ids
             FROM grp
+            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0
         ), rep_pairs AS (
             SELECT {X.pround_sql(_COS, 4)} AS score,
                    a.ids AS ids_a, b.ids AS ids_b

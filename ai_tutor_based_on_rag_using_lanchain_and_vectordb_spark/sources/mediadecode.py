@@ -234,7 +234,7 @@ def decode_mp4(data: bytes) -> VideoInfo | None:
         for ctype, clo, chi in _mp4_boxes(data, lo, hi):
             if ctype == b"mvhd" and chi - clo >= 20:
                 version = data[clo]
-                if version == 1 and chi - clo >= 28:
+                if version == 1 and chi - clo >= 32:
                     timescale = struct.unpack(">I", data[clo + 20 : clo + 24])[0]
                     duration = struct.unpack(">Q", data[clo + 24 : clo + 32])[0]
                 else:

@@ -207,9 +207,20 @@ def _page_content_objs(table: dict[int, bytes]) -> list[list[int]] | None:
         seen.add(num)
         body = table[num]
         if b"/Page" in body and b"/Pages" not in body:
-            cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+            cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
             if cm:
-                out.append([int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))])
+                refs = [int(r.group(1)) for r in _REF_RE.finditer(cm.group(1))]
+                # indirect array: /Contents N 0 R where object N is
+                # itself `[a 0 R b 0 R]` (no stream) — expand it
+                if (
+                    len(refs) == 1
+                    and refs[0] in table
+                    and b"stream" not in table[refs[0]]
+                ):
+                    arr = re.search(rb"\[([^\]]*)\]", table[refs[0]])
+                    if arr:
+                        refs = [int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))]
+                out.append(refs)
             else:
                 out.append([])
             return

@@ -237,13 +237,20 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
     ).mapInPandas(run, VIDEO_METADATA_SCHEMA)
 
 
-def sample_frames(assets: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
+def sample_frames(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    strict: bool = False,
+    max_frames: int = 10_000,
+) -> DataFrame:
     """Frame-sampling stage: one row per sampled frame. Frame TIMING is
     real for ISO-BMFF containers (one frame per ``every_ms`` across the
     mvhd duration); frame CONTENT is the stub (payload slice) — actual
     sample decode needs a codec library this container doesn't ship.
     Unrecognized containers raise in strict mode, else fall back to
-    byte-slicing with synthetic timestamps."""
+    byte-slicing with synthetic timestamps. ``max_frames`` bounds the
+    per-asset fan-out: the duration comes from an untrusted header, and
+    a corrupt timescale must not let one row explode a task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -252,7 +259,7 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, strict: bool = False)
                 data = bytes(r["content"]) if r["content"] is not None else b""
                 info = MD.decode_mp4(data)
                 if info is not None and info.duration_ms > 0:
-                    n_frames = info.duration_ms // every_ms + 1
+                    n_frames = min(info.duration_ms // every_ms + 1, max_frames)
                 elif strict:
                     raise NotImplementedError(
                         f"unsupported video container for asset {r['asset_id']} "

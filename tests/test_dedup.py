@@ -258,3 +258,26 @@ def test_embedding_numpy_engine_drops_null_embeddings(spark):
     a = pairset(embedding_neardup_pairs_df(emb, engine="numpy", collapse=False))
     b = pairset(embedding_neardup_pairs_df(emb, engine="expr", collapse=False))
     assert a == b and not any(3 in (x, y) for x, y, _ in a) and a
+
+
+def test_embedding_zero_norm_vectors_excluded_by_contract(spark):
+    """Zero-norm vectors have undefined cosine: both engines exclude
+    them (and the DuckDB oracle carries the same WHERE), instead of
+    emitting NaN scores or crashing under ANSI division."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
+        embedding_neardup_pairs_df,
+    )
+
+    def v(*head):
+        return list(head) + [0.0] * (64 - len(head))
+
+    rows = [(1, v(1.0), 0), (2, v(0.0), 0), (3, v(0.9, 0.1), 0)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def pairs(df):
+        return {(r["vec_a"], r["vec_b"], r["score"]) for r in df.collect()}
+
+    a = pairs(embedding_neardup_pairs_df(emb, engine="numpy", collapse=False))
+    b = pairs(embedding_neardup_pairs_df(emb, engine="expr", collapse=False))
+    assert a == b and a == {(1, 3, a and sorted(a)[0][2])}  # only the (1,3) pair
+    assert not any(2 in (x, y) for x, y, _ in a)

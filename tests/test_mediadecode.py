@@ -246,3 +246,26 @@ def test_sample_frames_uses_real_mp4_duration(spark):
     frames = MM.sample_frames(assets, every_ms=500).toPandas()
     # duration 2200 ms at 500 ms cadence -> frames at 0..2000 (5 frames)
     assert sorted(frames["frame_ts_ms"]) == [0, 500, 1000, 1500, 2000]
+
+
+def test_mp4_truncated_v1_mvhd_returns_gracefully():
+    """A version-1 mvhd cut off mid-duration must not raise."""
+    mvhd_body = b"\x01\x00\x00\x00" + b"\x00" * 24  # v1, body ends before the u64 duration
+    mvhd = _box(b"mvhd", mvhd_body)
+    data = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"moov", mvhd)
+    info = MD.decode_mp4(data)
+    assert info is not None and info.duration_ms == 0  # header skipped, no crash
+
+
+def test_sample_frames_caps_hostile_duration(spark):
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1, 0xFFFFFFFF) + b"\x00" * 80,  # timescale=1 → huge duration
+    )
+    data = _box(b"ftyp", b"isom\x00\x00\x02\x00") + _box(b"moov", mvhd) + _box(b"mdat", b"\x00" * 16)
+    assets = spark.createDataFrame(
+        [(1, 40, "video", data, {"ext": "mp4"})], schemas.MEDIA_ASSETS
+    )
+    frames = MM.sample_frames(assets, every_ms=1000, max_frames=50).toPandas()
+    assert len(frames) == 50

@@ -304,3 +304,33 @@ def test_pdf_objstm_packed_page_tree():
     pdf = make_pdf_objstm([b"(packed page 1)", b"(packed page 2)"])
     pages = pdf_pages(pdf)
     assert pages == ["packed page 1", "packed page 2"]
+
+
+def test_pdf_compact_contents_array_and_indirect_array():
+    """Writer variants: /Contents[3 0 R] with no whitespace, and
+    /Contents N 0 R where N resolves to a bare ref array."""
+    s1 = zlib.compress(text_stream([b"(compact array)"]))
+    s2 = zlib.compress(text_stream([b"(indirect part A)"]))
+    s3 = zlib.compress(text_stream([b"(indirect part B)"]))
+
+    def stream_obj(body):
+        return (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+                + b" >>\nstream\n" + body + b"\nendstream")
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R 11 0 R] /Count 2 >>",
+        10: b"<</Type/Page/Parent 2 0 R/Contents[3 0 R]>>",  # no whitespace
+        11: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",  # indirect array
+        3: stream_obj(s1),
+        6: b"[4 0 R 5 0 R]",
+        4: stream_obj(s2),
+        5: stream_obj(s3),
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    pages = pdf_pages(out.getvalue())
+    assert pages == ["compact array", "indirect part A\nindirect part B"]

@@ -60,8 +60,13 @@ def scale_dir(spark, src: str, dst: str, k: int, distinct: bool = False) -> None
     ensure_nanos_conf(spark)
     for name, keys in KEY_COLS.items():
         path = table_path(src, name)
-        schema, _ = _read_schema(name, path)  # nanos ts (if any) stays a raw long
+        schema, ts_cols = _read_schema(name, path)
         df = spark.read.schema(schema).parquet(path)
+        # a nanos-generation source reads ts as a raw long; convert to a
+        # real timestamp BEFORE writing, or the output column would be
+        # an unannotated INT64 that no reader types as a timestamp
+        for c in ts_cols:
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         if keys and k > 1:
             shift = F.col("_r").cast("long") * F.lit(BASE).cast("long")
             cols = []
@@ -104,9 +109,10 @@ def scale_dir(spark, src: str, dst: str, k: int, distinct: bool = False) -> None
 
 
 if __name__ == "__main__":
-    src, dst = sys.argv[1], sys.argv[2]
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    distinct = "--distinct" in sys.argv[4:]
+    args = [a for a in sys.argv[1:] if a != "--distinct"]
+    distinct = "--distinct" in sys.argv[1:]
+    src, dst = args[0], args[1]
+    k = int(args[2]) if len(args) > 2 else 10
     spark = get_spark("scale-testdata")
     # micros on disk: matches the driver generator's current encoding and
     # keeps DuckDB/pyarrow readers unit-exact (INT96 would read as ns)
