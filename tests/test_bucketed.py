@@ -1,0 +1,52 @@
+"""Bucketed-layout co-located joins: the write-once-shuffle-never
+strategy for repeated fact⋈fact joins, proven at the plan level."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import bucketed as B
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # force the sort-merge path so the comparison is exchange-vs-none,
+    # not broadcast-vs-none
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        B.write_bucketed(
+            li.withColumnRenamed("l_orderkey", "okey"), "bkt_lineitem", "okey", 8
+        )
+        B.write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "okey"), "bkt_orders", "okey", 8
+        )
+        joined = B.bucketed_join(spark, "bkt_lineitem", "bkt_orders", "okey")
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # both sides read pre-bucketed
+        assert "Bucketed: true" in p
+
+        # control: the same join on the raw frames shuffles both sides
+        raw = li.withColumnRenamed("l_orderkey", "okey").join(
+            orders.withColumnRenamed("o_orderkey", "okey"), "okey"
+        )
+        assert "Exchange" in _plan(raw)
+
+        # values survive the layout round-trip
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
