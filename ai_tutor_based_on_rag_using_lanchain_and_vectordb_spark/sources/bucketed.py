@@ -45,3 +45,21 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — plans with no
     exchange on either side when the bucket specs line up."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str, part_col: str = "event_date"
+) -> None:
+    """Persist with a derived date partition column (`partitionBy`
+    parquet layout). A time-range filter on ``part_col`` then prunes
+    whole directories at planning time (PartitionFilters in the scan) —
+    at 100 TB this is the difference between scanning a day and
+    scanning a year. Plan proof: tests/test_bucketed.py."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(part_col, F.to_date(ts_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )

@@ -50,3 +50,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    B.write_date_partitioned(events, path, "ts")
+
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col("event_date") == "2024-01-03")
+    p = _plan(one_day)
+    assert "PartitionFilters" in p and "event_date" in p
+    # pruned scan reads only that day's directory
+    n_day = one_day.count()
+    expect = events.where(F.to_date("ts") == "2024-01-03").count()
+    assert n_day == expect and n_day > 0
