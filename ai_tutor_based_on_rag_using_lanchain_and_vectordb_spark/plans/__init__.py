@@ -29,7 +29,8 @@ _DRIVER_PRIORITY = (
     "quality_above_lang_median", "deterministic_doc_sample",
     "recursive_chunks", "splitter_invariants", "media_decode_gate",
     "minhash_neardup", "simhash_neardup",
-    "doc_embeddings", "knn_ivf_approx", "knn_ivf_recall", "knn_numpy_topk",
+    "doc_embeddings", "knn_ivf_approx", "knn_ivf_recall", "hll_rollup_gate",
+    "knn_numpy_topk",
     "rag_chat_answers", "volume_shipping_pairs", "nation_market_share",
     "product_type_profit", "important_parts_value",
     "top_revenue_supplier", "brand_supplier_counts",

@@ -275,6 +275,38 @@ def knn_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KNN.knn_bruteforce_numpy(emb, qm, qids, k=5)
 
 
+def hll_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the re-aggregatable distinct-count
+    pattern a 100 TB rollup table needs): per-day HLL sketches of
+    user_id (`hll_sketch_agg`) merged across days (`hll_union_agg`)
+    into a total distinct estimate. At scale, storing the per-day
+    sketch column lets ANY date range's distinct count be answered by
+    merging sketches — no re-scan of raw events, which a plain
+    count-distinct rollup cannot do (distincts don't add). One row:
+    estimate vs exact, relative error, pass flag at ≤ 5 % (HLL with
+    default lgConfigK=12 is ~1.6 % standard error). Rows-only: DuckDB
+    cannot evaluate Spark's sketch binary."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    exact = events.agg(F.countDistinct("user_id").alias("exact"))
+    joined = merged.crossJoin(F.broadcast(exact))
+    rel_err = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+    return joined.select(
+        F.lit("hll_rollup").alias("strategy"),
+        "n_days",
+        F.col("estimate").cast("long").alias("estimate"),
+        "exact",
+        F.round(rel_err, 4).alias("rel_err"),
+        (rel_err <= 0.05).alias("passed"),
+    )
+
+
 def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 end-to-end chat dataflow with the deterministic LLM stub."""
     return chat.rag_answers(spark, sf_dir)
@@ -289,6 +321,7 @@ QUERIES = {
     "doc_embeddings": doc_embeddings,
     "knn_ivf_approx": knn_ivf_approx,
     "knn_ivf_recall": knn_ivf_recall,
+    "hll_rollup_gate": hll_rollup_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
 }

@@ -46,3 +46,15 @@ def test_approx_count_distinct_groupwise(spark, sf_dir):
     )
     assert len(pdf) > 0
     assert ((pdf["approx"] - pdf["exact"]).abs() <= (0.06 * pdf["exact"]).clip(lower=3)).all()
+
+
+def test_hll_rollup_gate_passes(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate total distinct users
+    within the gate's 5% bound."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        hll_rollup_gate,
+    )
+
+    row = hll_rollup_gate(spark, sf_dir).first()
+    assert row["passed"] is True, row.asDict()
+    assert row["n_days"] > 1  # actually merged across days
