@@ -37,42 +37,66 @@ TABLE_NAMES = tuple(schemas.DRIVER_TABLES)
 # (orders.o_orderdate / lineitem.l_shipdate are timestamp[ms/us]: native.)
 NANOS_TS_COLUMNS = {"events": ("ts",)}
 
-# (path, column) -> True if physically nanos. One footer read per table
-# path for the life of the process — irrelevant at any scale.
+# (path, column) -> True if physically nanos. At most a few footer reads
+# per table path for the life of the process — irrelevant at any scale.
+# Error paths are never cached (transient failures may retry).
 _NANOS_CACHE: dict[tuple[str, str], bool] = {}
+
+
+_SNIFF_FILES = 3  # footer reads per directory-layout table (first/mid/last)
+
+
+def _file_is_nanos(target: str, column: str) -> bool | None:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(target).metadata.schema
+    for i in range(len(md)):
+        col = md.column(i)
+        if col.name == column:
+            # Only logical TIMESTAMP(NANOS) over physical INT64 needs
+            # the long-read workaround; INT96 (legacy Spark/Impala
+            # timestamps — pyarrow also reports those as timestamp[ns])
+            # reads natively.
+            return (
+                col.physical_type == "INT64"
+                and "nanoseconds" in str(col.logical_type).lower()
+            )
+    return None  # column absent in this file's footer
 
 
 def _stored_as_nanos(path: str, column: str) -> bool:
     key = (path, column)
-    if key not in _NANOS_CACHE:
-        result = False
-        try:
-            import pyarrow.dataset as ds
-            import pyarrow.parquet as pq
+    if key in _NANOS_CACHE:
+        return _NANOS_CACHE[key]
+    try:
+        import pyarrow.dataset as ds
 
-            d = ds.dataset(path, format="parquet")
-            files = getattr(d, "files", None)
-            target = files[0] if files else path
-            md = pq.ParquetFile(target).metadata.schema
-            for i in range(len(md)):
-                col = md.column(i)
-                if col.name == column:
-                    # Only logical TIMESTAMP(NANOS) over physical INT64
-                    # needs the long-read workaround; INT96 (legacy
-                    # Spark/Impala timestamps — pyarrow also reports
-                    # those as timestamp[ns]) reads natively.
-                    result = (
-                        col.physical_type == "INT64"
-                        and "nanoseconds" in str(col.logical_type).lower()
-                    )
-                    break
-        except Exception:
-            # No footer access (e.g. non-local path in a unit test):
-            # assume native timestamp; the schema-pinned read will
-            # surface a loud PARQUET_TYPE_ILLEGAL if that's wrong.
-            result = False
-        _NANOS_CACHE[key] = result
-    return _NANOS_CACHE[key]
+        d = ds.dataset(path, format="parquet")
+        files = sorted(getattr(d, "files", None) or [path])
+        # Sample first/middle/last file: a single-file sniff can pin the
+        # wrong unit for a mixed-unit directory. Disagreement is a data
+        # bug — fail loudly rather than silently mis-reading timestamps.
+        idx = sorted({0, len(files) // 2, len(files) - 1})
+        verdicts = {f: _file_is_nanos(files[i], column) for i, f in
+                    ((i, files[i]) for i in idx[:_SNIFF_FILES])}
+        seen = {v for v in verdicts.values() if v is not None}
+        if len(seen) > 1:
+            raise ValueError(
+                f"mixed parquet timestamp units for {column} under {path}: "
+                f"{verdicts} — rewrite the table with one unit"
+            )
+        result = seen.pop() if seen else False
+    except ValueError:
+        raise
+    except Exception:
+        # No footer access (e.g. non-local path in a unit test): assume
+        # native timestamp; the schema-pinned read will surface a loud
+        # PARQUET_TYPE_ILLEGAL if that's wrong. NOT cached, so a
+        # transient footer-read error doesn't pin the wrong schema for
+        # the process lifetime.
+        return False
+    _NANOS_CACHE[key] = result
+    return result
 
 
 def _read_schema(name: str, path: str) -> tuple[T.StructType, tuple[str, ...]]:

@@ -29,7 +29,11 @@ def hashing_embedding(text: Column, dim: int = DEFAULT_DIM) -> Column:
     dim, sign = bit 62 of xxhash64(1, t) (any fixed hash bit works as a
     sign source; 62 avoids the two's-complement sign bit); accumulate,
     then L2-normalize. Empty/blank text → zero vector."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    # split("", "\s+") yields [""] — drop empty tokens so blank text
+    # really produces the documented zero vector
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: F.length(t) > 0
+    )
     counts = F.aggregate(
         toks,
         F.array_repeat(F.lit(0.0), dim),

@@ -214,11 +214,90 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs, max_hamming=12)
 
 
-def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hashing-trick embeddings for the documents table."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+def _embedding_scalars(docs: DataFrame) -> DataFrame:
+    """Project the ArrayType embedding down to driver-hashable scalars:
+    per-doc dimension, rounded L2 norm, and an order-sensitive xxhash64
+    fingerprint of the (rounded) coordinates. The raw-array API stays at
+    operators/embed.py for in-engine consumers."""
+    base = docs.select(
         "doc_id", EMB.hashing_embedding(F.col("text")).alias("embedding")
+    )
+    norm = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    fingerprint = F.xxhash64(
+        F.to_json(
+            F.transform(F.col("embedding"), lambda x: F.round(x * 1e4, 0))
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(norm), 4).alias("norm"),
+        fingerprint.alias("vec_hash"),
+    )
+
+
+def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing-trick embeddings for the documents table,
+    projected to scalar columns (dim / norm / coordinate fingerprint) so
+    the driver's pandas canonicalizer can sort and hash the result —
+    raw array<float> columns are unhashable there."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _embedding_scalars(docs)
+
+
+def embedding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding self-check (splitter_invariants pattern): ONE row
+    with a pass flag asserting, over the whole documents table,
+
+    - determinism: two independently-constructed evaluations of the
+      embedding produce identical coordinate fingerprints per doc
+    - dim == 64 for every row
+    - unit norm (|norm − 1| ≤ 1e-3) for every non-blank text; zero
+      vector only for blank text
+    - non-constant: distinct fingerprints ≥ half the docs (hashing
+      embeddings of distinct texts must not collapse)
+
+    pytest asserts the flag (tests/test_embed.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = _embedding_scalars(docs)
+    b = _embedding_scalars(docs).withColumnsRenamed(
+        {"dim": "dim_b", "norm": "norm_b", "vec_hash": "vec_hash_b"}
+    )
+    joined = a.join(b, "doc_id").join(
+        docs.select("doc_id", F.trim(F.col("text")).alias("_t")), "doc_id"
+    )
+    per_doc = joined.select(
+        (F.col("vec_hash") == F.col("vec_hash_b")).alias("ok_det"),
+        (F.col("dim") == EMB.DEFAULT_DIM).alias("ok_dim"),
+        F.when(
+            F.length("_t") > 0, F.abs(F.col("norm") - 1.0) <= 1e-3
+        ).otherwise(F.col("norm") == 0.0).alias("ok_norm"),
+        "vec_hash",
+    )
+    agg = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("ok_det"), 1).otherwise(0)).cast("long").alias("n_nondet"),
+        F.sum(F.when(~F.col("ok_dim"), 1).otherwise(0)).cast("long").alias("n_bad_dim"),
+        F.sum(F.when(~F.col("ok_norm"), 1).otherwise(0)).cast("long").alias("n_bad_norm"),
+        F.countDistinct("vec_hash").cast("long").alias("n_distinct"),
+    )
+    passed = (
+        (F.col("n_docs") > 0)
+        & (F.col("n_nondet") == 0)
+        & (F.col("n_bad_dim") == 0)
+        & (F.col("n_bad_norm") == 0)
+        & (F.col("n_distinct") * 2 >= F.col("n_docs"))
+    )
+    return agg.select(
+        F.lit("hashing_embedding").alias("strategy"),
+        "n_docs",
+        "n_nondet",
+        "n_bad_dim",
+        "n_bad_norm",
+        "n_distinct",
+        passed.alias("passed"),
     )
 
 
@@ -233,18 +312,19 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-checking recall for the IVF approximate k-NN path (same
     pattern as the minhash/LSH recall gates): ground truth = exact
-    broadcast top-k, candidates = KMeans-cell IVF with nprobe=4 of 8
-    cells. One row with mean recall + pass flag at ≥ 0.5 (half the
-    space visited; nprobe=3 measured ~0.48 at sf0.01 — the gate pins a
-    configuration whose expected recall clears the bar with margin).
-    Rows-only: KMeans is not SQL-expressible."""
+    broadcast top-k, candidates = KMeans-cell IVF with nprobe=6 of 8
+    cells. One row with mean recall + pass flag at ≥ 0.7 — measured
+    0.88 at both sf0.001 and sf0.01 with nprobe=6, so the gate clears
+    with margin yet would catch a recall collapse (nprobe=4/5 measure
+    0.72 at sf0.01, right at the bar; tests/test_recall.py asserts the
+    measured value too). Rows-only: KMeans is not SQL-expressible."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     k = 5
     exact = KNN.knn_exact_expr(emb, queries, k=k).select(
         "query_id", "neighbor_id"
     )
-    approx = KNN.knn_ivf(emb, queries, k=k, n_clusters=8, nprobe=4).select(
+    approx = KNN.knn_ivf(emb, queries, k=k, n_clusters=8, nprobe=6).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
@@ -259,7 +339,7 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_kmeans").alias("strategy"),
         "n_queries",
         "mean_recall",
-        (F.col("mean_recall") >= 0.5).alias("passed"),
+        (F.col("mean_recall") >= 0.7).alias("passed"),
     )
 
 
@@ -319,6 +399,7 @@ QUERIES = {
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,
+    "embedding_gate": embedding_gate,
     "knn_ivf_approx": knn_ivf_approx,
     "knn_ivf_recall": knn_ivf_recall,
     "hll_rollup_gate": hll_rollup_gate,

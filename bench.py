@@ -75,12 +75,17 @@ def main() -> None:
     # JVM/codegen warmup on a trivial scan so q1 isn't charged for it
     materialize(all_queries["unique_sessions"](spark, sf_dir))
 
-    # median-of-3: the first run pays codegen compile + IO warm-up, and
-    # the shared host adds run-to-run noise; the median absorbs both a
-    # cold first run and a single noisy outlier, and the reported spread
-    # lets a regression gate tell signal from host noise.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # min-of-5 as the gate metric: on a shared host, per-query medians
+    # of 3 runs still spread up to 2.4× (r4), so untouched queries read
+    # as 1.4× "regressions". The minimum of N runs is the best estimate
+    # of the query's intrinsic cost (noise is strictly additive —
+    # scheduler preemption, page-cache misses, JIT — it never makes a
+    # run faster than the code allows), so the regression gate compares
+    # min-of-N; the median and full spread are reported alongside for
+    # transparency.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples = []
@@ -89,7 +94,8 @@ def main() -> None:
             materialize(all_queries[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     total = round(sum(timings.values()), 3)
@@ -99,7 +105,10 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "aggregation": "min_of_runs",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 3),
                 "spread": spread,
                 "runs": runs,
                 "sf": sf_num,

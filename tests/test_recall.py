@@ -22,3 +22,18 @@ def test_embedding_lsh_recall_gate(spark, sf_dir):
     row = embedding_lsh_recall(spark, sf_dir).collect()[0]
     assert row["n_exact"] > 0, "fixture has no near-dup cosine pairs to measure"
     assert row["passed"], f"brp-lsh recall {row['recall']} < 0.9"
+
+
+def test_knn_ivf_recall_gate(spark, sf_dir):
+    """IVF gate at the tightened bar: pass flag requires ≥ 0.7, and the
+    measured value itself must clear it (0.88 at sf0.001/sf0.01 with
+    nprobe=6 of 8) so a recall collapse fails here, not just in the
+    driver artifact."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        knn_ivf_recall,
+    )
+
+    row = knn_ivf_recall(spark, sf_dir).collect()[0]
+    assert row["n_queries"] == 5
+    assert row["mean_recall"] >= 0.7, f"ivf recall {row['mean_recall']} < 0.7"
+    assert row["passed"]

@@ -86,3 +86,35 @@ def test_range_query_prunes_to_days(spark, sf_dir, tmp_path):
     assert abs(r["distinct_users"] - exp["distinct_users"]) <= max(
         1, 0.05 * exp["distinct_users"]
     )
+
+
+def test_epoch_replay_skipped(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same epoch_id, as foreachBatch delivers
+    after a restart) must not double-count n_events."""
+    events = load_table(spark, sf_dir, "events").limit(200)
+    path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    assert R.merge_epoch(events, 0, path, ckpt) is True
+    first = R.rollup_estimate(spark, path).first()
+    # replay of epoch 0: skipped
+    assert R.merge_epoch(events, 0, path, ckpt) is False
+    replay = R.rollup_estimate(spark, path).first()
+    assert replay["n_events"] == first["n_events"]
+    assert replay["distinct_users"] == first["distinct_users"]
+    # a genuinely new epoch still merges
+    assert R.merge_epoch(events, 1, path, ckpt) is True
+    after = R.rollup_estimate(spark, path).first()
+    assert after["n_events"] == 2 * first["n_events"]
+
+
+def test_overwrite_mode_restored(spark, sf_dir, tmp_path):
+    """upsert_daily_rollup must not leak partitionOverwriteMode=dynamic
+    into the shared session (ADVICE r4)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    events = load_table(spark, sf_dir, "events").limit(100)
+    path = str(tmp_path / "rollup")
+    before = spark.conf.get(key, None)
+    R.upsert_daily_rollup(spark, path, events)   # create
+    R.upsert_daily_rollup(spark, path, events)   # merge (dynamic write)
+    assert spark.conf.get(key, None) == before
