@@ -170,7 +170,13 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("format") == "png")
          & (F.col("width") == 8 + F.col("asset_id") % 32)
          & (F.col("height") == 8 + (F.col("asset_id") * 7) % 32)
-         & (F.col("channels") == 3)).alias("ok"),
+         & (F.col("channels") == 3)
+         # real pixel decode: the synthesized PNG is uniform 0x7f, so
+         # per-channel mean is exactly 127 and stddev exactly 0
+         & F.col("pixels_real")
+         & (F.col("pixel_mean") == F.array(F.lit(127.0), F.lit(127.0), F.lit(127.0)))
+         & (F.col("pixel_std") == F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)))
+         ).alias("ok"),
     )
     aud = MM.audio_features(assets, strict=True).select(
         "asset_id",

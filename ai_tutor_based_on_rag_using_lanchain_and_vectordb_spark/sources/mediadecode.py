@@ -3,7 +3,10 @@ behind the multimodal stages, same approach as ``minidecode.py`` for
 PDF/DOCX: parse the container format directly instead of depending on
 PIL/cv2/librosa (not in this environment).
 
-Scope is header/metadata decode, not pixel/sample decode:
+Scope is header/metadata decode plus FULL pixel decode for PNG
+(``decode_png_pixels``: IDAT inflate + all five scanline filters +
+palette expansion — PNG's pixel layer is zlib, which IS stdlib; JPEG
+entropy / GIF LZW / BMP RLE decode are not):
 
 - PNG:  IHDR width/height/bit-depth/color-type → channels
 - GIF:  87a/89a logical screen descriptor
@@ -147,6 +150,101 @@ def decode_image(data: bytes) -> ImageInfo | None:
         if info is not None:
             return info
     return None
+
+
+def decode_png_pixels(data: bytes):
+    """Full PNG pixel decode, pure stdlib (zlib) + numpy: concatenated
+    IDAT inflate, per-scanline unfilter (all five filter types 0-4),
+    palette expansion via PLTE. Returns a (height, width, channels)
+    uint8 ndarray, or None when the payload isn't a PNG this decoder
+    covers (bit depth != 8, interlaced, or a corrupt stream).
+
+    Vectorization: filters None/Sub/Up reconstruct as whole-row numpy
+    ops (Sub is a cumulative sum over bpp-strided groups mod 256);
+    Average/Paeth carry a per-pixel dependency on the left neighbor and
+    loop over pixels within the row only — rows stay numpy.
+    """
+    import zlib
+
+    import numpy as np
+
+    info = decode_png(data)
+    if info is None:
+        return None
+    bit_depth, color_type, interlace = data[24], data[25], data[28]
+    if bit_depth != 8 or interlace != 0:
+        return None  # 16-bit and Adam7 out of scope (rare in corpora)
+
+    idat = bytearray()
+    plte = None
+    pos = 8
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+
+    w, h, ch = info.width, info.height, info.channels
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, line = filters[y], lines[y]
+        prev = recon[y - 1].astype(np.int32) if y else zero
+        if f == 0:
+            out = line % 256
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            out = (np.cumsum(line.reshape(w, ch), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            out = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-neighbor dependency
+            out = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                seg = slice(x * ch, (x + 1) * ch)
+                up = prev[seg]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                    )
+                out[seg] = (line[seg] + pred) % 256
+                left, upleft = out[seg], up
+        else:
+            return None
+        recon[y] = out.astype(np.uint8)
+
+    img = recon.reshape(h, w, ch)
+    if color_type == 3:  # palette indexes -> RGB
+        if plte is None or len(plte) < 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = img[:, :, 0]
+        if idx.max() >= len(pal):
+            return None
+        img = pal[idx]
+    return img
 
 
 # ------------------------------------------------------------------- audio

@@ -2,12 +2,13 @@
 with typed metadata, processed by Arrow-batched stages over
 ``mapInPandas``.
 
-Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels)
-and WAV audio (header + PCM16 stats) are REAL pure-stdlib decoders
-(``mediadecode.py`` — same move as minidecode.py for PDF/DOCX). The
-deterministic fake is only the fallback for unrecognized codecs, and
-``strict=True`` raises on those instead. Pixel-level decode (real
-image embeddings) and video codecs remain stubbed: each stub either
+Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels),
+PNG PIXELS (full IDAT unfilter → per-channel stats + histogram
+embedding), and WAV audio (header + PCM16 stats) are REAL pure-stdlib
+decoders (``mediadecode.py`` — same move as minidecode.py for
+PDF/DOCX). The deterministic fake is only the fallback for unrecognized
+codecs, and ``strict=True`` raises on those instead. JPEG/GIF/BMP pixel
+content and video codecs remain stubbed: each stub either
 raises NotImplementedError (strict mode) or produces a deterministic
 fake derived from the bytes — the Spark-side plumbing (schemas, batch
 iteration, partitioning, output shapes) is real and tested.
@@ -40,6 +41,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
+        # real per-channel stats from the decoded pixel array; null when
+        # pixel decode isn't available for the codec (see pixels_real)
+        T.StructField("pixel_mean", T.ArrayType(T.DoubleType())),
+        T.StructField("pixel_std", T.ArrayType(T.DoubleType())),
+        T.StructField("pixels_real", T.BooleanType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ]
 )
@@ -95,15 +101,35 @@ def _fake_image_embedding(data: bytes, dim: int = 16) -> list[float]:
     return (v / n if n else v).astype(np.float32).tolist()
 
 
+def _pixel_embedding(img: np.ndarray, dim: int = 16) -> list[float]:
+    """REAL content feature from the decoded pixel array: ``dim``-bin
+    grayscale intensity histogram, L2-normalized. Deterministic and a
+    genuine function of pixel content (two images with different pixels
+    get different embeddings; re-encodings of the same pixels get the
+    same). A learned vision encoder would slot in with the identical
+    (H,W,C uint8 → float[dim]) signature."""
+    gray = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img
+    hist, _ = np.histogram(gray, bins=dim, range=(0, 256))
+    v = hist.astype(np.float64)
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32).tolist()
+
+
 def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
-    """Decode + feature-extract stage: binary → (format, dims, embedding).
+    """Decode + feature-extract stage: binary → (format, dims, pixel
+    stats, embedding).
 
     Dimensions/channels come from the REAL stdlib header decoders
-    (PNG/GIF/BMP/JPEG, mediadecode.py). Bytes no decoder recognizes
-    raise in ``strict`` mode, else fall back to the deterministic fake
-    with ``format="unknown"`` so downstream can filter honestly. The
-    embedding is always the deterministic stub — a real vision encoder
-    needs a model runtime this container doesn't ship."""
+    (PNG/GIF/BMP/JPEG, mediadecode.py). For PNG the PIXELS are decoded
+    for real too (IDAT inflate + unfilter, mediadecode.decode_png_pixels)
+    and produce per-channel mean/std plus a histogram embedding —
+    ``pixels_real=True`` marks those rows. JPEG/GIF/BMP content decode
+    (entropy/LZW/RLE) is beyond stdlib scope: metadata is real, pixel
+    stats are null, the embedding is the deterministic stub and
+    ``pixels_real=False``. Bytes no decoder recognizes raise in
+    ``strict`` mode, as does a recognized PNG whose pixel decode fails
+    (16-bit, interlaced, corrupt stream); else they fall back to the
+    deterministic fake with ``format="unknown"``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -111,8 +137,17 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
             for _, r in pdf.iterrows():
                 data = bytes(r["content"]) if r["content"] is not None else b""
                 info = MD.decode_image(data)
+                img = None
                 if info is not None:
                     fmt, w, h, c = info.format, info.width, info.height, info.channels
+                    if fmt == "png":
+                        img = MD.decode_png_pixels(data)
+                        if img is None and strict:
+                            raise NotImplementedError(
+                                f"png pixel decode failed for asset "
+                                f"{r['asset_id']} (16-bit/interlaced/corrupt); "
+                                "run with strict=False to keep metadata only"
+                            )
                 elif strict:
                     raise NotImplementedError(
                         f"unsupported image codec for asset {r['asset_id']} "
@@ -122,6 +157,14 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                 else:
                     fmt = "unknown"
                     w, h, c = _fake_decode_image(data)
+                if img is not None:
+                    flat = img.reshape(-1, img.shape[2])
+                    mean = flat.mean(axis=0).tolist()
+                    std = flat.std(axis=0).tolist()
+                    emb = _pixel_embedding(img)
+                else:
+                    mean = std = None
+                    emb = _fake_image_embedding(data)
                 rows.append(
                     {
                         "asset_id": r["asset_id"],
@@ -129,7 +172,10 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         "width": w,
                         "height": h,
                         "channels": c,
-                        "embedding": _fake_image_embedding(data),
+                        "pixel_mean": mean,
+                        "pixel_std": std,
+                        "pixels_real": img is not None,
+                        "embedding": emb,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])

@@ -269,3 +269,115 @@ def test_sample_frames_caps_hostile_duration(spark):
     )
     frames = MM.sample_frames(assets, every_ms=1000, max_frames=50).toPandas()
     assert len(frames) == 50
+
+
+# --------------------------------------------------- PNG pixel decode
+
+def _encode_png(img, color_type, filters, palette=None):
+    """Encode an (H,W,C) uint8 array as a PNG using the given per-row
+    filter types — exercises every filter path in decode_png_pixels."""
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    h, w, ch = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        left = np.roll(line, ch)
+        left[:ch] = 0
+        upleft = np.roll(prev, ch)
+        upleft[:ch] = 0
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            import numpy as _np
+            pred = _np.where((pa <= pb) & (pa <= pc), left,
+                             _np.where(pb <= pc, prev, upleft))
+            filt = line - pred
+        raw += bytes([f]) + bytes((filt % 256).astype(np.uint8))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_pixels_roundtrip_all_filters():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _encode_png(img, 2, filters)
+        dec = MD.decode_png_pixels(data)
+        assert dec is not None, f"filters {filters}"
+        assert dec.shape == img.shape
+        assert (dec == img).all(), f"filters {filters}"
+
+
+def test_png_pixels_grayscale_and_rgba():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    dec = MD.decode_png_pixels(_encode_png(gray, 0, [0, 1, 2, 3, 4]))
+    assert dec is not None and (dec == gray).all()
+    rgba = rng.integers(0, 256, size=(4, 7, 4), dtype=np.uint8)
+    dec = MD.decode_png_pixels(_encode_png(rgba, 6, [4, 3, 2, 1, 0]))
+    assert dec is not None and (dec == rgba).all()
+
+
+def test_png_pixels_palette():
+    import numpy as np
+
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = (np.arange(20, dtype=np.uint8) % 16).reshape(4, 5, 1)
+    dec = MD.decode_png_pixels(_encode_png(idx, 3, [0], palette=pal))
+    assert dec is not None and dec.shape == (4, 5, 3)
+    expect = np.frombuffer(pal, dtype=np.uint8).reshape(16, 3)[idx[:, :, 0]]
+    assert (dec == expect).all()
+
+
+def test_png_pixels_rejects_corrupt_and_16bit():
+    data = make_png(5, 3)
+    # truncate the IDAT payload -> zlib error -> None, not an exception
+    assert MD.decode_png_pixels(data[:40] + data[44:]) is None
+    ihdr16 = bytearray(make_png(5, 3))
+    ihdr16[24] = 16  # bit depth 16: out of scope
+    # (CRC now wrong too, but the decoder must return None either way)
+    assert MD.decode_png_pixels(bytes(ihdr16)) is None
+
+
+def test_image_features_pixel_stats(spark, real_assets):
+    out = (
+        MM.image_features(real_assets, strict=True)
+        .toPandas().set_index("asset_id").sort_index()
+    )
+    # PNG (uniform 0x7f): real pixel stats, exact values
+    assert out.loc[1, "pixels_real"]
+    assert list(out.loc[1, "pixel_mean"]) == [127.0, 127.0, 127.0]
+    assert list(out.loc[1, "pixel_std"]) == [0.0, 0.0, 0.0]
+    # histogram embedding: all mass in the 127//16 = 7th of 16 bins
+    emb = list(out.loc[1, "embedding"])
+    assert len(emb) == 16 and abs(emb[7] - 1.0) < 1e-6
+    # JPEG/GIF/BMP: metadata real, pixel stats honestly absent
+    for aid in (2, 3, 4):
+        assert not out.loc[aid, "pixels_real"]
+        assert out.loc[aid, "pixel_mean"] is None
+        assert out.loc[aid, "pixel_std"] is None
