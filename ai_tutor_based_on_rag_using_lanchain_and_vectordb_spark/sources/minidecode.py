@@ -20,12 +20,18 @@ common cases instead of a stub:
   REAL page segmentation: the ``/Root → /Pages → /Kids`` tree is walked
   and each ``/Type/Page``'s ``/Contents`` refs (single or array) are
   concatenated into that page's text — PyPDFLoader's page-per-Document
-  semantics (reference backend/chroma_utils.py:61-63). When no page
-  tree resolves (damaged xref, exotic layouts) the extractor falls back
-  to the previous stream heuristic: each content stream with a ``BT``
-  block is one pseudo-page. Not handled (falls back to the caller's
-  stub): encrypted PDFs and CID/Type0 composite fonts with non-ASCII
-  encodings.
+  semantics (reference backend/chroma_utils.py:61-63). CID/Type0
+  composite fonts are decoded through their ``/ToUnicode`` CMaps: the
+  page's ``/Resources → /Font`` dict is resolved, ``bfchar``/``bfrange``
+  sections parsed, and the content-stream scan tracks the active font
+  via ``Tf`` so CID-coded shows (hex or literal, including hex strings
+  inside ``TJ`` arrays) map code-by-code to Unicode — the path common
+  digitally-produced PDFs (Word/LaTeX/Chrome exports) take. When no
+  page tree resolves (damaged xref, exotic layouts) the extractor falls
+  back to the previous stream heuristic: each content stream with a
+  ``BT`` block is one pseudo-page. Not handled (falls back to the
+  caller's stub): encrypted PDFs and Type0 fonts that ship no ToUnicode
+  map (those are unrecoverable without external CMap tables).
 
 Both return ``[]`` when the payload yields nothing, so callers can
 fall back (loaders.decode_pdf / decode_docx keep their import-gated
@@ -89,50 +95,101 @@ _ESCAPES = {
 }
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    out: list[str] = []
+def _decode_pdf_bytes(raw: bytes) -> bytes:
+    """Unescape a PDF literal string to its raw byte content."""
+    out = bytearray()
     i = 0
     while i < len(raw):
         c = raw[i]
         if c == 0x5C and i + 1 < len(raw):  # backslash escape
             e = raw[i + 1]
             if e in _ESCAPES:
-                out.append(_ESCAPES[e])
+                out.append(ord(_ESCAPES[e]))
                 i += 2
             elif 0x30 <= e <= 0x37:  # up to 3 octal digits
                 j = i + 1
                 while j < min(i + 4, len(raw)) and 0x30 <= raw[j] <= 0x37:
                     j += 1
-                out.append(chr(int(raw[i + 1 : j], 8)))
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)  # spec: overflow wraps
                 i = j
             elif e in (0x0A, 0x0D):  # line continuation
                 i += 2
             else:  # \( \) \\ and any other escaped literal
-                out.append(chr(e))
+                out.append(e)
                 i += 2
         else:
-            out.append(chr(c))
+            out.append(c)
             i += 1
-    return "".join(out)
+    return bytes(out)
 
 
-def _stream_text(content: bytes) -> str:
-    """Shown strings of one content stream, in operator order."""
-    shows: list[tuple[int, str]] = []
+def _decode_pdf_string(raw: bytes) -> str:
+    return _decode_pdf_bytes(raw).decode("latin-1")
+
+
+def _hex_bytes(hx: bytes) -> bytes:
+    hx = re.sub(rb"\s", b"", hx)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+# font selection operator: /F1 12 Tf
+_TF_RE = re.compile(rb"/([A-Za-z0-9_.+-]+)\s+[-\d.]+\s+Tf")
+# hex string inside a TJ array
+_HEX_IN_ARRAY_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+
+
+def _apply_cmap(bs: bytes, cmap: dict[int, str], width: int) -> str:
+    """Map a CID-coded byte string through a ToUnicode CMap (codes are
+    ``width`` bytes, big-endian; unmapped codes are dropped like pypdf
+    does rather than emitting U+FFFD noise)."""
+    return "".join(
+        cmap.get(int.from_bytes(bs[i : i + width], "big"), "")
+        for i in range(0, len(bs) - width + 1, width)
+    )
+
+
+def _stream_text(content: bytes, fonts: dict[bytes, tuple[dict[int, str], int]] | None = None) -> str:
+    """Shown strings of one content stream, in operator order.
+
+    ``fonts`` maps font resource names (e.g. ``b"F1"``) to parsed
+    ToUnicode CMaps. The scan tracks the active font through ``Tf``
+    operators; shows under a CMapped (Type0/CID) font decode their
+    bytes as big-endian codes through the CMap, everything else keeps
+    the latin-1 simple-font path."""
+    fonts = fonts or {}
+    events: list[tuple[int, str, object]] = []
+    if fonts:
+        for m in _TF_RE.finditer(content):
+            events.append((m.start(), "font", m.group(1)))
     for m in _TJ_RE.finditer(content):
-        shows.append((m.start(), _decode_pdf_string(m.group(1))))
+        events.append((m.start(), "show", _decode_pdf_bytes(m.group(1))))
     for m in _HEX_TJ_RE.finditer(content):
-        hx = re.sub(rb"\s", b"", m.group(1))
-        if len(hx) % 2:
-            hx += b"0"
-        shows.append((m.start(), bytes.fromhex(hx.decode("ascii")).decode("latin-1")))
+        events.append((m.start(), "show", _hex_bytes(m.group(1))))
     for m in _TJ_ARRAY_RE.finditer(content):
-        parts = [
-            _decode_pdf_string(s.group(1)) for s in _STR_IN_ARRAY_RE.finditer(m.group(1))
-        ]
-        shows.append((m.start(), "".join(parts)))
-    shows.sort(key=lambda t: t[0])
-    return "\n".join(s for _, s in shows if s)
+        parts: list[tuple[int, bytes]] = []
+        body = m.group(1)
+        for s in _STR_IN_ARRAY_RE.finditer(body):
+            parts.append((s.start(), _decode_pdf_bytes(s.group(1))))
+        for s in _HEX_IN_ARRAY_RE.finditer(body):
+            parts.append((s.start(), _hex_bytes(s.group(1))))
+        parts.sort(key=lambda t: t[0])
+        events.append((m.start(), "show", b"".join(b for _, b in parts)))
+    events.sort(key=lambda t: t[0])
+
+    out: list[str] = []
+    cmap: tuple[dict[int, str], int] | None = None
+    for _, kind, payload in events:
+        if kind == "font":
+            cmap = fonts.get(payload)
+        else:
+            bs = payload  # type: ignore[assignment]
+            if cmap is not None:
+                out.append(_apply_cmap(bs, cmap[0], cmap[1]))
+            else:
+                out.append(bs.decode("latin-1"))
+    return "\n".join(s for s in out if s)
 
 
 # indirect objects: "N G obj ... endobj". Non-greedy body; stream
@@ -186,9 +243,12 @@ def _object_table(data: bytes) -> dict[int, bytes]:
     return table
 
 
-def _page_content_objs(table: dict[int, bytes]) -> list[list[int]] | None:
-    """Depth-first /Pages-tree walk → per-page lists of /Contents object
-    numbers, or None when no catalog/page tree resolves."""
+def _page_content_objs(
+    table: dict[int, bytes],
+) -> list[tuple[list[int], bytes]] | None:
+    """Depth-first /Pages-tree walk → per-page (list of /Contents object
+    numbers, page dict body — kept for /Resources font resolution), or
+    None when no catalog/page tree resolves."""
     pages_root = None
     for body in table.values():
         if b"/Type" in body and b"/Catalog" in body:
@@ -198,7 +258,7 @@ def _page_content_objs(table: dict[int, bytes]) -> list[list[int]] | None:
                 break
     if pages_root is None or pages_root not in table:
         return None
-    out: list[list[int]] = []
+    out: list[tuple[list[int], bytes]] = []
     seen: set[int] = set()
 
     def walk(num: int) -> None:
@@ -220,9 +280,9 @@ def _page_content_objs(table: dict[int, bytes]) -> list[list[int]] | None:
                     arr = re.search(rb"\[([^\]]*)\]", table[refs[0]])
                     if arr:
                         refs = [int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))]
-                out.append(refs)
+                out.append((refs, body))
             else:
-                out.append([])
+                out.append(([], body))
             return
         kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
         if kids_m:
@@ -240,6 +300,98 @@ def _content_stream(body: bytes) -> bytes | None:
     return _inflate(sm.group(1), sm.group(2))
 
 
+# ------------------------------------------------ ToUnicode CMaps (CID)
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S
+)
+_BF_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BF_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
+)
+_MAX_RANGE = 65_536  # cap per bfrange: headers are untrusted input
+
+
+def _utf16be_hex(hx: bytes) -> str:
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap → (code → unicode string, code byte width).
+
+    Handles ``bfchar`` pairs, ``bfrange`` with either an incrementing
+    ``<dstStart>`` (the last UTF-16 code unit increments per the CMap
+    spec) or an explicit ``[<d1> <d2> …]`` array, and takes the code
+    width from the first codespacerange (Identity-H CMaps use 2)."""
+    width = 2
+    cs = _CODESPACE_RE.search(cmap)
+    if cs:
+        width = max(1, len(cs.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(cmap):
+        for pair in _BF_PAIR_RE.finditer(sec.group(1)):
+            mapping[int(pair.group(1), 16)] = _utf16be_hex(pair.group(2))
+    for sec in _BFRANGE_RE.finditer(cmap):
+        for r in _BF_RANGE_RE.finditer(sec.group(1)):
+            lo, hi = int(r.group(1), 16), int(r.group(2), 16)
+            if hi < lo or hi - lo >= _MAX_RANGE:
+                continue
+            tgt = r.group(3)
+            if tgt.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", tgt)
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    mapping[lo + i] = _utf16be_hex(d)
+            else:
+                base_hex = tgt[1:-1]
+                base = int(base_hex, 16)
+                n_digits = len(base_hex)
+                for c in range(lo, hi + 1):
+                    val = base + (c - lo)
+                    mapping[c] = _utf16be_hex(
+                        b"%0*X" % (n_digits, val)
+                    )
+    return mapping, width
+
+
+def _page_fonts(
+    table: dict[int, bytes], page_body: bytes
+) -> dict[bytes, tuple[dict[int, str], int]]:
+    """Resolve the page's /Resources → /Font dict and parse each font's
+    /ToUnicode CMap stream. Only fonts WITH a ToUnicode map are
+    returned — simple fonts keep the latin-1 path in _stream_text."""
+    res = page_body
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+    if rm:
+        res = table.get(int(rm.group(1)), b"")
+    font_body = None
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if fm:
+        font_body = fm.group(1)
+    else:
+        fr = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+        if fr:
+            font_body = table.get(int(fr.group(1)), b"")
+    if not font_body:
+        return {}
+    fonts: dict[bytes, tuple[dict[int, str], int]] = {}
+    for m in re.finditer(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R", font_body):
+        fbody = table.get(int(m.group(2)))
+        if not fbody:
+            continue
+        tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if not tm:
+            continue
+        tbody = table.get(int(tm.group(1)))
+        if not tbody:
+            continue
+        stream = _content_stream(tbody)
+        if stream:
+            fonts[m.group(1)] = _parse_tounicode(stream)
+    return fonts
+
+
 def pdf_pages(data: bytes) -> list[str]:
     """Page texts. Primary path: walk the /Pages tree and concatenate
     each page's /Contents streams (one output entry per real page, in
@@ -254,8 +406,12 @@ def pdf_pages(data: bytes) -> list[str]:
     if page_refs is not None:
         pages: list[str] = []
         any_stream = False
-        for refs in page_refs:
-            parts: list[str] = []
+        for refs, page_body in page_refs:
+            fonts = _page_fonts(table, page_body)
+            # a page's content streams concatenate into ONE stream per
+            # the spec — decoding them together keeps the Tf font state
+            # (and any active CID CMap) across stream boundaries
+            chunks: list[bytes] = []
             for num in refs:
                 body = table.get(num)
                 if body is None:
@@ -264,11 +420,9 @@ def pdf_pages(data: bytes) -> list[str]:
                 if content is None:
                     continue
                 any_stream = True
-                if b"BT" in content:
-                    txt = _stream_text(content)
-                    if txt:
-                        parts.append(txt)
-            pages.append("\n".join(parts))
+                chunks.append(content)
+            joined = b"\n".join(chunks)
+            pages.append(_stream_text(joined, fonts) if b"BT" in joined else "")
         if any_stream:
             return pages
     # heuristic fallback: stream-per-page

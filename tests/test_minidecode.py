@@ -334,3 +334,115 @@ def test_pdf_compact_contents_array_and_indirect_array():
     out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
     pages = pdf_pages(out.getvalue())
     assert pages == ["compact array", "indirect part A\nindirect part B"]
+
+
+# ------------------------------------------------- CID / ToUnicode fonts
+
+def make_cid_pdf(cmap: bytes, content: bytes) -> bytes:
+    """One-page PDF whose /F1 is a Type0 (CID) font with a Flate
+    ToUnicode CMap — the layout Word/LaTeX/Chrome exports produce."""
+    body = zlib.compress(content)
+    tou = zlib.compress(cmap)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Mock "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+        6: (b"<< /Filter /FlateDecode /Length " + str(len(tou)).encode()
+            + b" >>\nstream\n" + tou + b"\nendstream"),
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = out.tell()
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(f"xref\n0 {len(objs) + 1}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for num in sorted(objs):
+        out.write(f"{offsets[num]:010d} 00000 n \n".encode())
+    out.write(f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n".encode())
+    out.write(f"startxref\n{xref_at}\n%%EOF".encode())
+    return out.getvalue()
+
+
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+3 beginbfchar
+<0003> <0048>
+<0004> <0065>
+<0011> <0021>
+endbfchar
+2 beginbfrange
+<0020> <0025> <006C>
+<0030> <0031> [<0057> <006F>]
+endbfrange
+endcmap CMapName currentdict /CMap defineresource pop end end"""
+# bfchar: 03->H 04->e 11->!    bfrange: 20..25 -> l,m,n,o,p,q ; 30->W 31->o
+
+
+def test_pdf_cid_tounicode_hex_show():
+    content = b"BT /F1 12 Tf <0003 0004 0020 0020 0023> Tj ET"
+    pages = pdf_pages(make_cid_pdf(_CMAP, content))
+    assert pages == ["Hello"]
+
+
+def test_pdf_cid_tj_array_and_bfrange_list():
+    content = b"BT /F1 10 Tf [<00300031> -30 <00210022>] TJ ET"
+    pages = pdf_pages(make_cid_pdf(_CMAP, content))
+    # 0030->W 0031->o (explicit list), 0021->m 0022->n (incrementing)
+    assert pages == ["Womn"]
+
+
+def test_pdf_cid_literal_string_two_byte_codes():
+    # literal string under a CID font: bytes pair up into codes
+    content = b"BT /F1 9 Tf (\x00\x03\x00\x04) Tj ET"
+    pages = pdf_pages(make_cid_pdf(_CMAP, content))
+    assert pages == ["He"]
+
+
+def test_pdf_cid_font_switch_mid_page():
+    """Simple font then CID font on one page: latin-1 and CMap decode
+    coexist, switched by Tf."""
+    cmap = _CMAP
+    body = zlib.compress(b"BT /F2 12 Tf (plain ) Tj /F1 12 Tf <0003 0004> Tj ET")
+    tou = zlib.compress(cmap)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>"),
+        4: (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 6 0 R >>"),
+        6: (b"<< /Filter /FlateDecode /Length " + str(len(tou)).encode()
+            + b" >>\nstream\n" + tou + b"\nendstream"),
+        7: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    pages = pdf_pages(out.getvalue())
+    assert pages == ["plain \nHe"]
+
+
+def test_pdf_unmapped_cid_codes_dropped():
+    content = b"BT /F1 12 Tf <0003 FFFE 0004> Tj ET"
+    pages = pdf_pages(make_cid_pdf(_CMAP, content))
+    assert pages == ["He"]  # FFFE has no mapping: dropped, not U+FFFD
+
+
+def test_pdf_simple_fonts_unaffected_by_cid_path():
+    """Regression: documents with only simple fonts decode exactly as
+    before the CID support."""
+    pages = pdf_pages(make_pdf([b"BT (Same as ever) Tj ET"]))
+    assert pages == ["Same as ever"]
