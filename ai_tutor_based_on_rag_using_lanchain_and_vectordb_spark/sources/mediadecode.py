@@ -106,6 +106,45 @@ def decode_bmp(data: bytes) -> ImageInfo | None:
     return ImageInfo("bmp", width, abs(height), channels)
 
 
+def decode_bmp_pixels(data: bytes):
+    """Uncompressed BMP pixel decode (24/32-bit BITMAPINFOHEADER DIBs —
+    the overwhelmingly common on-disk layouts): raw bottom-up BGR(A)
+    rows padded to 4-byte boundaries, returned as (height, width,
+    channels) uint8 in RGB(A) order. Compressed (RLE) or paletted BMPs
+    return None."""
+    import numpy as np
+
+    info = decode_bmp(data)
+    if info is None or len(data) < 54:
+        return None
+    header_size = struct.unpack("<I", data[14:18])[0]
+    if header_size < 40:
+        return None
+    raw_h = struct.unpack("<i", data[22:26])[0]
+    top_down = raw_h < 0
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if bpp not in (24, 32) or compression not in (0, 3):  # BI_RGB/BITFIELDS
+        return None
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    w, h = info.width, info.height
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pixel_off + row_bytes * h
+    if len(data) < need:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
+    rows = arr.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    # BGR(A) -> RGB(A)
+    if nch == 3:
+        rows = rows[:, :, [2, 1, 0]]
+    else:
+        rows = rows[:, :, [2, 1, 0, 3]]
+    return np.ascontiguousarray(rows)
+
+
 def decode_jpeg(data: bytes) -> ImageInfo | None:
     if len(data) < 4 or data[:2] != b"\xff\xd8":  # SOI
         return None

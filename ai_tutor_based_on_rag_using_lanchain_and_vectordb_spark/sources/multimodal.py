@@ -148,6 +148,12 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                                 f"{r['asset_id']} (16-bit/interlaced/corrupt); "
                                 "run with strict=False to keep metadata only"
                             )
+                    elif fmt == "bmp":
+                        # uncompressed 24/32-bit DIBs decode for real;
+                        # RLE/paletted fall back to metadata-only (even
+                        # in strict mode — unlike PNG, a BMP variant
+                        # isn't evidence of corruption)
+                        img = MD.decode_bmp_pixels(data)
                 elif strict:
                     raise NotImplementedError(
                         f"unsupported image codec for asset {r['asset_id']} "

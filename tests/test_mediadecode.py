@@ -376,8 +376,54 @@ def test_image_features_pixel_stats(spark, real_assets):
     # histogram embedding: all mass in the 127//16 = 7th of 16 bins
     emb = list(out.loc[1, "embedding"])
     assert len(emb) == 16 and abs(emb[7] - 1.0) < 1e-6
-    # JPEG/GIF/BMP: metadata real, pixel stats honestly absent
-    for aid in (2, 3, 4):
+    # uncompressed BMP (all-zero pixels): real stats too
+    assert out.loc[4, "pixels_real"]
+    assert list(out.loc[4, "pixel_mean"]) == [0.0, 0.0, 0.0]
+    assert list(out.loc[4, "pixel_std"]) == [0.0, 0.0, 0.0]
+    # JPEG/GIF: metadata real, pixel stats honestly absent
+    for aid in (2, 3):
         assert not out.loc[aid, "pixels_real"]
         assert out.loc[aid, "pixel_mean"] is None
         assert out.loc[aid, "pixel_std"] is None
+
+
+def _encode_bmp(img, top_down=False):
+    """Encode an (H,W,3|4) uint8 RGB(A) array as an uncompressed BMP."""
+    import numpy as np
+
+    h, w, nch = img.shape
+    bpp = nch * 8
+    bgr = img[:, :, [2, 1, 0]] if nch == 3 else img[:, :, [2, 1, 0, 3]]
+    rows = bgr if top_down else bgr[::-1]
+    row_bytes = (w * nch + 3) & ~3
+    pad = row_bytes - w * nch
+    pixel_data = b"".join(bytes(rows[y]) + b"\x00" * pad for y in range(h))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+                      0, len(pixel_data), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
+    return hdr + dib + pixel_data
+
+
+def test_bmp_pixels_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # w*3 pads
+    for top_down in (False, True):
+        dec = MD.decode_bmp_pixels(_encode_bmp(img, top_down=top_down))
+        assert dec is not None and dec.shape == img.shape
+        assert (dec == img).all(), f"top_down={top_down}"
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    dec = MD.decode_bmp_pixels(_encode_bmp(rgba))
+    assert dec is not None and (dec == rgba).all()
+
+
+def test_bmp_pixels_rejects_rle_and_truncated():
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(_encode_bmp(img))
+    data[30:34] = struct.pack("<I", 1)  # BI_RLE8 compression
+    assert MD.decode_bmp_pixels(bytes(data)) is None
+    assert MD.decode_bmp_pixels(_encode_bmp(img)[:-8]) is None
