@@ -87,6 +87,145 @@ def decode_gif(data: bytes) -> ImageInfo | None:
     return ImageInfo("gif", width, height, 3)  # palette entries are RGB
 
 
+def _gif_lzw(min_code_size: int, data: bytes, max_pixels: int) -> bytearray | None:
+    """GIF-variant LZW decompress (GIF89a spec, appendix F): variable
+    code width starting at min_code_size+1, clear/EOI codes, dictionary
+    grows to 12 bits then waits for a clear. ``max_pixels`` bounds the
+    output — the header is untrusted and a crafted stream must not
+    balloon memory."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    next_code = eoi + 1
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width = reset()
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if len(out) > max_pixels:
+                return None
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(data: bytes):
+    """First-frame GIF pixel decode, pure Python LZW + numpy: global or
+    local color table, interlacing, sub-block reassembly. Returns a
+    (height, width, 3) uint8 RGB array (the logical screen, with the
+    frame composited at its offset over the background), or None for
+    malformed streams."""
+    import numpy as np
+
+    info = decode_gif(data)
+    if info is None:
+        return None
+    sw, sh = info.width, info.height
+    if sw * sh > 64_000_000:  # untrusted header bound
+        return None
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    bg_index = data[11]
+    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+    if gct is not None and bg_index < len(gct):
+        screen[:, :] = gct[bg_index]
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            x, y, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None or pos >= len(data):
+                return None
+            min_code_size = data[pos]
+            pos += 1
+            if not (2 <= min_code_size <= 11):
+                return None
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw(min_code_size, bytes(lzw), w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            frame = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8)
+            if frame.max(initial=0) >= len(table):
+                return None
+            frame = frame.reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                deinter = np.zeros_like(frame)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    n_rows = len(range(start, h, step))
+                    deinter[start::step] = frame[src : src + n_rows]
+                    src += n_rows
+                frame = deinter
+            rgb = table[frame]
+            y2, x2 = min(y + h, sh), min(x + w, sw)
+            screen[y:y2, x:x2] = rgb[: y2 - y, : x2 - x]
+            return screen  # first frame only (curation needs one)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            return None
+    return None
+
+
 def decode_bmp(data: bytes) -> ImageInfo | None:
     if len(data) < 26 or data[:2] != b"BM":
         return None

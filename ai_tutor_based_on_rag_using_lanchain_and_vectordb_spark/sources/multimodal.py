@@ -154,6 +154,10 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         # in strict mode — unlike PNG, a BMP variant
                         # isn't evidence of corruption)
                         img = MD.decode_bmp_pixels(data)
+                    elif fmt == "gif":
+                        # first frame, LZW + palette; malformed streams
+                        # fall back to metadata-only
+                        img = MD.decode_gif_pixels(data)
                 elif strict:
                     raise NotImplementedError(
                         f"unsupported image codec for asset {r['asset_id']} "

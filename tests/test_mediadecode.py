@@ -427,3 +427,96 @@ def test_bmp_pixels_rejects_rle_and_truncated():
     data[30:34] = struct.pack("<I", 1)  # BI_RLE8 compression
     assert MD.decode_bmp_pixels(bytes(data)) is None
     assert MD.decode_bmp_pixels(_encode_bmp(img)[:-8]) is None
+
+
+# ----------------------------------------------------- GIF pixel decode
+
+def _lzw_pack(codes, width=9):
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(img, interlace=False):
+    """Encode an (H,W,3) uint8 array as a GIF89a: exact-palette global
+    color table, LZW with a clear code before every pixel (valid, keeps
+    the code width fixed at 9 bits)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    assert len(palette) <= 256, "test image needs <=256 colors"
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for y in range(start, h, step)]
+        idx = idx[order]
+    clear, eoi = 256, 257
+    codes = []
+    for p in idx.reshape(-1):
+        codes += [clear, int(p)]
+    codes.append(eoi)
+    lzw = _lzw_pack(codes)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    ) + b"\x00"
+    lsd = struct.pack("<HH", w, h) + bytes([0x80 | 0x07, 0, 0])  # 256-color GCT
+    imgdesc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [0x40 if interlace else 0]
+    )
+    return (b"GIF89a" + lsd + pal.tobytes() + imgdesc + b"\x08" + blocks + b"\x3b")
+
+
+def test_gif_pixels_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8).repeat(3, axis=2)
+    dec = MD.decode_gif_pixels(_encode_gif(img))
+    assert dec is not None and dec.shape == img.shape
+    assert (dec == img).all()
+
+
+def test_gif_pixels_interlaced():
+    import numpy as np
+
+    # 10 rows exercises all four interlace passes
+    img = (np.arange(10, dtype=np.uint8)[:, None, None] * 20).repeat(4, axis=1).repeat(3, axis=2)
+    dec = MD.decode_gif_pixels(_encode_gif(img, interlace=True))
+    assert dec is not None and (dec == img).all()
+
+
+def test_gif_pixels_rejects_malformed():
+    import numpy as np
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(_encode_gif(img))
+    # truncate mid image data: decode must fail closed, not throw
+    assert MD.decode_gif_pixels(bytes(data[:-6])) is None
+    # frameless GIF (header+trailer only): metadata decodes, pixels None
+    assert MD.decode_gif_pixels(make_gif(12, 7)) is None
+
+
+def test_gif_image_features_real(spark):
+    import numpy as np
+
+    img = np.full((7, 9, 3), 200, dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(10, 20, "image", _encode_gif(img), {"ext": "gif"})], schemas.MEDIA_ASSETS
+    )
+    out = MM.image_features(assets, strict=True).toPandas().iloc[0]
+    assert out["format"] == "gif" and out["pixels_real"]
+    assert list(out["pixel_mean"]) == [200.0, 200.0, 200.0]
