@@ -29,9 +29,14 @@ common cases instead of a stub:
   digitally-produced PDFs (Word/LaTeX/Chrome exports) take. When no
   page tree resolves (damaged xref, exotic layouts) the extractor falls
   back to the previous stream heuristic: each content stream with a
-  ``BT`` block is one pseudo-page. Not handled (falls back to the
-  caller's stub): encrypted PDFs and Type0 fonts that ship no ToUnicode
-  map (those are unrecoverable without external CMap tables).
+  ``BT`` block is one pseudo-page. RC4-encrypted PDFs (standard
+  security handler, V 1/2 R 2/3) decrypt when the user password is
+  blank — the usual owner-restricted case — via MD5 key derivation +
+  per-object RC4 (ISO 32000-1 Algorithms 1/2, pure hashlib); the /U
+  entry is verified first so a real password never yields garbage
+  text. Not handled (falls back to the caller's stub): AES-encrypted
+  (V 4/5) or password-protected PDFs, and Type0 fonts that ship no
+  ToUnicode map (unrecoverable without external CMap tables).
 
 Both return ``[]`` when the payload yields nothing, so callers can
 fall back (loaders.decode_pdf / decode_docx keep their import-gated
@@ -192,6 +197,131 @@ def _stream_text(content: bytes, fonts: dict[bytes, tuple[dict[int, str], int]] 
     return "\n".join(s for s in out if s)
 
 
+# --------------------------------------- standard security handler (RC4)
+
+# 32-byte password padding constant, ISO 32000-1 Algorithm 2
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _dict_string(body: bytes, name: bytes) -> bytes | None:
+    """A dict entry's string value — literal ``(…)`` or hex ``<…>``."""
+    m = re.search(rb"/" + name + rb"\s*\(((?:\\.|[^\\()])*)\)", body, re.S)
+    if m:
+        return _decode_pdf_bytes(m.group(1))
+    m = re.search(rb"/" + name + rb"\s*<([0-9A-Fa-f\s]*)>", body)
+    if m:
+        return _hex_bytes(m.group(1))
+    return None
+
+
+def _std_encryption_key(o: bytes, p: int, id1: bytes, r: int, n: int) -> bytes:
+    """ISO 32000-1 Algorithm 2 with the EMPTY user password (the only
+    case recoverable without a secret — most "encrypted" PDFs in the
+    wild are owner-restricted with a blank user password)."""
+    import hashlib
+    import struct as _s
+
+    md = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<i", p) + id1)
+    key = md.digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()[:n]
+    return key
+
+
+def _std_user_check(key: bytes, id1: bytes, r: int) -> bytes:
+    """Expected /U for the empty user password (Algorithms 4/5) — used
+    to verify the password really is blank before decrypting."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    digest = hashlib.md5(_PW_PAD + id1).digest()
+    out = _rc4(key, digest)
+    for i in range(1, 20):
+        out = _rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
+class _Rc4Decryptor:
+    """Per-object RC4 decryption (Algorithm 1): object key =
+    MD5(file key + objnum[0:3] LE + gen[0:2] LE), truncated."""
+
+    def __init__(self, key: bytes):
+        self.key = key
+
+    def __call__(self, objnum: int, data: bytes) -> bytes:
+        import hashlib
+        import struct as _s
+
+        ok = hashlib.md5(
+            self.key + _s.pack("<I", objnum)[:3] + b"\x00\x00"
+        ).digest()[: min(len(self.key) + 5, 16)]
+        return _rc4(ok, data)
+
+
+def _build_decryptor(data: bytes, table: dict[int, bytes]):
+    """None when the document isn't encrypted; an ``_Rc4Decryptor`` for
+    the standard handler with a blank user password (V 1/2, R 2/3,
+    RC4); raises ValueError for handlers this extractor can't do
+    (AES /V 4-5, non-blank passwords, custom filters) so the caller
+    falls back to the stub instead of emitting garbage."""
+    em = None
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
+        em = m  # last trailer wins (incremental updates)
+    if em is None:
+        return None
+    enc = table.get(int(em.group(1)))
+    if enc is None or b"/Standard" not in enc:
+        raise ValueError("unsupported security handler")
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise ValueError(f"unsupported encryption V={v} R={r} (AES?)")
+    o = _dict_string(enc, b"O")
+    u = _dict_string(enc, b"U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if o is None or u is None or pm is None:
+        raise ValueError("malformed /Encrypt dictionary")
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    n = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
+    id_m = None
+    for m in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
+        id_m = m
+    id1 = _hex_bytes(id_m.group(1)) if id_m else b""
+    key = _std_encryption_key(o, int(pm.group(1)), id1, r, n)
+    expect = _std_user_check(key, id1, r)
+    got = u[:16] if r >= 3 else u[:32]
+    if got != expect[: len(got)]:
+        raise ValueError("non-blank user password")
+    return _Rc4Decryptor(key)
+
+
 # indirect objects: "N G obj ... endobj". Non-greedy body; stream
 # payloads containing the literal "endobj" would truncate — acceptable
 # for the text-bearing documents this targets (pypdf handles the rest).
@@ -214,9 +344,11 @@ def _inflate(params: bytes, body: bytes) -> bytes | None:
     return body
 
 
-def _object_table(data: bytes) -> dict[int, bytes]:
+def _object_table(data: bytes, decrypt=None) -> dict[int, bytes]:
     """objnum → object body, with /ObjStm packed objects inflated and
-    merged in (their bodies are plain dicts — never nested streams)."""
+    merged in (their bodies are plain dicts — never nested streams).
+    ``decrypt(objnum, payload)`` is applied to stream payloads before
+    inflation when the document is RC4-encrypted."""
     table: dict[int, bytes] = {}
     objstms: list[tuple[int, int, bytes]] = []
     for m in _OBJ_RE.finditer(data):
@@ -224,7 +356,8 @@ def _object_table(data: bytes) -> dict[int, bytes]:
         table[num] = body
         sm = _OBJ_STREAM_RE.search(body)
         if sm and b"/ObjStm" in sm.group(1):
-            inflated = _inflate(sm.group(1), sm.group(2))
+            payload = decrypt(num, sm.group(2)) if decrypt else sm.group(2)
+            inflated = _inflate(sm.group(1), payload)
             if inflated is not None:
                 n_m = _NUM_VAL_RE[b"N"].search(sm.group(1))
                 first_m = _NUM_VAL_RE[b"First"].search(sm.group(1))
@@ -293,11 +426,12 @@ def _page_content_objs(
     return out if out else None
 
 
-def _content_stream(body: bytes) -> bytes | None:
+def _content_stream(body: bytes, objnum: int = 0, decrypt=None) -> bytes | None:
     sm = _OBJ_STREAM_RE.search(body)
     if sm is None:
         return None
-    return _inflate(sm.group(1), sm.group(2))
+    payload = decrypt(objnum, sm.group(2)) if decrypt else sm.group(2)
+    return _inflate(sm.group(1), payload)
 
 
 # ------------------------------------------------ ToUnicode CMaps (CID)
@@ -356,7 +490,7 @@ def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
 
 
 def _page_fonts(
-    table: dict[int, bytes], page_body: bytes
+    table: dict[int, bytes], page_body: bytes, decrypt=None
 ) -> dict[bytes, tuple[dict[int, str], int]]:
     """Resolve the page's /Resources → /Font dict and parse each font's
     /ToUnicode CMap stream. Only fonts WITH a ToUnicode map are
@@ -386,7 +520,7 @@ def _page_fonts(
         tbody = table.get(int(tm.group(1)))
         if not tbody:
             continue
-        stream = _content_stream(tbody)
+        stream = _content_stream(tbody, int(tm.group(1)), decrypt)
         if stream:
             fonts[m.group(1)] = _parse_tounicode(stream)
     return fonts
@@ -402,12 +536,20 @@ def pdf_pages(data: bytes) -> list[str]:
     if not data.startswith(b"%PDF"):
         return []
     table = _object_table(data)
+    try:
+        decrypt = _build_decryptor(data, table)
+    except ValueError:
+        return []  # AES / non-blank password: caller falls to the stub
+    if decrypt is not None:
+        # rebuild so ObjStm payloads inflate through RC4 (the /Encrypt
+        # dict itself is never inside an ObjStm, so pass 1 found it)
+        table = _object_table(data, decrypt)
     page_refs = _page_content_objs(table)
     if page_refs is not None:
         pages: list[str] = []
         any_stream = False
         for refs, page_body in page_refs:
-            fonts = _page_fonts(table, page_body)
+            fonts = _page_fonts(table, page_body, decrypt)
             # a page's content streams concatenate into ONE stream per
             # the spec — decoding them together keeps the Tf font state
             # (and any active CID CMap) across stream boundaries
@@ -416,7 +558,7 @@ def pdf_pages(data: bytes) -> list[str]:
                 body = table.get(num)
                 if body is None:
                     continue
-                content = _content_stream(body)
+                content = _content_stream(body, num, decrypt)
                 if content is None:
                     continue
                 any_stream = True

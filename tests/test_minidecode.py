@@ -446,3 +446,77 @@ def test_pdf_simple_fonts_unaffected_by_cid_path():
     before the CID support."""
     pages = pdf_pages(make_pdf([b"BT (Same as ever) Tj ET"]))
     assert pages == ["Same as ever"]
+
+
+# ------------------------------------------------ RC4-encrypted PDFs
+
+def make_encrypted_pdf(text: bytes, r=3, length=128, p=-44, wrong_pw=False):
+    """One-page PDF encrypted with the standard security handler
+    (RC4, blank user password): /O fixed, key via Algorithm 2, /U via
+    Algorithm 4/5, streams RC4-encrypted per object (Algorithm 1)."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+        _Rc4Decryptor,
+        _std_encryption_key,
+        _std_user_check,
+    )
+
+    o_entry = bytes(range(32))
+    id1 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    n = length // 8 if r >= 3 else 5
+    key = _std_encryption_key(o_entry, p, id1, r, n)
+    u_entry = _std_user_check(key, id1, r)
+    if r >= 3:
+        u_entry = u_entry + b"\x00" * 16
+    if wrong_pw:
+        u_entry = bytes(32)  # mismatching /U: must refuse to decrypt
+    enc = _Rc4Decryptor(key)  # RC4 is symmetric: encryptor too
+
+    content = b"BT (" + text + b") Tj ET"
+    body = enc(4, zlib.compress(content))
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 6 0 R >> >> >>"),
+        4: (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"),
+        5: (b"<< /Filter /Standard /V 2 /R " + str(r).encode()
+            + b" /Length " + str(length).encode()
+            + b" /P " + str(p).encode()
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b"> >>"),
+        6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R /Encrypt 5 0 R /ID [<"
+              + id1.hex().encode() + b"> <" + id1.hex().encode() + b">] >>\n%%EOF")
+    return out.getvalue()
+
+
+def test_pdf_rc4_encrypted_blank_password():
+    pages = pdf_pages(make_encrypted_pdf(b"Sekrit clear text", r=3))
+    assert pages == ["Sekrit clear text"]
+
+
+def test_pdf_rc4_r2_40bit():
+    pages = pdf_pages(make_encrypted_pdf(b"old style", r=2, length=40))
+    assert pages == ["old style"]
+
+
+def test_pdf_encrypted_wrong_password_stubs():
+    """/U mismatch (non-blank user password): refuse, never emit
+    RC4-garbage text."""
+    assert pdf_pages(make_encrypted_pdf(b"secret", wrong_pw=True)) == []
+
+
+def test_pdf_aes_encrypted_stubs():
+    data = make_encrypted_pdf(b"secret")
+    assert pdf_pages(data.replace(b"/V 2", b"/V 4")) == []
+
+
+def test_pdf_unencrypted_path_untouched():
+    pages = pdf_pages(make_pdf([b"BT (no crypto here) Tj ET"]))
+    assert pages == ["no crypto here"]
