@@ -151,7 +151,7 @@ def decode_gif_pixels(data: bytes):
     import numpy as np
 
     info = decode_gif(data)
-    if info is None:
+    if info is None or len(data) < 14:
         return None
     sw, sh = info.width, info.height
     if sw * sh > 64_000_000:  # untrusted header bound
@@ -161,6 +161,8 @@ def decode_gif_pixels(data: bytes):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            return None
         gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
     bg_index = data[11]
@@ -184,6 +186,8 @@ def decode_gif_pixels(data: bytes):
             table = gct
             if iflags & 0x80:  # local color table
                 n = 2 << (iflags & 0x07)
+                if pos + 3 * n > len(data):
+                    return None
                 table = np.frombuffer(
                     data, dtype=np.uint8, count=3 * n, offset=pos
                 ).reshape(n, 3)
@@ -192,7 +196,7 @@ def decode_gif_pixels(data: bytes):
                 return None
             min_code_size = data[pos]
             pos += 1
-            if not (2 <= min_code_size <= 11):
+            if not (2 <= min_code_size <= 8):  # spec: color bits, ≤ 8
                 return None
             lzw = bytearray()
             while pos < len(data) and data[pos] != 0:
