@@ -87,13 +87,15 @@ def splitter_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal self-check (driver-visible gate for the mediadecode
-    kernels): synthesize REAL PNG and WAV payloads in-engine with
-    dimensions/rates derived from doc_id, run them through the strict
-    (no-stub) image/audio feature stages, and compare decoded metadata
-    against the expected values. One row, pass flag; pytest asserts it
-    (tests/test_mediadecode.py covers the kernels directly)."""
+def _synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize REAL PNG / WAV / MP4 payloads in-engine, one of each
+    per doc_id < 64, with every header parameter a fixed arithmetic
+    function of doc_id (width = 8 + id % 32, sample rate =
+    8000 + (id % 3)·4000, duration = 500 + 10·id ms, ...). Because the
+    parameters are pure SQL arithmetic, a DuckDB oracle can recompute
+    the EXPECTED metadata independently — which turns the media decoders
+    from a self-referential gate into an oracle-checked query
+    (media_metadata below)."""
     import io
     import math
     import struct
@@ -164,7 +166,22 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 64
     )
-    assets = docs.mapInPandas(synth, MM.MEDIA_ASSETS)
+    return docs.mapInPandas(synth, MM.MEDIA_ASSETS)
+
+
+def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal self-check (driver-visible gate for the mediadecode
+    kernels): synthesize REAL PNG and WAV payloads in-engine with
+    dimensions/rates derived from doc_id, run them through the strict
+    (no-stub) image/audio feature stages, and compare decoded metadata
+    against the expected values. One row, pass flag; pytest asserts it
+    (tests/test_mediadecode.py covers the kernels directly). The
+    non-self-referential variant is media_metadata (DuckDB recomputes
+    the expectations); this gate additionally covers the float audio
+    stats (rms/peak bounds) the oracle can't express exactly."""
+    from ..sources import multimodal as MM
+
+    assets = _synth_media_assets(spark, sf_dir)
     img = MM.image_features(assets, strict=True).select(
         "asset_id",
         ((F.col("format") == "png")
@@ -206,6 +223,91 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bad",
         ((F.col("n_bad") == 0) & (F.col("n_assets") > 0)).alias("passed"),
     )
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked media decode: the engine synthesizes real
+    PNG/WAV/MP4 payloads (parameters = arithmetic on doc_id,
+    _synth_media_assets) and DECODES them back through the strict
+    image/audio/video stages; DuckDB independently recomputes the
+    expected metadata from the same arithmetic — so a decoder that
+    misreads any header field hash-mismatches. Unlike media_decode_gate
+    this is engine-vs-oracle, not engine-vs-engine. N/A fields are 0
+    (not null) so both sides canonicalize identically."""
+    from ..sources import multimodal as MM
+
+    assets = _synth_media_assets(spark, sf_dir)
+    zero = F.lit(0).cast("long")
+    img = MM.image_features(assets, strict=True).select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        zero.alias("sample_rate"),
+        zero.alias("n_samples"),
+        zero.alias("duration_ms"),
+        zero.alias("n_tracks"),
+        # uniform-0x7f PNG: per-channel mean is exactly 127.0
+        F.round(
+            F.aggregate(F.col("pixel_mean"), F.lit(0.0), lambda a, x: a + x)
+            / F.size("pixel_mean"),
+            4,
+        ).alias("pixel_mean_avg"),
+    )
+    aud = MM.audio_features(assets, strict=True).select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("audio").alias("media_type"),
+        zero.alias("width"),
+        zero.alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        zero.alias("n_tracks"),
+        F.lit(0.0).alias("pixel_mean_avg"),
+    )
+    vid = MM.video_metadata(assets, strict=True).select(
+        F.col("asset_id").cast("long").alias("asset_id"),
+        F.lit("video").alias("media_type"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        zero.alias("channels"),
+        zero.alias("sample_rate"),
+        zero.alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("n_tracks").cast("long").alias("n_tracks"),
+        F.lit(0.0).alias("pixel_mean_avg"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+MEDIA_METADATA_ORACLE = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64)
+SELECT doc_id AS asset_id, 'image' AS media_type,
+       CAST(8 + doc_id % 32 AS BIGINT) AS width,
+       CAST(8 + (doc_id * 7) % 32 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       CAST(0 AS BIGINT) AS sample_rate,
+       CAST(0 AS BIGINT) AS n_samples,
+       CAST(0 AS BIGINT) AS duration_ms,
+       CAST(0 AS BIGINT) AS n_tracks,
+       127.0 AS pixel_mean_avg
+FROM ids
+UNION ALL
+SELECT doc_id, 'audio',
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT),
+       CAST((8000 + (doc_id % 3) * 4000) // 10 AS BIGINT),
+       CAST(100 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM ids
+UNION ALL
+SELECT doc_id, 'video',
+       CAST(64 + doc_id AS BIGINT), CAST(36 + doc_id AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(500 + doc_id * 10 AS BIGINT), CAST(1 AS BIGINT), 0.0
+FROM ids
+"""
 
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +504,7 @@ QUERIES = {
     "recursive_chunks": recursive_chunks,
     "splitter_invariants": splitter_invariants,
     "media_decode_gate": media_decode_gate,
+    "media_metadata": media_metadata,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,
@@ -413,4 +516,7 @@ QUERIES = {
     "rag_chat_answers": rag_chat_answers,
 }
 
-ORACLE: dict[str, str] = {}  # rows-only: non-SQL-expressible operators
+# Rows-only for the non-SQL-expressible operators; media_metadata is the
+# exception — its synthesized payload parameters ARE SQL arithmetic, so
+# the decode round-trip gets a real DuckDB oracle.
+ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
