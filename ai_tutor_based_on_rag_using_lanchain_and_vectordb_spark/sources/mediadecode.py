@@ -322,6 +322,344 @@ def decode_jpeg(data: bytes) -> ImageInfo | None:
     return None
 
 
+def _make_zigzag() -> list[int]:
+    """JPEG zigzag scan order: index k in scan order -> flat position in
+    the 8x8 block (ITU T.81 figure 5)."""
+    idx = []
+    for d in range(15):
+        rng = range(d, -1, -1) if d % 2 == 0 else range(d + 1)
+        for r in rng:
+            c = d - r
+            if r < 8 and c < 8:
+                idx.append(r * 8 + c)
+    return idx
+
+
+_JPEG_ZIGZAG = _make_zigzag()
+
+
+def _jpeg_idct_matrix():
+    """8-point DCT-III basis: spatial = T.T @ coeff @ T (T[u,x] =
+    0.5*C(u)*cos((2x+1)uπ/16))."""
+    import math
+
+    import numpy as np
+
+    t = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return t
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded interval (stuffed
+    0xFF00 already collapsed to 0xFF by the interval splitter)."""
+
+    __slots__ = ("d", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise EOFError
+            self.buf = self.d[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 annex C): {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("bad DHT")
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(br: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t-bit magnitude to its signed value."""
+    if t == 0 or v >= (1 << (t - 1)):
+        return v
+    return v - (1 << t) + 1
+
+
+def decode_jpeg_pixels(data: bytes):
+    """Baseline-JPEG pixel decode (T.81, public spec), pure Python
+    entropy decode + numpy dequant/IDCT: SOF0/SOF1 frames, 8-bit
+    samples, grayscale or 3-component YCbCr, sampling factors 1-2 with
+    chroma upsampling, restart markers, 8/16-bit DQT. Progressive
+    (SOF2), arithmetic coding, 4-component (CMYK), and hierarchical
+    frames return None — metadata-only fallback, same contract as the
+    other pixel decoders. Returns (height, width, channels) uint8.
+
+    Per-block work is one einsum over all blocks per component; only
+    the inherently serial Huffman bitstream walks in Python — fine for
+    the thumbnail/preview sizes a curation pipeline decodes, and the
+    64 MP bound caps untrusted headers."""
+    import numpy as np
+
+    try:
+        if len(data) < 4 or data[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, "np.ndarray"] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
+        restart_interval = 0
+        scan = None  # ([(comp_idx, dc_id, ac_id)], entropy_start)
+
+        i, n = 2, len(data)
+        while i + 4 <= n and scan is None:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                return None
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if seg_len < 2 or i + 2 + seg_len > n:
+                return None
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    p += 1
+                    m = 64 * (2 if pq else 1)
+                    if p + m > len(body) or tq > 3:
+                        return None
+                    raw = (
+                        np.frombuffer(body[p : p + m], dtype=">u2")
+                        if pq
+                        else np.frombuffer(body[p : p + m], dtype=np.uint8)
+                    ).astype(np.int32)
+                    tbl = np.zeros(64, dtype=np.int32)
+                    tbl[_JPEG_ZIGZAG] = raw
+                    qt[tq] = tbl.reshape(8, 8)
+                    p += m
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    counts = body[p + 1 : p + 17]
+                    nsym = sum(counts)
+                    if p + 17 + nsym > len(body) or th > 3:
+                        return None
+                    table = _jpeg_huff_table(counts, body[p + 17 : p + 17 + nsym])
+                    (huff_ac if tc else huff_dc)[th] = table
+                    p += 17 + nsym
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+                if len(body) < 6 or body[0] != 8:
+                    return None
+                h, w = struct.unpack(">HH", body[1:5])
+                nc = body[5]
+                if nc not in (1, 3) or len(body) < 6 + 3 * nc or not (w and h):
+                    return None
+                if w * h > 64_000_000:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid = body[6 + 3 * c]
+                    hv = body[7 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+                frame = (w, h, comps)
+            elif marker in _JPEG_SOF:  # progressive/lossless/arithmetic
+                return None
+            elif marker == 0xDD:  # DRI
+                if len(body) < 2:
+                    return None
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if frame is None or len(body) < 1:
+                    return None
+                ns = body[0]
+                if ns != len(frame[2]) or len(body) < 1 + 2 * ns + 3:
+                    return None
+                ids = [c[0] for c in frame[2]]
+                sel = []
+                for s in range(ns):
+                    cs = body[1 + 2 * s]
+                    if cs not in ids:
+                        return None
+                    td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0x0F
+                    sel.append((ids.index(cs), td, ta))
+                scan = (sel, i + 2 + seg_len)
+            i += 2 + seg_len
+        if scan is None or frame is None:
+            return None
+
+        w, h, comps = frame
+        sel, pos = scan
+        for hi, vi in ((c[1], c[2]) for c in comps):
+            if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                return None
+        for _, td, ta in sel:
+            if td not in huff_dc or ta not in huff_ac:
+                return None
+        for c in comps:
+            if c[3] not in qt:
+                return None
+
+        # split entropy data into restart intervals, unstuffing 0xFF00
+        intervals: list[bytes] = []
+        cur = bytearray()
+        p = pos
+        while p < n:
+            b = data[p]
+            if b != 0xFF:
+                cur.append(b)
+                p += 1
+                continue
+            m = data[p + 1] if p + 1 < n else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                p += 2
+            elif 0xD0 <= m <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+            else:  # EOI or any other marker ends the scan
+                break
+        intervals.append(bytes(cur))
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        n_mcus = mcus_x * mcus_y
+        per_interval = restart_interval or n_mcus
+
+        # per component: coefficient store (n_blocks, 64) + block grid dims
+        grids = []
+        coeffs = []
+        for _, hi, vi, _tq in comps:
+            bw, bh = mcus_x * hi, mcus_y * vi
+            grids.append((bw, bh))
+            coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
+
+        mcu = 0
+        for interval in intervals:
+            if mcu >= n_mcus:
+                break
+            br = _JpegBits(interval)
+            pred = [0] * len(comps)
+            try:
+                for _ in range(min(per_interval, n_mcus - mcu)):
+                    my, mx = divmod(mcu, mcus_x)
+                    for ci, td, ta in sel:
+                        _, hi, vi, _tq = comps[ci]
+                        bw = grids[ci][0]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blk = coeffs[ci][
+                                    (my * vi + by) * bw + (mx * hi + bx)
+                                ]
+                                t = _jpeg_huff_decode(br, huff_dc[td])
+                                if t > 11:
+                                    raise ValueError("bad DC category")
+                                diff = _jpeg_extend(br.bits(t), t) if t else 0
+                                pred[ci] += diff
+                                blk[0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _jpeg_huff_decode(br, huff_ac[ta])
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC overrun")
+                                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                        br.bits(s), s
+                                    )
+                                    k += 1
+                    mcu += 1
+            except (EOFError, ValueError):
+                # truncated interval: keep the blocks decoded so far
+                # (fail-soft like real viewers); a grossly short stream
+                # still yields a mostly-grey image rather than a crash
+                break
+
+        if mcu == 0:
+            return None
+
+        t_mat = _jpeg_idct_matrix()
+        planes = []
+        for ci, (_, hi, vi, tq) in enumerate(comps):
+            bw, bh = grids[ci]
+            deq = coeffs[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
+            spatial = np.einsum(
+                "ux,nuv,vy->nxy", t_mat, deq.astype(np.float64), t_mat
+            )
+            blocks = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+            plane = (
+                blocks.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
+            # upsample to full resolution (nearest, the baseline norm)
+            if hi < hmax:
+                plane = np.repeat(plane, hmax // hi, axis=1)
+            if vi < vmax:
+                plane = np.repeat(plane, vmax // vi, axis=0)
+            planes.append(plane[:h, :w])
+
+        if len(planes) == 1:
+            return planes[0][:, :, None].copy()
+        y, cb, cr = (p.astype(np.float64) for p in planes)
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=2)), 0, 255
+        ).astype(np.uint8)
+    except Exception:
+        # fail-closed: a malformed payload must never kill the Spark
+        # task — unrecognized/corrupt streams degrade to metadata-only
+        return None
+
+
 def decode_image(data: bytes) -> ImageInfo | None:
     """Sniff + decode any supported image container; None if none match
     (caller decides: strict raise vs deterministic stub)."""

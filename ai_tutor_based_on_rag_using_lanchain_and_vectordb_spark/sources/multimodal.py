@@ -3,14 +3,17 @@ with typed metadata, processed by Arrow-batched stages over
 ``mapInPandas``.
 
 Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels),
-PNG PIXELS (full IDAT unfilter → per-channel stats + histogram
-embedding), and WAV audio (header + PCM16 stats) are REAL pure-stdlib
-decoders (``mediadecode.py`` — same move as minidecode.py for
-PDF/DOCX). The deterministic fake is only the fallback for unrecognized
-codecs, and ``strict=True`` raises on those instead. JPEG/GIF/BMP pixel
-content and video codecs remain stubbed: each stub either
-raises NotImplementedError (strict mode) or produces a deterministic
-fake derived from the bytes — the Spark-side plumbing (schemas, batch
+image PIXELS for PNG (IDAT unfilter), baseline JPEG (Huffman + IDCT),
+first-frame GIF (LZW) and uncompressed BMP, and WAV audio (header +
+PCM16 stats) are REAL pure-stdlib+numpy decoders (``mediadecode.py`` —
+same move as minidecode.py for PDF/DOCX). The deterministic fake is
+only the fallback for unrecognized codecs, and ``strict=True`` raises
+on those instead. Still stubbed: progressive/arithmetic JPEG, RLE/
+paletted BMP pixel content (→ metadata-only rows), video SAMPLE decode
+(container metadata is real; codec bitstreams need a decoder library
+this container doesn't ship) — each stub either raises
+NotImplementedError (strict mode) or produces a deterministic fake
+derived from the bytes — the Spark-side plumbing (schemas, batch
 iteration, partitioning, output shapes) is real and tested.
 
 Design for 100 TB: binary payloads stay in Arrow record batches
@@ -120,16 +123,18 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     stats, embedding).
 
     Dimensions/channels come from the REAL stdlib header decoders
-    (PNG/GIF/BMP/JPEG, mediadecode.py). For PNG the PIXELS are decoded
-    for real too (IDAT inflate + unfilter, mediadecode.decode_png_pixels)
-    and produce per-channel mean/std plus a histogram embedding —
-    ``pixels_real=True`` marks those rows. JPEG/GIF/BMP content decode
-    (entropy/LZW/RLE) is beyond stdlib scope: metadata is real, pixel
-    stats are null, the embedding is the deterministic stub and
-    ``pixels_real=False``. Bytes no decoder recognizes raise in
-    ``strict`` mode, as does a recognized PNG whose pixel decode fails
-    (16-bit, interlaced, corrupt stream); else they fall back to the
-    deterministic fake with ``format="unknown"``."""
+    (PNG/GIF/BMP/JPEG, mediadecode.py). PIXELS are decoded for real for
+    PNG (IDAT inflate + unfilter), baseline JPEG (Huffman entropy decode
+    + dequant + IDCT + chroma upsample), first-frame GIF (LZW) and
+    uncompressed 24/32-bit BMP, producing per-channel mean/std plus a
+    histogram embedding — ``pixels_real=True`` marks those rows.
+    Variants outside those decoders (progressive/arithmetic JPEG,
+    RLE/paletted BMP) keep real metadata with null pixel stats, the
+    deterministic stub embedding and ``pixels_real=False``. Bytes no
+    decoder recognizes raise in ``strict`` mode, as does a recognized
+    PNG whose pixel decode fails (16-bit, interlaced, corrupt stream);
+    else they fall back to the deterministic fake with
+    ``format="unknown"``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,6 +163,10 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         # first frame, LZW + palette; malformed streams
                         # fall back to metadata-only
                         img = MD.decode_gif_pixels(data)
+                    elif fmt == "jpeg":
+                        # baseline Huffman + IDCT; progressive/arithmetic
+                        # fall back to metadata-only
+                        img = MD.decode_jpeg_pixels(data)
                 elif strict:
                     raise NotImplementedError(
                         f"unsupported image codec for asset {r['asset_id']} "

@@ -35,6 +35,7 @@ _MAGICS = [
 _DECODERS = [
     MD.decode_image,
     MD.decode_png_pixels,
+    MD.decode_jpeg_pixels,
     MD.decode_gif_pixels,
     MD.decode_bmp_pixels,
     MD.decode_wav,
@@ -64,6 +65,7 @@ def _valid_payloads():
         make_wav,
     )
     from tests.test_minidecode import make_cid_pdf, make_encrypted_pdf, make_pdf, _CMAP
+    from tests.jpeg_ref import encode_jpeg
 
     import numpy as np
 
@@ -73,6 +75,8 @@ def _valid_payloads():
         _encode_png(img, 2, [0, 1, 2, 3, 4]),
         _encode_gif(img),
         _encode_bmp(img),
+        encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
+                    subsample=True, restart_interval=1),
         make_wav()[0],
         make_mp4(),
         make_pdf([b"BT (hello) Tj ET"]),

@@ -520,3 +520,86 @@ def test_gif_image_features_real(spark):
     out = MM.image_features(assets, strict=True).toPandas().iloc[0]
     assert out["format"] == "gif" and out["pixels_real"]
     assert list(out["pixel_mean"]) == [200.0, 200.0, 200.0]
+
+
+# ------------------------------------------------------- JPEG pixel decode
+
+
+def test_jpeg_pixels_gray_roundtrip():
+    """Near-lossless (all-ones quant) encode → decode recovers the exact
+    pixels within DCT rounding error."""
+    from tests.jpeg_ref import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    img = MD.decode_jpeg_pixels(encode_jpeg(g))
+    assert img is not None and img.shape == (24, 33, 1)
+    err = np.abs(img[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 3 and err.mean() < 0.5
+
+
+def test_jpeg_pixels_color_444_roundtrip():
+    from tests.jpeg_ref import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 256, (17, 26, 3), dtype=np.uint8)
+    img = MD.decode_jpeg_pixels(encode_jpeg(c))
+    assert img is not None and img.shape == (17, 26, 3)
+    err = np.abs(img.astype(int) - c.astype(int))
+    # YCbCr forward+inverse adds its own rounding on top of the DCT's
+    assert err.max() <= 4 and err.mean() < 1.0
+
+
+def test_jpeg_pixels_420_subsampled_with_restarts():
+    """4:2:0 chroma subsampling + restart markers: smooth gradients
+    survive 2x2 chroma averaging nearly unchanged, and DC predictors
+    reset correctly at every RST boundary."""
+    from tests.jpeg_ref import encode_jpeg
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(28))
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 2 + 30) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    img = MD.decode_jpeg_pixels(
+        encode_jpeg(smooth, subsample=True, restart_interval=2)
+    )
+    assert img is not None and img.shape == (28, 40, 3)
+    err = np.abs(img.astype(int) - smooth.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_jpeg_pixels_rejects_progressive_and_truncated():
+    from tests.jpeg_ref import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = bytearray(encode_jpeg(g))
+    # flip SOF0 (C0) to SOF2 (progressive) → metadata-only fallback
+    sof = bytes(data).find(b"\xff\xc0")
+    prog = bytes(data[:sof]) + b"\xff\xc2" + bytes(data[sof + 2 :])
+    assert MD.decode_jpeg_pixels(prog) is None
+    assert MD.decode_jpeg(prog) is not None  # header still reads
+    # truncation inside the entropy stream: fail-soft, never raise
+    out = MD.decode_jpeg_pixels(bytes(data[: len(data) - 40]))
+    assert out is None or out.shape == (16, 16, 1)
+
+
+def test_jpeg_image_features_real(spark):
+    """The Spark image stage marks baseline JPEGs pixels_real and
+    reports true per-channel stats."""
+    from tests.jpeg_ref import encode_jpeg
+    import numpy as np
+
+    g = np.full((16, 24), 127, dtype=np.uint8)
+    rows = [(1, 0, "image", bytearray(encode_jpeg(g)), {"ext": "jpg"})]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = MM.image_features(assets, strict=True).collect()[0]
+    assert out["format"] == "jpeg"
+    assert (out["width"], out["height"], out["channels"]) == (24, 16, 1)
+    assert out["pixels_real"]
+    assert abs(out["pixel_mean"][0] - 127.0) <= 1.0
+    assert out["pixel_std"][0] <= 1.0

@@ -1,0 +1,114 @@
+"""Per-round distinct-content sf1 benchmark: one command, one artifact.
+
+The round-4 audit's BENCH_SF1.md was a one-off narrative; distinct-scale
+regressions between audits went unmeasured. This wraps the two manual
+steps into a repeatable run:
+
+1. Build (once, cached) a genuine 10x directory from sf0.1 with
+   ``tools/make_scaled_sf.py --distinct`` semantics — distinct payloads
+   per replica, so distinct-cardinality grows 10x too (the shape that
+   exposes superlinear distinct-state growth).
+2. Run ``bench.py`` against it (1 run/query — this is a growth-factor
+   probe, not a latency gate) and write ``BENCH_SF1_r{N}.json`` with
+   per-query growth factors vs the same-process sf0.1 run.
+
+    python tools/bench_sf1.py            # round auto-detected
+    python tools/bench_sf1.py --round 5
+    python tools/bench_sf1.py --rebuild  # force re-scale of the data
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED_DIR = os.path.join(REPO, ".bench", "sf1d")
+K = 10
+
+
+def detect_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def ensure_scaled(rebuild: bool) -> None:
+    marker = os.path.join(SCALED_DIR, "_SCALE_OK")
+    if os.path.exists(marker) and not rebuild:
+        return
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_scaled_sf.py"),
+         SRC_SF, SCALED_DIR, str(K), "--distinct"],
+        check=True, cwd=REPO,
+    )
+    with open(marker, "w") as f:
+        f.write(f"src={SRC_SF} k={K} distinct=1\n")
+
+
+def run_bench(sf_dir: str, runs: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_RUNS=str(runs))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        check=True, cwd=REPO, env=env, capture_output=True, text=True,
+    ).stdout
+    # bench.py prints ONE JSON line (last non-empty line of stdout)
+    return json.loads([l for l in out.splitlines() if l.strip()][-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="runs per query at sf1 (growth probe: 1)")
+    args = ap.parse_args()
+    rnd = args.round if args.round is not None else detect_round()
+
+    ensure_scaled(args.rebuild)
+    base = run_bench(SRC_SF, args.runs)
+    scaled = run_bench(SCALED_DIR, args.runs)
+
+    growth = {
+        q: (round(scaled["queries"][q] / base["queries"][q], 2)
+            if base["queries"].get(q) else None)
+        for q in scaled["queries"]
+    }
+    artifact = {
+        "metric": "sf1_distinct_growth",
+        "round": rnd,
+        "k": K,
+        "src": SRC_SF,
+        "runs": args.runs,
+        "sf0_1_total_s": base["value"],
+        "sf1_total_s": scaled["value"],
+        "total_growth_x": round(scaled["value"] / base["value"], 2),
+        "sf0_1_queries": base["queries"],
+        "sf1_queries": scaled["queries"],
+        "growth_x": growth,
+        "superlinear": sorted(
+            [q for q, g in growth.items() if g is not None and g > K],
+            key=lambda q: -growth[q],
+        ),
+    }
+    path = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: artifact[k] for k in
+                      ("round", "sf0_1_total_s", "sf1_total_s",
+                       "total_growth_x", "superlinear")}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
