@@ -29,14 +29,17 @@ common cases instead of a stub:
   digitally-produced PDFs (Word/LaTeX/Chrome exports) take. When no
   page tree resolves (damaged xref, exotic layouts) the extractor falls
   back to the previous stream heuristic: each content stream with a
-  ``BT`` block is one pseudo-page. RC4-encrypted PDFs (standard
-  security handler, V 1/2 R 2/3) decrypt when the user password is
-  blank — the usual owner-restricted case — via MD5 key derivation +
-  per-object RC4 (ISO 32000-1 Algorithms 1/2, pure hashlib); the /U
-  entry is verified first so a real password never yields garbage
-  text. Not handled (falls back to the caller's stub): AES-encrypted
-  (V 4/5) or password-protected PDFs, and Type0 fonts that ship no
-  ToUnicode map (unrecoverable without external CMap tables).
+  ``BT`` block is one pseudo-page. Encrypted PDFs (standard security
+  handler) decrypt when the user password is blank — the usual
+  owner-restricted case — across all the standard cipher generations:
+  RC4 (V 1/2 R 2/3), AESV2 (V 4 R 3/4, AES-128-CBC per-object keys)
+  and AESV3 (V 5 R 5/6, AES-256 with the R6 hardened hash), via pure
+  hashlib MD5/SHA-2 key derivation plus an in-repo FIPS-197 AES
+  (known-answer-vector tested); the /U entry is verified first so a
+  real password never yields garbage text. Not handled (falls back to
+  the caller's stub): password-protected PDFs, non-standard security
+  handlers, and Type0 fonts that ship no ToUnicode map (unrecoverable
+  without external CMap tables).
 
 Both return ``[]`` when the payload yields nothing, so callers can
 fall back (loaders.decode_pdf / decode_docx keep their import-gated
@@ -237,14 +240,17 @@ def _dict_string(body: bytes, name: bytes) -> bytes | None:
     return None
 
 
-def _std_encryption_key(o: bytes, p: int, id1: bytes, r: int, n: int) -> bytes:
+def _std_encryption_key(
+    o: bytes, p: int, id1: bytes, r: int, n: int, encrypt_metadata: bool = True
+) -> bytes:
     """ISO 32000-1 Algorithm 2 with the EMPTY user password (the only
     case recoverable without a secret — most "encrypted" PDFs in the
     wild are owner-restricted with a blank user password)."""
     import hashlib
     import struct as _s
 
-    md = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<i", p) + id1)
+    tail = b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff"
+    md = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<i", p) + id1 + tail)
     key = md.digest()[:n]
     if r >= 3:
         for _ in range(50):
@@ -283,12 +289,224 @@ class _Rc4Decryptor:
         return _rc4(ok, data)
 
 
+# ------------------------------------------- AES (FIPS-197, pure Python)
+#
+# Needed for AESV2/AESV3 PDFs (and the R6 password hash, which runs
+# AES-128-CBC inside its digest loop). Table-driven; the S-box and GF
+# log/exp tables are generated from the spec's definitions rather than
+# pasted, so there's nothing to mistype.
+
+
+def _aes_xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B if a & 0x80 else a << 1) & 0xFF
+
+
+def _aes_make_tables():
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= _aes_xtime(x)  # x *= 3 (generator)
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+    sbox = [0] * 256
+    inv_sbox = [0] * 256
+    for a in range(256):
+        s = exp[255 - log[a]] if a else 0
+        b = 0x63
+        for k in range(5):  # affine transform: s ^ rotl(s,1..4) ^ 0x63
+            b ^= ((s << k) | (s >> (8 - k))) & 0xFF
+        sbox[a] = b
+        inv_sbox[b] = a
+    return exp, log, sbox, inv_sbox
+
+
+_AES_EXP, _AES_LOG, _AES_SBOX, _AES_INV_SBOX = _aes_make_tables()
+
+
+def _gmul(a: int, b: int) -> int:
+    if not a or not b:
+        return 0
+    return _AES_EXP[_AES_LOG[a] + _AES_LOG[b]]
+
+
+def _aes_expand_key(key: bytes):
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_AES_SBOX[b] for b in t[1:] + t[:1]]
+            t[0] ^= rcon
+            rcon = _aes_xtime(rcon)
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return w, nr
+
+
+def _aes_ark(s: list[int], w, rnd: int) -> None:
+    for c in range(4):
+        wk = w[4 * rnd + c]
+        for r in range(4):
+            s[4 * c + r] ^= wk[r]
+
+
+def _aes_encrypt_block(w, nr: int, block: bytes) -> bytes:
+    s = list(block)
+    _aes_ark(s, w, 0)
+    for rnd in range(1, nr + 1):
+        s = [_AES_SBOX[b] for b in s]
+        s = [s[4 * ((c + r) % 4) + r] for c in range(4) for r in range(4)]
+        if rnd < nr:
+            m = [0] * 16
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+                m[4 * c] = _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3
+                m[4 * c + 1] = a0 ^ _gmul(a1, 2) ^ _gmul(a2, 3) ^ a3
+                m[4 * c + 2] = a0 ^ a1 ^ _gmul(a2, 2) ^ _gmul(a3, 3)
+                m[4 * c + 3] = _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2)
+            s = m
+        _aes_ark(s, w, rnd)
+    return bytes(s)
+
+
+def _aes_decrypt_block(w, nr: int, block: bytes) -> bytes:
+    s = list(block)
+    _aes_ark(s, w, nr)
+    for rnd in range(nr - 1, -1, -1):
+        s = [s[4 * ((c - r) % 4) + r] for c in range(4) for r in range(4)]
+        s = [_AES_INV_SBOX[b] for b in s]
+        _aes_ark(s, w, rnd)
+        if rnd:
+            m = [0] * 16
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+                m[4 * c] = (
+                    _gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13) ^ _gmul(a3, 9)
+                )
+                m[4 * c + 1] = (
+                    _gmul(a0, 9) ^ _gmul(a1, 14) ^ _gmul(a2, 11) ^ _gmul(a3, 13)
+                )
+                m[4 * c + 2] = (
+                    _gmul(a0, 13) ^ _gmul(a1, 9) ^ _gmul(a2, 14) ^ _gmul(a3, 11)
+                )
+                m[4 * c + 3] = (
+                    _gmul(a0, 11) ^ _gmul(a1, 13) ^ _gmul(a2, 9) ^ _gmul(a3, 14)
+                )
+            s = m
+    return bytes(s)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """No padding (caller aligns) — used by the R6 hash and the test
+    fixtures' encrypt side."""
+    w, nr = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data) // 16 * 16, 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(w, nr, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, iv: bytes, ct: bytes, strip_pad: bool) -> bytes:
+    w, nr = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct) // 16 * 16, 16):
+        blk = ct[i : i + 16]
+        pt = _aes_decrypt_block(w, nr, blk)
+        out += bytes(a ^ b for a, b in zip(pt, prev))
+        prev = blk
+    if strip_pad and out and 1 <= out[-1] <= 16 and len(out) >= out[-1]:
+        del out[-out[-1] :]
+    return bytes(out)
+
+
+class _AesDecryptor:
+    """Per-object AES-CBC decryption: stream payload = 16-byte IV +
+    ciphertext, PKCS#7-style padding. V4/AESV2 derives a per-object key
+    (Algorithm 1 with the 'sAlT' suffix); V5/AESV3 uses the file key
+    directly."""
+
+    def __init__(self, key: bytes, per_object: bool):
+        self.key = key
+        self.per_object = per_object
+
+    def __call__(self, objnum: int, data: bytes) -> bytes:
+        import hashlib
+        import struct as _s
+
+        if len(data) < 16:
+            return b""
+        if self.per_object:
+            ok = hashlib.md5(
+                self.key + _s.pack("<I", objnum)[:3] + b"\x00\x00" + b"sAlT"
+            ).digest()[: min(len(self.key) + 5, 16)]
+        else:
+            ok = self.key
+        return _aes_cbc_decrypt(ok, data[:16], data[16:], strip_pad=True)
+
+
+def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 hardened hash): SHA-256 seed,
+    then rounds of AES-128-CBC over 64 repetitions of (password ‖ K ‖
+    udata) with the digest function chosen by the ciphertext mod 3,
+    until round ≥ 64 and last byte ≤ round − 32."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _build_v5_decryptor(enc: bytes, r: int):
+    """AESV3 (V5, R5/R6), blank user password: verify /U's validation
+    hash, then unwrap the file key from /UE with the key-salt hash."""
+    import hashlib
+
+    u = _dict_string(enc, b"U")
+    ue = _dict_string(enc, b"UE")
+    if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+        raise ValueError("malformed V5 /Encrypt dictionary")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        check = _hash_r6(b"", vsalt)
+        inter = _hash_r6(b"", ksalt)
+    else:  # R5 (deprecated Adobe extension): plain SHA-256
+        check = hashlib.sha256(vsalt).digest()
+        inter = hashlib.sha256(ksalt).digest()
+    if check != u[:32]:
+        raise ValueError("non-blank user password")
+    file_key = _aes_cbc_decrypt(inter, b"\x00" * 16, ue[:32], strip_pad=False)
+    return _AesDecryptor(file_key, per_object=False)
+
+
 def _build_decryptor(data: bytes, table: dict[int, bytes]):
-    """None when the document isn't encrypted; an ``_Rc4Decryptor`` for
-    the standard handler with a blank user password (V 1/2, R 2/3,
-    RC4); raises ValueError for handlers this extractor can't do
-    (AES /V 4-5, non-blank passwords, custom filters) so the caller
-    falls back to the stub instead of emitting garbage."""
+    """None when the document isn't encrypted; a decryptor callable for
+    the standard handler with a blank user password — RC4 (V 1/2,
+    R 2/3), AESV2 (V 4, R 4) and AESV3 (V 5, R 5/6); raises ValueError
+    for anything else (non-blank passwords, custom security handlers,
+    crypt filters other than StdCF) so the caller falls back to the
+    stub instead of emitting garbage."""
     em = None
     for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
         em = m  # last trailer wins (incremental updates)
@@ -301,8 +519,25 @@ def _build_decryptor(data: bytes, table: dict[int, bytes]):
     rm = re.search(rb"/R\s+(\d+)", enc)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
-        raise ValueError(f"unsupported encryption V={v} R={r} (AES?)")
+    if v == 5 and r in (5, 6):
+        return _build_v5_decryptor(enc, r)
+    aes = False
+    if v == 4:
+        # V4 wraps the cipher choice in crypt filters; only the default
+        # /StdCF stream filter is supported (that's what Acrobat writes)
+        cfm = re.search(rb"/StdCF\s*<<[^>]*?/CFM\s*/(\w+)", enc, re.S)
+        stmf = re.search(rb"/StmF\s*/(\w+)", enc)
+        if stmf is not None and stmf.group(1) != b"StdCF":
+            raise ValueError("unsupported V4 stream crypt filter")
+        cfm_name = cfm.group(1) if cfm else b""
+        if cfm_name == b"AESV2":
+            aes = True
+        elif cfm_name != b"V2":  # V2 = RC4 in a V4 container
+            raise ValueError(f"unsupported V4 CFM {cfm_name!r}")
+        if r not in (3, 4):
+            raise ValueError(f"unsupported encryption V=4 R={r}")
+    elif v not in (1, 2) or r not in (2, 3):
+        raise ValueError(f"unsupported encryption V={v} R={r}")
     o = _dict_string(enc, b"O")
     u = _dict_string(enc, b"U")
     pm = re.search(rb"/P\s+(-?\d+)", enc)
@@ -314,12 +549,15 @@ def _build_decryptor(data: bytes, table: dict[int, bytes]):
     for m in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
         id_m = m
     id1 = _hex_bytes(id_m.group(1)) if id_m else b""
-    key = _std_encryption_key(o, int(pm.group(1)), id1, r, n)
+    encrypt_metadata = re.search(rb"/EncryptMetadata\s+false", enc) is None
+    key = _std_encryption_key(
+        o, int(pm.group(1)), id1, r, n, encrypt_metadata
+    )
     expect = _std_user_check(key, id1, r)
     got = u[:16] if r >= 3 else u[:32]
     if got != expect[: len(got)]:
         raise ValueError("non-blank user password")
-    return _Rc4Decryptor(key)
+    return _AesDecryptor(key, per_object=True) if aes else _Rc4Decryptor(key)
 
 
 # indirect objects: "N G obj ... endobj". Non-greedy body; stream

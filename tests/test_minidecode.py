@@ -520,3 +520,159 @@ def test_pdf_aes_encrypted_stubs():
 def test_pdf_unencrypted_path_untouched():
     pages = pdf_pages(make_pdf([b"BT (no crypto here) Tj ET"]))
     assert pages == ["no crypto here"]
+
+
+# ---------------------------------------------------- AES-encrypted PDFs
+
+
+def test_aes_fips197_vectors():
+    """FIPS-197 appendix C known-answer tests pin the cipher itself."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import (
+        minidecode as M,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for key, want in [
+        (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        w, nr = M._aes_expand_key(key)
+        ct = M._aes_encrypt_block(w, nr, pt)
+        assert ct.hex() == want
+        assert M._aes_decrypt_block(w, nr, ct) == pt
+
+
+def _aes_pad(data: bytes) -> bytes:
+    n = 16 - len(data) % 16
+    return data + bytes([n]) * n
+
+
+def _assemble_pdf(objs: dict[int, bytes], trailer_extra: bytes) -> bytes:
+    out = io.BytesIO()
+    out.write(b"%PDF-1.6\n")
+    for num in sorted(objs):
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R " + trailer_extra + b" >>\n%%EOF")
+    return out.getvalue()
+
+
+def _page_objs(body: bytes) -> dict[int, bytes]:
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 6 0 R >> >> >>"),
+        4: (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"),
+        6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+
+
+def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True):
+    """AESV2 (V4 R4, AES-128-CBC, StdCF) with a blank user password."""
+    import hashlib
+    import struct as _s
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+        _aes_cbc_encrypt,
+        _std_encryption_key,
+        _std_user_check,
+    )
+
+    o_entry = bytes(range(32))
+    id1 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    key = _std_encryption_key(o_entry, p, id1, 4, 16, encrypt_metadata)
+    u_entry = _std_user_check(key, id1, 4) + b"\x00" * 16
+
+    objnum = 4
+    ok = hashlib.md5(
+        key + _s.pack("<I", objnum)[:3] + b"\x00\x00" + b"sAlT"
+    ).digest()[:16]
+    iv = bytes(range(16))
+    body = iv + _aes_cbc_encrypt(ok, iv, _aes_pad(zlib.compress(
+        b"BT (" + text + b") Tj ET"
+    )))
+
+    objs = _page_objs(body)
+    em = b"" if encrypt_metadata else b" /EncryptMetadata false"
+    objs[5] = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+        + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        + b" /StmF /StdCF /StrF /StdCF"
+        + em
+        + b" /P " + str(p).encode()
+        + b" /O <" + o_entry.hex().encode() + b">"
+        + b" /U <" + u_entry.hex().encode() + b"> >>"
+    )
+    return _assemble_pdf(
+        objs,
+        b"/Encrypt 5 0 R /ID [<" + id1.hex().encode() + b"> <"
+        + id1.hex().encode() + b">]",
+    )
+
+
+def make_aesv3_pdf(text: bytes, r=6, password=b""):
+    """AESV3 (V5 R5/R6, AES-256-CBC) with a blank user password;
+    ``password`` perturbs the /U validation hash to simulate a
+    non-blank-password document."""
+    import hashlib
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+        _aes_cbc_encrypt,
+        _hash_r6,
+    )
+
+    file_key = bytes(range(100, 132))
+    vsalt, ksalt = bytes(range(8)), bytes(range(8, 16))
+    if r == 6:
+        check = _hash_r6(password, vsalt)
+        inter = _hash_r6(password, ksalt)
+    else:
+        check = hashlib.sha256(password + vsalt).digest()
+        inter = hashlib.sha256(password + ksalt).digest()
+    u_entry = check + vsalt + ksalt
+    ue_entry = _aes_cbc_encrypt(inter, b"\x00" * 16, file_key)
+
+    iv = bytes(range(16, 32))
+    body = iv + _aes_cbc_encrypt(file_key, iv, _aes_pad(zlib.compress(
+        b"BT (" + text + b") Tj ET"
+    )))
+
+    objs = _page_objs(body)
+    objs[5] = (
+        b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+        + b" /Length 256"
+        + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+        + b" /StmF /StdCF /StrF /StdCF /P -44"
+        + b" /O <" + bytes(48).hex().encode() + b">"
+        + b" /OE <" + bytes(32).hex().encode() + b">"
+        + b" /U <" + u_entry.hex().encode() + b">"
+        + b" /UE <" + ue_entry.hex().encode() + b"> >>"
+    )
+    return _assemble_pdf(objs, b"/Encrypt 5 0 R")
+
+
+def test_pdf_aesv2_blank_password():
+    assert pdf_pages(make_aesv2_pdf(b"AES hidden text")) == ["AES hidden text"]
+
+
+def test_pdf_aesv2_encrypt_metadata_false():
+    """/EncryptMetadata false changes the key derivation (extra FFFFFFFF
+    in the MD5) — both sides must agree."""
+    pages = pdf_pages(make_aesv2_pdf(b"meta false", encrypt_metadata=False))
+    assert pages == ["meta false"]
+
+
+def test_pdf_aesv3_r6_blank_password():
+    assert pdf_pages(make_aesv3_pdf(b"AES256 text", r=6)) == ["AES256 text"]
+
+
+def test_pdf_aesv3_r5_blank_password():
+    assert pdf_pages(make_aesv3_pdf(b"old R5", r=5)) == ["old R5"]
+
+
+def test_pdf_aesv3_nonblank_password_stubs():
+    """A real password means the validation hash can't match blank:
+    refuse rather than emit garbage."""
+    assert pdf_pages(make_aesv3_pdf(b"secret", password=b"hunter2")) == []
