@@ -672,18 +672,87 @@ def decode_image(data: bytes) -> ImageInfo | None:
     return None
 
 
+# Adam7 interlace passes: (row_start, row_step, col_start, col_step)
+_PNG_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reconstruct ``h`` scanlines of ``stride`` bytes from the
+    filtered stream (filter byte + data per line, filters 0-4, T.81—er,
+    RFC 2083 §6). ``bpp`` is the filter distance in bytes. Returns the
+    (h, stride) uint8 array or None. Filters None/Sub/Up are whole-row
+    numpy ops (Sub is a cumsum over bpp-strided groups mod 256);
+    Average/Paeth loop over pixel groups within the row only."""
+    import numpy as np
+
+    if len(raw) != h * (stride + 1) or stride % bpp:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    groups = stride // bpp
+    for y in range(h):
+        f, line = filters[y], lines[y]
+        prev = recon[y - 1].astype(np.int32) if y else zero
+        if f == 0:
+            out = line % 256
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
+            out = (np.cumsum(line.reshape(groups, bpp), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            out = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-neighbor dependency
+            out = np.zeros(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(groups):
+                seg = slice(x * bpp, (x + 1) * bpp)
+                up = prev[seg]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = (
+                        np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                    )
+                out[seg] = (line[seg] + pred) % 256
+                left, upleft = out[seg], up
+        else:
+            return None
+        recon[y] = out.astype(np.uint8)
+    return recon
+
+
+def _png_samples(recon, w: int, h: int, ch: int, depth: int):
+    """(h, stride) filtered-out bytes -> (h, w, ch) uint8 samples.
+    16-bit takes the high byte (the standard 8-bit downscale); 1/2/4-bit
+    unpack MSB-first within each scanline."""
+    import numpy as np
+
+    if depth == 8:
+        return recon.reshape(h, w, ch)
+    if depth == 16:
+        return recon.reshape(h, w, ch, 2)[:, :, :, 0].copy()
+    bits = np.unpackbits(recon, axis=1)[:, : w * ch * depth]
+    vals = bits.reshape(h, w * ch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8).reshape(
+        h, w, ch
+    )
+
+
 def decode_png_pixels(data: bytes):
     """Full PNG pixel decode, pure stdlib (zlib) + numpy: concatenated
     IDAT inflate, per-scanline unfilter (all five filter types 0-4),
-    palette expansion via PLTE. Returns a (height, width, channels)
-    uint8 ndarray, or None when the payload isn't a PNG this decoder
-    covers (bit depth != 8, interlaced, or a corrupt stream).
-
-    Vectorization: filters None/Sub/Up reconstruct as whole-row numpy
-    ops (Sub is a cumulative sum over bpp-strided groups mod 256);
-    Average/Paeth carry a per-pixel dependency on the left neighbor and
-    loop over pixels within the row only — rows stay numpy.
-    """
+    every legal bit depth (1/2/4/8/16 — 16-bit downscales to 8), Adam7
+    interlace, palette expansion via PLTE. Returns a (height, width,
+    channels) uint8 ndarray, or None for corrupt streams."""
     import zlib
 
     import numpy as np
@@ -691,9 +760,13 @@ def decode_png_pixels(data: bytes):
     info = decode_png(data)
     if info is None:
         return None
-    bit_depth, color_type, interlace = data[24], data[25], data[28]
-    if bit_depth != 8 or interlace != 0:
-        return None  # 16-bit and Adam7 out of scope (rare in corpora)
+    depth, color_type, interlace = data[24], data[25], data[28]
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
+        return None
+    if depth < 8 and color_type not in (0, 3):
+        return None  # sub-byte depths are gray/palette only (spec)
+    if depth == 16 and color_type == 3:
+        return None
 
     idat = bytearray()
     plte = None
@@ -715,46 +788,34 @@ def decode_png_pixels(data: bytes):
         return None
 
     w, h, ch = info.width, info.height, info.channels
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        return None
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int32)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    zero = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f, line = filters[y], lines[y]
-        prev = recon[y - 1].astype(np.int32) if y else zero
-        if f == 0:
-            out = line % 256
-        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-bpp]
-            out = (np.cumsum(line.reshape(w, ch), axis=0) % 256).reshape(stride)
-        elif f == 2:  # Up
-            out = (line + prev) % 256
-        elif f in (3, 4):  # Average / Paeth: left-neighbor dependency
-            out = np.zeros(stride, dtype=np.int32)
-            left = np.zeros(ch, dtype=np.int32)
-            upleft = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                seg = slice(x * ch, (x + 1) * ch)
-                up = prev[seg]
-                if f == 3:
-                    pred = (left + up) // 2
-                else:
-                    p = left + up - upleft
-                    pa, pb, pc = (
-                        np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
-                    )
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
-                    )
-                out[seg] = (line[seg] + pred) % 256
-                left, upleft = out[seg], up
-        else:
-            return None
-        recon[y] = out.astype(np.uint8)
+    bpp = max(1, ch * depth // 8)
 
-    img = recon.reshape(h, w, ch)
+    def pass_stride(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
+    if interlace == 0:
+        recon = _png_unfilter(raw, h, pass_stride(w), bpp)
+        if recon is None:
+            return None
+        img = _png_samples(recon, w, h, ch, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for y0, dy, x0, dx in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if not pw or not ph:
+                continue
+            stride = pass_stride(pw)
+            seg = raw[off : off + ph * (stride + 1)]
+            off += ph * (stride + 1)
+            recon = _png_unfilter(seg, ph, stride, bpp)
+            if recon is None:
+                return None
+            img[y0::dy, x0::dx] = _png_samples(recon, pw, ph, ch, depth)
+        if off != len(raw):
+            return None
+
     if color_type == 3:  # palette indexes -> RGB
         if plte is None or len(plte) < 3:
             return None
@@ -763,7 +824,11 @@ def decode_png_pixels(data: bytes):
         idx = img[:, :, 0]
         if idx.max() >= len(pal):
             return None
-        img = pal[idx]
+        return pal[idx]
+    if depth < 8:  # grayscale at sub-byte depth: scale to full range
+        return (img.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     return img
 
 

@@ -132,9 +132,9 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     RLE/paletted BMP) keep real metadata with null pixel stats, the
     deterministic stub embedding and ``pixels_real=False``. Bytes no
     decoder recognizes raise in ``strict`` mode, as does a recognized
-    PNG whose pixel decode fails (16-bit, interlaced, corrupt stream);
-    else they fall back to the deterministic fake with
-    ``format="unknown"``."""
+    PNG whose pixel decode fails (corrupt stream — every legal PNG
+    depth and Adam7 interlace decode for real); else they fall back to
+    the deterministic fake with ``format="unknown"``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -603,3 +603,100 @@ def test_jpeg_image_features_real(spark):
     assert out["pixels_real"]
     assert abs(out["pixel_mean"][0] - 127.0) <= 1.0
     assert out["pixel_std"][0] <= 1.0
+
+
+# -------------------------------------- PNG: full-depth + Adam7 coverage
+
+
+def _png_chunks(ihdr_fields, idat_raw, palette=None):
+    """Assemble a PNG from raw (already filtered) scanline bytes."""
+    import numpy as np  # noqa: F401
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    return out + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+
+
+def test_png_pixels_16bit_rgb():
+    """16-bit samples downscale to their high byte."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    raw = b"".join(
+        b"\x00" + bytes(
+            b for px in range(4) for c in range(3)
+            for b in (int(hi[y, px, c]), int(lo[y, px, c]))
+        )
+        for y in range(5)
+    )
+    data = _png_chunks((4, 5, 16, 2, 0, 0, 0), raw)
+    img = MD.decode_png_pixels(data)
+    assert img is not None and img.shape == (5, 4, 3)
+    assert (img == hi).all()
+
+
+def test_png_pixels_1bit_gray():
+    import numpy as np
+
+    # 10px-wide checkerboard, 3 rows: bits pack MSB-first
+    rows = [0b10101010, 0b01010101, 0b11110000]
+    raw = b"".join(bytes([0, r, (r << 6) & 0xFF]) for r in rows)
+    data = _png_chunks((10, 3, 1, 0, 0, 0, 0), raw)
+    img = MD.decode_png_pixels(data)
+    assert img is not None and img.shape == (3, 10, 1)
+    for y, r in enumerate(rows):
+        # second byte carries (r << 6): pixels 8,9 are r's low two bits
+        bits = [(r >> (7 - i)) & 1 for i in range(8)] + [(r >> 1) & 1, r & 1]
+        assert (img[y, :, 0] == np.array(bits) * 255).all()
+
+
+def test_png_pixels_4bit_palette():
+    import numpy as np
+
+    pal = [10, 20, 30, 200, 100, 0, 0, 0, 255, 7, 7, 7]  # 4 RGB entries
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    raw = b"".join(
+        bytes([0, (int(r[0]) << 4) | int(r[1]), int(r[2]) << 4]) for r in idx
+    )
+    data = _png_chunks((3, 2, 4, 3, 0, 0, 0), raw, palette=pal)
+    img = MD.decode_png_pixels(data)
+    assert img is not None and img.shape == (2, 3, 3)
+    expect = np.array(pal, dtype=np.uint8).reshape(4, 3)[idx]
+    assert (img == expect).all()
+
+
+def test_png_pixels_adam7_interlaced():
+    """Adam7: seven independently filtered sub-images (filter 0 on the
+    first row of each pass, Up on the rest) reassemble to the original."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    w, h, ch = 10, 9, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    passes = [(0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+              (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1)]
+    raw = bytearray()
+    for y0, dy, x0, dx in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph = sub.shape[0]
+        flat = sub.reshape(ph, -1).astype(np.int32)
+        for y in range(ph):
+            if y == 0:
+                raw += b"\x00" + bytes((flat[0] % 256).astype(np.uint8).tolist())
+            else:  # Up filter: stored = cur - prev
+                raw += b"\x02" + bytes(
+                    ((flat[y] - flat[y - 1]) % 256).astype(np.uint8).tolist()
+                )
+    data = _png_chunks((w, h, 8, 2, 0, 0, 1), bytes(raw))
+    out = MD.decode_png_pixels(data)
+    assert out is not None and out.shape == (h, w, ch)
+    assert (out == img).all()
