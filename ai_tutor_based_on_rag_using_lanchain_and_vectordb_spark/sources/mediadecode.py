@@ -249,12 +249,66 @@ def decode_bmp(data: bytes) -> ImageInfo | None:
     return ImageInfo("bmp", width, abs(height), channels)
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
+    """RLE8/RLE4 (BI_RLE8/BI_RLE4) -> (h, w) palette indexes, bottom-up
+    row order like the uncompressed layouts. Escapes: 0=end-of-line,
+    1=end-of-bitmap, 2=delta; other second bytes after a zero start an
+    absolute run. Fail-soft: a truncated stream keeps what decoded."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:  # encoded run
+            if four_bit:
+                pair = [(val >> 4) & 0x0F, val & 0x0F]
+                run = [pair[i % 2] for i in range(cnt)]
+            else:
+                run = [val] * cnt
+            end = min(x + cnt, w)
+            out[y, x:end] = run[: end - x]
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                break
+            x = min(x + data[pos], w)
+            y += data[pos + 1]
+            pos += 2
+            if y >= h:
+                break
+        else:  # absolute mode: val literal pixels, word-aligned
+            if four_bit:
+                nbytes = (val + 1) // 2
+                lit = []
+                for i in range(val):
+                    if pos + i // 2 >= n:
+                        break
+                    b = data[pos + i // 2]
+                    lit.append((b >> 4) & 0x0F if i % 2 == 0 else b & 0x0F)
+            else:
+                nbytes = val
+                lit = list(data[pos : pos + val])
+            pos += nbytes + (nbytes & 1)
+            end = min(x + len(lit), w)
+            out[y, x:end] = lit[: end - x]
+            x = end
+    return out[::-1]  # RLE bitmaps are always bottom-up
+
+
 def decode_bmp_pixels(data: bytes):
-    """Uncompressed BMP pixel decode (24/32-bit BITMAPINFOHEADER DIBs —
-    the overwhelmingly common on-disk layouts): raw bottom-up BGR(A)
-    rows padded to 4-byte boundaries, returned as (height, width,
-    channels) uint8 in RGB(A) order. Compressed (RLE) or paletted BMPs
-    return None."""
+    """BMP pixel decode for BITMAPINFOHEADER DIBs: uncompressed 24/32
+    bit BGR(A), uncompressed paletted 1/4/8-bit, and RLE8/RLE4. Rows
+    are bottom-up (or top-down when height is negative) padded to
+    4-byte boundaries; paletted images expand through the BGRA color
+    table to (height, width, 3) RGB. 16-bit bitfield layouts return
+    None (metadata-only)."""
     import numpy as np
 
     info = decode_bmp(data)
@@ -267,25 +321,57 @@ def decode_bmp_pixels(data: bytes):
     top_down = raw_h < 0
     bpp = struct.unpack("<H", data[28:30])[0]
     compression = struct.unpack("<I", data[30:34])[0]
-    if bpp not in (24, 32) or compression not in (0, 3):  # BI_RGB/BITFIELDS
-        return None
     (pixel_off,) = struct.unpack("<I", data[10:14])
     w, h = info.width, info.height
-    nch = bpp // 8
-    row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
-    need = pixel_off + row_bytes * h
-    if len(data) < need:
+
+    if bpp in (24, 32) and compression in (0, 3):  # BI_RGB/BITFIELDS
+        nch = bpp // 8
+        row_bytes = (w * nch + 3) & ~3  # rows pad to 4-byte boundaries
+        if len(data) < pixel_off + row_bytes * h:
+            return None
+        arr = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+        )
+        rows = arr.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+        if not top_down:
+            rows = rows[::-1]
+        # BGR(A) -> RGB(A)
+        rows = rows[:, :, [2, 1, 0]] if nch == 3 else rows[:, :, [2, 1, 0, 3]]
+        return np.ascontiguousarray(rows)
+
+    if bpp not in (1, 4, 8):
         return None
-    arr = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
-    rows = arr.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
-    if not top_down:
-        rows = rows[::-1]
-    # BGR(A) -> RGB(A)
-    if nch == 3:
-        rows = rows[:, :, [2, 1, 0]]
+    # palette: BGRA entries right after the info header
+    n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bpp)
+    pal_off = 14 + header_size
+    if n_colors > 256 or len(data) < pal_off + 4 * n_colors:
+        return None
+    pal = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+    ).reshape(n_colors, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+
+    if compression == 0:
+        row_bytes = ((w * bpp + 7) // 8 + 3) & ~3
+        if len(data) < pixel_off + row_bytes * h:
+            return None
+        arr = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+        ).reshape(h, row_bytes)
+        if bpp == 8:
+            idx = arr[:, :w]
+        else:
+            bits = np.unpackbits(arr, axis=1)[:, : w * bpp].reshape(h, w, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+        if not top_down:
+            idx = idx[::-1]
+    elif (compression, bpp) in ((1, 8), (2, 4)):  # BI_RLE8 / BI_RLE4
+        idx = _bmp_rle_decode(data[pixel_off:], w, h, four_bit=(bpp == 4))
     else:
-        rows = rows[:, :, [2, 1, 0, 3]]
-    return np.ascontiguousarray(rows)
+        return None
+    if idx.max(initial=0) >= n_colors:
+        return None
+    return np.ascontiguousarray(pal[idx])
 
 
 def decode_jpeg(data: bytes) -> ImageInfo | None:
@@ -837,8 +923,9 @@ def decode_png_pixels(data: bytes):
 
 def decode_wav(data: bytes) -> AudioInfo | None:
     """RIFF/WAVE fmt + data chunk walk. Stats (rms/peak, normalized to
-    [0,1]) are computed for 16-bit PCM; other encodings return header
-    fields with zero stats rather than failing."""
+    [0,1]) are computed for integer PCM at 8 (unsigned), 16, 24 and 32
+    bits and IEEE-float at 32/64 bits; other encodings (ADPCM, µ-law)
+    return header fields with zero stats rather than failing."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     pos, n = 12, len(data)
@@ -861,13 +948,29 @@ def decode_wav(data: bytes) -> AudioInfo | None:
     n_samples = len(pcm) // bytes_per_frame if bytes_per_frame else 0
     duration_ms = int(n_samples * 1000 // rate) if rate else 0
     rms = peak = 0.0
-    if audio_fmt == 1 and bits == 16 and n_samples:
+    if n_samples:
         import numpy as np
 
-        x = np.frombuffer(pcm[: n_samples * bytes_per_frame], dtype="<i2")
-        x = x.astype(np.float64) / 32768.0
-        rms = float(np.sqrt(np.mean(x * x)))
-        peak = float(np.max(np.abs(x)))
+        buf = pcm[: n_samples * bytes_per_frame]
+        x = None
+        if audio_fmt == 1 and bits == 16:
+            x = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+        elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
+            x = (np.frombuffer(buf, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif audio_fmt == 1 and bits == 24:
+            b = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif audio_fmt == 1 and bits == 32:
+            x = np.frombuffer(buf, dtype="<i4").astype(np.float64) / float(1 << 31)
+        elif audio_fmt == 3 and bits == 32:  # IEEE float
+            x = np.frombuffer(buf, dtype="<f4").astype(np.float64)
+        elif audio_fmt == 3 and bits == 64:
+            x = np.frombuffer(buf, dtype="<f8")
+        if x is not None and len(x) and np.isfinite(x).all():
+            rms = float(np.sqrt(np.mean(x * x)))
+            peak = float(np.max(np.abs(x)))
     return AudioInfo("wav", channels, rate, bits, n_samples, duration_ms, rms, peak)
 
 

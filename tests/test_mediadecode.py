@@ -700,3 +700,105 @@ def test_png_pixels_adam7_interlaced():
     out = MD.decode_png_pixels(data)
     assert out is not None and out.shape == (h, w, ch)
     assert (out == img).all()
+
+
+# ---------------------------------- BMP palette/RLE + WAV sample formats
+
+
+def _bmp_file(w, h, bpp, compression, palette, pixel_data):
+    import struct as _s
+
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    pixel_off = 14 + 40 + len(pal)
+    header = (b"BM" + _s.pack("<IHHI", pixel_off + len(pixel_data), 0, 0, pixel_off)
+              + _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                        len(pixel_data), 2835, 2835, len(palette), 0))
+    return header + pal + pixel_data
+
+
+def test_bmp_pixels_8bit_palette():
+    import numpy as np
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    # 3x2, 8-bit: rows padded to 4 bytes, bottom-up
+    rows_bottom_up = bytes([3, 2, 1, 0]) + bytes([0, 1, 2, 0])
+    data = _bmp_file(3, 2, 8, 0, palette, rows_bottom_up)
+    img = MD.decode_bmp_pixels(data)
+    assert img is not None and img.shape == (2, 3, 3)
+    expect = np.array([[palette[0], palette[1], palette[2]],
+                       [palette[3], palette[2], palette[1]]], dtype=np.uint8)
+    assert (img == expect).all()
+
+
+def test_bmp_pixels_1bit_palette():
+    import numpy as np
+
+    palette = [(0, 0, 0), (255, 255, 255)]
+    # 10x1, 1-bit: 0b1010101010 MSB-first, padded to 4 bytes
+    data = _bmp_file(10, 1, 1, 0, palette, bytes([0b10101010, 0b10000000, 0, 0]))
+    img = MD.decode_bmp_pixels(data)
+    assert img is not None and img.shape == (1, 10, 3)
+    assert (img[0, ::2] == 255).all() and (img[0, 1::2] == 0).all()
+
+
+def test_bmp_pixels_rle8():
+    import numpy as np
+
+    palette = [(10, 10, 10), (20, 20, 20), (30, 30, 30)]
+    # 6x2 RLE8: row0(bottom): run 3x idx1, absolute [2,0,1] (+pad), EOL;
+    #           row1: run 6x idx2, EOB. (Absolute mode needs count >= 3:
+    #           0,1,2 after a zero byte are the escape codes.)
+    rle = bytes([3, 1, 0, 3, 2, 0, 1, 0,   0, 0,
+                 6, 2, 0, 1])
+    img = MD.decode_bmp_pixels(_bmp_file(6, 2, 8, 1, palette, rle))
+    assert img is not None and img.shape == (2, 6, 3)
+    assert (img[0] == 30).all()  # top row = file row 1
+    assert [int(p[0]) for p in img[1]] == [20, 20, 20, 30, 10, 20]
+
+
+def test_bmp_pixels_rle4():
+    import numpy as np
+
+    palette = [(1, 1, 1)] * 16
+    for i in range(4):
+        palette[i] = (40 * i, 40 * i, 40 * i)
+    # 5x1 RLE4: run of 5 alternating idx 1,2 -> 1,2,1,2,1; EOB
+    rle = bytes([5, 0x12, 0, 1])
+    img = MD.decode_bmp_pixels(_bmp_file(5, 1, 4, 2, palette, rle))
+    assert img is not None and img.shape == (1, 5, 3)
+    assert [int(p[0]) for p in img[0]] == [40, 80, 40, 80, 40]
+
+
+def test_wav_stats_sample_formats():
+    """rms/peak agree across 8/16/24/32-bit int and 32/64-bit float
+    encodings of the same sine."""
+    import struct as _s
+
+    import numpy as np
+
+    rate, n = 8000, 800
+    x = 0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / rate)
+
+    def wav_file(fmt, bits, payload):
+        hdr = (b"fmt " + _s.pack("<I", 16)
+               + _s.pack("<HHIIHH", fmt, 1, rate, rate * bits // 8, bits // 8, bits))
+        dat = b"data" + _s.pack("<I", len(payload)) + payload
+        return b"RIFF" + _s.pack("<I", 4 + len(hdr) + len(dat)) + b"WAVE" + hdr + dat
+
+    variants = {
+        8: wav_file(1, 8, bytes((np.round(x * 127) + 128).astype(np.uint8).tolist())),
+        16: wav_file(1, 16, (np.round(x * 32767)).astype("<i2").tobytes()),
+        24: wav_file(1, 24, b"".join(
+            int(v).to_bytes(3, "little", signed=True)
+            for v in np.round(x * ((1 << 23) - 1)).astype(np.int64).tolist()
+        )),
+        32: wav_file(1, 32, np.round(x * ((1 << 31) - 1)).astype("<i4").tobytes()),
+        -32: wav_file(3, 32, x.astype("<f4").tobytes()),
+        -64: wav_file(3, 64, x.astype("<f8").tobytes()),
+    }
+    expect_rms = float(np.sqrt(np.mean(x * x)))
+    for key, data in variants.items():
+        info = MD.decode_wav(data)
+        assert info is not None and info.n_samples == n, key
+        assert abs(info.rms - expect_rms) < 0.01, (key, info.rms, expect_rms)
+        assert abs(info.peak - 0.5) < 0.01, (key, info.peak)
