@@ -1005,6 +1005,148 @@ def _mp4_boxes(data: bytes, lo: int, hi: int):
         pos += size
 
 
+class Mp4Sample(NamedTuple):
+    offset: int  # absolute file offset of the sample payload
+    size: int
+    ts_ms: int  # decode timestamp
+
+
+class Mp4Track(NamedTuple):
+    codec: str  # stsd first-entry fourcc, e.g. "jpeg"
+    samples: list  # list[Mp4Sample]
+
+
+def _mp4_child(data: bytes, lo: int, hi: int, btype: bytes):
+    for t, clo, chi in _mp4_boxes(data, lo, hi):
+        if t == btype:
+            return clo, chi
+    return None
+
+
+def mp4_video_track(data: bytes, max_samples: int = 100_000) -> Mp4Track | None:
+    """Walk the first video track's sample tables (stsd codec, stsz
+    sizes, stsc sample→chunk mapping, stco/co64 chunk offsets, stts
+    decode times) and return absolute byte ranges + timestamps for its
+    samples — the real plumbing frame extraction needs. Pure box math;
+    no codec work. Returns None when any table is missing/garbled
+    (fail-closed like the other decoders)."""
+    try:
+        if len(data) < 12 or data[4:8] != b"ftyp":
+            return None
+        moov = _mp4_child(data, 0, len(data), b"moov")
+        if moov is None:
+            return None
+        first: Mp4Track | None = None
+        for ttype, tlo, thi in _mp4_boxes(data, *moov):
+            if ttype != b"trak":
+                continue
+            mdia = _mp4_child(data, tlo, thi, b"mdia")
+            if mdia is None:
+                continue
+            mdhd = _mp4_child(data, *mdia, b"mdhd")
+            minf = _mp4_child(data, *mdia, b"minf")
+            if mdhd is None or minf is None:
+                continue
+            version = data[mdhd[0]]
+            if version == 1:
+                timescale = struct.unpack(">I", data[mdhd[0] + 20 : mdhd[0] + 24])[0]
+            else:
+                timescale = struct.unpack(">I", data[mdhd[0] + 12 : mdhd[0] + 16])[0]
+            stbl = _mp4_child(data, *minf, b"stbl")
+            if stbl is None or not timescale:
+                continue
+            boxes = {t: (lo2, hi2) for t, lo2, hi2 in _mp4_boxes(data, *stbl)}
+            stsd = boxes.get(b"stsd")
+            if stsd is None or stsd[1] - stsd[0] < 16:
+                continue
+            codec = data[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
+            stsz = boxes.get(b"stsz")
+            stsc = boxes.get(b"stsc")
+            stco = boxes.get(b"stco") or boxes.get(b"co64")
+            co64 = b"co64" in boxes
+            stts = boxes.get(b"stts")
+            if stsz is None or stsc is None or stco is None:
+                continue
+            fixed, n_samples = struct.unpack(
+                ">II", data[stsz[0] + 4 : stsz[0] + 12]
+            )
+            n_samples = min(n_samples, max_samples)
+            if fixed:
+                sizes = [fixed] * n_samples
+            else:
+                sizes = [
+                    struct.unpack(
+                        ">I", data[stsz[0] + 12 + 4 * i : stsz[0] + 16 + 4 * i]
+                    )[0]
+                    for i in range(n_samples)
+                ]
+            (n_chunks,) = struct.unpack(">I", data[stco[0] + 4 : stco[0] + 8])
+            width = 8 if co64 else 4
+            fmt = ">Q" if co64 else ">I"
+            chunk_offsets = [
+                struct.unpack(
+                    fmt,
+                    data[stco[0] + 8 + width * i : stco[0] + 8 + width * (i + 1)],
+                )[0]
+                for i in range(min(n_chunks, max_samples))
+            ]
+            (n_stsc,) = struct.unpack(">I", data[stsc[0] + 4 : stsc[0] + 8])
+            stsc_rows = [
+                struct.unpack(
+                    ">III", data[stsc[0] + 8 + 12 * i : stsc[0] + 20 + 12 * i]
+                )
+                for i in range(min(n_stsc, max_samples))
+            ]
+            # decode timestamps from stts (durations in timescale units)
+            ts: list[int] = []
+            if stts is not None:
+                (n_stts,) = struct.unpack(">I", data[stts[0] + 4 : stts[0] + 8])
+                t = 0
+                for i in range(min(n_stts, max_samples)):
+                    cnt, dur = struct.unpack(
+                        ">II", data[stts[0] + 8 + 8 * i : stts[0] + 16 + 8 * i]
+                    )
+                    for _ in range(min(cnt, n_samples - len(ts))):
+                        ts.append(t * 1000 // timescale)
+                        t += dur
+                    if len(ts) >= n_samples:
+                        break
+            while len(ts) < n_samples:
+                ts.append(ts[-1] if ts else 0)
+
+            samples: list[Mp4Sample] = []
+            si = 0
+            for ci, coff in enumerate(chunk_offsets):
+                per = 1
+                for first, spc, _desc in stsc_rows:
+                    if first <= ci + 1:  # stsc chunks are 1-based
+                        per = spc
+                    else:
+                        break
+                off = coff
+                for _ in range(per):
+                    if si >= n_samples:
+                        break
+                    if off + sizes[si] > len(data):
+                        return None
+                    samples.append(Mp4Sample(off, sizes[si], ts[si]))
+                    off += sizes[si]
+                    si += 1
+            if samples:
+                track = Mp4Track(codec, samples)
+                if codec in MJPEG_CODECS:  # decodable: prefer outright
+                    return track
+                if first is None:
+                    first = track
+        return first
+    except Exception:
+        return None
+
+
+# stsd fourccs whose samples are standalone JPEG images
+MJPEG_CODECS = ("jpeg", "mjpa", "mjpb")
+
+
 def decode_mp4(data: bytes) -> VideoInfo | None:
     """ISO BMFF (MP4/MOV) metadata: mvhd timescale+duration and the
     first video track's tkhd 16.16-fixed width/height. Box walk only —

@@ -308,20 +308,53 @@ def sample_frames(
     strict: bool = False,
     max_frames: int = 10_000,
 ) -> DataFrame:
-    """Frame-sampling stage: one row per sampled frame. Frame TIMING is
-    real for ISO-BMFF containers (one frame per ``every_ms`` across the
-    mvhd duration); frame CONTENT is the stub (payload slice) — actual
-    sample decode needs a codec library this container doesn't ship.
-    Unrecognized containers raise in strict mode, else fall back to
+    """Frame-sampling stage: one row per sampled frame.
+
+    For ISO-BMFF containers carrying an MJPEG track (stsd fourcc jpeg/
+    mjpa/mjpb) the frames are REAL: the sample tables (stsz/stsc/stco/
+    stts, mediadecode.mp4_video_track) give each stored frame's byte
+    range and timestamp, the sample nearest below each ``every_ms``
+    tick is emitted, and the payload is a standalone JPEG that
+    image_features can pixel-decode downstream. Other MP4s keep real
+    TIMING from the mvhd duration with stub payload slices (compressed
+    video codecs need a decoder library this container doesn't ship);
+    unrecognized containers raise in strict mode, else fall back to
     byte-slicing with synthetic timestamps. ``max_frames`` bounds the
-    per-asset fan-out: the duration comes from an untrusted header, and
-    a corrupt timescale must not let one row explode a task."""
+    per-asset fan-out: headers are untrusted, and a corrupt timescale
+    must not let one row explode a task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 data = bytes(r["content"]) if r["content"] is not None else b""
+                track = MD.mp4_video_track(data)
+                if track is not None and track.codec in MD.MJPEG_CODECS:
+                    # real frames: nearest stored sample at/below each tick
+                    last_ts = track.samples[-1].ts_ms
+                    picked: list[int] = []
+                    si = 0
+                    for tick in range(0, last_ts + every_ms, every_ms):
+                        while (
+                            si + 1 < len(track.samples)
+                            and track.samples[si + 1].ts_ms <= tick
+                        ):
+                            si += 1
+                        if not picked or picked[-1] != si:
+                            picked.append(si)
+                        if len(picked) >= max_frames:
+                            break
+                    for i, si in enumerate(picked):
+                        s = track.samples[si]
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_no": i,
+                                "frame_ts_ms": s.ts_ms,
+                                "frame": data[s.offset : s.offset + s.size],
+                            }
+                        )
+                    continue
                 info = MD.decode_mp4(data)
                 if info is not None and info.duration_ms > 0:
                     n_frames = min(info.duration_ms // every_ms + 1, max_frames)

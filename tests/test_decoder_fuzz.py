@@ -40,6 +40,7 @@ _DECODERS = [
     MD.decode_bmp_pixels,
     MD.decode_wav,
     MD.decode_mp4,
+    MD.mp4_video_track,
     pdf_pages,
     docx_pages,
 ]
@@ -60,6 +61,7 @@ def _valid_payloads():
         _encode_bmp,
         _encode_gif,
         _encode_png,
+        make_mjpeg_mp4,
         make_mp4,
         make_png,
         make_wav,
@@ -80,6 +82,7 @@ def _valid_payloads():
         make_wav()[0],
         make_mp4(),
         make_pdf([b"BT (hello) Tj ET"]),
+        make_mjpeg_mp4([encode_jpeg(np.full((8, 8), 99, dtype=np.uint8))] * 3),
         make_cid_pdf(_CMAP, b"BT /F1 12 Tf <0003> Tj ET"),
         make_encrypted_pdf(b"x"),
     ]
