@@ -379,3 +379,28 @@ def sample_frames(
     return assets.where(F.col("media_type") == "video").select(
         "asset_id", "content"
     ).mapInPandas(run, FRAME_SCHEMA)
+
+
+def frame_features(
+    assets: DataFrame, every_ms: int = 1000, strict: bool = False
+) -> DataFrame:
+    """Video → per-frame image features in one plan: sample_frames
+    extracts frame payloads (real JPEGs for MJPEG tracks), which feed
+    the image decode/stat/embedding stage keyed by (asset_id, frame_no).
+    The two mapInPandas stages pipeline without a shuffle — frames stay
+    in the partition that read their video."""
+    frames = sample_frames(assets, every_ms=every_ms, strict=strict)
+    # reshape to the image stage's input contract; composite key packs
+    # (asset_id, frame_no) so the output attributes to a single frame
+    as_images = frames.select(
+        (F.col("asset_id") * F.lit(1_000_000) + F.col("frame_no")).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("frame").alias("content"),
+    )
+    feats = image_features(as_images, strict=False)
+    return feats.select(
+        (F.col("asset_id") / 1_000_000).cast("long").alias("asset_id"),
+        F.pmod(F.col("asset_id"), F.lit(1_000_000)).cast("int").alias("frame_no"),
+        "format", "width", "height", "channels",
+        "pixel_mean", "pixel_std", "pixels_real", "embedding",
+    )

@@ -896,3 +896,26 @@ def test_sample_frames_real_mjpeg(spark):
         img = MD.decode_jpeg_pixels(bytes(frame))
         assert img is not None and img.shape == (24, 32, 1)
         assert abs(int(img.mean()) - 40 * (i + 1)) <= 2
+
+
+def test_frame_features_end_to_end(spark):
+    """Video -> frames -> image features in one plan: MJPEG frames
+    pixel-decode and carry real per-frame stats."""
+    import numpy as np
+    from tests.jpeg_ref import encode_jpeg
+
+    frames = [
+        encode_jpeg(np.full((16, 16), 40 * (i + 1), dtype=np.uint8))
+        for i in range(3)
+    ]
+    data = make_mjpeg_mp4(frames, frame_ms=500)
+    assets = spark.createDataFrame(
+        [(9, 40, "video", data, {"ext": "mp4"})], schemas.MEDIA_ASSETS
+    )
+    out = (MM.frame_features(assets, every_ms=500)
+           .toPandas().sort_values("frame_no"))
+    assert list(out["asset_id"]) == [9, 9, 9]
+    assert list(out["frame_no"]) == [0, 1, 2]
+    assert (out["format"] == "jpeg").all() and out["pixels_real"].all()
+    for i, mean in enumerate(out["pixel_mean"]):
+        assert abs(mean[0] - 40 * (i + 1)) <= 2
