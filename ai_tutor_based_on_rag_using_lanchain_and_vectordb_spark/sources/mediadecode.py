@@ -304,11 +304,11 @@ def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
 
 def decode_bmp_pixels(data: bytes):
     """BMP pixel decode for BITMAPINFOHEADER DIBs: uncompressed 24/32
-    bit BGR(A), uncompressed paletted 1/4/8-bit, and RLE8/RLE4. Rows
+    bit BGR(A), 16-bit packed (X1R5G5B5 default or BI_BITFIELDS masks,
+    e.g. RGB565), uncompressed paletted 1/4/8-bit, and RLE8/RLE4. Rows
     are bottom-up (or top-down when height is negative) padded to
     4-byte boundaries; paletted images expand through the BGRA color
-    table to (height, width, 3) RGB. 16-bit bitfield layouts return
-    None (metadata-only)."""
+    table to (height, width, 3) RGB."""
     import numpy as np
 
     info = decode_bmp(data)
@@ -338,6 +338,37 @@ def decode_bmp_pixels(data: bytes):
         # BGR(A) -> RGB(A)
         rows = rows[:, :, [2, 1, 0]] if nch == 3 else rows[:, :, [2, 1, 0, 3]]
         return np.ascontiguousarray(rows)
+
+    if bpp == 16 and compression in (0, 3):
+        # 16-bit packed: X1R5G5B5 by default, arbitrary contiguous masks
+        # under BI_BITFIELDS (the masks follow the info header)
+        if compression == 3:
+            # masks sit right after the 40 core header bytes (either as
+            # the BI_BITFIELDS extension or inside a V4/V5 header)
+            mask_off = 14 + 40
+            if len(data) < mask_off + 12:
+                return None
+            masks = struct.unpack("<III", data[mask_off : mask_off + 12])
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        row_bytes = (w * 2 + 3) & ~3
+        if len(data) < pixel_off + row_bytes * h:
+            return None
+        arr = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+        ).reshape(h, row_bytes)[:, : w * 2]
+        px = arr.reshape(h, w, 2).view("<u2").reshape(h, w).astype(np.uint32)
+        chans = []
+        for mask in masks:
+            if not mask:
+                return None
+            shift = (mask & -mask).bit_length() - 1
+            top = mask >> shift
+            chans.append(((px & mask) >> shift) * 255 // top)
+        out = np.stack(chans, axis=2).astype(np.uint8)
+        if not top_down:
+            out = out[::-1]
+        return np.ascontiguousarray(out)
 
     if bpp not in (1, 4, 8):
         return None

@@ -919,3 +919,38 @@ def test_frame_features_end_to_end(spark):
     assert (out["format"] == "jpeg").all() and out["pixels_real"].all()
     for i, mean in enumerate(out["pixel_mean"]):
         assert abs(mean[0] - 40 * (i + 1)) <= 2
+
+
+def test_bmp_pixels_16bit_555_and_565():
+    import numpy as np
+
+    def bmp16(pixels_u16, w, h, compression, masks=None):
+        mask_bytes = b"".join(struct.pack("<I", m) for m in (masks or []))
+        row_bytes = (w * 2 + 3) & ~3
+        rows = b""
+        for y in range(h):  # bottom-up
+            row = b"".join(struct.pack("<H", int(v)) for v in pixels_u16[h - 1 - y])
+            rows += row + b"\x00" * (row_bytes - len(row))
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, compression,
+                          len(rows), 2835, 2835, 0, 0)
+        off = 14 + 40 + len(mask_bytes)
+        return (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+                + dib + mask_bytes + rows)
+
+    # 555: pure red / green / blue / white pixels in one row
+    px = np.array([[0x7C00, 0x03E0, 0x001F, 0x7FFF]])
+    img = MD.decode_bmp_pixels(bmp16(px, 4, 1, 0))
+    assert img is not None and img.shape == (1, 4, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[0, 2].tolist() == [0, 0, 255]
+    assert img[0, 3].tolist() == [255, 255, 255]
+
+    # 565 via BI_BITFIELDS masks
+    px = np.array([[0xF800, 0x07E0, 0x001F, 0xFFFF]])
+    img = MD.decode_bmp_pixels(bmp16(px, 4, 1, 3, masks=[0xF800, 0x07E0, 0x001F]))
+    assert img is not None
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[0, 2].tolist() == [0, 0, 255]
+    assert img[0, 3].tolist() == [255, 255, 255]
