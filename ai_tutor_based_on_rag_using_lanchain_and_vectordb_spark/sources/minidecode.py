@@ -59,15 +59,7 @@ from xml.etree import ElementTree
 _W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 
 
-def docx_pages(data: bytes) -> list[str]:
-    """DOCX body text: one pseudo-page (the whole document) like
-    Docx2txtLoader — paragraphs separated by newlines."""
-    try:
-        with zipfile.ZipFile(io.BytesIO(data)) as zf:
-            with zf.open("word/document.xml") as fh:
-                root = ElementTree.parse(fh).getroot()
-    except (zipfile.BadZipFile, KeyError, ElementTree.ParseError, OSError):
-        return []
+def _docx_paragraphs(root) -> list[str]:
     paragraphs: list[str] = []
     for p in root.iter(f"{_W_NS}p"):
         runs: list[str] = []
@@ -79,7 +71,37 @@ def docx_pages(data: bytes) -> list[str]:
             elif node.tag in (f"{_W_NS}br", f"{_W_NS}cr"):
                 runs.append("\n")
         paragraphs.append("".join(runs))
-    text = "\n".join(paragraphs).strip()
+    return paragraphs
+
+
+def docx_pages(data: bytes) -> list[str]:
+    """DOCX text: one pseudo-page (the whole document) like
+    Docx2txtLoader (reference backend/chroma_utils.py) — headers, then
+    the body, then footers, paragraphs separated by newlines. A part
+    that fails to parse is skipped (the body alone still extracts from
+    a docx with a corrupt header part)."""
+    parts: list[str] = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            headers = sorted(
+                n for n in names if re.match(r"word/header\d*\.xml$", n)
+            )
+            footers = sorted(
+                n for n in names if re.match(r"word/footer\d*\.xml$", n)
+            )
+            for name in [*headers, "word/document.xml", *footers]:
+                if name not in names:
+                    continue
+                try:
+                    with zf.open(name) as fh:
+                        root = ElementTree.parse(fh).getroot()
+                except (KeyError, ElementTree.ParseError, OSError):
+                    continue
+                parts.extend(_docx_paragraphs(root))
+    except (zipfile.BadZipFile, OSError):
+        return []
+    text = "\n".join(parts).strip()
     return [text] if text else []
 
 

@@ -676,3 +676,29 @@ def test_pdf_aesv3_nonblank_password_stubs():
     """A real password means the validation hash can't match blank:
     refuse rather than emit garbage."""
     assert pdf_pages(make_aesv3_pdf(b"secret", password=b"hunter2")) == []
+
+
+def test_docx_headers_and_footers():
+    """Docx2txt semantics: headers first, then the body, then footers."""
+    ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+    def part(tag, texts):
+        body = "".join(f"<w:p><w:r><w:t>{t}</w:t></w:r></w:p>" for t in texts)
+        return (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f"<w:{tag} {ns}>{body}</w:{tag}>")
+
+    base = make_docx(["Body text."])
+    buf = io.BytesIO(base)
+    with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/header1.xml", part("hdr", ["Running header"]))
+        zf.writestr("word/footer1.xml", part("ftr", ["Page footer"]))
+    pages = docx_pages(buf.getvalue())
+    assert pages == ["Running header\nBody text.\nPage footer"]
+
+
+def test_docx_corrupt_header_part_keeps_body():
+    base = make_docx(["Still extracts."])
+    buf = io.BytesIO(base)
+    with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("word/header1.xml", "<not-xml <<<")
+    assert docx_pages(buf.getvalue()) == ["Still extracts."]
