@@ -532,14 +532,159 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1
 
 
+def _jpeg_scan_units(
+    scan, comps, grids, coeffs, huff_dc, huff_ac,
+    mcus_x, mcus_y, restart_interval, progressive,
+):
+    """Run one scan (sequential, or any of the four progressive scan
+    kinds: DC/AC × first/refinement) over its entropy intervals,
+    accumulating coefficients in place. Returns the number of decoded
+    units (MCUs, or blocks for non-interleaved scans)."""
+    sel, ss, se, ah, al, intervals = scan
+    interleaved = len(sel) > 1
+    if interleaved:
+        units_total = mcus_x * mcus_y
+    else:
+        ci = sel[0][0]
+        cbw, cbh = grids[ci][2], grids[ci][3]
+        units_total = cbw * cbh
+    per_interval = restart_interval or units_total
+    zz = _JPEG_ZIGZAG
+
+    def blocks_of_unit(unit):
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for ci, td, ta in sel:
+                _, hi, vi, _tq = comps[ci]
+                bw = grids[ci][0]
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield ci, td, ta, coeffs[ci][
+                            (my * vi + by) * bw + (mx * hi + bx)
+                        ]
+        else:
+            ci, td, ta = sel[0]
+            bw = grids[ci][0]
+            cbw = grids[ci][2]
+            by, bx = divmod(unit, cbw)
+            yield ci, td, ta, coeffs[ci][by * bw + bx]
+
+    unit = 0
+    state = {"eobrun": 0}
+    for interval in intervals:
+        if unit >= units_total:
+            break
+        br = _JpegBits(interval)
+        pred = [0] * len(comps)
+        state["eobrun"] = 0
+        try:
+            for _ in range(min(per_interval, units_total - unit)):
+                for ci, td, ta, blk in blocks_of_unit(unit):
+                    if ss == 0 and (not progressive or ah == 0):
+                        # DC (first pass, or the whole band sequentially)
+                        t = _jpeg_huff_decode(br, huff_dc[td])
+                        if t > 11:
+                            raise ValueError("bad DC category")
+                        diff = _jpeg_extend(br.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci] << al
+                        if not progressive:
+                            _jpeg_ac_first(br, blk, huff_ac[ta], 1, 63, 0, state, zz)
+                    elif ss == 0:  # DC refinement: one raw bit per block
+                        if br.bit():
+                            blk[0] |= 1 << al
+                    elif ah == 0:  # AC first pass for a band
+                        _jpeg_ac_first(br, blk, huff_ac[ta], ss, se, al, state, zz)
+                    else:  # AC refinement
+                        _jpeg_ac_refine(br, blk, huff_ac[ta], ss, se, al, state, zz)
+                unit += 1
+        except (EOFError, ValueError, KeyError):
+            # truncated/garbled interval (or a scan referencing an
+            # undefined table): keep what decoded — fail-soft, like
+            # real viewers; a short stream yields a partial image
+            break
+    return unit
+
+
+def _jpeg_ac_first(br, blk, table, ss, se, al, state, zz):
+    """Sequential AC / progressive first AC pass with EOB-run support
+    (T.81 F.2.2.2 / G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(br, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1 + (br.bits(r) if r else 0)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC overrun")
+        blk[zz[k]] = _jpeg_extend(br.bits(s), s) << al
+        k += 1
+
+
+def _jpeg_ac_refine(br, blk, table, ss, se, al, state, zz):
+    """Progressive AC refinement pass (T.81 G.1.2.3): newly significant
+    coefficients arrive as ±1<<al; already-significant ones absorb one
+    correction bit each as the run skips over them."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(pos):
+        if br.bit() and not (blk[pos] & p1):
+            blk[pos] += p1 if blk[pos] > 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(br, table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1 + (br.bits(r) if r else 0) + 1
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if br.bit() else m1
+            else:
+                raise ValueError("bad refinement size")
+            while k <= se:
+                pos = zz[k]
+                if blk[pos] != 0:
+                    correct(pos)
+                elif r == 0:
+                    if val:
+                        blk[pos] = val
+                    k += 1
+                    break
+                else:
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # refine the rest of the band inside the EOB run
+            pos = zz[k]
+            if blk[pos] != 0:
+                correct(pos)
+            k += 1
+        state["eobrun"] -= 1
+
+
 def decode_jpeg_pixels(data: bytes):
-    """Baseline-JPEG pixel decode (T.81, public spec), pure Python
-    entropy decode + numpy dequant/IDCT: SOF0/SOF1 frames, 8-bit
-    samples, grayscale or 3-component YCbCr, sampling factors 1-2 with
-    chroma upsampling, restart markers, 8/16-bit DQT. Progressive
-    (SOF2), arithmetic coding, 4-component (CMYK), and hierarchical
-    frames return None — metadata-only fallback, same contract as the
-    other pixel decoders. Returns (height, width, channels) uint8.
+    """JPEG pixel decode (T.81, public spec), pure Python entropy
+    decode + numpy dequant/IDCT: baseline/extended-sequential (SOF0/1)
+    AND progressive (SOF2 — spectral selection, successive
+    approximation, DC+AC refinement scans, EOB runs), 8-bit samples,
+    grayscale or 3-component YCbCr, sampling factors 1-2 with chroma
+    upsampling, restart markers, 8/16-bit DQT, per-scan DHT
+    redefinition. Arithmetic coding, lossless/hierarchical frames and
+    4-component (CMYK) return None — metadata-only fallback, same
+    contract as the other pixel decoders. Returns (height, width,
+    channels) uint8.
 
     Per-block work is one einsum over all blocks per component; only
     the inherently serial Huffman bitstream walks in Python — fine for
@@ -553,12 +698,12 @@ def decode_jpeg_pixels(data: bytes):
         qt: dict[int, "np.ndarray"] = {}
         huff_dc: dict[int, dict] = {}
         huff_ac: dict[int, dict] = {}
-        frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
+        frame = None  # (w, h, [(comp_id, hi, vi, tq), ...], progressive)
         restart_interval = 0
-        scan = None  # ([(comp_idx, dc_id, ac_id)], entropy_start)
+        scans = []  # (sel, Ss, Se, Ah, Al, intervals)
 
         i, n = 2, len(data)
-        while i + 4 <= n and scan is None:
+        while i + 4 <= n:
             if data[i] != 0xFF:
                 i += 1
                 continue
@@ -570,7 +715,7 @@ def decode_jpeg_pixels(data: bytes):
                 i += 2
                 continue
             if marker == 0xD9:
-                return None
+                break
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
             if seg_len < 2 or i + 2 + seg_len > n:
                 return None
@@ -592,7 +737,7 @@ def decode_jpeg_pixels(data: bytes):
                     tbl[_JPEG_ZIGZAG] = raw
                     qt[tq] = tbl.reshape(8, 8)
                     p += m
-            elif marker == 0xC4:  # DHT
+            elif marker == 0xC4:  # DHT (tables may be redefined per scan)
                 p = 0
                 while p + 17 <= len(body):
                     tc, th = body[p] >> 4, body[p] & 0x0F
@@ -603,7 +748,7 @@ def decode_jpeg_pixels(data: bytes):
                     table = _jpeg_huff_table(counts, body[p + 17 : p + 17 + nsym])
                     (huff_ac if tc else huff_dc)[th] = table
                     p += 17 + nsym
-            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-compatible
+            elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
                 if len(body) < 6 or body[0] != 8:
                     return None
                 h, w = struct.unpack(">HH", body[1:5])
@@ -617,18 +762,18 @@ def decode_jpeg_pixels(data: bytes):
                     cid = body[6 + 3 * c]
                     hv = body[7 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
-                frame = (w, h, comps)
-            elif marker in _JPEG_SOF:  # progressive/lossless/arithmetic
+                frame = (w, h, comps, marker == 0xC2)
+            elif marker in _JPEG_SOF:  # lossless/arithmetic/hierarchical
                 return None
             elif marker == 0xDD:  # DRI
                 if len(body) < 2:
                     return None
                 restart_interval = struct.unpack(">H", body[:2])[0]
             elif marker == 0xDA:  # SOS
-                if frame is None or len(body) < 1:
+                if frame is None or len(body) < 4:
                     return None
                 ns = body[0]
-                if ns != len(frame[2]) or len(body) < 1 + 2 * ns + 3:
+                if not (1 <= ns <= len(frame[2])) or len(body) < 1 + 2 * ns + 3:
                     return None
                 ids = [c[0] for c in frame[2]]
                 sel = []
@@ -638,113 +783,84 @@ def decode_jpeg_pixels(data: bytes):
                         return None
                     td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0x0F
                     sel.append((ids.index(cs), td, ta))
-                scan = (sel, i + 2 + seg_len)
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                if ss > se or se > 63:
+                    return None
+                if frame[3]:  # progressive scan-header rules (T.81 G.1)
+                    if ss == 0 and se != 0:
+                        return None  # DC scans carry only coefficient 0
+                    if ss > 0 and ns != 1:
+                        return None  # AC scans are single-component
+                elif (ss, se, ah) != (0, 63, 0):
+                    return None  # sequential scans span the full band
+                # (missing Huffman tables surface as a fail-soft KeyError
+                # at decode time, matching the truncation contract)
+                # gather the entropy intervals for this scan
+                intervals: list[bytes] = []
+                cur = bytearray()
+                p = i + 2 + seg_len
+                while p < n:
+                    b = data[p]
+                    if b != 0xFF:
+                        cur.append(b)
+                        p += 1
+                        continue
+                    m2 = data[p + 1] if p + 1 < n else 0xD9
+                    if m2 == 0x00:
+                        cur.append(0xFF)
+                        p += 2
+                    elif 0xD0 <= m2 <= 0xD7:
+                        intervals.append(bytes(cur))
+                        cur = bytearray()
+                        p += 2
+                    else:
+                        break
+                intervals.append(bytes(cur))
+                scans.append((list(sel), ss, se, ah, al, intervals))
+                i = p
+                continue
             i += 2 + seg_len
-        if scan is None or frame is None:
+        if not scans or frame is None:
             return None
 
-        w, h, comps = frame
-        sel, pos = scan
+        w, h, comps, progressive = frame
         for hi, vi in ((c[1], c[2]) for c in comps):
             if not (1 <= hi <= 2 and 1 <= vi <= 2):
-                return None
-        for _, td, ta in sel:
-            if td not in huff_dc or ta not in huff_ac:
                 return None
         for c in comps:
             if c[3] not in qt:
                 return None
 
-        # split entropy data into restart intervals, unstuffing 0xFF00
-        intervals: list[bytes] = []
-        cur = bytearray()
-        p = pos
-        while p < n:
-            b = data[p]
-            if b != 0xFF:
-                cur.append(b)
-                p += 1
-                continue
-            m = data[p + 1] if p + 1 < n else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                p += 2
-            elif 0xD0 <= m <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-            else:  # EOI or any other marker ends the scan
-                break
-        intervals.append(bytes(cur))
-
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         mcus_x = -(-w // (8 * hmax))
         mcus_y = -(-h // (8 * vmax))
-        n_mcus = mcus_x * mcus_y
-        per_interval = restart_interval or n_mcus
 
-        # per component: coefficient store (n_blocks, 64) + block grid dims
+        # per component: MCU-padded coefficient grid (bw, bh) plus the
+        # tighter true block dims (cbw, cbh) non-interleaved scans walk
         grids = []
         coeffs = []
         for _, hi, vi, _tq in comps:
             bw, bh = mcus_x * hi, mcus_y * vi
-            grids.append((bw, bh))
+            comp_w = -(-(w * hi) // hmax)
+            comp_h = -(-(h * vi) // vmax)
+            grids.append((bw, bh, -(-comp_w // 8), -(-comp_h // 8)))
             coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
 
-        mcu = 0
-        for interval in intervals:
-            if mcu >= n_mcus:
-                break
-            br = _JpegBits(interval)
-            pred = [0] * len(comps)
-            try:
-                for _ in range(min(per_interval, n_mcus - mcu)):
-                    my, mx = divmod(mcu, mcus_x)
-                    for ci, td, ta in sel:
-                        _, hi, vi, _tq = comps[ci]
-                        bw = grids[ci][0]
-                        for by in range(vi):
-                            for bx in range(hi):
-                                blk = coeffs[ci][
-                                    (my * vi + by) * bw + (mx * hi + bx)
-                                ]
-                                t = _jpeg_huff_decode(br, huff_dc[td])
-                                if t > 11:
-                                    raise ValueError("bad DC category")
-                                diff = _jpeg_extend(br.bits(t), t) if t else 0
-                                pred[ci] += diff
-                                blk[0] = pred[ci]
-                                k = 1
-                                while k < 64:
-                                    rs = _jpeg_huff_decode(br, huff_ac[ta])
-                                    r, s = rs >> 4, rs & 0x0F
-                                    if s == 0:
-                                        if r == 15:  # ZRL
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC overrun")
-                                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                        br.bits(s), s
-                                    )
-                                    k += 1
-                    mcu += 1
-            except (EOFError, ValueError):
-                # truncated interval: keep the blocks decoded so far
-                # (fail-soft like real viewers); a grossly short stream
-                # still yields a mostly-grey image rather than a crash
-                break
-
-        if mcu == 0:
+        decoded_units = 0
+        for scan in scans:
+            decoded_units += _jpeg_scan_units(
+                scan, comps, grids, coeffs, huff_dc, huff_ac,
+                mcus_x, mcus_y, restart_interval, progressive,
+            )
+        if decoded_units == 0:
             return None
 
         t_mat = _jpeg_idct_matrix()
         planes = []
         for ci, (_, hi, vi, tq) in enumerate(comps):
-            bw, bh = grids[ci]
+            bw, bh = grids[ci][0], grids[ci][1]
             deq = coeffs[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
             spatial = np.einsum(
                 "ux,nuv,vy->nxy", t_mat, deq.astype(np.float64), t_mat

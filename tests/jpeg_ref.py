@@ -107,11 +107,113 @@ def _plane_blocks(plane: np.ndarray, bw_blocks: int, bh_blocks: int) -> np.ndarr
     )
 
 
+def _quantize_block(block: np.ndarray) -> np.ndarray:
+    """8x8 spatial -> 64 quantized (all-ones table) coefficients in
+    zigzag order."""
+    coeff = _T_MAT @ (block.astype(np.float64) - 128.0) @ _T_MAT.T
+    return np.round(coeff).astype(np.int64).reshape(64)[_JPEG_ZIGZAG]
+
+
+def _emit_symbol(bw: _BitWriter, sym: int) -> None:
+    bw.write(*reversed(_code(sym)))
+
+
+def _flush_eobrun(bw: _BitWriter, eobrun: int) -> int:
+    """Emit an EOBn symbol covering ``eobrun`` blocks (T.81 G.1.2.2)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        _emit_symbol(bw, r << 4)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+    return 0
+
+
+def _encode_ac_first(bw: _BitWriter, blocks, al: int) -> None:
+    """Progressive first AC pass (band 1..63, point transform ``al``)
+    with EOB-run accumulation across blocks."""
+    eobrun = 0
+    for q in blocks:
+        v = [int(q[k]) // 2**al if q[k] >= 0 else -((-int(q[k])) // 2**al)
+             for k in range(64)]
+        nz = [k for k in range(1, 64) if v[k]]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(bw, eobrun)
+            continue
+        eobrun = _flush_eobrun(bw, eobrun)
+        run = 0
+        for k in range(1, nz[-1] + 1):
+            if v[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                _emit_symbol(bw, 0xF0)  # ZRL
+                run -= 16
+            s = _category(v[k])
+            _emit_symbol(bw, (run << 4) | s)
+            _emit_coeff(bw, v[k], s)
+            run = 0
+        if nz[-1] < 63:
+            eobrun += 1
+    _flush_eobrun(bw, eobrun)
+
+
+def _encode_ac_refine(bw: _BitWriter, blocks, al: int) -> None:
+    """Progressive AC refinement (Ah = al+1 -> Al = al): newly
+    significant coefficients as run+size-1 symbols, correction bits for
+    already-significant ones emitted span-exactly in decoder read
+    order. EOB0 terminates every block (a legal degenerate EOB run), so
+    no cross-block correction buffering is needed."""
+    for q in blocks:
+        # history: the value the decoder holds after the Ah pass
+        events = []  # since last symbol: ("c", bit) | "z"
+        run = 0
+        for k in range(1, 64):
+            val = int(q[k])
+            prior = val // 2 ** (al + 1) if val >= 0 else -((-val) // 2 ** (al + 1))
+            if prior != 0:
+                events.append(("c", (abs(val) >> al) & 1))
+            elif (abs(val) >> al) == 0:
+                run += 1
+                events.append("z")
+            else:  # newly significant (must be ±1<<al)
+                while run > 15:
+                    _emit_symbol(bw, 0xF0)  # ZRL spans 16 zero-history slots
+                    seen_z = 0
+                    while events and seen_z < 16:
+                        ev = events.pop(0)
+                        if ev == "z":
+                            seen_z += 1
+                        else:
+                            bw.write(ev[1], 1)
+                    run -= 16
+                _emit_symbol(bw, (run << 4) | 1)
+                bw.write(1 if val > 0 else 0, 1)
+                for ev in events:
+                    if ev != "z":
+                        bw.write(ev[1], 1)
+                events = []
+                run = 0
+        # close the block: EOB0 + corrections for the rest of the band
+        _emit_symbol(bw, 0x00)
+        for ev in events:
+            if ev != "z":
+                bw.write(ev[1], 1)
+
+
 def encode_jpeg(
-    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    img: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """img: (h, w) grayscale or (h, w, 3) RGB uint8. ``subsample=True``
-    writes 4:2:0 (chroma averaged 2x2); else 4:4:4 / single-component."""
+    writes 4:2:0 (chroma averaged 2x2); else 4:4:4 / single-component.
+    ``progressive=True`` writes SOF2 with a four-stage scan script —
+    DC first at Al=1, DC refinement, per-component AC first at Al=1,
+    per-component AC refinement — exercising spectral selection,
+    successive approximation and EOB runs."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -152,9 +254,83 @@ def encode_jpeg(
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
     for ci, (hi, vi) in enumerate(samplings):
         sof += bytes([ci + 1, (hi << 4) | vi, 0])
-    out += _seg(0xC0, bytes(sof))
+    out += _seg(0xC2 if progressive else 0xC0, bytes(sof))
     out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
     out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
+
+    if progressive:
+        qblocks = [
+            [_quantize_block(b) for b in arr] for arr, _ in blocks
+        ]
+
+        def sos_header(comp_ids, ss, se, ah, al):
+            hdr = bytearray([len(comp_ids)])
+            for cid in comp_ids:
+                hdr += bytes([cid + 1, 0x00])
+            hdr += bytes([ss, se, (ah << 4) | al])
+            return _seg(0xDA, bytes(hdr))
+
+        all_ids = list(range(len(planes)))
+        # scan 1: DC first, interleaved, Al=1 (arithmetic-shift transform)
+        out += sos_header(all_ids, 0, 0, 0, 1)
+        bw = _BitWriter()
+        pred = [0] * len(planes)
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (hi, vi) in enumerate(samplings):
+                bwb = blocks[ci][1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(qblocks[ci][(my * vi + by) * bwb + (mx * hi + bx)][0])
+                        v = dc >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = _category(diff)
+                        _emit_symbol(bw, t)
+                        _emit_coeff(bw, diff, t)
+        bw.flush()
+        out += bw.out
+        # scan 2: DC refinement (one raw bit per block, same order)
+        out += sos_header(all_ids, 0, 0, 1, 0)
+        bw = _BitWriter()
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (hi, vi) in enumerate(samplings):
+                bwb = blocks[ci][1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(qblocks[ci][(my * vi + by) * bwb + (mx * hi + bx)][0])
+                        bw.write(dc & 1, 1)
+        bw.flush()
+        out += bw.out
+        # per component: AC first (Al=1) then AC refinement — walking
+        # the component's TRUE block grid (≠ the MCU-padded grid when
+        # subsampled), as non-interleaved scans must
+        hmax2 = max(s[0] for s in samplings)
+        vmax2 = max(s[1] for s in samplings)
+        for ci, (hi, vi) in enumerate(samplings):
+            bwb = blocks[ci][1]
+            comp_w = -(-(w * hi) // hmax2)
+            comp_h = -(-(h * vi) // vmax2)
+            cbw, cbh = -(-comp_w // 8), -(-comp_h // 8)
+            order = [
+                qblocks[ci][by * bwb + bx]
+                for by in range(cbh)
+                for bx in range(cbw)
+            ]
+            out += sos_header([ci], 1, 63, 0, 1)
+            bw = _BitWriter()
+            _encode_ac_first(bw, order, 1)
+            bw.flush()
+            out += bw.out
+            out += sos_header([ci], 1, 63, 1, 0)
+            bw = _BitWriter()
+            _encode_ac_refine(bw, order, 0)
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytearray([len(planes)])

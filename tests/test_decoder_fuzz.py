@@ -79,6 +79,8 @@ def _valid_payloads():
         _encode_bmp(img),
         encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
                     subsample=True, restart_interval=1),
+        encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
+                    progressive=True),
         make_wav()[0],
         make_mp4(),
         make_pdf([b"BT (hello) Tj ET"]),

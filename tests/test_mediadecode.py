@@ -571,14 +571,15 @@ def test_jpeg_pixels_420_subsampled_with_restarts():
     assert err.max() <= 6 and err.mean() < 1.5
 
 
-def test_jpeg_pixels_rejects_progressive_and_truncated():
+def test_jpeg_pixels_rejects_malformed_and_truncated():
     from tests.jpeg_ref import encode_jpeg
     import numpy as np
 
     rng = np.random.default_rng(3)
     g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     data = bytearray(encode_jpeg(g))
-    # flip SOF0 (C0) to SOF2 (progressive) → metadata-only fallback
+    # relabel SOF0 as SOF2: the full-band scan header (Ss=0, Se=63) is
+    # illegal for a progressive frame → metadata-only fallback
     sof = bytes(data).find(b"\xff\xc0")
     prog = bytes(data[:sof]) + b"\xff\xc2" + bytes(data[sof + 2 :])
     assert MD.decode_jpeg_pixels(prog) is None
@@ -954,3 +955,80 @@ def test_bmp_pixels_16bit_555_and_565():
     assert img[0, 1].tolist() == [0, 255, 0]
     assert img[0, 2].tolist() == [0, 0, 255]
     assert img[0, 3].tolist() == [255, 255, 255]
+
+
+# ------------------------------------------------ progressive JPEG decode
+
+
+def test_jpeg_progressive_gray_roundtrip():
+    """SOF2 scan script: DC@Al=1, DC refine, AC@Al=1, AC refine —
+    successive approximation round-trips to the same pixels as the
+    baseline path."""
+    import numpy as np
+    from tests.jpeg_ref import encode_jpeg
+
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    img = MD.decode_jpeg_pixels(encode_jpeg(g, progressive=True))
+    assert img is not None and img.shape == (24, 33, 1)
+    err = np.abs(img[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 3 and err.mean() < 0.5
+
+
+def test_jpeg_progressive_color_444_roundtrip():
+    import numpy as np
+    from tests.jpeg_ref import encode_jpeg
+
+    rng = np.random.default_rng(23)
+    c = rng.integers(0, 256, (17, 26, 3), dtype=np.uint8)
+    img = MD.decode_jpeg_pixels(encode_jpeg(c, progressive=True))
+    assert img is not None and img.shape == (17, 26, 3)
+    err = np.abs(img.astype(int) - c.astype(int))
+    assert err.max() <= 5 and err.mean() < 1.2
+
+
+def test_jpeg_progressive_420_true_vs_padded_grid():
+    """Subsampled progressive: the luma AC scans walk the component's
+    TRUE block grid, which is narrower than the MCU-padded grid at this
+    width (44 px: ceil(44/8)=6 vs 2*ceil(44/16)=6 — use 40 px where
+    ceil(40/8)=5 < 2*ceil(40/16)=6), so grid-confusion bugs desync."""
+    import numpy as np
+    from tests.jpeg_ref import encode_jpeg
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(28))
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 2 + 30) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    img = MD.decode_jpeg_pixels(encode_jpeg(smooth, subsample=True, progressive=True))
+    assert img is not None and img.shape == (28, 40, 3)
+    err = np.abs(img.astype(int) - smooth.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+
+def test_jpeg_progressive_eob_runs():
+    """A mostly-flat image with isolated detail: long stretches of
+    zero-AC blocks force EOBn runs with n > 1 in the first AC scan."""
+    import numpy as np
+    from tests.jpeg_ref import encode_jpeg
+
+    g = np.full((48, 64), 100, dtype=np.uint8)
+    g[20:28, 40:48] = 220  # one detailed block island
+    g[40, 5] = 0  # an isolated impulse (high-frequency coefficients)
+    img = MD.decode_jpeg_pixels(encode_jpeg(g, progressive=True))
+    assert img is not None and img.shape == (48, 64, 1)
+    err = np.abs(img[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 3 and err.mean() < 0.2
+
+
+def test_jpeg_progressive_image_features(spark):
+    """The Spark image stage treats progressive JPEGs as pixels_real."""
+    import numpy as np
+    from tests.jpeg_ref import encode_jpeg
+
+    g = np.full((16, 24), 127, dtype=np.uint8)
+    rows = [(1, 0, "image", bytearray(encode_jpeg(g, progressive=True)),
+             {"ext": "jpg"})]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = MM.image_features(assets, strict=True).collect()[0]
+    assert out["format"] == "jpeg" and out["pixels_real"]
+    assert abs(out["pixel_mean"][0] - 127.0) <= 1.0
