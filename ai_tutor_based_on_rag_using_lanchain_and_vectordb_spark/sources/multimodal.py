@@ -2,15 +2,16 @@
 with typed metadata, processed by Arrow-batched stages over
 ``mapInPandas``.
 
-Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels),
-image PIXELS for PNG (IDAT unfilter), baseline JPEG (Huffman + IDCT),
-first-frame GIF (LZW) and uncompressed BMP, and WAV audio (header +
-PCM16 stats) are REAL pure-stdlib+numpy decoders (``mediadecode.py`` —
-same move as minidecode.py for PDF/DOCX). The deterministic fake is
-only the fallback for unrecognized codecs, and ``strict=True`` raises
-on those instead. Still stubbed: progressive/arithmetic JPEG, RLE/
-paletted BMP pixel content (→ metadata-only rows), video SAMPLE decode
-(container metadata is real; codec bitstreams need a decoder library
+Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels)
+and image PIXELS — PNG at every legal depth incl. Adam7, JPEG baseline
+AND progressive (Huffman + IDCT), first-frame GIF (LZW), BMP
+24/32/16-bit/paletted/RLE — plus WAV audio (header + PCM stats at all
+integer/float widths) and MJPEG frame extraction from MP4 sample
+tables are REAL pure-stdlib+numpy decoders (``mediadecode.py`` — same
+move as minidecode.py for PDF/DOCX). The deterministic fake is only
+the fallback for unrecognized codecs, and ``strict=True`` raises on
+those instead. Still stubbed: arithmetic-coded/lossless JPEG frames
+and compressed video codec samples (h264 etc. need a decoder library
 this container doesn't ship) — each stub either raises
 NotImplementedError (strict mode) or produces a deterministic fake
 derived from the bytes — the Spark-side plumbing (schemas, batch
@@ -124,13 +125,13 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
 
     Dimensions/channels come from the REAL stdlib header decoders
     (PNG/GIF/BMP/JPEG, mediadecode.py). PIXELS are decoded for real for
-    PNG (IDAT inflate + unfilter), baseline JPEG (Huffman entropy decode
-    + dequant + IDCT + chroma upsample), first-frame GIF (LZW) and
-    uncompressed 24/32-bit BMP, producing per-channel mean/std plus a
-    histogram embedding — ``pixels_real=True`` marks those rows.
-    Variants outside those decoders (progressive/arithmetic JPEG,
-    RLE/paletted BMP) keep real metadata with null pixel stats, the
-    deterministic stub embedding and ``pixels_real=False``. Bytes no
+    PNG (IDAT inflate + unfilter, every legal depth, Adam7), JPEG —
+    baseline and progressive (Huffman entropy decode + dequant + IDCT +
+    chroma upsample), first-frame GIF (LZW) and every documented BMP
+    layout, producing per-channel mean/std plus a histogram embedding —
+    ``pixels_real=True`` marks those rows. Variants outside those
+    decoders (arithmetic-coded JPEG) keep real metadata with null pixel
+    stats, the deterministic stub embedding and ``pixels_real=False``. Bytes no
     decoder recognizes raise in ``strict`` mode, as does a recognized
     PNG whose pixel decode fails (corrupt stream — every legal PNG
     depth and Adam7 interlace decode for real); else they fall back to
@@ -139,8 +140,8 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["content"]) if r["content"] is not None else b""
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content) if r.content is not None else b""
                 info = MD.decode_image(data)
                 img = None
                 if info is not None:
@@ -150,7 +151,7 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         if img is None and strict:
                             raise NotImplementedError(
                                 f"png pixel decode failed for asset "
-                                f"{r['asset_id']} (16-bit/interlaced/corrupt); "
+                                f"{r.asset_id} (corrupt stream); "
                                 "run with strict=False to keep metadata only"
                             )
                     elif fmt == "bmp":
@@ -169,7 +170,7 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         img = MD.decode_jpeg_pixels(data)
                 elif strict:
                     raise NotImplementedError(
-                        f"unsupported image codec for asset {r['asset_id']} "
+                        f"unsupported image codec for asset {r.asset_id} "
                         "(stdlib decoders cover png/gif/bmp/jpeg); run with "
                         "strict=False to stub unrecognized payloads"
                     )
@@ -186,7 +187,7 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                     emb = _fake_image_embedding(data)
                 rows.append(
                     {
-                        "asset_id": r["asset_id"],
+                        "asset_id": r.asset_id,
                         "format": fmt,
                         "width": w,
                         "height": h,
@@ -212,18 +213,18 @@ def audio_features(assets: DataFrame, strict: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["content"]) if r["content"] is not None else b""
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content) if r.content is not None else b""
                 info = MD.decode_wav(data)
                 if info is None:
                     if strict:
                         raise NotImplementedError(
-                            f"unsupported audio codec for asset {r['asset_id']} "
+                            f"unsupported audio codec for asset {r.asset_id} "
                             "(stdlib decoder covers RIFF/WAV)"
                         )
                     rows.append(
                         {
-                            "asset_id": r["asset_id"],
+                            "asset_id": r.asset_id,
                             "format": "unknown",
                             "channels": 0,
                             "sample_rate": 0,
@@ -237,7 +238,7 @@ def audio_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                 else:
                     rows.append(
                         {
-                            "asset_id": r["asset_id"],
+                            "asset_id": r.asset_id,
                             "format": info.format,
                             "channels": info.channels,
                             "sample_rate": info.sample_rate,
@@ -265,18 +266,18 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["content"]) if r["content"] is not None else b""
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content) if r.content is not None else b""
                 info = MD.decode_mp4(data)
                 if info is None:
                     if strict:
                         raise NotImplementedError(
-                            f"unsupported video container for asset {r['asset_id']} "
+                            f"unsupported video container for asset {r.asset_id} "
                             "(stdlib decoder covers ISO BMFF / MP4)"
                         )
                     rows.append(
                         {
-                            "asset_id": r["asset_id"],
+                            "asset_id": r.asset_id,
                             "format": "unknown",
                             "duration_ms": 0,
                             "width": 0,
@@ -287,7 +288,7 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
                 else:
                     rows.append(
                         {
-                            "asset_id": r["asset_id"],
+                            "asset_id": r.asset_id,
                             "format": info.format,
                             "duration_ms": info.duration_ms,
                             "width": info.width,
@@ -326,8 +327,8 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["content"]) if r["content"] is not None else b""
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content) if r.content is not None else b""
                 track = MD.mp4_video_track(data)
                 if track is not None and track.codec in MD.MJPEG_CODECS:
                     # real frames: nearest stored sample at/below each tick
@@ -348,7 +349,7 @@ def sample_frames(
                         s = track.samples[si]
                         rows.append(
                             {
-                                "asset_id": r["asset_id"],
+                                "asset_id": r.asset_id,
                                 "frame_no": i,
                                 "frame_ts_ms": s.ts_ms,
                                 "frame": data[s.offset : s.offset + s.size],
@@ -360,7 +361,7 @@ def sample_frames(
                     n_frames = min(info.duration_ms // every_ms + 1, max_frames)
                 elif strict:
                     raise NotImplementedError(
-                        f"unsupported video container for asset {r['asset_id']} "
+                        f"unsupported video container for asset {r.asset_id} "
                         "(stdlib timing covers ISO BMFF / MP4); use strict=False"
                     )
                 else:
@@ -368,7 +369,7 @@ def sample_frames(
                 for i in range(int(n_frames)):
                     rows.append(
                         {
-                            "asset_id": r["asset_id"],
+                            "asset_id": r.asset_id,
                             "frame_no": i,
                             "frame_ts_ms": i * every_ms,
                             "frame": data[i * 4096 : (i + 1) * 4096],
