@@ -1098,27 +1098,70 @@ def decode_wav(data: bytes) -> AudioInfo | None:
     if n_samples:
         import numpy as np
 
-        buf = pcm[: n_samples * bytes_per_frame]
-        x = None
-        if audio_fmt == 1 and bits == 16:
-            x = np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
-        elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
-            x = (np.frombuffer(buf, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-        elif audio_fmt == 1 and bits == 24:
-            b = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
-            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-            v = np.where(v >= 1 << 23, v - (1 << 24), v)
-            x = v.astype(np.float64) / float(1 << 23)
-        elif audio_fmt == 1 and bits == 32:
-            x = np.frombuffer(buf, dtype="<i4").astype(np.float64) / float(1 << 31)
-        elif audio_fmt == 3 and bits == 32:  # IEEE float
-            x = np.frombuffer(buf, dtype="<f4").astype(np.float64)
-        elif audio_fmt == 3 and bits == 64:
-            x = np.frombuffer(buf, dtype="<f8")
+        x = _pcm_to_float(pcm[: n_samples * bytes_per_frame], audio_fmt, bits)
         if x is not None and len(x) and np.isfinite(x).all():
             rms = float(np.sqrt(np.mean(x * x)))
             peak = float(np.max(np.abs(x)))
     return AudioInfo("wav", channels, rate, bits, n_samples, duration_ms, rms, peak)
+
+
+def _pcm_to_float(buf: bytes, audio_fmt: int, bits: int):
+    """Raw PCM frames -> float64 samples in [-1, 1] (interleaved across
+    channels); None for encodings outside integer/float PCM."""
+    import numpy as np
+
+    if audio_fmt == 1 and bits == 16:
+        return np.frombuffer(buf, dtype="<i2").astype(np.float64) / 32768.0
+    if audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
+        return (np.frombuffer(buf, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(buf, dtype=np.uint8)
+        b = b[: len(b) // 3 * 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float64) / float(1 << 23)
+    if audio_fmt == 1 and bits == 32:
+        return np.frombuffer(buf, dtype="<i4").astype(np.float64) / float(1 << 31)
+    if audio_fmt == 3 and bits == 32:  # IEEE float
+        return np.frombuffer(buf, dtype="<f4").astype(np.float64)
+    if audio_fmt == 3 and bits == 64:
+        return np.frombuffer(buf, dtype="<f8")
+    return None
+
+
+def decode_wav_samples(data: bytes):
+    """(AudioInfo, float64 samples averaged to mono) for integer/float
+    PCM WAVs — the raw material for windowed segment features; None for
+    non-WAV or non-PCM payloads."""
+    import numpy as np
+
+    info = decode_wav(data)
+    if info is None or not info.n_samples:
+        return None
+    if len(data) < 12:
+        return None
+    # re-walk for the data chunk (decode_wav validated the layout)
+    pos, n = 12, len(data)
+    audio_fmt = None
+    pcm = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if cid == b"fmt ":
+            audio_fmt = struct.unpack("<H", data[pos + 8 : pos + 10])[0]
+        elif cid == b"data":
+            pcm = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if pcm is None or audio_fmt is None:
+        return None
+    frame_bytes = info.channels * max(info.bits_per_sample, 8) // 8
+    x = _pcm_to_float(pcm[: info.n_samples * frame_bytes], audio_fmt, info.bits_per_sample)
+    if x is None or not len(x) or not np.isfinite(x).all():
+        return None
+    if info.channels > 1:
+        x = x[: len(x) // info.channels * info.channels]
+        x = x.reshape(-1, info.channels).mean(axis=1)
+    return info, x
 
 
 # ------------------------------------------------------------------- video

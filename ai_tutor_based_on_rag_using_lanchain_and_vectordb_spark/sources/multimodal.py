@@ -382,6 +382,68 @@ def sample_frames(
     ).mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("segment_no", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def audio_segments(
+    assets: DataFrame,
+    window_ms: int = 1000,
+    strict: bool = False,
+    max_segments: int = 100_000,
+) -> DataFrame:
+    """Windowed audio analysis (the audio analog of sample_frames): one
+    row per ``window_ms`` segment with REAL per-window rms/peak, decoded
+    from any integer/float-PCM WAV (mono-averaged across channels).
+    Emitting rows per segment keeps downstream stages parallel per
+    window, not per file. Non-PCM payloads raise in strict mode, else
+    produce no rows. ``max_segments`` bounds per-asset fan-out against
+    hostile headers."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content) if r.content is not None else b""
+                decoded = MD.decode_wav_samples(data)
+                if decoded is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"unsupported audio codec for asset {r.asset_id} "
+                            "(windowed stats cover integer/float PCM WAV)"
+                        )
+                    continue
+                info, x = decoded
+                win = max(1, info.sample_rate * window_ms // 1000)
+                n_seg = min(-(-len(x) // win), max_segments)
+                for i in range(int(n_seg)):
+                    seg = x[i * win : (i + 1) * win]
+                    rows.append(
+                        {
+                            "asset_id": r.asset_id,
+                            "segment_no": i,
+                            "start_ms": i * window_ms,
+                            "n_samples": len(seg),
+                            "rms": float(np.sqrt(np.mean(seg * seg))),
+                            "peak": float(np.max(np.abs(seg))),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA])
+
+    return assets.where(F.col("media_type") == "audio").select(
+        "asset_id", "content"
+    ).mapInPandas(run, AUDIO_SEGMENTS_SCHEMA)
+
+
 def frame_features(
     assets: DataFrame, every_ms: int = 1000, strict: bool = False
 ) -> DataFrame:

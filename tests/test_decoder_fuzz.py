@@ -39,6 +39,7 @@ _DECODERS = [
     MD.decode_gif_pixels,
     MD.decode_bmp_pixels,
     MD.decode_wav,
+    MD.decode_wav_samples,
     MD.decode_mp4,
     MD.mp4_video_track,
     pdf_pages,

@@ -1032,3 +1032,54 @@ def test_jpeg_progressive_image_features(spark):
     out = MM.image_features(assets, strict=True).collect()[0]
     assert out["format"] == "jpeg" and out["pixels_real"]
     assert abs(out["pixel_mean"][0] - 127.0) <= 1.0
+
+
+# ------------------------------------------------ windowed audio segments
+
+
+def test_decode_wav_samples_mono_average():
+    import numpy as np
+
+    data, n = make_wav(rate=8000, duration_s=0.2, channels=2, amp=0.5)
+    decoded = MD.decode_wav_samples(data)
+    assert decoded is not None
+    info, x = decoded
+    assert info.channels == 2 and len(x) == n  # averaged to mono
+    assert abs(float(np.max(np.abs(x))) - 0.5) < 0.01
+
+
+def test_audio_segments_windowed_stats(spark):
+    """A half-loud, half-silent WAV yields per-window rms that flips."""
+    import struct as _s
+
+    import numpy as np
+
+    rate = 8000
+    loud = 0.5 * np.sin(2 * np.pi * 440 * np.arange(rate) / rate)
+    x = np.concatenate([loud, np.zeros(rate)])
+    payload = (np.round(x * 32767)).astype("<i2").tobytes()
+    hdr = (b"fmt " + _s.pack("<I", 16)
+           + _s.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16))
+    dat = b"data" + _s.pack("<I", len(payload)) + payload
+    wav = b"RIFF" + _s.pack("<I", 4 + len(hdr) + len(dat)) + b"WAVE" + hdr + dat
+
+    assets = spark.createDataFrame(
+        [(3, 21, "audio", wav, {"ext": "wav"})], schemas.MEDIA_ASSETS
+    )
+    out = (MM.audio_segments(assets, window_ms=1000, strict=True)
+           .toPandas().sort_values("segment_no"))
+    assert list(out["segment_no"]) == [0, 1]
+    assert list(out["start_ms"]) == [0, 1000]
+    assert abs(out["rms"][0] - 0.5 / np.sqrt(2)) < 0.01
+    assert out["rms"][1] < 1e-6 and out["peak"][1] < 1e-6
+
+
+def test_audio_segments_strict_rejects_nonpcm(spark):
+    import pytest as _pytest
+
+    assets = spark.createDataFrame(
+        [(4, 21, "audio", b"\x00" * 64, {"ext": "bin"})], schemas.MEDIA_ASSETS
+    )
+    assert MM.audio_segments(assets).count() == 0  # lax: no rows
+    with _pytest.raises(Exception):
+        MM.audio_segments(assets, strict=True).count()
