@@ -24,7 +24,7 @@ ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline, tpch_ex
 # irrelevant.
 _DRIVER_PRIORITY = (
     "doc_embeddings", "embedding_gate", "media_metadata",
-    "knn_ivf_recall", "media_decode_gate",
+    "knn_ivf_recall", "media_decode_gate", "multimodal_gate",
     # --- last officially checked in rounds 1-3 ---
     "session_previews", "daily_activity", "session_windows",
     "balance_percentiles", "purchase_attribution", "user_daily_gapfill",

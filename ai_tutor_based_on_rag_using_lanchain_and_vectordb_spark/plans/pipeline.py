@@ -225,6 +225,111 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible self-check for the CONTENT stages of the
+    multimodal pipeline (frame extraction + windowed audio): per
+    doc_id < 16, synthesize in-engine
+
+    - an MJPEG MP4 (3 uniform-gray JPEG frames, levels 40·(f+1) +
+      doc_id, 500 ms apart — two-chunk stsc layout) and assert
+      frame_features yields exactly 3 pixels_real JPEG frames at the
+      stored timestamps whose decoded per-channel mean is within 2 of
+      the encoded level;
+    - a WAV whose first 100 ms is a 0.5-amplitude sine and second
+      100 ms silence, and assert audio_segments(window=100 ms) yields
+      a loud window (|rms − 0.5/√2| ≤ 0.02) then a silent one
+      (rms ≤ 1e-6).
+
+    One row, pass flag (rows-only: frame/window decode isn't
+    SQL-expressible); pytest asserts it too."""
+    import io
+    import math
+    import struct
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import multimodal as MM
+    from ..sources.mediaencode import encode_jpeg, encode_mjpeg_mp4
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def wav_half_loud(rate=8000):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(rate)
+                loud = b"".join(
+                    struct.pack(
+                        "<h",
+                        int(16383 * math.sin(2 * math.pi * 440 * i / rate)),
+                    )
+                    for i in range(rate // 10)
+                )
+                f.writeframes(loud + b"\x00" * (2 * (rate // 10)))
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    encode_jpeg(
+                        np.full((16, 24), 40 * (f + 1) + did, dtype=np.uint8),
+                        progressive=(did % 2 == 1),
+                    )
+                    for f in range(3)
+                ]
+                rows.append({"asset_id": did, "owner_id": 0,
+                             "media_type": "video",
+                             "content": encode_mjpeg_mp4(frames, frame_ms=500),
+                             "meta": {"ext": "mp4"}})
+                rows.append({"asset_id": did, "owner_id": 0,
+                             "media_type": "audio",
+                             "content": wav_half_loud(),
+                             "meta": {"ext": "wav"}})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 16
+    )
+    assets = docs.mapInPandas(synth, MM.MEDIA_ASSETS)
+
+    frames = MM.frame_features(assets, every_ms=500).select(
+        "asset_id",
+        ((F.col("format") == "jpeg")
+         & F.col("pixels_real")
+         & (F.col("width") == 24) & (F.col("height") == 16)
+         & (F.abs(
+             F.element_at("pixel_mean", 1)
+             - (40 * (F.col("frame_no") + 1) + F.col("asset_id"))
+         ) <= 2)).alias("ok"),
+    )
+    segs = MM.audio_segments(assets, window_ms=100, strict=True).select(
+        "asset_id",
+        F.when(F.col("segment_no") == 0,
+               F.abs(F.col("rms") - 0.5 / math.sqrt(2)) <= 0.02)
+         .when(F.col("segment_no") == 1, F.col("rms") <= 1e-6)
+         .otherwise(F.lit(False)).alias("ok"),
+    )
+    both = frames.unionByName(segs)
+    agg = both.agg(
+        F.count("*").cast("long").alias("n_checks"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
+    )
+    # 16 docs × (3 frames + 2 audio windows) = 80 expected checks
+    return agg.select(
+        F.lit("multimodal_pipeline").alias("strategy"),
+        "n_checks",
+        "n_bad",
+        ((F.col("n_bad") == 0) & (F.col("n_checks") == 80)).alias("passed"),
+    )
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked media decode: the engine synthesizes real
     PNG/WAV/MP4 payloads (parameters = arithmetic on doc_id,
@@ -505,6 +610,7 @@ QUERIES = {
     "splitter_invariants": splitter_invariants,
     "media_decode_gate": media_decode_gate,
     "media_metadata": media_metadata,
+    "multimodal_gate": multimodal_gate,
     "minhash_neardup": minhash_neardup,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,

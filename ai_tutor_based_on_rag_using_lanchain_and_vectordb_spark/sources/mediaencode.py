@@ -1,13 +1,15 @@
-"""Minimal baseline-JPEG ENCODER (test fixture only — the product ships
-a decoder, mediadecode.decode_jpeg_pixels; this reference encoder gives
-round-trip ground truth without shipping golden binaries).
+"""Minimal JPEG ENCODER — the payload synthesizer behind the engine's
+media self-check gates (plans/pipeline.multimodal_gate builds MJPEG
+frames in-engine with it) and the round-trip ground truth for the
+decoder tests (no golden binaries in the repo).
 
-Scope: 8-bit baseline (SOF0), grayscale or YCbCr 4:4:4 / 4:2:0,
-near-lossless all-ones quantization so round-trip error is DCT rounding
-only, optional restart intervals. Huffman tables are a valid canonical
-layout (symbols 0-127 at 8 bits, 128-255 at 9 bits) rather than the
-Annex K defaults — simpler to construct, and it exercises the decoder's
-generic DHT handling instead of a hard-coded table."""
+Scope: 8-bit baseline (SOF0) or progressive (SOF2, four-stage scan
+script with successive approximation), grayscale or YCbCr 4:4:4 /
+4:2:0, near-lossless all-ones quantization so round-trip error is DCT
+rounding only, optional restart intervals. Huffman tables are a valid
+canonical layout (symbols 0-127 at 8 bits, 128-255 at 9 bits) rather
+than the Annex K defaults — simpler to construct, and it exercises the
+decoder's generic DHT handling instead of a hard-coded table."""
 
 from __future__ import annotations
 
@@ -15,10 +17,7 @@ import struct
 
 import numpy as np
 
-from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediadecode import (
-    _JPEG_ZIGZAG,
-    _jpeg_idct_matrix,
-)
+from .mediadecode import _JPEG_ZIGZAG, _jpeg_idct_matrix
 
 # canonical code for symbol s: 8 bits for 0-127, 9 bits (256+s-128) after
 _HUFF_COUNTS = bytes([0] * 7 + [128, 128] + [0] * 7)
@@ -364,3 +363,59 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mjpeg_mp4(frames: list, frame_ms: int = 500) -> bytes:
+    """MP4 with a real MJPEG video track: stsd fourcc 'jpeg', per-sample
+    stsz, two chunks (2 samples then the rest) so the stsc mapping is
+    non-trivial, stts at a constant frame duration. Frame payloads are
+    standalone JPEGs laid into mdat. Used by the multimodal self-check
+    gate and the decoder tests."""
+    timescale = 1000
+
+    def full(btype, payload):
+        return _mp4_box(btype, b"\x00\x00\x00\x00" + payload)
+
+    def build_moov(chunk_offsets):
+        dur = frame_ms * len(frames)
+        mvhd = full(b"mvhd", struct.pack(">II", 0, 0)
+                    + struct.pack(">II", timescale, dur) + b"\x00" * 80)
+        tkhd = _mp4_box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
+                        + struct.pack(">I", 1) + b"\x00" * 4
+                        + struct.pack(">I", dur) + b"\x00" * 52
+                        + struct.pack(">II", 32 << 16, 24 << 16))
+        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale, dur)
+                    + b"\x00" * 4)
+        entry = struct.pack(">I", 16) + b"jpeg" + b"\x00" * 8
+        stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+        stsz = full(b"stsz", struct.pack(">II", 0, len(frames))
+                    + b"".join(struct.pack(">I", len(f)) for f in frames))
+        if len(frames) > 2:
+            stsc_rows = [(1, 2, 1), (2, len(frames) - 2, 1)]
+        else:
+            stsc_rows = [(1, len(frames), 1)]
+        stsc = full(b"stsc", struct.pack(">I", len(stsc_rows))
+                    + b"".join(struct.pack(">III", *r) for r in stsc_rows))
+        stco = full(b"stco", struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+        stts = full(b"stts", struct.pack(">I", 1)
+                    + struct.pack(">II", len(frames), frame_ms))
+        stbl = _mp4_box(b"stbl", stsd + stsz + stsc + stco + stts)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    moov_len = len(build_moov([0, 0]))
+    mdat_body_off = len(ftyp) + moov_len + 8
+    c1 = mdat_body_off
+    c2 = c1 + sum(len(f) for f in frames[:2])
+    offsets = [c1, c2] if len(frames) > 2 else [c1]
+    moov = build_moov(offsets)
+    assert len(moov) == moov_len
+    return ftyp + moov + _mp4_box(b"mdat", b"".join(frames))

@@ -68,7 +68,7 @@ def _valid_payloads():
         make_wav,
     )
     from tests.test_minidecode import make_cid_pdf, make_encrypted_pdf, make_pdf, _CMAP
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     import numpy as np
 

@@ -528,7 +528,7 @@ def test_gif_image_features_real(spark):
 def test_jpeg_pixels_gray_roundtrip():
     """Near-lossless (all-ones quant) encode → decode recovers the exact
     pixels within DCT rounding error."""
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -540,7 +540,7 @@ def test_jpeg_pixels_gray_roundtrip():
 
 
 def test_jpeg_pixels_color_444_roundtrip():
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
 
     rng = np.random.default_rng(11)
@@ -556,7 +556,7 @@ def test_jpeg_pixels_420_subsampled_with_restarts():
     """4:2:0 chroma subsampling + restart markers: smooth gradients
     survive 2x2 chroma averaging nearly unchanged, and DC predictors
     reset correctly at every RST boundary."""
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
 
     xx, yy = np.meshgrid(np.arange(40), np.arange(28))
@@ -572,7 +572,7 @@ def test_jpeg_pixels_420_subsampled_with_restarts():
 
 
 def test_jpeg_pixels_rejects_malformed_and_truncated():
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
 
     rng = np.random.default_rng(3)
@@ -592,7 +592,7 @@ def test_jpeg_pixels_rejects_malformed_and_truncated():
 def test_jpeg_image_features_real(spark):
     """The Spark image stage marks baseline JPEGs pixels_real and
     reports true per-channel stats."""
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
 
     g = np.full((16, 24), 127, dtype=np.uint8)
@@ -809,58 +809,17 @@ def test_wav_stats_sample_formats():
 
 
 def make_mjpeg_mp4(frames, frame_ms=500):
-    """MP4 with a real MJPEG video track: stsd fourcc 'jpeg', per-sample
-    stsz, two chunks (2 samples then the rest) so stsc mapping is
-    non-trivial, stts at a constant frame duration. Frame payloads are
-    standalone JPEGs laid into mdat."""
-    timescale = 1000
+    """Delegates to the engine's MJPEG MP4 synthesizer (mediaencode) —
+    the same builder the driver-visible multimodal gate uses."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_mjpeg_mp4,
+    )
 
-    def full(btype, payload):
-        return _box(btype, b"\x00\x00\x00\x00" + payload)
-
-    def build_moov(chunk_offsets):
-        dur = frame_ms * len(frames)
-        mvhd = full(b"mvhd", struct.pack(">II", 0, 0)
-                    + struct.pack(">II", timescale, dur) + b"\x00" * 80)
-        tkhd = _box(b"tkhd", b"\x00\x00\x00\x07" + struct.pack(">II", 0, 0)
-                    + struct.pack(">I", 1) + b"\x00" * 4 + struct.pack(">I", dur)
-                    + b"\x00" * 52 + struct.pack(">II", 32 << 16, 24 << 16))
-        mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale, dur)
-                    + b"\x00" * 4)
-        entry = struct.pack(">I", 16) + b"jpeg" + b"\x00" * 8
-        stsd = full(b"stsd", struct.pack(">I", 1) + entry)
-        stsz = full(b"stsz", struct.pack(">II", 0, len(frames))
-                    + b"".join(struct.pack(">I", len(f)) for f in frames))
-        if len(frames) > 2:
-            stsc_rows = [(1, 2, 1), (2, len(frames) - 2, 1)]
-        else:
-            stsc_rows = [(1, len(frames), 1)]
-        stsc = full(b"stsc", struct.pack(">I", len(stsc_rows))
-                    + b"".join(struct.pack(">III", *r) for r in stsc_rows))
-        stco = full(b"stco", struct.pack(">I", len(chunk_offsets))
-                    + b"".join(struct.pack(">I", o) for o in chunk_offsets))
-        stts = full(b"stts", struct.pack(">I", 1)
-                    + struct.pack(">II", len(frames), frame_ms))
-        stbl = _box(b"stbl", stsd + stsz + stsc + stco + stts)
-        minf = _box(b"minf", stbl)
-        mdia = _box(b"mdia", mdhd + minf)
-        trak = _box(b"trak", tkhd + mdia)
-        return _box(b"moov", mvhd + trak)
-
-    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00")
-    moov_len = len(build_moov([0, 0]))
-    mdat_body_off = len(ftyp) + moov_len + 8
-    c1 = mdat_body_off
-    c2 = c1 + sum(len(f) for f in frames[:2])
-    offsets = [c1, c2] if len(frames) > 2 else [c1]
-    moov = build_moov(offsets)
-    assert len(moov) == moov_len
-    return ftyp + moov + _box(b"mdat", b"".join(frames))
-
+    return encode_mjpeg_mp4(frames, frame_ms=frame_ms)
 
 def test_mp4_video_track_sample_tables():
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     frames = [
         encode_jpeg(np.full((24, 32), 40 * (i + 1), dtype=np.uint8))
@@ -880,7 +839,7 @@ def test_sample_frames_real_mjpeg(spark):
     stored timestamps, and the frames pixel-decode to the encoded
     content."""
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     frames = [
         encode_jpeg(np.full((24, 32), 40 * (i + 1), dtype=np.uint8))
@@ -903,7 +862,7 @@ def test_frame_features_end_to_end(spark):
     """Video -> frames -> image features in one plan: MJPEG frames
     pixel-decode and carry real per-frame stats."""
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     frames = [
         encode_jpeg(np.full((16, 16), 40 * (i + 1), dtype=np.uint8))
@@ -965,7 +924,7 @@ def test_jpeg_progressive_gray_roundtrip():
     successive approximation round-trips to the same pixels as the
     baseline path."""
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     rng = np.random.default_rng(21)
     g = rng.integers(0, 256, (24, 33), dtype=np.uint8)
@@ -977,7 +936,7 @@ def test_jpeg_progressive_gray_roundtrip():
 
 def test_jpeg_progressive_color_444_roundtrip():
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     rng = np.random.default_rng(23)
     c = rng.integers(0, 256, (17, 26, 3), dtype=np.uint8)
@@ -993,7 +952,7 @@ def test_jpeg_progressive_420_true_vs_padded_grid():
     width (44 px: ceil(44/8)=6 vs 2*ceil(44/16)=6 — use 40 px where
     ceil(40/8)=5 < 2*ceil(40/16)=6), so grid-confusion bugs desync."""
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     xx, yy = np.meshgrid(np.arange(40), np.arange(28))
     smooth = np.stack(
@@ -1009,7 +968,7 @@ def test_jpeg_progressive_eob_runs():
     """A mostly-flat image with isolated detail: long stretches of
     zero-AC blocks force EOBn runs with n > 1 in the first AC scan."""
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     g = np.full((48, 64), 100, dtype=np.uint8)
     g[20:28, 40:48] = 220  # one detailed block island
@@ -1023,7 +982,7 @@ def test_jpeg_progressive_eob_runs():
 def test_jpeg_progressive_image_features(spark):
     """The Spark image stage treats progressive JPEGs as pixels_real."""
     import numpy as np
-    from tests.jpeg_ref import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
 
     g = np.full((16, 24), 127, dtype=np.uint8)
     rows = [(1, 0, "image", bytearray(encode_jpeg(g, progressive=True)),
@@ -1083,3 +1042,13 @@ def test_audio_segments_strict_rejects_nonpcm(spark):
     assert MM.audio_segments(assets).count() == 0  # lax: no rows
     with _pytest.raises(Exception):
         MM.audio_segments(assets, strict=True).count()
+
+
+def test_multimodal_gate_passes(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        multimodal_gate,
+    )
+
+    row = multimodal_gate(spark, sf_dir).first()
+    assert row["passed"] is True, row.asDict()
+    assert row["n_checks"] == 80 and row["n_bad"] == 0
