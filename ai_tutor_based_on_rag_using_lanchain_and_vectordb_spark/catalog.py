@@ -46,6 +46,13 @@ _NANOS_CACHE: dict[tuple[str, str], bool] = {}
 _SNIFF_FILES = 3  # footer reads per directory-layout table (first/mid/last)
 
 
+class MixedTimestampUnits(ValueError):
+    """Sentinel for the deliberate mixed-units failure. pyarrow's
+    ArrowInvalid also subclasses ValueError, so re-raising on bare
+    ValueError would propagate corrupt-footer errors the fallback is
+    meant to swallow."""
+
+
 def _file_is_nanos(target: str, column: str) -> bool | None:
     import pyarrow.parquet as pq
 
@@ -81,12 +88,12 @@ def _stored_as_nanos(path: str, column: str) -> bool:
                     ((i, files[i]) for i in idx[:_SNIFF_FILES])}
         seen = {v for v in verdicts.values() if v is not None}
         if len(seen) > 1:
-            raise ValueError(
+            raise MixedTimestampUnits(
                 f"mixed parquet timestamp units for {column} under {path}: "
                 f"{verdicts} — rewrite the table with one unit"
             )
         result = seen.pop() if seen else False
-    except ValueError:
+    except MixedTimestampUnits:
         raise
     except Exception:
         # No footer access (e.g. non-local path in a unit test): assume

@@ -220,6 +220,8 @@ def decode_gif_pixels(data: bytes):
                     src += n_rows
                 frame = deinter
             rgb = table[frame]
+            if y >= sh or x >= sw:  # frame entirely off-screen
+                return screen
             y2, x2 = min(y + h, sh), min(x + w, sw)
             screen[y:y2, x:x2] = rgb[: y2 - y, : x2 - x]
             return screen  # first frame only (curation needs one)
@@ -256,6 +258,8 @@ def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool):
     absolute run. Fail-soft: a truncated stream keeps what decoded."""
     import numpy as np
 
+    if w * h > 64_000_000:  # untrusted header bound
+        return None
     out = np.zeros((h, w), dtype=np.uint8)
     x = y = pos = 0
     n = len(data)
@@ -993,6 +997,8 @@ def decode_png_pixels(data: bytes):
     info = decode_png(data)
     if info is None:
         return None
+    if info.width * info.height > 64_000_000:  # untrusted header bound
+        return None
     depth, color_type, interlace = data[24], data[25], data[28]
     if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
         return None
@@ -1015,16 +1021,31 @@ def decode_png_pixels(data: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + ln
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-
     w, h, ch = info.width, info.height, info.channels
     bpp = max(1, ch * depth // 8)
 
     def pass_stride(pw: int) -> int:
         return (pw * ch * depth + 7) // 8
+
+    # exact expected filtered size bounds the inflate — a tiny
+    # zip-bomb IDAT must not balloon memory past what the (already
+    # pixel-capped) header promises
+    if interlace == 0:
+        expected = h * (pass_stride(w) + 1)
+    else:
+        expected = sum(
+            ph * (pass_stride(pw) + 1)
+            for y0, dy, x0, dx in _PNG_ADAM7
+            for pw in [(w - x0 + dx - 1) // dx]
+            for ph in [(h - y0 + dy - 1) // dy]
+            if pw and ph
+        )
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) > expected:
+        return None
 
     if interlace == 0:
         recon = _png_unfilter(raw, h, pass_stride(w), bpp)
@@ -1226,7 +1247,7 @@ def mp4_video_track(data: bytes, max_samples: int = 100_000) -> Mp4Track | None:
         moov = _mp4_child(data, 0, len(data), b"moov")
         if moov is None:
             return None
-        first: Mp4Track | None = None
+        fallback_track: Mp4Track | None = None
         for ttype, tlo, thi in _mp4_boxes(data, *moov):
             if ttype != b"trak":
                 continue
@@ -1308,8 +1329,8 @@ def mp4_video_track(data: bytes, max_samples: int = 100_000) -> Mp4Track | None:
             si = 0
             for ci, coff in enumerate(chunk_offsets):
                 per = 1
-                for first, spc, _desc in stsc_rows:
-                    if first <= ci + 1:  # stsc chunks are 1-based
+                for first_chunk, spc, _desc in stsc_rows:
+                    if first_chunk <= ci + 1:  # stsc chunks are 1-based
                         per = spc
                     else:
                         break
@@ -1326,9 +1347,9 @@ def mp4_video_track(data: bytes, max_samples: int = 100_000) -> Mp4Track | None:
                 track = Mp4Track(codec, samples)
                 if codec in MJPEG_CODECS:  # decodable: prefer outright
                     return track
-                if first is None:
-                    first = track
-        return first
+                if fallback_track is None:
+                    fallback_track = track
+        return fallback_track
     except Exception:
         return None
 

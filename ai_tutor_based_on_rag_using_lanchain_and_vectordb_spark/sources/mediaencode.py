@@ -411,11 +411,12 @@ def encode_mjpeg_mp4(frames: list, frame_ms: int = 500) -> bytes:
         return _mp4_box(b"moov", mvhd + trak)
 
     ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
-    moov_len = len(build_moov([0, 0]))
+    n_chunks = 2 if len(frames) > 2 else 1
+    moov_len = len(build_moov([0] * n_chunks))  # sizing probe, same layout
     mdat_body_off = len(ftyp) + moov_len + 8
     c1 = mdat_body_off
     c2 = c1 + sum(len(f) for f in frames[:2])
-    offsets = [c1, c2] if len(frames) > 2 else [c1]
+    offsets = [c1, c2][:n_chunks]
     moov = build_moov(offsets)
     assert len(moov) == moov_len
     return ftyp + moov + _mp4_box(b"mdat", b"".join(frames))

@@ -272,7 +272,8 @@ def _std_encryption_key(
     import struct as _s
 
     tail = b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff"
-    md = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<i", p) + id1 + tail)
+    p &= 0xFFFFFFFF  # some producers write /P in unsigned form
+    md = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<I", p) + id1 + tail)
     key = md.digest()[:n]
     if r >= 3:
         for _ in range(50):
@@ -565,7 +566,20 @@ def _build_decryptor(data: bytes, table: dict[int, bytes]):
     pm = re.search(rb"/P\s+(-?\d+)", enc)
     if o is None or u is None or pm is None:
         raise ValueError("malformed /Encrypt dictionary")
-    lm = re.search(rb"/Length\s+(\d+)", enc)
+    # the key /Length must come from the TOP level of the /Encrypt dict
+    # — a V4 crypt-filter sub-dict carries its own '/Length 16' (bytes,
+    # not bits), and producers that sort keys put /CF first. Drop the
+    # outer << >> delimiters, then strip nested groups to a fixpoint
+    # (hex strings' single angle brackets keep mixed groups unmatched,
+    # which only means extra junk survives — never a lost top level).
+    lo, hi = enc.find(b"<<"), enc.rfind(b">>")
+    top = enc[lo + 2 : hi] if 0 <= lo < hi else enc
+    while True:
+        stripped = re.sub(rb"<<[^<>]*>>", b"", top)
+        if stripped == top:
+            break
+        top = stripped
+    lm = re.search(rb"/Length\s+(\d+)", top)
     n = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
     id_m = None
     for m in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
@@ -709,7 +723,13 @@ _MAX_RANGE = 65_536  # cap per bfrange: headers are untrusted input
 
 
 def _utf16be_hex(hx: bytes) -> str:
-    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+    txt = "".join(hx.decode("ascii", "ignore").split())
+    if len(txt) % 2:  # PDF hex strings pad a missing last digit with 0
+        txt += "0"
+    try:
+        return bytes.fromhex(txt).decode("utf-16-be", "replace")
+    except ValueError:
+        return ""  # non-hex garbage in a CMap: drop the mapping
 
 
 def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:

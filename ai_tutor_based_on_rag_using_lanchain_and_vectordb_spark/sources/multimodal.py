@@ -331,17 +331,19 @@ def sample_frames(
                 data = bytes(r.content) if r.content is not None else b""
                 track = MD.mp4_video_track(data)
                 if track is not None and track.codec in MD.MJPEG_CODECS:
-                    # real frames: nearest stored sample at/below each tick
-                    last_ts = track.samples[-1].ts_ms
+                    # real frames: nearest stored sample at/below each
+                    # tick. Iterate SAMPLES, not ticks — timestamps come
+                    # from an untrusted stts table, and a huge duration
+                    # must not turn into a huge tick loop; sample si is
+                    # picked iff some tick lands in [ts(si), ts(si+1)).
+                    samples = track.samples
                     picked: list[int] = []
-                    si = 0
-                    for tick in range(0, last_ts + every_ms, every_ms):
-                        while (
-                            si + 1 < len(track.samples)
-                            and track.samples[si + 1].ts_ms <= tick
+                    for si, s in enumerate(samples):
+                        next_tick = -(-s.ts_ms // every_ms) * every_ms
+                        if (
+                            si + 1 == len(samples)
+                            or next_tick < samples[si + 1].ts_ms
                         ):
-                            si += 1
-                        if not picked or picked[-1] != si:
                             picked.append(si)
                         if len(picked) >= max_frames:
                             break

@@ -569,7 +569,7 @@ def _page_objs(body: bytes) -> dict[int, bytes]:
     }
 
 
-def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True):
+def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False):
     """AESV2 (V4 R4, AES-128-CBC, StdCF) with a blank user password."""
     import hashlib
     import struct as _s
@@ -596,9 +596,12 @@ def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True):
 
     objs = _page_objs(body)
     em = b"" if encrypt_metadata else b" /EncryptMetadata false"
+    cf = b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+    head = (b"<< " + (cf if cf_first else b"")
+            + b" /Filter /Standard /V 4 /R 4 /Length 128"
+            + (b"" if cf_first else cf))
     objs[5] = (
-        b"<< /Filter /Standard /V 4 /R 4 /Length 128"
-        + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        head
         + b" /StmF /StdCF /StrF /StdCF"
         + em
         + b" /P " + str(p).encode()
@@ -702,3 +705,36 @@ def test_docx_corrupt_header_part_keeps_body():
     with zipfile.ZipFile(buf, "a", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("word/header1.xml", "<not-xml <<<")
     assert docx_pages(buf.getvalue()) == ["Still extracts."]
+
+
+def test_pdf_aesv2_cf_dict_before_length():
+    """Alphabetically-sorted producers (qpdf/pikepdf) put /CF — with its
+    own '/Length 16' crypt-filter byte count — before the top-level
+    /Length 128; the key derivation must use the top-level value."""
+    pages = pdf_pages(make_aesv2_pdf(b"sorted keys", cf_first=True))
+    assert pages == ["sorted keys"]
+
+
+def test_pdf_encrypted_unsigned_p_entry():
+    """Some producers write /P in its unsigned 32-bit form; the key
+    derivation packs it modulo 2^32 either way."""
+    pages = pdf_pages(make_encrypted_pdf(b"unsigned P", p=4294963392 - (1 << 32)))
+    unsigned = make_encrypted_pdf(b"unsigned P", p=4294963392 - (1 << 32)).replace(
+        b"/P -3904", b"/P 4294963392"
+    )
+    assert pdf_pages(unsigned) == ["unsigned P"] == pages
+
+
+def test_tounicode_odd_hex_digits_no_crash():
+    """Odd-digit hex in a ToUnicode CMap (e.g. <FFF>, or a bfrange
+    increment overflowing its digit width) pads like a PDF hex string
+    instead of raising out of the extractor."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+        _utf16be_hex,
+    )
+
+    assert _utf16be_hex(b"0041") == "A"
+    assert _utf16be_hex(b"FFF") == "￰"  # padded trailing zero
+    assert _utf16be_hex(b"zz") == ""  # non-hex garbage drops
+    cmap = _CMAP.replace(b"<0041>", b"<041>")  # odd-width dst
+    assert pdf_pages(make_cid_pdf(cmap, b"BT /F1 12 Tf <0003> Tj ET")) is not None
