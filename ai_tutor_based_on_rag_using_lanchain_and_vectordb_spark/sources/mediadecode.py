@@ -402,6 +402,8 @@ def decode_bmp_pixels(data: bytes):
             idx = idx[::-1]
     elif (compression, bpp) in ((1, 8), (2, 4)):  # BI_RLE8 / BI_RLE4
         idx = _bmp_rle_decode(data[pixel_off:], w, h, four_bit=(bpp == 4))
+        if idx is None:  # oversize / truncated RLE stream — fail closed
+            return None
     else:
         return None
     if idx.max(initial=0) >= n_colors:
@@ -1168,7 +1170,8 @@ def decode_wav_samples(data: bytes):
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-        if cid == b"fmt ":
+        if cid == b"fmt " and size >= 16 and pos + 10 <= n:
+            # mirror decode_wav's guard: ignore short/trailing fmt chunks
             audio_fmt = struct.unpack("<H", data[pos + 8 : pos + 10])[0]
         elif cid == b"data":
             pcm = data[pos + 8 : pos + 8 + size]

@@ -456,15 +456,26 @@ def frame_features(
     in the partition that read their video."""
     frames = sample_frames(assets, every_ms=every_ms, strict=strict)
     # reshape to the image stage's input contract; composite key packs
-    # (asset_id, frame_no) so the output attributes to a single frame
+    # (asset_id, frame_no) so the output attributes to a single frame.
+    # The 1e6 packing factor supports asset_id < ~9.22e12 and
+    # frame_no < 1e6 within int64; out-of-range ids fail loudly rather
+    # than silently mis-attributing frames.
+    packed = F.col("asset_id") * F.lit(1_000_000) + F.col("frame_no")
     as_images = frames.select(
-        (F.col("asset_id") * F.lit(1_000_000) + F.col("frame_no")).alias("asset_id"),
+        F.when(
+            (F.col("asset_id") >= F.lit(9_000_000_000_000))
+            | (F.col("asset_id") < 0)
+            | (F.col("frame_no") >= F.lit(1_000_000)),
+            F.raise_error("frame_features: asset_id/frame_no out of packing range"),
+        ).otherwise(packed).alias("asset_id"),
         F.lit("image").alias("media_type"),
         F.col("frame").alias("content"),
     )
     feats = image_features(as_images, strict=False)
     return feats.select(
-        (F.col("asset_id") / 1_000_000).cast("long").alias("asset_id"),
+        # integer floor division (SQL `div`) — float division truncates
+        # and loses precision past 2^53
+        F.expr("asset_id div 1000000").cast("long").alias("asset_id"),
         F.pmod(F.col("asset_id"), F.lit(1_000_000)).cast("int").alias("frame_no"),
         "format", "width", "height", "channels",
         "pixel_mean", "pixel_std", "pixels_real", "embedding",

@@ -1119,3 +1119,74 @@ def test_png_zip_bomb_header_bounded():
     big = bytearray(make_png(5, 3))
     big[16:24] = struct.pack(">II", 50000, 50000)
     assert MD.decode_png_pixels(bytes(big)) is None
+
+
+def test_bmp_rle_bomb_returns_none():
+    """Hostile RLE8 BMP claiming 100000x100000 (w*h over the decode cap):
+    _bmp_rle_decode bails with None; decode_bmp_pixels must return None
+    instead of crashing on idx.max (ADVICE r5)."""
+    palette = [(i, i, i) for i in range(256)]
+    rle = bytes([3, 1, 0, 1])  # tiny payload, bogus huge header dims
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    pixel_off = 14 + 40 + len(pal)
+    w = h = 100_000
+    header = (b"BM" + struct.pack("<IHHI", pixel_off + len(rle), 0, 0, pixel_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,
+                            len(rle), 2835, 2835, len(palette), 0))
+    assert MD.decode_bmp_pixels(header + pal + rle) is None
+
+
+def test_wav_samples_trailing_bare_fmt_chunk():
+    """A WAV with a trailing bare 'fmt ' header (zero-size body) must not
+    crash decode_wav_samples' chunk re-walk, and must not override the
+    audio_fmt decode_wav validated (ADVICE r5)."""
+    import numpy as np
+
+    data, n = make_wav(rate=8000, duration_s=0.1, channels=1, amp=0.5)
+    hostile = bytearray(data + b"fmt " + struct.pack("<I", 0))
+    # keep RIFF size consistent with the appended chunk
+    hostile[4:8] = struct.pack("<I", len(hostile) - 8)
+    decoded = MD.decode_wav_samples(bytes(hostile))
+    assert decoded is not None
+    info, x = decoded
+    assert len(x) == n
+    assert abs(float(np.max(np.abs(x))) - 0.5) < 0.01
+
+    # short-but-nonzero fmt body (2 bytes) must also be ignored
+    hostile2 = bytearray(data + b"fmt " + struct.pack("<I", 2) + b"\x03\x00")
+    hostile2[4:8] = struct.pack("<I", len(hostile2) - 8)
+    decoded2 = MD.decode_wav_samples(bytes(hostile2))
+    assert decoded2 is not None  # fmt=3 (float) would have broken PCM decode
+
+
+def test_frame_features_large_asset_id(spark):
+    """Packed (asset_id, frame_no) round-trips exactly for ids past
+    2^53/1e6 where float division loses precision (ADVICE r5)."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    big_id = 8_900_000_000_123  # packed = 8.9e18 > 2^53, < int64 max
+    frames = [encode_jpeg(np.full((8, 8), 90, dtype=np.uint8))]
+    data = make_mjpeg_mp4(frames, frame_ms=500)
+    assets = spark.createDataFrame(
+        [(big_id, 40, "video", data, {"ext": "mp4"})], schemas.MEDIA_ASSETS
+    )
+    out = MM.frame_features(assets, every_ms=500).toPandas()
+    assert list(out["asset_id"]) == [big_id]
+    assert list(out["frame_no"]) == [0]
+
+
+def test_frame_features_out_of_range_id_raises(spark):
+    """asset_id beyond the documented packing range fails loudly."""
+    import numpy as np
+    import pytest
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    frames = [encode_jpeg(np.full((8, 8), 90, dtype=np.uint8))]
+    data = make_mjpeg_mp4(frames, frame_ms=500)
+    assets = spark.createDataFrame(
+        [(9_300_000_000_000, 40, "video", data, {"ext": "mp4"})],
+        schemas.MEDIA_ASSETS,
+    )
+    with pytest.raises(Exception, match="packing range"):
+        MM.frame_features(assets, every_ms=500).collect()
