@@ -282,12 +282,20 @@ def ngram_jaccard_pairs_df(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    # No forced hint on the counts joins: counts has one row per
+    # DISTINCT document (corpus cardinality), so a forced broadcast
+    # would collect it to the driver and die at the 100 TB design
+    # point, while a forced shuffle_hash double-reshuffles the pairs
+    # side even when counts is tiny (measured 3× on the sf0.1 bench).
+    # Unhinted, Catalyst/AQE broadcast the small runtime side and fall
+    # back to a shuffle join only when counts genuinely outgrows the
+    # threshold — the correct strategy at both scales.
     ca = counts.alias("ca")
     cb = counts.alias("cb")
     jac = F.col("inter") / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
     rep_pairs = (
-        pairs.join(F.broadcast(ca), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(F.broadcast(cb), F.col("doc_b") == F.col("cb.doc_id"))
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .where(jac >= threshold)
         .select(
             F.col("doc_a").alias("rep_a"),

@@ -8,14 +8,22 @@ adapted to use lineitem as the part↔supplier link.
 
 Scale notes (100 TB design point):
 
-- Nation/region dims are broadcast on both sides of the Q7/Q8 pair
-  joins — the fact table never shuffles for dimension lookups.
+- Forced ``F.broadcast`` hints are reserved for FIXED-cardinality
+  inputs: nation (25 rows), region (5 rows), and 1-row scalar
+  aggregates. sf-scaled tables (part, supplier, per-part averages,
+  filtered supplier lists) carry NO forced hint — a forced broadcast
+  bypasses Spark's size threshold and would OOM the driver when part is
+  multi-GB at the 100 TB point. Catalyst's static size estimate picks
+  broadcast when they're genuinely small, and AQE's runtime join
+  re-selection (adaptive.enabled in session.py) upgrades shuffle joins
+  to broadcast from actual post-filter sizes; tests/test_plan_shape.py
+  asserts no forced hint reappears on a scaled table.
 - Scalar thresholds (total value, average balance, max revenue) are
   1-row aggregates broadcast-cross-joined into the plan, never collected
   to the driver; each query stays a single Catalyst plan.
 - The Q17 correlated average is rewritten as an aggregate-then-join:
-  the per-part averages (|part| rows, small) broadcast against the fact
-  scan instead of a per-row correlated subquery.
+  the per-part averages (|part| rows) join the fact scan instead of a
+  per-row correlated subquery; AQE picks the physical strategy.
 - Q18's HAVING-subquery is an aggregate on the already-shuffled
   l_orderkey grouping, then a semi-join back — one shuffle, reused.
 """
@@ -53,7 +61,7 @@ def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .where(pair | rev_pair)
@@ -84,7 +92,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
@@ -100,14 +108,16 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp, amount = disc_price) —
     widget-part revenue by supplier nation and ship year. The part filter
-    (LIKE) prunes before the join; part and nation broadcast."""
+    (LIKE) prunes before the join; nation is force-broadcast (fixed 25
+    rows), part/supplier join strategy is left to Catalyst stats + AQE
+    (sf-scaled — see module scale notes)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), _year("l_shipdate"))
         .agg(X.pround(F.sum(X.disc_price()).cast("double")).alias("sum_profit"))
@@ -154,7 +164,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(mx)
         .where(F.col("rev_dec") == F.col("max_dec"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -179,12 +189,8 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct's single-pass plan keeps per-group distinct sets in
     # the aggregation buffers, which grew superlinearly on stress data.
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            F.broadcast(bad_supp),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
         .groupBy("p_brand", "p_type", "p_size")
@@ -198,8 +204,9 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape — revenue from Brand#13 lineitems whose quantity is
     below half the part's average quantity. The correlated subquery is
-    rewritten as aggregate-then-broadcast-join (per-part averages are
-    |part| rows — tiny next to the fact table)."""
+    rewritten as aggregate-then-join (per-part averages are |part| rows —
+    small next to the fact table but sf-scaled, so no forced broadcast;
+    AQE upgrades to broadcast when the runtime size allows)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
     # Exact-numerator average: decimal sum / count, divided in double —
@@ -211,8 +218,8 @@ def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_q")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_q"))
         .agg(
             X.dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
@@ -339,7 +346,7 @@ def promotable_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(X.dec_sum_raw(F.col("l_quantity").cast("double")).alias("qty_dec"))
         .where(F.col("qty_dec") > 50)
@@ -384,7 +391,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") == F.col("k3")) & (F.col("s3") != F.col("l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
