@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import exact as X
 from ..operators import dedup as DD
 from ..operators import embed as EMB
 from ..operators import knn as KNN
@@ -558,14 +559,23 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force k-NN (partition-local partial top-k) —
-    the throughput path; equivalence to the expression path is tested."""
+    the throughput path. Exact: same (query, k, tie-break) contract as
+    ``knn_exact``, so it carries the same DuckDB oracle (scores pround'd
+    to 4; zero-norm candidates drop out of both engines — NaN scores
+    never enter a top-k)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
     qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
     qids = np.asarray([r["vec_id"] for r in q], dtype=np.int64)
-    return KNN.knn_bruteforce_numpy(emb, qm, qids, k=5)
+    out = KNN.knn_bruteforce_numpy(emb, qm, qids, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
 
 
 def hll_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,3 +636,12 @@ QUERIES = {
 # exception — its synthesized payload parameters ARE SQL arithmetic, so
 # the decode round-trip gets a real DuckDB oracle.
 ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
+
+# knn_numpy_topk is EXACT brute-force with knn_exact's (queries, k,
+# tie-break) contract, only the physical engine differs (Arrow/numpy
+# partial top-k vs codegen'd expressions) — so it shares knn_exact's
+# DuckDB oracle verbatim. Drift between the two engines now fails the
+# driver gate, not just the in-repo equivalence test.
+from .vectors import ORACLE as _VEC_ORACLE  # noqa: E402
+
+ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
