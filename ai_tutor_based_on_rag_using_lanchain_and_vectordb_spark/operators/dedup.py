@@ -22,19 +22,27 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------- exact
 
 
-def has_exact_duplicates(df: DataFrame, *cols: str) -> bool:
-    """Cheap pre-flight for the duplicate-collapse rewrites: does any
-    (*cols) combination repeat?  Count vs distinct-count of a 64-bit
-    hash — the partial aggregate dedupes map-side, so the shuffle
-    carries ~8 bytes per DISTINCT combination instead of whole payloads
-    (the collapse window would shuffle full rows). A hash collision can
-    only over-report duplicates, which routes to the collapse path —
-    a performance miss, never a wrong answer."""
+def dup_stats(df: DataFrame, *cols: str) -> tuple[int, int]:
+    """(total rows, distinct (*cols) combinations) in ONE job — the
+    shared pre-flight for the duplicate-collapse rewrite and for
+    size-gated join hints (the distinct count is the cardinality of the
+    collapsed representative set). Distinctness is measured on a 64-bit
+    hash so the partial aggregate dedupes map-side and the shuffle
+    carries ~8 bytes per distinct combination instead of whole
+    payloads; a hash collision can only under-report distincts, which
+    routes to the collapse path / shuffle join — a performance miss,
+    never a wrong answer."""
     row = df.agg(
         F.count("*").alias("n"),
         F.countDistinct(F.xxhash64(*cols)).alias("d"),
     ).first()
-    return int(row["n"]) != int(row["d"])
+    return int(row["n"]), int(row["d"])
+
+
+def has_exact_duplicates(df: DataFrame, *cols: str) -> bool:
+    """Does any (*cols) combination repeat? See :func:`dup_stats`."""
+    n, d = dup_stats(df, *cols)
+    return n != d
 
 
 def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:

@@ -47,6 +47,15 @@ MAX_SHINGLE_DF = 100
 # shingles above MAX_SHINGLE_DF are dropped from candidate generation.
 MAX_DUP_GROUP = 100
 
+# Representative-cardinality ceiling for broadcasting the per-doc
+# shingle-count side of the Jaccard join: 2 M rows of (doc_id, n) is a
+# ~100 MB hash relation — comfortably inside executor memory — while
+# anything larger routes to a shuffled-hash join. The gate uses the
+# MEASURED distinct-document count (dup_stats preflight), never
+# Catalyst's static estimate, which under-reports the aggregated pairs
+# side badly enough to statically broadcast the wrong (corpus²) side.
+MAX_BROADCAST_COUNTS = 2_000_000
+
 
 def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one group per sha256(text), keeping
@@ -234,10 +243,13 @@ def ngram_jaccard_pairs_df(
     skips the collapse window and both expansion joins entirely — on
     such data the two plans are identical by construction (every group
     has size 1), so the gate trades nothing but the pre-flight scan."""
-    from ..operators.dedup import has_exact_duplicates
+    from ..operators.dedup import dup_stats
 
     if collapse is None:
-        collapse = has_exact_duplicates(docs, "lang", "text")
+        n_docs, n_reps = dup_stats(docs, "lang", "text")
+        collapse = n_docs != n_reps
+    else:
+        n_reps = None  # caller pinned the path; counted below if needed
     if collapse:
         # collapse: one representative (min doc_id) + group size per
         # identical (lang, text), via a window — no collect_list, so a
@@ -282,16 +294,27 @@ def ngram_jaccard_pairs_df(
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    # No forced hint on the counts joins: counts has one row per
-    # DISTINCT document (corpus cardinality), so a forced broadcast
-    # would collect it to the driver and die at the 100 TB design
-    # point, while a forced shuffle_hash double-reshuffles the pairs
-    # side even when counts is tiny (measured 3× on the sf0.1 bench).
-    # Unhinted, Catalyst/AQE broadcast the small runtime side and fall
-    # back to a shuffle join only when counts genuinely outgrows the
-    # threshold — the correct strategy at both scales.
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    # SIZE-GATED hint on the counts joins. counts has one row per
+    # DISTINCT document, so a forced broadcast would OOM the driver at
+    # the 100 TB design point — but leaving the join unhinted is WORSE:
+    # Catalyst's static size estimate for the doubly-aggregated pairs
+    # subtree is garbage (far below reality), so the static planner
+    # broadcasts the PAIRS side (measured: 28.8 M rows broadcast-built
+    # at sf1, 52 s vs 10 s), and AQE cannot demote a statically-planned
+    # broadcast. The gate decides from the MEASURED representative
+    # cardinality (one extra cheap job at most — the collapse preflight
+    # already computed it): small corpus → broadcast counts (the
+    # correct small side); big corpus → shuffle_hash on counts, which
+    # shuffles both sides and hash-builds the provably-smaller one
+    # (|counts| ≤ |docs| ≪ |candidate pairs| by construction).
+    if n_reps is None:
+        n_reps = reps.count()
+    if n_reps <= MAX_BROADCAST_COUNTS:
+        ca = F.broadcast(counts.alias("ca"))
+        cb = F.broadcast(counts.alias("cb"))
+    else:
+        ca = counts.alias("ca").hint("shuffle_hash")
+        cb = counts.alias("cb").hint("shuffle_hash")
     jac = F.col("inter") / (F.col("ca.n") + F.col("cb.n") - F.col("inter"))
     rep_pairs = (
         pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))

@@ -263,17 +263,27 @@ def _dict_string(body: bytes, name: bytes) -> bytes | None:
 
 
 def _std_encryption_key(
-    o: bytes, p: int, id1: bytes, r: int, n: int, encrypt_metadata: bool = True
+    o: bytes,
+    p: int,
+    id1: bytes,
+    r: int,
+    n: int,
+    encrypt_metadata: bool = True,
+    password: bytes = b"",
 ) -> bytes:
-    """ISO 32000-1 Algorithm 2 with the EMPTY user password (the only
-    case recoverable without a secret — most "encrypted" PDFs in the
-    wild are owner-restricted with a blank user password)."""
+    """ISO 32000-1 Algorithm 2: file key from the (possibly empty) user
+    password. The password is padded/truncated to 32 bytes with the
+    spec's constant pad — the empty default covers the common
+    owner-restricted-but-blank-user-password case; callers supply the
+    real user password for genuinely protected documents (PyPDFLoader
+    semantics, reference backend/chroma_utils.py:61-63)."""
     import hashlib
     import struct as _s
 
+    padded = (password + _PW_PAD)[:32]
     tail = b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff"
     p &= 0xFFFFFFFF  # some producers write /P in unsigned form
-    md = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<I", p) + id1 + tail)
+    md = hashlib.md5(padded + o[:32] + _s.pack("<I", p) + id1 + tail)
     key = md.digest()[:n]
     if r >= 3:
         for _ in range(50):
@@ -282,8 +292,9 @@ def _std_encryption_key(
 
 
 def _std_user_check(key: bytes, id1: bytes, r: int) -> bytes:
-    """Expected /U for the empty user password (Algorithms 4/5) — used
-    to verify the password really is blank before decrypting."""
+    """Expected /U for the file key (Algorithms 4/5) — verifies the
+    supplied user password (the password only enters via the key; the
+    digest input is the spec's constant pad, not the password)."""
     import hashlib
 
     if r == 2:

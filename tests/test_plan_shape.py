@@ -123,7 +123,6 @@ def test_headline_queries_have_no_python_rows_path(spark, sf_dir, name):
 SCALED_NO_HINT = [
     "brand_supplier_counts",  # part, bad-supplier list
     "small_qty_avg_revenue",  # part, per-part averages
-    "ngram_jaccard_pairs",    # per-doc shingle counts (corpus cardinality)
     "promotable_part_suppliers",  # part semi-join
 ]
 
@@ -136,6 +135,23 @@ def _analyzed(df) -> str:
 def test_no_forced_broadcast_on_scaled_tables(spark, sf_dir, name):
     a = _analyzed(_q(name, spark, sf_dir))
     assert "strategy=broadcast" not in a, name
+
+
+def test_ngram_counts_join_is_size_gated(spark, sf_dir, monkeypatch):
+    # The per-doc shingle-count side is broadcast only below a MEASURED
+    # cardinality bound (Catalyst's static estimate statically
+    # broadcasts the corpus² pairs side otherwise — AQE can't demote
+    # it). Small corpus: counts broadcast. Above the gate: shuffle_hash
+    # on counts, no broadcast hint anywhere.
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans import documents as D
+
+    a_small = _analyzed(_q("ngram_jaccard_pairs", spark, sf_dir))
+    assert a_small.count("strategy=broadcast") == 2  # ca + cb only
+
+    monkeypatch.setattr(D, "MAX_BROADCAST_COUNTS", 0)
+    a_big = _analyzed(_q("ngram_jaccard_pairs", spark, sf_dir))
+    assert "strategy=broadcast" not in a_big
+    assert "strategy=shuffle_hash" in a_big
 
 
 def test_fixed_dims_keep_their_hint(spark, sf_dir):
