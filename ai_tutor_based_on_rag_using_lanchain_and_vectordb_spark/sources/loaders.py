@@ -81,19 +81,26 @@ def _decode_stub(data: bytes, kind: str) -> list[str]:
     return pages
 
 
-def decode_pdf(data: bytes) -> list[str]:
+def decode_pdf(data: bytes, password: str | bytes | None = None) -> list[str]:
+    """``password`` is the user password for encrypted documents (blank
+    assumed when omitted — the PyPDFLoader behavior the reference relies
+    on, backend/chroma_utils.py:61-63)."""
     try:  # full-featured decoder when available
         import io
 
         from pypdf import PdfReader  # type: ignore
 
         reader = PdfReader(io.BytesIO(data))
+        if reader.is_encrypted:
+            pw = password.decode("latin-1") if isinstance(password, bytes) else password
+            reader.decrypt(pw or "")
         return [p.extract_text() or "" for p in reader.pages]
     except ImportError:
         pass
     from .minidecode import pdf_pages
 
-    pages = pdf_pages(data)  # real stdlib extractor (zlib + text ops)
+    # real stdlib extractor (zlib + text ops)
+    pages = pdf_pages(data, password=password)
     return pages if pages else _decode_stub(data, "pdf")
 
 

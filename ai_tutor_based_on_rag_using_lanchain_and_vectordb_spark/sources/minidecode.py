@@ -30,14 +30,14 @@ common cases instead of a stub:
   page tree resolves (damaged xref, exotic layouts) the extractor falls
   back to the previous stream heuristic: each content stream with a
   ``BT`` block is one pseudo-page. Encrypted PDFs (standard security
-  handler) decrypt when the user password is blank — the usual
-  owner-restricted case — across all the standard cipher generations:
-  RC4 (V 1/2 R 2/3), AESV2 (V 4 R 3/4, AES-128-CBC per-object keys)
-  and AESV3 (V 5 R 5/6, AES-256 with the R6 hardened hash), via pure
-  hashlib MD5/SHA-2 key derivation plus an in-repo FIPS-197 AES
-  (known-answer-vector tested); the /U entry is verified first so a
-  real password never yields garbage text. Not handled (falls back to
-  the caller's stub): password-protected PDFs, non-standard security
+  handler) decrypt with the supplied user password — blank assumed
+  when none is given, the usual owner-restricted case — across all the
+  standard cipher generations: RC4 (V 1/2 R 2/3), AESV2 (V 4 R 3/4,
+  AES-128-CBC per-object keys) and AESV3 (V 5 R 5/6, AES-256 with the
+  R6 hardened hash), via pure hashlib MD5/SHA-2 key derivation plus an
+  in-repo FIPS-197 AES (known-answer-vector tested); the /U entry is
+  verified first so a wrong password never yields garbage text. Not
+  handled (falls back to the caller's stub): non-standard security
   handlers, and Type0 fonts that ship no ToUnicode map (unrecoverable
   without external CMap tables).
 
@@ -512,9 +512,10 @@ def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-def _build_v5_decryptor(enc: bytes, r: int):
-    """AESV3 (V5, R5/R6), blank user password: verify /U's validation
-    hash, then unwrap the file key from /UE with the key-salt hash."""
+def _build_v5_decryptor(enc: bytes, r: int, password: bytes = b""):
+    """AESV3 (V5, R5/R6): verify /U's validation hash for the supplied
+    user password (blank by default), then unwrap the file key from /UE
+    with the key-salt hash."""
     import hashlib
 
     u = _dict_string(enc, b"U")
@@ -523,24 +524,30 @@ def _build_v5_decryptor(enc: bytes, r: int):
         raise ValueError("malformed V5 /Encrypt dictionary")
     vsalt, ksalt = u[32:40], u[40:48]
     if r == 6:
-        check = _hash_r6(b"", vsalt)
-        inter = _hash_r6(b"", ksalt)
+        check = _hash_r6(password, vsalt)
+        inter = _hash_r6(password, ksalt)
     else:  # R5 (deprecated Adobe extension): plain SHA-256
-        check = hashlib.sha256(vsalt).digest()
-        inter = hashlib.sha256(ksalt).digest()
+        check = hashlib.sha256(password + vsalt).digest()
+        inter = hashlib.sha256(password + ksalt).digest()
     if check != u[:32]:
-        raise ValueError("non-blank user password")
+        raise ValueError("wrong or missing user password")
     file_key = _aes_cbc_decrypt(inter, b"\x00" * 16, ue[:32], strip_pad=False)
     return _AesDecryptor(file_key, per_object=False)
 
 
-def _build_decryptor(data: bytes, table: dict[int, bytes]):
+def _build_decryptor(
+    data: bytes, table: dict[int, bytes], password: str | bytes | None = None
+):
     """None when the document isn't encrypted; a decryptor callable for
-    the standard handler with a blank user password — RC4 (V 1/2,
-    R 2/3), AESV2 (V 4, R 4) and AESV3 (V 5, R 5/6); raises ValueError
-    for anything else (non-blank passwords, custom security handlers,
-    crypt filters other than StdCF) so the caller falls back to the
-    stub instead of emitting garbage."""
+    the standard handler — RC4 (V 1/2, R 2/3), AESV2 (V 4, R 4) and
+    AESV3 (V 5, R 5/6) — authorized by ``password`` (the USER password;
+    blank by default, the common owner-restricted case). A str password
+    is encoded per the handler revision: Latin-1 for the classic
+    handlers (PDFDoc encoding's printable range), UTF-8 for V5, the
+    same convention pypdf applies. Raises ValueError for wrong
+    passwords, custom security handlers, or crypt filters other than
+    StdCF, so the caller falls back to the stub instead of emitting
+    garbage."""
     em = None
     for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
         em = m  # last trailer wins (incremental updates)
@@ -554,7 +561,13 @@ def _build_decryptor(data: bytes, table: dict[int, bytes]):
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
     if v == 5 and r in (5, 6):
-        return _build_v5_decryptor(enc, r)
+        pw5 = password.encode("utf-8") if isinstance(password, str) else (password or b"")
+        return _build_v5_decryptor(enc, r, pw5)
+    pw = (
+        password.encode("latin-1", "replace")
+        if isinstance(password, str)
+        else (password or b"")
+    )
     aes = False
     if v == 4:
         # V4 wraps the cipher choice in crypt filters; only the default
@@ -598,12 +611,12 @@ def _build_decryptor(data: bytes, table: dict[int, bytes]):
     id1 = _hex_bytes(id_m.group(1)) if id_m else b""
     encrypt_metadata = re.search(rb"/EncryptMetadata\s+false", enc) is None
     key = _std_encryption_key(
-        o, int(pm.group(1)), id1, r, n, encrypt_metadata
+        o, int(pm.group(1)), id1, r, n, encrypt_metadata, password=pw
     )
     expect = _std_user_check(key, id1, r)
     got = u[:16] if r >= 3 else u[:32]
     if got != expect[: len(got)]:
-        raise ValueError("non-blank user password")
+        raise ValueError("wrong or missing user password")
     return _AesDecryptor(key, per_object=True) if aes else _Rc4Decryptor(key)
 
 
@@ -780,12 +793,166 @@ def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
     return mapping, width
 
 
+# ---------------- embedded TrueType cmap fallback (Type0, no ToUnicode)
+#
+# Digitally-produced CJK PDFs sometimes ship an Identity-H Type0 font
+# with NO /ToUnicode CMap: the code points ARE the glyph ids, and the
+# only glyph→unicode evidence is the embedded font program's own 'cmap'
+# table (what pypdf's text extractor falls back to). Parsing formats 4
+# (segmented BMP) and 12 (grouped full-Unicode) covers what real
+# subsetters emit. All offsets are bounds-checked — font programs are
+# untrusted input, so any malformation returns None (fail closed).
+
+_TTF_MAX_CMAP = 1_000_000  # mapping-entry ceiling against hostile fonts
+
+
+def _ttf_unicode_cmap(font: bytes) -> dict[int, int] | None:
+    """unicode codepoint → glyph id from a TrueType/OpenType program's
+    'cmap' table (best Unicode subtable: format 12 preferred over 4)."""
+    import struct as _s
+
+    if len(font) < 12:
+        return None
+    num_tables = _s.unpack(">H", font[4:6])[0]
+    cmap_off = None
+    for i in range(min(num_tables, 512)):
+        o = 12 + 16 * i
+        if o + 16 > len(font):
+            return None
+        if font[o : o + 4] == b"cmap":
+            cmap_off = _s.unpack(">I", font[o + 8 : o + 12])[0]
+            break
+    if cmap_off is None or cmap_off + 4 > len(font):
+        return None
+    n_sub = _s.unpack(">H", font[cmap_off + 2 : cmap_off + 4])[0]
+    best = None  # (priority, absolute offset)
+    for i in range(min(n_sub, 64)):
+        o = cmap_off + 4 + 8 * i
+        if o + 8 > len(font):
+            return None
+        plat, enc = _s.unpack(">HH", font[o : o + 4])
+        sub = cmap_off + _s.unpack(">I", font[o + 4 : o + 8])[0]
+        if sub + 2 > len(font):
+            continue
+        fmt = _s.unpack(">H", font[sub : sub + 2])[0]
+        unicode_sub = plat == 0 or (plat == 3 and enc in (1, 10))
+        if not unicode_sub:
+            continue
+        prio = 2 if fmt == 12 else 1 if fmt == 4 else 0
+        if prio and (best is None or prio > best[0]):
+            best = (prio, sub, fmt)
+    if best is None:
+        return None
+    _, sub, fmt = best
+    out: dict[int, int] = {}
+    if fmt == 4:
+        if sub + 14 > len(font):
+            return None
+        seg2 = _s.unpack(">H", font[sub + 6 : sub + 8])[0]
+        segs = seg2 // 2
+        ends = sub + 14
+        starts = ends + seg2 + 2  # +2 reservedPad
+        deltas = starts + seg2
+        ranges = deltas + seg2
+        if ranges + seg2 > len(font):
+            return None
+        for s in range(segs):
+            end = _s.unpack(">H", font[ends + 2 * s : ends + 2 * s + 2])[0]
+            start = _s.unpack(">H", font[starts + 2 * s : starts + 2 * s + 2])[0]
+            if start > end or (start == 0xFFFF and end == 0xFFFF):
+                continue
+            delta = _s.unpack(">h", font[deltas + 2 * s : deltas + 2 * s + 2])[0]
+            roff = _s.unpack(">H", font[ranges + 2 * s : ranges + 2 * s + 2])[0]
+            for c in range(start, end + 1):
+                if roff == 0:
+                    gid = (c + delta) & 0xFFFF
+                else:
+                    ga = ranges + 2 * s + roff + 2 * (c - start)
+                    if ga + 2 > len(font):
+                        return None
+                    gid = _s.unpack(">H", font[ga : ga + 2])[0]
+                    if gid:
+                        gid = (gid + delta) & 0xFFFF
+                if gid:
+                    out[c] = gid
+                if len(out) > _TTF_MAX_CMAP:
+                    return None
+    else:  # format 12
+        if sub + 16 > len(font):
+            return None
+        n_groups = _s.unpack(">I", font[sub + 12 : sub + 16])[0]
+        if n_groups > _TTF_MAX_CMAP or sub + 16 + 12 * n_groups > len(font):
+            return None
+        for g in range(n_groups):
+            o = sub + 16 + 12 * g
+            lo, hi, gid0 = _s.unpack(">III", font[o : o + 12])
+            if hi < lo or hi - lo > _TTF_MAX_CMAP or hi > 0x10FFFF:
+                return None
+            for c in range(lo, hi + 1):
+                out[c] = gid0 + (c - lo)
+                if len(out) > _TTF_MAX_CMAP:
+                    return None
+    return out or None
+
+
+def _type0_ttf_fallback(
+    table: dict[int, bytes], fbody: bytes, decrypt=None
+) -> tuple[dict[int, str], int] | None:
+    """Glyph-id → unicode map for an Identity-H /Type0 font with no
+    /ToUnicode, recovered by inverting the embedded TrueType program's
+    own 'cmap' (pypdf's fallback path). None unless the font is
+    Identity-encoded with an identity CID→GID map and a parseable
+    /FontFile2 — anything else keeps the documented stub behavior."""
+    if not re.search(rb"/Subtype\s*/Type0\b", fbody):
+        return None
+    if not re.search(rb"/Encoding\s*/Identity-[HV]\b", fbody):
+        return None
+    dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", fbody)
+    if not dm:
+        dm = re.search(rb"/DescendantFonts\s+(\d+)\s+\d+\s+R", fbody)
+        if dm:  # indirect array object: [ N 0 R ]
+            arr = table.get(int(dm.group(1)), b"")
+            dm = re.search(rb"(\d+)\s+\d+\s+R", arr)
+    if not dm:
+        return None
+    desc = table.get(int(dm.group(1)))
+    if not desc:
+        return None
+    c2g = re.search(rb"/CIDToGIDMap\s*(/\w+|\d+\s+\d+\s+R)", desc)
+    if c2g and c2g.group(1).strip() != b"/Identity":
+        return None  # stream-based CID→GID maps stay stubbed
+    fd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
+    if not fd:
+        return None
+    fd_body = table.get(int(fd.group(1)), b"")
+    ff = re.search(rb"/FontFile2\s+(\d+)\s+\d+\s+R", fd_body)
+    if not ff:
+        return None
+    ff_body = table.get(int(ff.group(1)))
+    if not ff_body:
+        return None
+    font = _content_stream(ff_body, int(ff.group(1)), decrypt)
+    if not font:
+        return None
+    uni2gid = _ttf_unicode_cmap(font)
+    if not uni2gid:
+        return None
+    # invert: smallest codepoint wins per glyph (deterministic when a
+    # glyph serves several codepoints)
+    gid2uni: dict[int, str] = {}
+    for cp in sorted(uni2gid, reverse=True):
+        gid2uni[uni2gid[cp]] = chr(cp)
+    return gid2uni, 2
+
+
 def _page_fonts(
     table: dict[int, bytes], page_body: bytes, decrypt=None
 ) -> dict[bytes, tuple[dict[int, str], int]]:
     """Resolve the page's /Resources → /Font dict and parse each font's
-    /ToUnicode CMap stream. Only fonts WITH a ToUnicode map are
-    returned — simple fonts keep the latin-1 path in _stream_text."""
+    /ToUnicode CMap stream; Identity-H Type0 fonts WITHOUT a ToUnicode
+    fall back to the embedded TrueType program's own 'cmap' table
+    (:func:`_type0_ttf_fallback`). Simple fonts keep the latin-1 path
+    in _stream_text."""
     res = page_body
     rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
     if rm:
@@ -807,6 +974,9 @@ def _page_fonts(
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
         if not tm:
+            ttf = _type0_ttf_fallback(table, fbody, decrypt)
+            if ttf:
+                fonts[m.group(1)] = ttf
             continue
         tbody = table.get(int(tm.group(1)))
         if not tbody:
@@ -817,20 +987,22 @@ def _page_fonts(
     return fonts
 
 
-def pdf_pages(data: bytes) -> list[str]:
+def pdf_pages(data: bytes, password: str | bytes | None = None) -> list[str]:
     """Page texts. Primary path: walk the /Pages tree and concatenate
     each page's /Contents streams (one output entry per real page, in
     tree order — empty pages stay as empty strings so page numbering
     matches the document). Fallback when no tree resolves: one entry
     per content stream containing a BT text block. ``[]`` when the
-    document has no parseable text streams."""
+    document has no parseable text streams. ``password`` is the user
+    password for encrypted documents (blank assumed when omitted —
+    PyPDFLoader semantics, reference backend/chroma_utils.py:61-63)."""
     if not data.startswith(b"%PDF"):
         return []
     table = _object_table(data)
     try:
-        decrypt = _build_decryptor(data, table)
+        decrypt = _build_decryptor(data, table, password)
     except ValueError:
-        return []  # AES / non-blank password: caller falls to the stub
+        return []  # wrong password / exotic handler: caller falls to stub
     if decrypt is not None:
         # rebuild so ObjStm payloads inflate through RC4 (the /Encrypt
         # dict itself is never inside an ObjStm, so pass 1 found it)

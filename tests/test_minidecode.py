@@ -450,10 +450,12 @@ def test_pdf_simple_fonts_unaffected_by_cid_path():
 
 # ------------------------------------------------ RC4-encrypted PDFs
 
-def make_encrypted_pdf(text: bytes, r=3, length=128, p=-44, wrong_pw=False):
+def make_encrypted_pdf(text: bytes, r=3, length=128, p=-44, wrong_pw=False,
+                       password=b""):
     """One-page PDF encrypted with the standard security handler
-    (RC4, blank user password): /O fixed, key via Algorithm 2, /U via
-    Algorithm 4/5, streams RC4-encrypted per object (Algorithm 1)."""
+    (RC4, user password ``password`` — blank by default): /O fixed, key
+    via Algorithm 2, /U via Algorithm 4/5, streams RC4-encrypted per
+    object (Algorithm 1)."""
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
         _Rc4Decryptor,
         _std_encryption_key,
@@ -463,7 +465,7 @@ def make_encrypted_pdf(text: bytes, r=3, length=128, p=-44, wrong_pw=False):
     o_entry = bytes(range(32))
     id1 = bytes.fromhex("00112233445566778899aabbccddeeff")
     n = length // 8 if r >= 3 else 5
-    key = _std_encryption_key(o_entry, p, id1, r, n)
+    key = _std_encryption_key(o_entry, p, id1, r, n, password=password)
     u_entry = _std_user_check(key, id1, r)
     if r >= 3:
         u_entry = u_entry + b"\x00" * 16
@@ -569,8 +571,10 @@ def _page_objs(body: bytes) -> dict[int, bytes]:
     }
 
 
-def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False):
-    """AESV2 (V4 R4, AES-128-CBC, StdCF) with a blank user password."""
+def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False,
+                   password=b""):
+    """AESV2 (V4 R4, AES-128-CBC, StdCF) with user password
+    ``password`` (blank by default)."""
     import hashlib
     import struct as _s
 
@@ -582,7 +586,8 @@ def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False):
 
     o_entry = bytes(range(32))
     id1 = bytes.fromhex("00112233445566778899aabbccddeeff")
-    key = _std_encryption_key(o_entry, p, id1, 4, 16, encrypt_metadata)
+    key = _std_encryption_key(o_entry, p, id1, 4, 16, encrypt_metadata,
+                              password=password)
     u_entry = _std_user_check(key, id1, 4) + b"\x00" * 16
 
     objnum = 4
@@ -616,9 +621,9 @@ def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False):
 
 
 def make_aesv3_pdf(text: bytes, r=6, password=b""):
-    """AESV3 (V5 R5/R6, AES-256-CBC) with a blank user password;
-    ``password`` perturbs the /U validation hash to simulate a
-    non-blank-password document."""
+    """AESV3 (V5 R5/R6, AES-256-CBC) protected by user password
+    ``password`` (blank by default) — /U validation hash and /UE key
+    wrap both derive from it."""
     import hashlib
 
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
@@ -681,6 +686,54 @@ def test_pdf_aesv3_nonblank_password_stubs():
     assert pdf_pages(make_aesv3_pdf(b"secret", password=b"hunter2")) == []
 
 
+# --------------------------------------------- user-password decryption
+
+
+def test_pdf_rc4_user_password():
+    data = make_encrypted_pdf(b"locked rc4", r=3, password=b"hunter2")
+    assert pdf_pages(data) == []  # no password: refuse
+    assert pdf_pages(data, password=b"hunter2") == ["locked rc4"]
+    assert pdf_pages(data, password="hunter2") == ["locked rc4"]  # str ok
+    assert pdf_pages(data, password=b"wrong") == []
+
+
+def test_pdf_rc4_r2_user_password():
+    data = make_encrypted_pdf(b"old locked", r=2, length=40, password=b"pw")
+    assert pdf_pages(data, password=b"pw") == ["old locked"]
+    assert pdf_pages(data) == []
+
+
+def test_pdf_aesv2_user_password():
+    data = make_aesv2_pdf(b"AES locked", password=b"s3cret")
+    assert pdf_pages(data, password=b"s3cret") == ["AES locked"]
+    assert pdf_pages(data, password=b"nope") == []
+    assert pdf_pages(data) == []
+
+
+def test_pdf_aesv3_r6_user_password():
+    data = make_aesv3_pdf(b"AES256 locked", r=6, password=b"hunter2")
+    assert pdf_pages(data, password=b"hunter2") == ["AES256 locked"]
+    assert pdf_pages(data, password="hunter2") == ["AES256 locked"]
+    assert pdf_pages(data, password=b"wrong") == []
+
+
+def test_pdf_aesv3_r5_user_password():
+    data = make_aesv3_pdf(b"R5 locked", r=5, password=b"pw5")
+    assert pdf_pages(data, password=b"pw5") == ["R5 locked"]
+    assert pdf_pages(data) == []
+
+
+def test_decode_pdf_password_passthrough():
+    """loaders.decode_pdf forwards the password to the stdlib extractor
+    (PyPDFLoader semantics: user password unlocks the document)."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.loaders import decode_pdf
+
+    data = make_encrypted_pdf(b"via loader", r=3, password=b"k3y")
+    assert decode_pdf(data, password=b"k3y") == ["via loader"]
+    # wrong/missing password falls back to the stub, never garbage
+    assert all("via loader" not in p for p in decode_pdf(data))
+
+
 def test_docx_headers_and_footers():
     """Docx2txt semantics: headers first, then the body, then footers."""
     ns = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
@@ -738,3 +791,105 @@ def test_tounicode_odd_hex_digits_no_crash():
     assert _utf16be_hex(b"zz") == ""  # non-hex garbage drops
     cmap = _CMAP.replace(b"<0041>", b"<041>")  # odd-width dst
     assert pdf_pages(make_cid_pdf(cmap, b"BT /F1 12 Tf <0003> Tj ET")) is not None
+
+
+# ------------------- Type0 without ToUnicode: embedded-TTF-cmap fallback
+
+
+def _ttf_with_cmap(uni2gid: dict[int, int], fmt: int = 4) -> bytes:
+    """Minimal sfnt with a single 'cmap' table (format 4 or 12)."""
+    import struct as _s
+
+    cps = sorted(uni2gid)
+    if fmt == 4:
+        seg2 = 2 * (len(cps) + 1)
+        ends = b"".join(_s.pack(">H", c) for c in cps) + b"\xff\xff"
+        starts = b"".join(_s.pack(">H", c) for c in cps) + b"\xff\xff"
+        deltas = b"".join(
+            _s.pack(">h", (uni2gid[c] - c) % 65536 - (65536 if (uni2gid[c] - c) % 65536 > 32767 else 0))
+            for c in cps
+        ) + _s.pack(">h", 1)
+        roffs = b"\x00\x00" * (len(cps) + 1)
+        sub = (_s.pack(">HHHHHHH", 4, 16 + 4 * seg2, 0, seg2, 0, 0, 0)
+               + ends + b"\x00\x00" + starts + deltas + roffs)
+    else:  # format 12: one group per codepoint
+        groups = b"".join(
+            _s.pack(">III", c, c, uni2gid[c]) for c in cps
+        )
+        sub = _s.pack(">HHIII", 12, 0, 16 + len(groups), 0, len(cps)) + groups
+    cmap = _s.pack(">HH", 0, 1) + _s.pack(">HHI", 3, 10 if fmt == 12 else 1, 12) + sub
+    header = _s.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+    record = b"cmap" + _s.pack(">II", 0, 28) + _s.pack(">I", len(cmap))
+    return header + record + cmap
+
+
+def make_type0_nounicode_pdf(font: bytes, content: bytes,
+                             cid2gid: bytes = b"/Identity") -> bytes:
+    """Type0/Identity-H PDF with NO /ToUnicode; glyph→unicode only via
+    the embedded /FontFile2 program (the digitally-produced CJK shape)."""
+    body = zlib.compress(content)
+    ff = zlib.compress(font)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Mock "
+            b"/Encoding /Identity-H /DescendantFonts [7 0 R] >>"),
+        7: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /ABCDEF+Mock "
+            b"/CIDToGIDMap " + cid2gid + b" /FontDescriptor 8 0 R >>"),
+        8: (b"<< /Type /FontDescriptor /FontName /ABCDEF+Mock "
+            b"/FontFile2 9 0 R >>"),
+        9: (b"<< /Filter /FlateDecode /Length " + str(len(ff)).encode()
+            + b" >>\nstream\n" + ff + b"\nendstream"),
+    }
+    out = io.BytesIO()
+    out.write(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out.write(f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n")
+    out.write(b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    return out.getvalue()
+
+
+_T0_MAP = {0x48: 3, 0xE9: 4, 0x6C: 5, 0x6F: 6}  # H é l o
+
+
+def test_pdf_type0_ttf_cmap_format4():
+    font = _ttf_with_cmap(_T0_MAP, fmt=4)
+    content = b"BT /F1 12 Tf <0003 0004 0005 0005 0006> Tj ET"
+    assert pdf_pages(make_type0_nounicode_pdf(font, content)) == ["H\xe9llo"]
+
+
+def test_pdf_type0_ttf_cmap_format12():
+    font = _ttf_with_cmap(_T0_MAP, fmt=12)
+    content = b"BT /F1 12 Tf <0003 0004 0005 0005 0006> Tj ET"
+    assert pdf_pages(make_type0_nounicode_pdf(font, content)) == ["H\xe9llo"]
+
+
+def test_pdf_type0_ttf_cmap_cjk_format12():
+    """Codepoints beyond the BMP boundary path: CJK via format 12."""
+    m = {0x4F60: 10, 0x597D: 11}  # 你 好
+    font = _ttf_with_cmap(m, fmt=12)
+    content = b"BT /F1 12 Tf <000A 000B> Tj ET"
+    assert pdf_pages(make_type0_nounicode_pdf(font, content)) == ["你好"]
+
+
+def test_pdf_type0_truncated_font_fails_closed():
+    """A truncated/hostile font program must never crash — the font is
+    skipped and the show falls back to the latin-1 path."""
+    font = _ttf_with_cmap(_T0_MAP, fmt=4)
+    content = b"BT /F1 12 Tf <0003> Tj ET"
+    for cut in (4, 13, 30, len(font) - 3):
+        data = make_type0_nounicode_pdf(font[:cut], content)
+        pages = pdf_pages(data)  # must not raise
+        assert isinstance(pages, list)
+
+
+def test_pdf_type0_stream_cidtogid_stays_stubbed():
+    """A stream-based /CIDToGIDMap is not Identity: no fallback map."""
+    font = _ttf_with_cmap(_T0_MAP, fmt=4)
+    content = b"BT /F1 12 Tf <0003> Tj ET"
+    data = make_type0_nounicode_pdf(font, content, cid2gid=b"99 0 R")
+    assert pdf_pages(data) != ["H"]
