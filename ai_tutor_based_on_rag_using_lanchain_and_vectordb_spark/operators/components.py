@@ -20,9 +20,13 @@ Scale notes (100 TB design point):
   O(log diameter) rounds, not O(diameter) — a 1M-node chain resolves
   in ~20 rounds. Near-dup clusters are dense and shallow, so 2-4
   rounds are typical; `max_iter` bounds the pathological case.
-- `localCheckpoint` truncates the growing lineage each round;
+- The per-round materialization truncates the growing lineage;
   otherwise every iteration replans the whole prefix and the DAG
-  explodes quadratically.
+  explodes quadratically. `localCheckpoint` (default) keeps blocks on
+  executors — right for local[N], but NOT fault-tolerant on a real
+  cluster (an executor loss makes truncated lineage unrecoverable).
+  Cluster runs pass ``checkpoint_dir`` to use reliable
+  ``checkpoint()`` into HDFS/S3 instead.
 - Labels and edges shuffle on the same node key every round, so AQE
   reuses co-partitioned exchanges where possible.
 """
@@ -38,25 +42,44 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve undirected ``edges`` into components.
 
     Returns ``(node, component)`` for every node that appears in an
     edge, where ``component`` is the minimum node id reachable —
     a deterministic, engine-independent cluster id.
+
+    ``checkpoint_dir``: when set, per-round materialization uses
+    RELIABLE ``checkpoint()`` into that directory (HDFS/S3 on a real
+    cluster — survives executor loss); when None (default), fast
+    executor-local ``localCheckpoint`` — the right trade on local[N]
+    where executor loss means the whole app died anyway.
     """
+    spark = edges.sparkSession
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the edge list once: without this every iteration
     # re-derives the upstream pair-generation plan (for near-dup input,
     # the whole shingle/inverted-index pipeline) from scratch.
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    sym = _materialize(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels = _materialize(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["a"] == labels["node"]).select(
@@ -85,14 +108,13 @@ def connected_components(
         # One materialization per round: carry the previous label along
         # so the convergence check is a filter over the checkpointed
         # result, not a second full join job.
-        staged = (
+        staged = _materialize(
             jumped.alias("n")
             .join(
                 labels.select("node", F.col("label").alias("old")).alias("o"),
                 "node",
             )
             .select("node", "label", "old")
-            .localCheckpoint(eager=True)
         )
         changed = staged.where(F.col("label") < F.col("old")).count()
         labels = staged.select("node", "label")

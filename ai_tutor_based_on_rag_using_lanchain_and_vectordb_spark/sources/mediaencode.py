@@ -369,12 +369,14 @@ def _mp4_box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
 
 
-def encode_mjpeg_mp4(frames: list, frame_ms: int = 500) -> bytes:
-    """MP4 with a real MJPEG video track: stsd fourcc 'jpeg', per-sample
-    stsz, two chunks (2 samples then the rest) so the stsc mapping is
-    non-trivial, stts at a constant frame duration. Frame payloads are
-    standalone JPEGs laid into mdat. Used by the multimodal self-check
-    gate and the decoder tests."""
+def encode_mjpeg_mp4(frames: list, frame_ms: int = 500, codec: bytes = b"jpeg") -> bytes:
+    """MP4 with a real MJPEG video track: stsd fourcc ``codec`` (default
+    'jpeg'), per-sample stsz, two chunks (2 samples then the rest) so
+    the stsc mapping is non-trivial, stts at a constant frame duration.
+    Frame payloads are standalone JPEGs laid into mdat. Used by the
+    multimodal self-check gate and the decoder tests; a non-default
+    ``codec`` synthesizes compressed-codec-shaped tracks for the
+    pluggable frame-codec seam tests."""
     timescale = 1000
 
     def full(btype, payload):
@@ -390,7 +392,7 @@ def encode_mjpeg_mp4(frames: list, frame_ms: int = 500) -> bytes:
                         + struct.pack(">II", 32 << 16, 24 << 16))
         mdhd = full(b"mdhd", struct.pack(">IIII", 0, 0, timescale, dur)
                     + b"\x00" * 4)
-        entry = struct.pack(">I", 16) + b"jpeg" + b"\x00" * 8
+        entry = struct.pack(">I", 16) + codec[:4].ljust(4, b"\x00") + b"\x00" * 8
         stsd = full(b"stsd", struct.pack(">I", 1) + entry)
         stsz = full(b"stsz", struct.pack(">II", 0, len(frames))
                     + b"".join(struct.pack(">I", len(f)) for f in frames))

@@ -17,6 +17,13 @@ NotImplementedError (strict mode) or produces a deterministic fake
 derived from the bytes — the Spark-side plumbing (schemas, batch
 iteration, partitioning, output shapes) is real and tested.
 
+Compressed video is an EXTENSION POINT, not a dead end: the sample
+tables already yield each stored frame's exact byte range + timestamp
+(mediadecode.mp4_video_track), so plugging a real codec in is one
+``register_frame_codec("avc1", decode_fn)`` call — the sampling,
+timing, fan-out, and downstream image-feature plumbing are shared with
+the built-in MJPEG path. See FRAME_CODECS below.
+
 Design for 100 TB: binary payloads stay in Arrow record batches
 end-to-end (no per-row Python), metadata lives in a MAP column so
 pruning `meta` never drags `content` into memory, and frame sampling
@@ -303,6 +310,27 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
     ).mapInPandas(run, VIDEO_METADATA_SCHEMA)
 
 
+# ----------------------------------------------- pluggable frame codecs
+#
+# fourcc -> callable(sample_bytes) -> decodable image payload (bytes
+# that image_features can pixel-decode, e.g. a JPEG/PNG/BMP) or None
+# (undecodable sample: strict mode raises, lax mode falls back to the
+# timing-only stub for that asset). The built-in MJPEG path is the
+# identity transcode — stored samples ARE standalone JPEGs. A real
+# h264/vp9 integration registers its decoder here and inherits the
+# sampling/timing/fan-out plumbing unchanged. Registered callables are
+# captured BY VALUE into each sample_frames plan (so they ship with the
+# serialized task closure to executors) and must be picklable.
+
+FRAME_CODECS: dict[str, "callable"] = {c: bytes for c in MD.MJPEG_CODECS}
+
+
+def register_frame_codec(fourcc: str, decode_fn) -> None:
+    """Register ``decode_fn(sample_bytes) -> bytes | None`` for an MP4
+    stsd fourcc. Registration affects plans built afterwards."""
+    FRAME_CODECS[fourcc] = decode_fn
+
+
 def sample_frames(
     assets: DataFrame,
     every_ms: int = 1000,
@@ -316,13 +344,16 @@ def sample_frames(
     stts, mediadecode.mp4_video_track) give each stored frame's byte
     range and timestamp, the sample nearest below each ``every_ms``
     tick is emitted, and the payload is a standalone JPEG that
-    image_features can pixel-decode downstream. Other MP4s keep real
-    TIMING from the mvhd duration with stub payload slices (compressed
-    video codecs need a decoder library this container doesn't ship);
-    unrecognized containers raise in strict mode, else fall back to
-    byte-slicing with synthetic timestamps. ``max_frames`` bounds the
-    per-asset fan-out: headers are untrusted, and a corrupt timescale
-    must not let one row explode a task."""
+    image_features can pixel-decode downstream. Tracks whose fourcc has
+    a registered frame codec (:func:`register_frame_codec`) follow the
+    same path with the codec's transcode applied per sample. Other MP4s
+    keep real TIMING from the mvhd duration with stub payload slices
+    (compressed video codecs need a decoder library this container
+    doesn't ship); unrecognized containers raise in strict mode, else
+    fall back to byte-slicing with synthetic timestamps. ``max_frames``
+    bounds the per-asset fan-out: headers are untrusted, and a corrupt
+    timescale must not let one row explode a task."""
+    codecs = dict(FRAME_CODECS)  # captured by value into the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -330,7 +361,7 @@ def sample_frames(
             for r in pdf.itertuples(index=False):
                 data = bytes(r.content) if r.content is not None else b""
                 track = MD.mp4_video_track(data)
-                if track is not None and track.codec in MD.MJPEG_CODECS:
+                if track is not None and track.codec in codecs:
                     # real frames: nearest stored sample at/below each
                     # tick. Iterate SAMPLES, not ticks — timestamps come
                     # from an untrusted stts table, and a huge duration
@@ -347,17 +378,31 @@ def sample_frames(
                             picked.append(si)
                         if len(picked) >= max_frames:
                             break
-                    for i, si in enumerate(picked):
+                    transcode = codecs[track.codec]
+                    decoded = []
+                    for si in picked:
                         s = track.samples[si]
-                        rows.append(
-                            {
-                                "asset_id": r.asset_id,
-                                "frame_no": i,
-                                "frame_ts_ms": s.ts_ms,
-                                "frame": data[s.offset : s.offset + s.size],
-                            }
-                        )
-                    continue
+                        payload = transcode(data[s.offset : s.offset + s.size])
+                        if payload is None:
+                            if strict:
+                                raise NotImplementedError(
+                                    f"frame codec {track.codec!r} failed on a "
+                                    f"sample of asset {r.asset_id}"
+                                )
+                            decoded = None  # lax: whole asset -> stub path
+                            break
+                        decoded.append((s.ts_ms, payload))
+                    if decoded is not None:
+                        for i, (ts, payload) in enumerate(decoded):
+                            rows.append(
+                                {
+                                    "asset_id": r.asset_id,
+                                    "frame_no": i,
+                                    "frame_ts_ms": ts,
+                                    "frame": payload,
+                                }
+                            )
+                        continue
                 info = MD.decode_mp4(data)
                 if info is not None and info.duration_ms > 0:
                     n_frames = min(info.duration_ms // every_ms + 1, max_frames)

@@ -33,3 +33,24 @@ def test_long_path_converges(spark):
     n = 25
     got = _resolve(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0}
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir engages reliable checkpoint(): same answer, and
+    RDD checkpoint files actually land in the directory (the
+    cluster-fault-tolerant mode the 100 TB deployment uses)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    rows = connected_components(df, checkpoint_dir=ckpt).collect()
+    got = {r["node"]: r["component"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert written, "reliable checkpoint wrote no files"

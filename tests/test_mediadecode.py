@@ -1190,3 +1190,84 @@ def test_frame_features_out_of_range_id_raises(spark):
     )
     with pytest.raises(Exception, match="packing range"):
         MM.frame_features(assets, every_ms=500).collect()
+
+
+# ------------------------------------------ pluggable frame-codec seam
+
+
+def _fake_codec_decode(sample: bytes):
+    """Test codec: samples are zlib-wrapped JPEGs (stands in for any
+    compressed codec); the registered decoder unwraps them."""
+    import zlib as _z
+
+    try:
+        return _z.decompress(sample)
+    except _z.error:
+        return None
+
+
+def _make_fake_codec_mp4(frames, frame_ms=500):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_mjpeg_mp4,
+    )
+    import zlib as _z
+
+    return encode_mjpeg_mp4([_z.compress(f) for f in frames],
+                            frame_ms=frame_ms, codec=b"fakc")
+
+
+def test_registered_frame_codec_end_to_end(spark):
+    """register_frame_codec plugs a decoder into the shared sampling/
+    timing plumbing: frames of a non-MJPEG track pixel-decode downstream
+    exactly like the built-in MJPEG path."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    frames = [
+        encode_jpeg(np.full((16, 16), 60 * (i + 1), dtype=np.uint8))
+        for i in range(3)
+    ]
+    data = _make_fake_codec_mp4(frames, frame_ms=500)
+    assets = spark.createDataFrame(
+        [(21, 40, "video", data, {"ext": "mp4"})], schemas.MEDIA_ASSETS
+    )
+    # unregistered: the track is not decodable -> timing-stub payloads
+    MM.FRAME_CODECS.pop("fakc", None)
+    stub = MM.sample_frames(assets, every_ms=500).toPandas()
+    assert not any(bytes(f)[:2] == b"\xff\xd8" for f in stub["frame"] if f is not None)
+
+    MM.register_frame_codec("fakc", _fake_codec_decode)
+    try:
+        out = (MM.frame_features(assets, every_ms=500)
+               .toPandas().sort_values("frame_no"))
+        assert list(out["frame_no"]) == [0, 1, 2]
+        assert (out["format"] == "jpeg").all() and out["pixels_real"].all()
+        for i, mean in enumerate(out["pixel_mean"]):
+            assert abs(mean[0] - 60 * (i + 1)) <= 2
+    finally:
+        MM.FRAME_CODECS.pop("fakc", None)
+
+
+def test_frame_codec_failure_strict_raises_lax_stubs(spark):
+    """A decoder returning None fails loudly in strict mode and routes
+    the asset to the timing-stub path otherwise."""
+    import pytest
+
+    # samples are NOT zlib streams -> decoder returns None
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_mjpeg_mp4,
+    )
+
+    data = encode_mjpeg_mp4([b"\x00" * 64, b"\x01" * 64],
+                            frame_ms=500, codec=b"fakc")
+    assets = spark.createDataFrame(
+        [(22, 40, "video", data, {"ext": "mp4"})], schemas.MEDIA_ASSETS
+    )
+    MM.register_frame_codec("fakc", _fake_codec_decode)
+    try:
+        with pytest.raises(Exception, match="fakc"):
+            MM.sample_frames(assets, every_ms=500, strict=True).collect()
+        lax = MM.sample_frames(assets, every_ms=500, strict=False).toPandas()
+        assert len(lax) >= 1  # timing-stub fallback rows
+    finally:
+        MM.FRAME_CODECS.pop("fakc", None)
