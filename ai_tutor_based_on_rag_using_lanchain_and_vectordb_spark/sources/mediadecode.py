@@ -680,6 +680,191 @@ def _jpeg_ac_refine(br, blk, table, ss, se, al, state, zz):
         state["eobrun"] -= 1
 
 
+def _jpeg_lossless_scan(data: bytes):
+    """LOSSLESS JPEG (SOF3, T.81 Annex H): predictive Huffman decode.
+
+    Supports 1-3 components at 1×1 sampling, precision 2-16 bits, all
+    seven predictors, point transform, and restart intervals (the
+    prediction for each component's first sample after a restart — and
+    at scan start — is 2^(P-Pt-1)). Returns (height, width, channels)
+    uint8; precision > 8 scales down to the 8-bit output contract.
+    None for anything outside that envelope (fail-soft, same contract
+    as the DCT paths)."""
+    import numpy as np
+
+    huff_dc: dict[int, dict] = {}
+    frame = None  # (P, w, h, [comp ids])
+    restart_interval = 0
+    scan = None
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                counts = body[p + 1 : p + 17]
+                nsym = sum(counts)
+                if p + 17 + nsym > len(body) or th > 3:
+                    return None
+                if tc == 0:  # lossless uses DC-class tables only
+                    huff_dc[th] = _jpeg_huff_table(
+                        counts, body[p + 17 : p + 17 + nsym]
+                    )
+                p += 17 + nsym
+        elif marker == 0xC3:  # SOF3
+            if len(body) < 6:
+                return None
+            prec = body[0]
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if not (2 <= prec <= 16) or nc not in (1, 2, 3) or not (w and h):
+                return None
+            if w * h > 64_000_000 or len(body) < 6 + 3 * nc:
+                return None
+            ids = []
+            for c in range(nc):
+                hv = body[7 + 3 * c]
+                if hv != 0x11:  # subsampled lossless: out of envelope
+                    return None
+                ids.append(body[6 + 3 * c])
+            frame = (prec, w, h, ids)
+        elif marker in _JPEG_SOF or marker == 0xCC:  # other frames / DAC
+            return None
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None or len(body) < 4:
+                return None
+            ns = body[0]
+            if ns != len(frame[3]) or len(body) < 1 + 2 * ns + 3:
+                return None  # envelope: all components in one scan
+            tds = []
+            for s in range(ns):
+                if body[1 + 2 * s] != frame[3][s]:
+                    return None  # components in frame order only
+                tds.append(body[2 + 2 * s] >> 4)
+            pred_sel = body[1 + 2 * ns]  # Ss = predictor selector
+            pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+            if not (1 <= pred_sel <= 7):
+                return None
+            # entropy intervals (restart markers split them)
+            intervals: list[bytes] = []
+            cur = bytearray()
+            p = i + 2 + seg_len
+            while p < n:
+                b = data[p]
+                if b != 0xFF:
+                    cur.append(b)
+                    p += 1
+                    continue
+                m2 = data[p + 1] if p + 1 < n else 0xD9
+                if m2 == 0x00:
+                    cur.append(0xFF)
+                    p += 2
+                elif 0xD0 <= m2 <= 0xD7:
+                    intervals.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                else:
+                    break
+            intervals.append(bytes(cur))
+            scan = (tds, pred_sel, pt, intervals)
+            break
+        i += 2 + seg_len
+    if frame is None or scan is None:
+        return None
+
+    prec, w, h, ids = frame
+    tds, pred_sel, pt, intervals = scan
+    nc = len(ids)
+    if pt >= prec:
+        return None
+    default_pred = 1 << (prec - pt - 1)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+
+    mcu = 0  # one MCU = one sample per component (1x1 sampling)
+    n_mcus = w * h
+    per_interval = restart_interval or n_mcus
+    br = None
+    it = iter(intervals)
+    fresh = True
+    while mcu < n_mcus:
+        try:
+            br = _JpegBits(next(it))
+        except StopIteration:
+            break  # truncated stream: keep what decoded (fail-soft)
+        end = min(mcu + per_interval, n_mcus)
+        try:
+            for m in range(mcu, end):
+                y, x = divmod(m, w)
+                for ci in range(nc):
+                    s = _jpeg_huff_decode(br, huff_dc[tds[ci]])
+                    if s == 16:
+                        diff = 32768
+                    elif s:
+                        diff = _jpeg_extend(br.bits(s), s)
+                    else:
+                        diff = 0
+                    pl = planes[ci]
+                    if fresh and m == mcu:
+                        pred = default_pred
+                    elif y == 0:
+                        pred = pl[0, x - 1]
+                    elif x == 0:
+                        pred = pl[y - 1, 0]
+                    else:
+                        ra = pl[y, x - 1]
+                        rb = pl[y - 1, x]
+                        rc = pl[y - 1, x - 1]
+                        if pred_sel == 1:
+                            pred = ra
+                        elif pred_sel == 2:
+                            pred = rb
+                        elif pred_sel == 3:
+                            pred = rc
+                        elif pred_sel == 4:
+                            pred = ra + rb - rc
+                        elif pred_sel == 5:
+                            pred = ra + ((rb - rc) >> 1)
+                        elif pred_sel == 6:
+                            pred = rb + ((ra - rc) >> 1)
+                        else:
+                            pred = (ra + rb) >> 1
+                    pl[y, x] = (pred + diff) & 0xFFFF
+        except (IndexError, KeyError):
+            break  # truncated entropy data: fail-soft
+        mcu = end
+        fresh = True  # next interval restarts prediction
+    # reconstruct: undo point transform, scale precision to 8-bit
+    out = []
+    for pl in planes:
+        v = pl << pt
+        if prec > 8:
+            v = v >> (prec - 8)
+        elif prec < 8:
+            v = v << (8 - prec)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    return np.stack(out, axis=2)
+
+
 def decode_jpeg_pixels(data: bytes):
     """JPEG pixel decode (T.81, public spec), pure Python entropy
     decode + numpy dequant/IDCT: baseline/extended-sequential (SOF0/1)
@@ -687,8 +872,9 @@ def decode_jpeg_pixels(data: bytes):
     approximation, DC+AC refinement scans, EOB runs), 8-bit samples,
     grayscale or 3-component YCbCr, sampling factors 1-2 with chroma
     upsampling, restart markers, 8/16-bit DQT, per-scan DHT
-    redefinition. Arithmetic coding, lossless/hierarchical frames and
-    4-component (CMYK) return None — metadata-only fallback, same
+    redefinition; plus LOSSLESS (SOF3) predictive frames via
+    :func:`_jpeg_lossless_scan`. Arithmetic coding, hierarchical frames
+    and 4-component (CMYK) return None — metadata-only fallback, same
     contract as the other pixel decoders. Returns (height, width,
     channels) uint8.
 
@@ -769,7 +955,9 @@ def decode_jpeg_pixels(data: bytes):
                     hv = body[7 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
                 frame = (w, h, comps, marker == 0xC2)
-            elif marker in _JPEG_SOF:  # lossless/arithmetic/hierarchical
+            elif marker == 0xC3:  # lossless: own predictive scan walk
+                return _jpeg_lossless_scan(data)
+            elif marker in _JPEG_SOF:  # arithmetic/hierarchical
                 return None
             elif marker == 0xDD:  # DRI
                 if len(body) < 2:

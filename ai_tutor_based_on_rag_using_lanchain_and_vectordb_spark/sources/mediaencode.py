@@ -422,3 +422,87 @@ def encode_mjpeg_mp4(frames: list, frame_ms: int = 500, codec: bytes = b"jpeg") 
     moov = build_moov(offsets)
     assert len(moov) == moov_len
     return ftyp + moov + _mp4_box(b"mdat", b"".join(frames))
+
+
+def encode_lossless_jpeg(
+    img: np.ndarray,
+    predictor: int = 1,
+    precision: int | None = None,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """LOSSLESS JPEG (SOF3, T.81 Annex H) reference encoder for the
+    decoder tests: ``img`` is (h, w) or (h, w, C≤3) uint8/uint16;
+    components interleave at 1×1 sampling. One DC-class Huffman table
+    (17 difference categories at code length 5 — canonical, the all-ones
+    code stays unused as the spec requires). ``pt`` point-transform
+    shifts samples right before prediction; ``restart_interval`` (in
+    MCUs) emits RSTn markers and resets prediction, exercising the
+    decoder's restart path."""
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    planes = [arr] if arr.ndim == 2 else [arr[:, :, c] for c in range(arr.shape[2])]
+    nc = len(planes)
+    if precision is None:
+        precision = 16 if arr.dtype.itemsize > 1 else 8
+    shifted = [
+        (p.astype(np.int64) >> pt) for p in planes
+    ]
+    default_pred = 1 << (precision - pt - 1)
+
+    out = bytearray(b"\xff\xd8")
+    counts = bytes([0, 0, 0, 0, 17] + [0] * 11)
+    out += _seg(0xC4, bytes([0x00]) + counts + bytes(range(17)))
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, sos)
+
+    bw = _BitWriter()
+    n_mcus = h * w
+    per = restart_interval or n_mcus
+    rst = 0
+    mcu = 0
+    while mcu < n_mcus:
+        end = min(mcu + per, n_mcus)
+        for m in range(mcu, end):
+            y, x = divmod(m, w)
+            for ci in range(nc):
+                pl = shifted[ci]
+                if m == mcu:
+                    pred = default_pred
+                elif y == 0:
+                    pred = pl[0, x - 1]
+                elif x == 0:
+                    pred = pl[y - 1, 0]
+                else:
+                    ra, rb, rc = pl[y, x - 1], pl[y - 1, x], pl[y - 1, x - 1]
+                    pred = [
+                        ra, rb, rc, ra + rb - rc,
+                        ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                        (ra + rb) >> 1,
+                    ][predictor - 1]
+                m16 = int(pl[y, x] - pred) & 0xFFFF
+                if m16 == 32768:
+                    bw.write(16, 5)  # SSSS=16: diff 32768, no extra bits
+                    continue
+                signed = m16 - 65536 if m16 > 32768 else m16
+                s = int(abs(signed)).bit_length()
+                bw.write(s, 5)
+                _emit_coeff(bw, signed, s)
+        mcu = end
+        if mcu < n_mcus:
+            bw.flush()
+            out += bw.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BitWriter()
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)

@@ -1271,3 +1271,106 @@ def test_frame_codec_failure_strict_raises_lax_stubs(spark):
         assert len(lax) >= 1  # timing-stub fallback rows
     finally:
         MM.FRAME_CODECS.pop("fakc", None)
+
+
+# ------------------------------------------------- lossless JPEG (SOF3)
+
+
+def test_jpeg_lossless_all_predictors_exact():
+    """SOF3 predictive decode is EXACT for every predictor: round-trip
+    error must be zero (this is what 'lossless' means)."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (21, 17), dtype=np.uint8)
+    for predictor in range(1, 8):
+        out = MD.decode_jpeg_pixels(encode_lossless_jpeg(img, predictor=predictor))
+        assert out is not None and out.shape == (21, 17, 1), predictor
+        assert (out[:, :, 0] == img).all(), predictor
+
+
+def test_jpeg_lossless_three_channel():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    out = MD.decode_jpeg_pixels(encode_lossless_jpeg(img, predictor=4))
+    assert out is not None and out.shape == (9, 13, 3)
+    assert (out == img).all()
+
+
+def test_jpeg_lossless_16bit_precision():
+    """P=16 samples: decoder scales to the 8-bit output contract
+    (top byte), predictions run mod 2^16."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 1 << 16, (12, 10), dtype=np.uint16)
+    out = MD.decode_jpeg_pixels(encode_lossless_jpeg(img, predictor=7))
+    assert out is not None and out.shape == (12, 10, 1)
+    assert (out[:, :, 0] == (img >> 8).astype(np.uint8)).all()
+
+
+def test_jpeg_lossless_point_transform():
+    """Pt=2: samples code >>2 and reconstruct <<2 (quantized match)."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    out = MD.decode_jpeg_pixels(encode_lossless_jpeg(img, predictor=1, pt=2))
+    assert out is not None
+    assert (out[:, :, 0] == (img & ~np.uint8(3))).all()
+
+
+def test_jpeg_lossless_restart_intervals():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 11), dtype=np.uint8)
+    data = encode_lossless_jpeg(img, predictor=5, restart_interval=23)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data  # RSTn present
+    out = MD.decode_jpeg_pixels(data)
+    assert out is not None and (out[:, :, 0] == img).all()
+
+
+def test_jpeg_lossless_truncation_fails_soft():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_lossless_jpeg(img)
+    for cut in (10, len(data) // 2, len(data) - 3):
+        out = MD.decode_jpeg_pixels(data[:cut])  # must never raise
+        assert out is None or out.shape[2] == 1
+
+
+def test_jpeg_lossless_image_features(spark):
+    """The Spark image stage treats lossless JPEGs as pixels_real."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    img = np.full((16, 24), 131, dtype=np.uint8)
+    rows = [(31, 0, "image", bytearray(encode_lossless_jpeg(img)), {"ext": "jpg"})]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = MM.image_features(assets, strict=True).collect()[0]
+    assert out["format"] == "jpeg" and out["pixels_real"]
+    assert abs(out["pixel_mean"][0] - 131.0) <= 0.5
