@@ -873,8 +873,11 @@ def decode_jpeg_pixels(data: bytes):
     grayscale or 3-component YCbCr, sampling factors 1-2 with chroma
     upsampling, restart markers, 8/16-bit DQT, per-scan DHT
     redefinition; plus LOSSLESS (SOF3) predictive frames via
-    :func:`_jpeg_lossless_scan`. Arithmetic coding, hierarchical frames
-    and 4-component (CMYK) return None — metadata-only fallback, same
+    :func:`_jpeg_lossless_scan` and 4-COMPONENT (CMYK/YCCK) frames —
+    returned as 4 channels exactly as the codestream encodes them
+    (APP14 transform 2 un-rotates YCCK back to CMY; ink interpretation
+    is producer-dependent and stays with the caller). Arithmetic coding
+    and hierarchical frames return None — metadata-only fallback, same
     contract as the other pixel decoders. Returns (height, width,
     channels) uint8.
 
@@ -892,6 +895,7 @@ def decode_jpeg_pixels(data: bytes):
         huff_ac: dict[int, dict] = {}
         frame = None  # (w, h, [(comp_id, hi, vi, tq), ...], progressive)
         restart_interval = 0
+        adobe_transform = None  # APP14 color-transform flag (None=absent)
         scans = []  # (sel, Ss, Se, Ah, Al, intervals)
 
         i, n = 2, len(data)
@@ -945,7 +949,7 @@ def decode_jpeg_pixels(data: bytes):
                     return None
                 h, w = struct.unpack(">HH", body[1:5])
                 nc = body[5]
-                if nc not in (1, 3) or len(body) < 6 + 3 * nc or not (w and h):
+                if nc not in (1, 3, 4) or len(body) < 6 + 3 * nc or not (w and h):
                     return None
                 if w * h > 64_000_000:
                     return None
@@ -959,6 +963,9 @@ def decode_jpeg_pixels(data: bytes):
                 return _jpeg_lossless_scan(data)
             elif marker in _JPEG_SOF:  # arithmetic/hierarchical
                 return None
+            elif marker == 0xEE:  # APP14 (Adobe): color-transform flag
+                if len(body) >= 12 and body[:5] == b"Adobe":
+                    adobe_transform = body[11]
             elif marker == 0xDD:  # DRI
                 if len(body) < 2:
                     return None
@@ -1074,6 +1081,24 @@ def decode_jpeg_pixels(data: bytes):
 
         if len(planes) == 1:
             return planes[0][:, :, None].copy()
+        if len(planes) == 4:
+            # CMYK output AS THE CODESTREAM ENCODES IT (4 channels) —
+            # ink interpretation (Adobe inversion etc.) is
+            # producer-dependent and stays with the caller. YCCK
+            # (APP14 transform 2) un-rotates the first three planes
+            # through the YCbCr inverse back to CMY; transform 0 or no
+            # APP14 is direct CMYK.
+            if adobe_transform == 2:
+                y, cb, cr = (p.astype(np.float64) for p in planes[:3])
+                c0 = y + 1.402 * (cr - 128)
+                c1 = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                c2 = y + 1.772 * (cb - 128)
+                cmy = [
+                    np.clip(np.round(c), 0, 255).astype(np.uint8)
+                    for c in (c0, c1, c2)
+                ]
+                return np.stack(cmy + [planes[3]], axis=2)
+            return np.stack(planes, axis=2)
         y, cb, cr = (p.astype(np.float64) for p in planes)
         r = y + 1.402 * (cr - 128)
         g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)

@@ -206,18 +206,34 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    ycck: bool = False,
 ) -> bytes:
-    """img: (h, w) grayscale or (h, w, 3) RGB uint8. ``subsample=True``
-    writes 4:2:0 (chroma averaged 2x2); else 4:4:4 / single-component.
+    """img: (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) CMYK uint8.
+    ``subsample=True`` writes 4:2:0 (chroma averaged 2x2, 3-comp only);
+    else 4:4:4 / single-component. 4-component input emits the Adobe
+    APP14 marker — transform 0 (direct CMYK) or, with ``ycck=True``,
+    transform 2 (first three planes rotated through RGB→YCbCr).
     ``progressive=True`` writes SOF2 with a four-stage scan script —
     DC first at Al=1, DC refinement, per-component AC first at Al=1,
     per-component AC refinement — exercising spectral selection,
     successive approximation and EOB runs."""
     gray = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
     if gray:
         planes = [img.astype(np.float64)]
         samplings = [(1, 1)]
+    elif cmyk:
+        comps = img.astype(np.float64)
+        if ycck:  # rotate the first three planes through RGB→YCbCr
+            c0, c1, c2 = comps[:, :, 0], comps[:, :, 1], comps[:, :, 2]
+            yy = 0.299 * c0 + 0.587 * c1 + 0.114 * c2
+            cb = 128.0 - 0.168736 * c0 - 0.331264 * c1 + 0.5 * c2
+            cr = 128.0 + 0.5 * c0 - 0.418688 * c1 - 0.081312 * c2
+            planes = [yy, cb, cr, comps[:, :, 3]]
+        else:
+            planes = [comps[:, :, i] for i in range(4)]
+        samplings = [(1, 1)] * 4
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -249,6 +265,11 @@ def encode_jpeg(
         blocks.append((_plane_blocks(p, bw_blocks, bh_blocks), bw_blocks))
 
     out = bytearray(b"\xff\xd8")  # SOI
+    if cmyk:  # APP14 Adobe marker carries the color-transform flag
+        out += _seg(
+            0xEE,
+            b"Adobe" + bytes([0, 100]) + bytes(4) + bytes([2 if ycck else 0]),
+        )
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT 0: all ones
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
     for ci, (hi, vi) in enumerate(samplings):

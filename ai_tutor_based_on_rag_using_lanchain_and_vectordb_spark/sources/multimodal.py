@@ -3,19 +3,20 @@ with typed metadata, processed by Arrow-batched stages over
 ``mapInPandas``.
 
 Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels)
-and image PIXELS — PNG at every legal depth incl. Adam7, JPEG baseline
-AND progressive (Huffman + IDCT), first-frame GIF (LZW), BMP
-24/32/16-bit/paletted/RLE — plus WAV audio (header + PCM stats at all
-integer/float widths) and MJPEG frame extraction from MP4 sample
-tables are REAL pure-stdlib+numpy decoders (``mediadecode.py`` — same
-move as minidecode.py for PDF/DOCX). The deterministic fake is only
-the fallback for unrecognized codecs, and ``strict=True`` raises on
-those instead. Still stubbed: arithmetic-coded/lossless JPEG frames
-and compressed video codec samples (h264 etc. need a decoder library
-this container doesn't ship) — each stub either raises
-NotImplementedError (strict mode) or produces a deterministic fake
-derived from the bytes — the Spark-side plumbing (schemas, batch
-iteration, partitioning, output shapes) is real and tested.
+and image PIXELS — PNG at every legal depth incl. Adam7, JPEG baseline,
+progressive, LOSSLESS (SOF3) and 4-component CMYK/YCCK, first-frame
+GIF (LZW), BMP 24/32/16-bit/paletted/RLE — plus WAV audio (header +
+PCM stats at all integer/float widths) and MJPEG frame extraction from
+MP4 sample tables are REAL pure-stdlib+numpy decoders
+(``mediadecode.py`` — same move as minidecode.py for PDF/DOCX). The
+deterministic fake is only the fallback for unrecognized codecs, and
+``strict=True`` raises on those instead. Still stubbed:
+arithmetic-coded and hierarchical JPEG frames, and compressed video
+codec samples (h264 etc. need a decoder library this container doesn't
+ship) — each stub either raises NotImplementedError (strict mode) or
+produces a deterministic fake derived from the bytes — the Spark-side
+plumbing (schemas, batch iteration, partitioning, output shapes) is
+real and tested.
 
 Compressed video is an EXTENSION POINT, not a dead end: the sample
 tables already yield each stored frame's exact byte range + timestamp
@@ -172,8 +173,8 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
                         # fall back to metadata-only
                         img = MD.decode_gif_pixels(data)
                     elif fmt == "jpeg":
-                        # baseline Huffman + IDCT; progressive/arithmetic
-                        # fall back to metadata-only
+                        # baseline/progressive/lossless/CMYK decode;
+                        # arithmetic-coded falls back to metadata-only
                         img = MD.decode_jpeg_pixels(data)
                 elif strict:
                     raise NotImplementedError(

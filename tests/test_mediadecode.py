@@ -1374,3 +1374,65 @@ def test_jpeg_lossless_image_features(spark):
     out = MM.image_features(assets, strict=True).collect()[0]
     assert out["format"] == "jpeg" and out["pixels_real"]
     assert abs(out["pixel_mean"][0] - 131.0) <= 0.5
+
+
+# -------------------------------------------- 4-component (CMYK) JPEG
+
+
+def test_jpeg_cmyk_direct_roundtrip():
+    """Adobe transform 0: four planes coded directly; round-trip error
+    is DCT rounding only."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(40, 216, (2, 2, 4))
+    img = np.repeat(np.repeat(base, 12, axis=0), 14, axis=1).astype(np.uint8)
+    data = encode_jpeg(img)
+    info = MD.decode_jpeg(data)
+    assert info is not None and info.channels == 4
+    out = MD.decode_jpeg_pixels(data)
+    assert out is not None and out.shape == (24, 28, 4)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_ycck_roundtrip():
+    """Adobe transform 2: YCCK un-rotates back to the original planes."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(40, 216, (2, 2, 4))
+    img = np.repeat(np.repeat(base, 12, axis=0), 12, axis=1).astype(np.uint8)
+    out = MD.decode_jpeg_pixels(encode_jpeg(img, ycck=True))
+    assert out is not None and out.shape == (24, 24, 4)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_cmyk_progressive():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    img = np.full((16, 16, 4), 90, dtype=np.uint8)
+    img[:, :, 3] = 30  # distinct K plane
+    out = MD.decode_jpeg_pixels(encode_jpeg(img, progressive=True))
+    assert out is not None and out.shape == (16, 16, 4)
+    assert abs(int(out[:, :, 0].mean()) - 90) <= 2
+    assert abs(int(out[:, :, 3].mean()) - 30) <= 2
+
+
+def test_jpeg_cmyk_image_features(spark):
+    """image_features handles 4-channel pixel stats (per-channel mean)."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+
+    img = np.zeros((16, 16, 4), dtype=np.uint8)
+    for c in range(4):
+        img[:, :, c] = 50 + 40 * c
+    rows = [(41, 0, "image", bytearray(encode_jpeg(img)), {"ext": "jpg"})]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = MM.image_features(assets, strict=True).collect()[0]
+    assert out["format"] == "jpeg" and out["pixels_real"]
+    assert out["channels"] == 4 and len(out["pixel_mean"]) == 4
+    for c in range(4):
+        assert abs(out["pixel_mean"][c] - (50 + 40 * c)) <= 2
