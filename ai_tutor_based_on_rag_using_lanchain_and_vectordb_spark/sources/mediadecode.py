@@ -433,7 +433,9 @@ def decode_jpeg(data: bytes) -> ImageInfo | None:
         seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
         if seg_len < 2:
             return None
-        if marker in _JPEG_SOF:
+        if marker in _JPEG_SOF or marker == 0xDE:
+            # 0xDE = DHP (hierarchical): SOF syntax carrying the FULL
+            # final dims — the pyramid's first SOF frame is smaller
             if i + 2 + seg_len > n or seg_len < 8:
                 return None
             height, width = struct.unpack(">HH", data[i + 5 : i + 9])
@@ -541,11 +543,14 @@ def _jpeg_extend(v: int, t: int) -> int:
 def _jpeg_scan_units(
     scan, comps, grids, coeffs, huff_dc, huff_ac,
     mcus_x, mcus_y, restart_interval, progressive,
+    differential=False,
 ):
     """Run one scan (sequential, or any of the four progressive scan
     kinds: DC/AC × first/refinement) over its entropy intervals,
     accumulating coefficients in place. Returns the number of decoded
-    units (MCUs, or blocks for non-interleaved scans)."""
+    units (MCUs, or blocks for non-interleaved scans). ``differential``
+    (hierarchical correction frames) widens the DC category cap to 12 —
+    difference-image DC values span ±2040 at 8-bit precision."""
     sel, ss, se, ah, al, intervals = scan
     interleaved = len(sel) > 1
     if interleaved:
@@ -589,7 +594,7 @@ def _jpeg_scan_units(
                     if ss == 0 and (not progressive or ah == 0):
                         # DC (first pass, or the whole band sequentially)
                         t = _jpeg_huff_decode(br, huff_dc[td])
-                        if t > 11:
+                        if t > (12 if differential else 11):
                             raise ValueError("bad DC category")
                         diff = _jpeg_extend(br.bits(t), t) if t else 0
                         pred[ci] += diff
@@ -865,6 +870,269 @@ def _jpeg_lossless_scan(data: bytes):
     return np.stack(out, axis=2)
 
 
+def _jpeg_exp2(plane, horiz: bool, vert: bool):
+    """T.81 J.1.1.2 reference-image expansion: doubled axes take the
+    input on even positions and the rounded two-point average on odd
+    positions (edge replicated)."""
+    import numpy as np
+
+    p = plane
+    if horiz:
+        h, w = p.shape
+        out = np.empty((h, 2 * w), dtype=p.dtype)
+        out[:, 0::2] = p
+        nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out[:, 1::2] = (p + nxt + 1) >> 1
+        p = out
+    if vert:
+        h, w = p.shape
+        out = np.empty((2 * h, w), dtype=p.dtype)
+        out[0::2, :] = p
+        nxt = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out[1::2, :] = (p + nxt + 1) >> 1
+        p = out
+    return p
+
+
+def _jpeg_hierarchical(data: bytes):
+    """HIERARCHICAL JPEG (DHP + frame pyramid, T.81 Annex J): decode a
+    sequence of DCT frames — a non-differential first frame (SOF0/1/2)
+    followed by EXP reference expansions and differential correction
+    frames (SOF5/6) — into per-component reference planes that
+    accumulate unclamped until the end. Lossless or arithmetic frames
+    in the pyramid return None (fail-soft). 1-3 components; tables
+    persist across frames per the spec."""
+    import numpy as np
+
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    final = None  # DHP dims: (w, h, ncomp)
+    refs: list | None = None  # per-component int32 planes (unclamped)
+    cur = None  # (w, h, comps, progressive, differential)
+    cur_scans: list = []
+
+    def flush_frame():
+        """Decode the pending frame's scans and merge into refs."""
+        nonlocal refs, cur, cur_scans
+        if cur is None:
+            return True
+        if not cur_scans:
+            return False
+        w, h, comps, progressive, differential = cur
+        for c in comps:
+            if c[3] not in qt or not (1 <= c[1] <= 2 and 1 <= c[2] <= 2):
+                return False
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        grids, coeffs = [], []
+        for _, hi, vi, _tq in comps:
+            bw, bh = mcus_x * hi, mcus_y * vi
+            comp_w = -(-(w * hi) // hmax)
+            comp_h = -(-(h * vi) // vmax)
+            grids.append((bw, bh, -(-comp_w // 8), -(-comp_h // 8)))
+            coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
+        decoded = 0
+        for scan in cur_scans:
+            decoded += _jpeg_scan_units(
+                scan, comps, grids, coeffs, huff_dc, huff_ac,
+                mcus_x, mcus_y, restart_interval, progressive,
+                differential=differential,
+            )
+        if decoded == 0:
+            return False
+        t_mat = _jpeg_idct_matrix()
+        planes = []
+        for ci, (_, hi, vi, tq) in enumerate(comps):
+            bw, bh = grids[ci][0], grids[ci][1]
+            deq = coeffs[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
+            spatial = np.einsum(
+                "ux,nuv,vy->nxy", t_mat, deq.astype(np.float64), t_mat
+            )
+            shift = 0 if differential else 128
+            blocks = (np.round(spatial) + shift).astype(np.int32)
+            plane = (
+                blocks.reshape(bh, bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw * 8)
+            )
+            if hi < hmax:
+                plane = np.repeat(plane, hmax // hi, axis=1)
+            if vi < vmax:
+                plane = np.repeat(plane, vmax // vi, axis=0)
+            planes.append(plane[:h, :w])
+        # every stage's reference output clamps to the sample range
+        # (T.81 J: reference components are stored at 0..2^P-1)
+        if differential:
+            if refs is None or len(refs) != len(planes):
+                return False
+            merged = []
+            for r, d in zip(refs, planes):
+                if r.shape[0] < h or r.shape[1] < w:
+                    return False
+                merged.append(np.clip(r[:h, :w] + d, 0, 255))
+            refs = merged
+        else:
+            if refs is not None:
+                return False  # second non-differential frame: invalid
+            refs = [np.clip(p, 0, 255) for p in planes]
+        cur, cur_scans = None, []
+        return True
+
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDE:  # DHP: final dims, SOF syntax, no entropy
+            if len(body) < 6 or body[0] != 8:
+                return None
+            fh, fw = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3) or not (fw and fh) or fw * fh > 64_000_000:
+                return None
+            final = (fw, fh, nc)
+        elif marker == 0xDB:  # DQT (persists across frames)
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                m = 64 * (2 if pq else 1)
+                if p + m > len(body) or tq > 3:
+                    return None
+                raw = (
+                    np.frombuffer(body[p : p + m], dtype=">u2")
+                    if pq
+                    else np.frombuffer(body[p : p + m], dtype=np.uint8)
+                ).astype(np.int32)
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = raw
+                qt[tq] = tbl.reshape(8, 8)
+                p += m
+        elif marker == 0xC4:  # DHT (persists)
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                counts = body[p + 1 : p + 17]
+                nsym = sum(counts)
+                if p + 17 + nsym > len(body) or th > 3:
+                    return None
+                table = _jpeg_huff_table(counts, body[p + 17 : p + 17 + nsym])
+                (huff_ac if tc else huff_dc)[th] = table
+                p += 17 + nsym
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):  # pyramid frames
+            if not flush_frame():
+                return None
+            if len(body) < 6 or body[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3) or len(body) < 6 + 3 * nc or not (w and h):
+                return None
+            if w * h > 64_000_000:
+                return None
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            cur = (w, h, comps, marker in (0xC2, 0xC6), marker in (0xC5, 0xC6))
+        elif marker in _JPEG_SOF or marker == 0xCC:
+            return None  # lossless/arithmetic pyramid members / DAC
+        elif marker == 0xDF:  # EXP: expand the reference image
+            if not flush_frame():
+                return None
+            if refs is None or len(body) < 1:
+                return None
+            eh, ev = body[0] >> 4, body[0] & 0x0F
+            if eh > 1 or ev > 1:
+                return None
+            refs = [_jpeg_exp2(r, bool(eh), bool(ev)) for r in refs]
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS for the current frame
+            if cur is None or len(body) < 4:
+                return None
+            ns = body[0]
+            comps = cur[2]
+            if not (1 <= ns <= len(comps)) or len(body) < 1 + 2 * ns + 3:
+                return None
+            ids = [c[0] for c in comps]
+            sel = []
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                if cs not in ids:
+                    return None
+                td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0x0F
+                sel.append((ids.index(cs), td, ta))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if ss > se or se > 63:
+                return None
+            intervals: list[bytes] = []
+            curb = bytearray()
+            p = i + 2 + seg_len
+            while p < n:
+                b = data[p]
+                if b != 0xFF:
+                    curb.append(b)
+                    p += 1
+                    continue
+                m2 = data[p + 1] if p + 1 < n else 0xD9
+                if m2 == 0x00:
+                    curb.append(0xFF)
+                    p += 2
+                elif 0xD0 <= m2 <= 0xD7:
+                    intervals.append(bytes(curb))
+                    curb = bytearray()
+                    p += 2
+                else:
+                    break
+            intervals.append(bytes(curb))
+            cur_scans.append((sel, ss, se, ah, al, intervals))
+            i = p
+            continue
+        i += 2 + seg_len
+    if not flush_frame() or refs is None or final is None:
+        return None
+    fw, fh, nc = final
+    if len(refs) != nc:
+        return None
+    for r in refs:
+        if r.shape[0] < fh or r.shape[1] < fw:
+            return None
+    planes = [
+        np.clip(r[:fh, :fw], 0, 255).astype(np.uint8) for r in refs
+    ]
+    if nc == 1:
+        return planes[0][:, :, None].copy()
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
 def decode_jpeg_pixels(data: bytes):
     """JPEG pixel decode (T.81, public spec), pure Python entropy
     decode + numpy dequant/IDCT: baseline/extended-sequential (SOF0/1)
@@ -873,13 +1141,14 @@ def decode_jpeg_pixels(data: bytes):
     grayscale or 3-component YCbCr, sampling factors 1-2 with chroma
     upsampling, restart markers, 8/16-bit DQT, per-scan DHT
     redefinition; plus LOSSLESS (SOF3) predictive frames via
-    :func:`_jpeg_lossless_scan` and 4-COMPONENT (CMYK/YCCK) frames —
-    returned as 4 channels exactly as the codestream encodes them
-    (APP14 transform 2 un-rotates YCCK back to CMY; ink interpretation
-    is producer-dependent and stays with the caller). Arithmetic coding
-    and hierarchical frames return None — metadata-only fallback, same
-    contract as the other pixel decoders. Returns (height, width,
-    channels) uint8.
+    :func:`_jpeg_lossless_scan`, HIERARCHICAL pyramids (DHP + EXP +
+    SOF5/6 differential frames via :func:`_jpeg_hierarchical`) and
+    4-COMPONENT (CMYK/YCCK) frames — returned as 4 channels exactly as
+    the codestream encodes them (APP14 transform 2 un-rotates YCCK
+    back to CMY; ink interpretation is producer-dependent and stays
+    with the caller). Arithmetic entropy coding returns None —
+    metadata-only fallback, same contract as the other pixel decoders.
+    Returns (height, width, channels) uint8.
 
     Per-block work is one einsum over all blocks per component; only
     the inherently serial Huffman bitstream walks in Python — fine for
@@ -961,7 +1230,9 @@ def decode_jpeg_pixels(data: bytes):
                 frame = (w, h, comps, marker == 0xC2)
             elif marker == 0xC3:  # lossless: own predictive scan walk
                 return _jpeg_lossless_scan(data)
-            elif marker in _JPEG_SOF:  # arithmetic/hierarchical
+            elif marker == 0xDE:  # DHP: hierarchical pyramid walk
+                return _jpeg_hierarchical(data)
+            elif marker in _JPEG_SOF:  # arithmetic (or stray differential)
                 return None
             elif marker == 0xEE:  # APP14 (Adobe): color-transform flag
                 if len(body) >= 12 and body[:5] == b"Adobe":

@@ -61,9 +61,12 @@ def _emit_coeff(bw: _BitWriter, v: int, t: int) -> None:
 _T_MAT = _jpeg_idct_matrix()
 
 
-def _encode_block(bw: _BitWriter, block: np.ndarray, pred: int) -> int:
-    """block: 8x8 spatial uint8/int. Returns the new DC predictor."""
-    coeff = _T_MAT @ (block.astype(np.float64) - 128.0) @ _T_MAT.T
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, pred: int, shift: float = 128.0
+) -> int:
+    """block: 8x8 spatial uint8/int. Returns the new DC predictor.
+    ``shift=0`` codes difference images (hierarchical SOF5 frames)."""
+    coeff = _T_MAT @ (block.astype(np.float64) - shift) @ _T_MAT.T
     q = np.round(coeff).astype(np.int64).reshape(64)[_JPEG_ZIGZAG]
     dc = int(q[0])
     diff = dc - pred
@@ -524,6 +527,51 @@ def encode_lossless_jpeg(
             out += bw.out + bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             bw = _BitWriter()
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_hierarchical_jpeg(img: np.ndarray) -> bytes:
+    """HIERARCHICAL JPEG (T.81 Annex J) reference encoder for the
+    decoder tests: a two-level grayscale pyramid — half-resolution SOF0
+    base frame, EXP ×2 expansion, SOF5 differential correction frame
+    coded against the decoder-exact upsampled reconstruction (the base
+    frame is decoded back through mediadecode and expanded with the
+    same J.1.1.2 filter, so the correction is exact up to DCT
+    rounding)."""
+    from . import mediadecode as MD
+
+    assert img.ndim == 2, "grayscale pyramid only"
+    img = img.astype(np.int32)
+    h, w = img.shape
+    h2, w2 = -(-h // 2), -(-w // 2)
+    pad = np.pad(
+        img.astype(np.float64), ((0, h2 * 2 - h), (0, w2 * 2 - w)), mode="edge"
+    )
+    base = np.round(
+        pad.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    base_jpeg = encode_jpeg(base)
+    base_dec = MD.decode_jpeg_pixels(base_jpeg)
+    if base_dec is None:
+        raise ValueError("base frame failed to decode")
+    up = MD._jpeg_exp2(base_dec[:, :, 0].astype(np.int32), True, True)
+    diff = img - up[:h, :w]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dhp = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _seg(0xDE, dhp)
+    out += base_jpeg[2:-2]  # base frame segments (tables persist)
+    out += _seg(0xDF, bytes([0x11]))  # EXP: expand both dimensions
+    out += _seg(0xC5, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+    blocks = _plane_blocks(diff, bw_blocks, bh_blocks)
+    bw = _BitWriter()
+    pred = 0
+    for b in blocks:
+        pred = _encode_block(bw, b, pred, shift=0.0)
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)

@@ -4,19 +4,22 @@ with typed metadata, processed by Arrow-batched stages over
 
 Decode status: image metadata (PNG/GIF/BMP/JPEG dimensions + channels)
 and image PIXELS — PNG at every legal depth incl. Adam7, JPEG baseline,
-progressive, LOSSLESS (SOF3) and 4-component CMYK/YCCK, first-frame
-GIF (LZW), BMP 24/32/16-bit/paletted/RLE — plus WAV audio (header +
-PCM stats at all integer/float widths) and MJPEG frame extraction from
-MP4 sample tables are REAL pure-stdlib+numpy decoders
-(``mediadecode.py`` — same move as minidecode.py for PDF/DOCX). The
-deterministic fake is only the fallback for unrecognized codecs, and
-``strict=True`` raises on those instead. Still stubbed:
-arithmetic-coded and hierarchical JPEG frames, and compressed video
-codec samples (h264 etc. need a decoder library this container doesn't
-ship) — each stub either raises NotImplementedError (strict mode) or
-produces a deterministic fake derived from the bytes — the Spark-side
-plumbing (schemas, batch iteration, partitioning, output shapes) is
-real and tested.
+progressive, LOSSLESS (SOF3), HIERARCHICAL (DHP pyramid + SOF5/6
+differential frames) and 4-component CMYK/YCCK, first-frame GIF (LZW),
+BMP 24/32/16-bit/paletted/RLE — plus WAV audio (header + PCM stats at
+all integer/float widths) and MJPEG frame extraction from MP4 sample
+tables are REAL pure-stdlib+numpy decoders (``mediadecode.py`` — same
+move as minidecode.py for PDF/DOCX). The deterministic fake is only
+the fallback for unrecognized codecs, and ``strict=True`` raises on
+those instead. Still stubbed: arithmetic-coded JPEG entropy coding
+(the only remaining JPEG mode — the QM-coder state table can't be
+reproduced from the spec text without transcription risk), and
+compressed video codec samples (h264 etc. need a decoder library this
+container doesn't ship; see the register_frame_codec seam below) —
+each stub either raises NotImplementedError (strict mode) or produces
+a deterministic fake derived from the bytes — the Spark-side plumbing
+(schemas, batch iteration, partitioning, output shapes) is real and
+tested.
 
 Compressed video is an EXTENSION POINT, not a dead end: the sample
 tables already yield each stored frame's exact byte range + timestamp

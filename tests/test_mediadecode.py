@@ -1436,3 +1436,81 @@ def test_jpeg_cmyk_image_features(spark):
     assert out["channels"] == 4 and len(out["pixel_mean"]) == 4
     for c in range(4):
         assert abs(out["pixel_mean"][c] - (50 + 40 * c)) <= 2
+
+
+# ---------------------------------------------- hierarchical JPEG (DHP)
+
+
+def test_jpeg_hierarchical_roundtrip():
+    """Two-level pyramid (SOF0 base + EXP + SOF5 correction): the
+    correction frame restores the full-resolution image to within DCT
+    rounding of both frames."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(20, 236, (4, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    data = encode_hierarchical_jpeg(img)
+    out = MD.decode_jpeg_pixels(data)
+    assert out is not None and out.shape == (32, 24, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_hierarchical_odd_dims():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    # smooth it so DCT rounding stays small on the noise
+    img = (img // 4 + 96).astype(np.uint8)
+    out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(img))
+    assert out is not None and out.shape == (17, 23, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_hierarchical_metadata_full_dims():
+    """decode_jpeg must report the DHP (final) dims, not the base
+    frame's half resolution."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.full((20, 30), 128, dtype=np.uint8)
+    info = MD.decode_jpeg(encode_hierarchical_jpeg(img))
+    assert info is not None
+    assert (info.width, info.height, info.channels) == (30, 20, 1)
+
+
+def test_jpeg_hierarchical_truncation_fails_soft():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    data = encode_hierarchical_jpeg(img)
+    for cut in (8, len(data) // 3, len(data) // 2, len(data) - 4):
+        out = MD.decode_jpeg_pixels(data[:cut])  # must never raise
+        assert out is None or out.shape[2] == 1
+
+
+def test_jpeg_hierarchical_image_features(spark):
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    img = np.full((16, 24), 77, dtype=np.uint8)
+    rows = [(51, 0, "image", bytearray(encode_hierarchical_jpeg(img)), {"ext": "jpg"})]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = MM.image_features(assets, strict=True).collect()[0]
+    assert out["format"] == "jpeg" and out["pixels_real"]
+    assert out["width"] == 24 and out["height"] == 16
+    assert abs(out["pixel_mean"][0] - 77.0) <= 1.0
