@@ -168,3 +168,19 @@ def test_scaled_tables_still_broadcast_at_bench_scale(spark, sf_dir):
     p = _plan(_q("small_qty_avg_revenue", spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_entire_registry_has_no_cartesian_or_row_python(spark, sf_dir):
+    # Registry-wide freeze (one pass, all 98 queries): no plan may
+    # contain a CartesianProduct (unbounded pair blowup at scale) or
+    # BatchEvalPython (row-at-a-time Python UDF — the slow path the
+    # engine is designed to avoid; Arrow stages show as *InPandas
+    # nodes, which are allowed).
+    flagged = []
+    for name, fn in plans.all_queries().items():
+        p = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            flagged.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            flagged.append((name, "BatchEvalPython"))
+    assert not flagged, flagged
