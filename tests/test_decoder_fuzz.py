@@ -68,7 +68,11 @@ def _valid_payloads():
         make_wav,
     )
     from tests.test_minidecode import make_cid_pdf, make_encrypted_pdf, make_pdf, _CMAP
-    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+        encode_jpeg,
+        encode_lossless_jpeg,
+    )
 
     import numpy as np
 
@@ -82,6 +86,11 @@ def _valid_payloads():
                     subsample=True, restart_interval=1),
         encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
                     progressive=True),
+        encode_jpeg(np.arange(256, dtype=np.uint8).reshape(8, 8, 4),
+                    ycck=True),
+        encode_lossless_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8),
+                             predictor=4, restart_interval=30),
+        encode_hierarchical_jpeg(np.arange(192, dtype=np.uint8).reshape(12, 16)),
         make_wav()[0],
         make_mp4(),
         make_pdf([b"BT (hello) Tj ET"]),
