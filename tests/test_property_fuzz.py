@@ -88,7 +88,7 @@ def test_lossless_jpeg_roundtrip_fuzz(h, w, predictor, seed, pt):
     img = rng.integers(0, 256, (h, w), dtype=np.uint8)
     out = MD.decode_jpeg_pixels(encode_lossless_jpeg(img, predictor=predictor, pt=pt))
     assert out is not None and out.shape == (h, w, 1)
-    mask = np.uint8(0xFF << pt)
+    mask = np.uint8((0xFF << pt) & 0xFF)
     assert (out[:, :, 0] == (img & mask)).all()
 
 
