@@ -23,6 +23,7 @@ ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline, tpch_ex
 # missed, so the r6 sample re-validates the other half of the registry.
 # The order is otherwise semantically irrelevant.
 _DRIVER_PRIORITY = (
+    "neardup_keep_best",  # new this round: composed curation dedup
     "knn_numpy_topk", "ngram_jaccard_pairs", "neardup_components",
     "volume_shipping_pairs", "nation_market_share", "product_type_profit",
     "important_parts_value", "top_revenue_supplier",

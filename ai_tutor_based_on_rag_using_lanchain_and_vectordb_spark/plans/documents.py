@@ -496,9 +496,40 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation dedup — the composition a training-data
+    pipeline runs nightly: near-dup pairs → connected components →
+    keep ONE representative per cluster, chosen by quality score
+    (ties → min doc_id), with every un-clustered document kept as its
+    own representative.
+
+    Scale shape: components joins are corpus-keyed on doc_id; the
+    per-cluster argmax is a row_number()==1 window, which Catalyst
+    rewrites to WindowGroupLimit — a partial top-1 per component
+    BEFORE the shuffle, so cluster size never inflates shuffle
+    volume."""
+    comp = neardup_components(spark, sf_dir)
+    quality = doc_quality(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    scored = labeled.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component", "quality")
+    )
+
+
 QUERIES = {
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
+    "neardup_keep_best": neardup_keep_best,
     "minhash_recall": minhash_recall,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_normalized": doc_normalized,
@@ -636,7 +667,42 @@ ORACLE = {
         SELECT node AS doc_id, min(label) AS component
         FROM reach GROUP BY node
     """,
+    # filled in below: needs the doc_quality oracle as a nested CTE
+    "neardup_keep_best": "",
 }
+
+ORACLE["neardup_keep_best"] = (
+    r"""
+        WITH RECURSIVE """ + "_JACCARD_CTES" + r""", edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM all_pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM all_pairs
+        ), reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+        ), comp AS (
+            SELECT node AS doc_id, min(label) AS component
+            FROM reach GROUP BY node
+        ), qual AS (
+            SELECT * FROM (""" + "_DOC_QUALITY_SQL" + r""")
+        ), labeled AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   q.quality
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.doc_id
+            JOIN qual q ON q.doc_id = d.doc_id
+        ), ranked AS (
+            SELECT doc_id, component, quality,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM labeled
+        )
+        SELECT doc_id, component, quality FROM ranked WHERE rn = 1
+    """
+)
 
 # Shared pair CTE chain, mirroring the engine's duplicate-collapse
 # algorithm (grp → representative shingles → inverted-index rep pairs →
@@ -704,8 +770,13 @@ _JACCARD_CTES_SQL = r"""grp AS (
 
 _JACCARD_CTES_SQL = _JACCARD_CTES_SQL.replace("{max_df}", str(MAX_SHINGLE_DF))
 
-for _k in ("ngram_jaccard_pairs", "neardup_components"):
+for _k in ("ngram_jaccard_pairs", "neardup_components", "neardup_keep_best"):
     ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)
+# keep-best nests the (oracle-green) quality scorer as its ranking key,
+# so the two definitions can't drift
+ORACLE["neardup_keep_best"] = ORACLE["neardup_keep_best"].replace(
+    "_DOC_QUALITY_SQL", ORACLE["doc_quality"]
+)
 
 
 def _pii_oracle_sql() -> str:

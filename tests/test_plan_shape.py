@@ -184,3 +184,12 @@ def test_entire_registry_has_no_cartesian_or_row_python(spark, sf_dir):
         if "BatchEvalPython" in p:
             flagged.append((name, "BatchEvalPython"))
     assert not flagged, flagged
+
+
+def test_keep_best_uses_window_group_limit(spark, sf_dir):
+    # The per-cluster argmax must rewrite to WindowGroupLimit so a
+    # million-doc near-dup cluster contributes one row to the final
+    # shuffle, not a million.
+    p = _plan(_q("neardup_keep_best", spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
