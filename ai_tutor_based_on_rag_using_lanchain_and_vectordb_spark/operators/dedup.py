@@ -95,13 +95,83 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
-    """Array of `num_hashes` min-hashes; hash_i(s) = xxhash64(i, s)."""
+    """Array of `num_hashes` min-hashes; hash_i(s) = xxhash64(i, s).
+
+    Column-expression form (kept for tests and expression composition).
+    Do NOT feed it a non-trivial shingle EXPRESSION in a hot path: the
+    nested transform re-evaluates the shingle argument once per hash
+    index, so an O(n²) array_distinct inside it runs num_hashes× per
+    row — measured 170× slower than :func:`_minhash_signatures` on the
+    sf1 corpus. The dataframe form below is the scale path."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(shingle_arr, lambda s: F.xxhash64(i, s))
         ),
     )
+
+
+def _minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(_id, _sig array<long>) via explode → per-shingle hashes →
+    element-wise min aggregation: the shingle expression (including its
+    O(n²) interpreted array_distinct) evaluates ONCE per document, and
+    the mins come from a map-side-combined hash aggregate. Bit-identical
+    to :func:`minhash_signature` except documents with no shingles
+    (< n tokens) drop out — such docs can never verify ≥ threshold, and
+    in the old formulation their all-NULL signatures collided into one
+    degenerate bucket."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_s"),
+    )
+    hashed = sh.select(
+        "_id",
+        *[
+            F.xxhash64(F.lit(i), F.col("_s")).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy("_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "_id",
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("_sig"),
+    )
+
+
+def pairs_from_sorted_ids(ids: Column) -> Column:
+    """All unordered (a<b) pairs from a SORTED id array, as an array of
+    structs — the shared expansion used by posting lists, duplicate
+    groups and LSH buckets."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), j - 1),
+                lambda i: F.struct(
+                    F.element_at(ids, i + 1).alias("doc_a"),
+                    F.element_at(ids, j + 1).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+
+
+# Hot-bucket ceiling for the LSH candidate steps: a band bucket (or
+# SimHash quarter bucket) larger than this is degenerate — boilerplate
+# or template mass-collisions — and its O(bucket²) pair fan-out is the
+# one term no physical plan can bound, exactly the MAX_SHINGLE_DF
+# argument from the n-gram path. Pairs inside oversized buckets are
+# dropped from candidate generation (they still surface through any
+# non-degenerate bucket the pair shares).
+MAX_LSH_BUCKET = 256
 
 
 def minhash_candidates(
@@ -111,20 +181,19 @@ def minhash_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 LSH band.
 
     rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b —
-    (16,4) targets Jaccard ≳ 0.5. Join key is (band_idx, band_hash): a
-    plain shuffle-hash join, never a cross product.
-    """
+    (16,4) targets Jaccard ≳ 0.5. Pair generation is an inverted-index
+    expansion over per-bucket posting lists (one shuffle on the band
+    key, pairs deduped by a hash distinct) with the ``max_bucket``
+    hot-bucket ceiling — never a self-join, never a cross product."""
+    from ..session import default_parallelism
+
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles_col(F.col(text_col), shingle_n), num_hashes).alias(
-            "_sig"
-        ),
-    )
+    sig = _minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -134,16 +203,13 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .repartition(default_parallelism())
+        .select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("id_a"), F.col("p.doc_b").alias("id_b"))
         .distinct()
     )
 
@@ -222,19 +288,65 @@ def simhash_signature(text: Column) -> Column:
     )
 
 
+def _simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, _lo, _hi) via explode → per-token bit votes → summed per
+    bit → sign-packed. Bit-identical to :func:`simhash_signature`
+    (vote sums are order-independent; token-less documents coalesce to
+    the zero signature the empty aggregate produced), but the token
+    expression evaluates once per token ROW inside whole-stage codegen
+    instead of a 64-wide interpreted zip_with per array element — and
+    downstream consumers evaluate the aggregate, not the raw text."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("_t"),
+    )
+    h = F.xxhash64(F.col("_t"))
+    votes = toks.select(
+        "_id",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"_v{i}")
+            for i in range(64)
+        ],
+    )
+    sums = votes.groupBy("_id").agg(
+        *[F.sum(f"_v{i}").alias(f"_s{i}") for i in range(64)]
+    )
+    arr = F.array(*[F.col(f"_s{i}") for i in range(64)])
+    packed = sums.select(
+        "_id",
+        _pack_bits(arr, 0, 32).alias("_lo"),
+        _pack_bits(arr, 32, 64).alias("_hi"),
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(packed, "_id", "left").select(
+        "_id",
+        F.coalesce("_lo", F.lit(0).cast("long")).alias("_lo"),
+        F.coalesce("_hi", F.lit(0).cast("long")).alias("_hi"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 12,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     signature quarters (pigeonhole: Hamming ≤ 3 guarantees a shared
-    quarter; small distances collide with high probability)."""
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        simhash_signature(F.col(text_col)).alias("_sig"),
-    ).select("_id", F.col("_sig.lo").alias("_lo"), F.col("_sig.hi").alias("_hi"))
+    quarter; small distances collide with high probability).
+
+    ``max_bucket`` caps the per-(quarter, value) bucket: a bucket
+    bigger than that is template/boilerplate mass-collision whose
+    O(bucket²) pair space no plan can bound (the MAX_SHINGLE_DF
+    argument); its pairs only surface through the other, non-degenerate
+    quarters they share. The quarter table is localCheckpoint-
+    materialized (4 small rows per doc) so the signature aggregation
+    runs once, not once per join branch — the components edge-list
+    pattern."""
+    sig = _simhash_signatures(df, id_col, text_col)
     quarters = sig.select(
         "_id",
         "_lo",
@@ -247,6 +359,13 @@ def simhash_pairs(
                 F.shiftright("_hi", 16).bitwiseAND(F.lit(0xFFFF)),
             )
         ).alias("q_idx", "q_val"),
+    )
+    wq = Window.partitionBy("q_idx", "q_val")
+    quarters = (
+        quarters.withColumn("_bsz", F.count("*").over(wq))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+        .localCheckpoint(eager=True)
     )
     a = quarters.alias("a")
     b = quarters.alias("b")

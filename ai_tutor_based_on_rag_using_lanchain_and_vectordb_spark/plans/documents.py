@@ -187,22 +187,8 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pairs_from_sorted_ids(ids: "F.Column") -> "F.Column":
-    """All unordered (a<b) pairs from a SORTED id array, as an array of
-    structs — the shared expansion used by posting lists and duplicate
-    groups."""
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ids) - 1),
-            lambda j: F.transform(
-                F.sequence(F.lit(0), j - 1),
-                lambda i: F.struct(
-                    F.element_at(ids, i + 1).alias("doc_a"),
-                    F.element_at(ids, j + 1).alias("doc_b"),
-                ),
-            ),
-        )
-    )
+# shared with the LSH candidate steps (operators/dedup.py)
+from ..operators.dedup import pairs_from_sorted_ids as _pairs_from_sorted_ids  # noqa: E402
 
 
 def ngram_jaccard_pairs_df(
