@@ -193,3 +193,20 @@ def test_keep_best_uses_window_group_limit(spark, sf_dir):
     p = _plan(_q("neardup_keep_best", spark, sf_dir))
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_minhash_candidates_are_join_free(spark, sf_dir):
+    # The r6 sweep fix: candidate pairs come from per-bucket posting
+    # lists (groupBy + capped explode), never a banded self-join — a
+    # join here reintroduces the O(bucket²) build the 992 s regression
+    # came from.
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = _plan(minhash_candidates(docs))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, node
