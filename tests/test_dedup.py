@@ -281,3 +281,53 @@ def test_embedding_zero_norm_vectors_excluded_by_contract(spark):
     b = pairs(embedding_neardup_pairs_df(emb, engine="expr", collapse=False))
     assert a == b and a == {(1, 3, a and sorted(a)[0][2])}  # only the (1,3) pair
     assert not any(2 in (x, y) for x, y, _ in a)
+
+
+def test_minhash_signature_forms_equivalent(spark):
+    """The exploded-aggregation signature path (scale form) must be
+    bit-identical to the column-expression form it replaced — the
+    docstring's claim, frozen as a test. Docs with < n tokens drop out
+    of the aggregation form (the expression form yields all-NULL)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs indeed"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "short one"),  # < 3 tokens of shingles -> no signature
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = df.select(
+        F.col("doc_id").alias("_id"),
+        DD.minhash_signature(DD.shingles_col(F.col("text"), 3), 16).alias("_sig"),
+    ).collect()
+    agg = {r["_id"]: r["_sig"] for r in
+           DD._minhash_signatures(df, "doc_id", "text", 16, 3).collect()}
+    for r in expr:
+        if all(v is None for v in r["_sig"]):
+            assert r["_id"] not in agg
+        else:
+            assert agg[r["_id"]] == r["_sig"], r["_id"]
+
+
+def test_simhash_signature_forms_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "completely different content with other words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r["_id"]: (r["_sig"]["lo"], r["_sig"]["hi"])
+        for r in df.select(
+            F.col("doc_id").alias("_id"),
+            DD.simhash_signature(F.col("text")).alias("_sig"),
+        ).collect()
+    }
+    agg = {
+        r["_id"]: (r["_lo"], r["_hi"])
+        for r in DD._simhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert expr == agg
