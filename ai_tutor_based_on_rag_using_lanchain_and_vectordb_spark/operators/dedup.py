@@ -82,13 +82,46 @@ def shingle_starts(toks: Column, n: int) -> Column:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    array_distinct is O(n²) and interpreted — fine for expression
+    composition and tests, but hot paths over long documents use
+    :func:`_shingle_rows` (DataFrame-level distinct, vectorized) or
+    skip distinctness entirely where it cannot change the result
+    (min-hashing: min over duplicates = min over distinct). Measured
+    34 s of pure array_distinct across the sf1 corpus."""
+    return F.array_distinct(shingles_all_col(text, n))
+
+
+def shingles_all_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles WITH duplicates (no O(n²) distinct)."""
     toks = tokens_col(text)
-    grams = F.transform(
+    return F.transform(
         shingle_starts(toks, n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.array_distinct(grams)
+
+
+def _shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Distinct (_id, _s) shingle rows: explode the duplicated grams and
+    dedupe with a DataFrame distinct — a map-side-combined hash
+    aggregate instead of per-row O(n²) array_distinct. The explicit
+    repartition fans the gram generation across the cluster — a
+    handful of parquet splits would otherwise evaluate every doc's
+    shingle expressions on a handful of cores (measured 32 s → 4 s at
+    sf1)."""
+    from ..session import default_parallelism
+
+    return (
+        df.repartition(default_parallelism())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles_all_col(F.col(text_col), shingle_n)).alias("_s"),
+        )
+        .distinct()
+    )
 
 
 # -------------------------------------------------------------------- MinHash
@@ -126,9 +159,14 @@ def _minhash_signatures(
     (< n tokens) drop out — such docs can never verify ≥ threshold, and
     in the old formulation their all-NULL signatures collided into one
     degenerate bucket."""
-    sh = df.select(
+    from ..session import default_parallelism
+
+    # duplicated grams, no distinct: min over duplicates = min over
+    # distinct, so the O(n²) array_distinct adds nothing here; the
+    # repartition fans gram generation out of the few parquet splits
+    sh = df.repartition(default_parallelism()).select(
         F.col(id_col).alias("_id"),
-        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("_s"),
+        F.explode(shingles_all_col(F.col(text_col), shingle_n)).alias("_s"),
     )
     hashed = sh.select(
         "_id",
@@ -224,12 +262,31 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard (array_intersect /
-    array_union on the candidates only)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        shingles_col(F.col(text_col), shingle_n).alias("_sh"),
+    array_union on the candidates only).
+
+    A size-ratio prefilter runs before the array joins: J = |∩|/|∪| ≤
+    min(|A|,|B|)/max(|A|,|B|), so any pair with min < threshold·max can
+    be dropped from knowing the two SIZES alone — two cheap scalar
+    joins against a (id, size) table prune the candidate set before the
+    heavy shingle-array shuffle and intersect. Shingle SETS come from
+    the exploded DataFrame distinct (:func:`_shingle_rows`), not the
+    per-row O(n²) array_distinct."""
+    sh = _shingle_rows(df, id_col, text_col, shingle_n).groupBy("_id").agg(
+        F.collect_list("_s").alias("_sh")
     )
     cands = minhash_candidates(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    cands = (
+        cands.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -296,7 +353,9 @@ def _simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     expression evaluates once per token ROW inside whole-stage codegen
     instead of a 64-wide interpreted zip_with per array element — and
     downstream consumers evaluate the aggregate, not the raw text."""
-    toks = df.select(
+    from ..session import default_parallelism
+
+    toks = df.repartition(default_parallelism()).select(
         F.col(id_col).alias("_id"),
         F.explode(tokens_col(F.col(text_col))).alias("_t"),
     )
