@@ -331,3 +331,27 @@ def test_simhash_signature_forms_equivalent(spark):
         for r in DD._simhash_signatures(df, "doc_id", "text").collect()
     }
     assert expr == agg
+
+
+def test_lsh_hot_bucket_ceiling(spark):
+    """A degenerate corpus (hundreds of identical docs) collides into
+    one bucket per band; the MAX_LSH_BUCKET ceiling drops those buckets
+    from candidate generation — the unboundable O(bucket²) term —
+    while a raised ceiling recovers the full pair set."""
+    from pyspark.sql import functions as F
+
+    n = 300  # > MAX_LSH_BUCKET (256)
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the very same boilerplate text repeated across the corpus "
+              "again and again for every single document").alias("text"),
+    )
+    capped = DD.minhash_candidates(docs).count()
+    assert capped == 0
+
+    raised = DD.minhash_candidates(docs, max_bucket=n).count()
+    assert raised == n * (n - 1) // 2
+
+    # simhash: same ceiling on quarter buckets
+    assert DD.simhash_pairs(docs).count() == 0
+    assert DD.simhash_pairs(docs, max_bucket=n).count() == n * (n - 1) // 2
