@@ -532,46 +532,101 @@ def encode_lossless_jpeg(
     return bytes(out)
 
 
+def _recon_plane(p: np.ndarray, bw_blocks: int, bh_blocks: int, h: int, w: int):
+    """The exact plane the DECODER holds after a non-differential
+    sequential frame of ``p`` with the all-ones quantizer: per-block
+    round(DCT(p-128)) → round(IDCT)+128, clamped, cropped."""
+    blocks = _plane_blocks(p, bw_blocks, bh_blocks)
+    coeff = _T_MAT @ (blocks.astype(np.float64) - 128.0) @ _T_MAT.T
+    q = np.round(coeff)
+    spatial = _T_MAT.T @ q @ _T_MAT
+    recon = np.clip(np.round(spatial) + 128, 0, 255).astype(np.int32)
+    plane = (
+        recon.reshape(bh_blocks, bw_blocks, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_blocks * 8, bw_blocks * 8)
+    )
+    return plane[:h, :w]
+
+
+def _write_seq_frame(out: bytearray, marker: int, planes, h: int, w: int,
+                     shift: float) -> None:
+    """One interleaved sequential frame (1×1 sampling, shared DC/AC
+    table 0) for the hierarchical pyramid: SOFn + SOS + entropy data."""
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(marker, sof)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    out += _seg(0xDA, sos + bytes([0, 63, 0]))
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+    blocks = [_plane_blocks(p, bw_blocks, bh_blocks) for p in planes]
+    bw = _BitWriter()
+    preds = [0] * nc
+    for bi in range(bw_blocks * bh_blocks):
+        for ci in range(nc):
+            preds[ci] = _encode_block(bw, blocks[ci][bi], preds[ci], shift=shift)
+    bw.flush()
+    out += bw.out
+
+
 def encode_hierarchical_jpeg(img: np.ndarray) -> bytes:
     """HIERARCHICAL JPEG (T.81 Annex J) reference encoder for the
-    decoder tests: a two-level grayscale pyramid — half-resolution SOF0
-    base frame, EXP ×2 expansion, SOF5 differential correction frame
-    coded against the decoder-exact upsampled reconstruction (the base
-    frame is decoded back through mediadecode and expanded with the
-    same J.1.1.2 filter, so the correction is exact up to DCT
-    rounding)."""
+    decoder tests: a two-level pyramid — half-resolution SOF0 base
+    frame, EXP ×2 expansion, SOF5 differential correction frame coded
+    against the decoder-exact upsampled reconstruction (the base
+    frame's reconstruction is recomputed with the decoder's own
+    arithmetic and expanded with the same J.1.1.2 filter, so the
+    correction is exact up to DCT rounding). Grayscale (h, w) or RGB
+    (h, w, 3) — color pyramids operate in YCbCr component space, the
+    space the decoder accumulates references in."""
     from . import mediadecode as MD
 
-    assert img.ndim == 2, "grayscale pyramid only"
-    img = img.astype(np.int32)
-    h, w = img.shape
+    h, w = img.shape[:2]
     h2, w2 = -(-h // 2), -(-w // 2)
+    arr = img.astype(np.float64)
     pad = np.pad(
-        img.astype(np.float64), ((0, h2 * 2 - h), (0, w2 * 2 - w)), mode="edge"
+        arr,
+        ((0, h2 * 2 - h), (0, w2 * 2 - w)) + (((0, 0),) if arr.ndim == 3 else ()),
+        mode="edge",
     )
-    base = np.round(
-        pad.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
-    ).astype(np.uint8)
-    base_jpeg = encode_jpeg(base)
-    base_dec = MD.decode_jpeg_pixels(base_jpeg)
-    if base_dec is None:
-        raise ValueError("base frame failed to decode")
-    up = MD._jpeg_exp2(base_dec[:, :, 0].astype(np.int32), True, True)
-    diff = img - up[:h, :w]
+    if arr.ndim == 2:
+        full_planes = [arr]
+        base_planes = [np.round(pad.reshape(h2, 2, w2, 2).mean(axis=(1, 3)))]
+    else:
+        def ycbcr(a):
+            r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+            return [
+                np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+                np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+            ]
+        full_planes = ycbcr(arr)
+        base_rgb = pad.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3))
+        base_planes = ycbcr(base_rgb)
+    base_planes = [np.clip(p, 0, 255) for p in base_planes]
+    full_planes = [np.clip(p, 0, 255).astype(np.int32) for p in full_planes]
+    nc = len(full_planes)
 
     out = bytearray(b"\xff\xd8")  # SOI
-    dhp = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dhp = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        dhp += bytes([ci + 1, 0x11, 0])
     out += _seg(0xDE, dhp)
-    out += base_jpeg[2:-2]  # base frame segments (tables persist)
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT 0: all ones
+    out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
+    out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
+    _write_seq_frame(out, 0xC0, base_planes, h2, w2, shift=128.0)
     out += _seg(0xDF, bytes([0x11]))  # EXP: expand both dimensions
-    out += _seg(0xC5, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
-    blocks = _plane_blocks(diff, bw_blocks, bh_blocks)
-    bw = _BitWriter()
-    pred = 0
-    for b in blocks:
-        pred = _encode_block(bw, b, pred, shift=0.0)
-    bw.flush()
-    out += bw.out + b"\xff\xd9"
+    bwb, bhb = -(-w2 // 8), -(-h2 // 8)
+    diffs = []
+    for ci in range(nc):
+        ref = _recon_plane(base_planes[ci], bwb, bhb, h2, w2)
+        up = MD._jpeg_exp2(ref, True, True)
+        diffs.append(full_planes[ci] - up[:h, :w])
+    _write_seq_frame(out, 0xC5, diffs, h, w, shift=0.0)
+    out += b"\xff\xd9"
     return bytes(out)

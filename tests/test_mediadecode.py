@@ -1514,3 +1514,36 @@ def test_jpeg_hierarchical_image_features(spark):
     assert out["format"] == "jpeg" and out["pixels_real"]
     assert out["width"] == 24 and out["height"] == 16
     assert abs(out["pixel_mean"][0] - 77.0) <= 1.0
+
+
+def test_jpeg_hierarchical_color_roundtrip():
+    """3-component pyramid: base + differential frames accumulate in
+    YCbCr component space, final conversion lands within combined DCT
+    + color-transform rounding."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(30, 226, (3, 4, 3))
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    data = encode_hierarchical_jpeg(img)
+    info = MD.decode_jpeg(data)
+    assert info is not None and (info.width, info.height, info.channels) == (32, 24, 3)
+    out = MD.decode_jpeg_pixels(data)
+    assert out is not None and out.shape == (24, 32, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_hierarchical_color_odd_dims():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    rng = np.random.default_rng(22)
+    img = (rng.integers(0, 256, (17, 21, 3)) // 4 + 90).astype(np.uint8)
+    out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(img))
+    assert out is not None and out.shape == (17, 21, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
