@@ -4,12 +4,15 @@ frames in-engine with it) and the round-trip ground truth for the
 decoder tests (no golden binaries in the repo).
 
 Scope: 8-bit baseline (SOF0) or progressive (SOF2, four-stage scan
-script with successive approximation), grayscale or YCbCr 4:4:4 /
-4:2:0, near-lossless all-ones quantization so round-trip error is DCT
-rounding only, optional restart intervals. Huffman tables are a valid
-canonical layout (symbols 0-127 at 8 bits, 128-255 at 9 bits) rather
-than the Annex K defaults — simpler to construct, and it exercises the
-decoder's generic DHT handling instead of a hard-coded table."""
+script with successive approximation), grayscale / YCbCr 4:4:4 /
+4:2:0 / CMYK-YCCK (APP14), LOSSLESS (SOF3, all predictors, 2-16 bit,
+restarts) and two-level HIERARCHICAL pyramids (DHP + EXP + SOF5
+differential, grayscale or YCbCr), near-lossless all-ones quantization
+so round-trip error is DCT rounding only, optional restart intervals.
+Huffman tables are a valid canonical layout (symbols 0-127 at 8 bits,
+128-255 at 9 bits) rather than the Annex K defaults — simpler to
+construct, and it exercises the decoder's generic DHT handling instead
+of a hard-coded table."""
 
 from __future__ import annotations
 

@@ -91,6 +91,9 @@ def _valid_payloads():
         encode_lossless_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8),
                              predictor=4, restart_interval=30),
         encode_hierarchical_jpeg(np.arange(192, dtype=np.uint8).reshape(12, 16)),
+        encode_hierarchical_jpeg(
+            np.arange(576, dtype=np.uint8).reshape(12, 16, 3) % 251
+        ),
         make_wav()[0],
         make_mp4(),
         make_pdf([b"BT (hello) Tj ET"]),
