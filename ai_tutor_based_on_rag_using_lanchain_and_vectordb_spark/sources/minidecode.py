@@ -30,8 +30,10 @@ common cases instead of a stub:
   page tree resolves (damaged xref, exotic layouts) the extractor falls
   back to the previous stream heuristic: each content stream with a
   ``BT`` block is one pseudo-page. Encrypted PDFs (standard security
-  handler) decrypt with the supplied user password — blank assumed
-  when none is given, the usual owner-restricted case — across all the
+  handler) decrypt with the supplied password, accepted as EITHER the
+  user or the owner password (Algorithm 7 recovers the user password
+  from /O; V5 authorizes against /O+/OE directly) — blank assumed when
+  none is given, the usual owner-restricted case — across all the
   standard cipher generations: RC4 (V 1/2 R 2/3), AESV2 (V 4 R 3/4,
   AES-128-CBC per-object keys) and AESV3 (V 5 R 5/6, AES-256 with the
   R6 hardened hash), via pure hashlib MD5/SHA-2 key derivation plus an
@@ -291,6 +293,31 @@ def _std_encryption_key(
     return key
 
 
+def _owner_rc4_key(owner_pw: bytes, r: int, n: int) -> bytes:
+    """ISO 32000-1 Algorithm 3's RC4 key from the owner password (50
+    truncated-MD5 rounds for R ≥ 3, mirroring Algorithm 2)."""
+    import hashlib
+
+    md = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            md = hashlib.md5(md[:n]).digest()
+    return md[:n]
+
+
+def _owner_recover_user_pw(owner_pw: bytes, o: bytes, r: int, n: int) -> bytes:
+    """Algorithm 7 (decryption side): unwrap the PADDED user password
+    from /O with the owner-derived RC4 key (19 XORed rounds for R ≥ 3
+    run in reverse)."""
+    okey = _owner_rc4_key(owner_pw, r, n)
+    if r == 2:
+        return _rc4(okey, o[:32])
+    data = o[:32]
+    for i in range(19, -1, -1):
+        data = _rc4(bytes(b ^ i for b in okey), data)
+    return data
+
+
 def _std_user_check(key: bytes, id1: bytes, r: int) -> bytes:
     """Expected /U for the file key (Algorithms 4/5) — verifies the
     supplied user password (the password only enters via the key; the
@@ -513,9 +540,11 @@ def _hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 
 
 def _build_v5_decryptor(enc: bytes, r: int, password: bytes = b""):
-    """AESV3 (V5, R5/R6): verify /U's validation hash for the supplied
-    user password (blank by default), then unwrap the file key from /UE
-    with the key-salt hash."""
+    """AESV3 (V5, R5/R6): authorize ``password`` as the USER password
+    (validation hash over /U's salts → file key from /UE) or, failing
+    that, as the OWNER password (hash over /O's salts keyed with the
+    first 48 bytes of /U → file key from /OE) — the either-password
+    behavior pypdf's ``decrypt`` has."""
     import hashlib
 
     u = _dict_string(enc, b"U")
@@ -529,10 +558,26 @@ def _build_v5_decryptor(enc: bytes, r: int, password: bytes = b""):
     else:  # R5 (deprecated Adobe extension): plain SHA-256
         check = hashlib.sha256(password + vsalt).digest()
         inter = hashlib.sha256(password + ksalt).digest()
-    if check != u[:32]:
-        raise ValueError("wrong or missing user password")
-    file_key = _aes_cbc_decrypt(inter, b"\x00" * 16, ue[:32], strip_pad=False)
-    return _AesDecryptor(file_key, per_object=False)
+    if check == u[:32]:
+        file_key = _aes_cbc_decrypt(inter, b"\x00" * 16, ue[:32], strip_pad=False)
+        return _AesDecryptor(file_key, per_object=False)
+    # owner-password attempt: same scheme over /O, salted with U[0:48]
+    o = _dict_string(enc, b"O")
+    oe = _dict_string(enc, b"OE")
+    if o is not None and len(o) >= 48 and oe is not None and len(oe) >= 32:
+        ovsalt, oksalt = o[32:40], o[40:48]
+        if r == 6:
+            ocheck = _hash_r6(password, ovsalt, u[:48])
+            ointer = _hash_r6(password, oksalt, u[:48])
+        else:
+            ocheck = hashlib.sha256(password + ovsalt + u[:48]).digest()
+            ointer = hashlib.sha256(password + oksalt + u[:48]).digest()
+        if ocheck == o[:32]:
+            file_key = _aes_cbc_decrypt(
+                ointer, b"\x00" * 16, oe[:32], strip_pad=False
+            )
+            return _AesDecryptor(file_key, per_object=False)
+    raise ValueError("wrong or missing password")
 
 
 def _build_decryptor(
@@ -616,7 +661,16 @@ def _build_decryptor(
     expect = _std_user_check(key, id1, r)
     got = u[:16] if r >= 3 else u[:32]
     if got != expect[: len(got)]:
-        raise ValueError("wrong or missing user password")
+        # owner-password attempt (Algorithm 7): recover the padded user
+        # password from /O and authorize with it — pypdf's
+        # either-password behavior
+        userpw = _owner_recover_user_pw(pw, o, r, n)
+        key = _std_encryption_key(
+            o, int(pm.group(1)), id1, r, n, encrypt_metadata, password=userpw
+        )
+        expect = _std_user_check(key, id1, r)
+        if got != expect[: len(got)]:
+            raise ValueError("wrong or missing password")
     return _AesDecryptor(key, per_object=True) if aes else _Rc4Decryptor(key)
 
 

@@ -451,18 +451,31 @@ def test_pdf_simple_fonts_unaffected_by_cid_path():
 # ------------------------------------------------ RC4-encrypted PDFs
 
 def make_encrypted_pdf(text: bytes, r=3, length=128, p=-44, wrong_pw=False,
-                       password=b""):
+                       password=b"", owner_password=None):
     """One-page PDF encrypted with the standard security handler
-    (RC4, user password ``password`` — blank by default): /O fixed, key
-    via Algorithm 2, /U via Algorithm 4/5, streams RC4-encrypted per
-    object (Algorithm 1)."""
+    (RC4, user password ``password`` — blank by default): key via
+    Algorithm 2, /U via Algorithm 4/5, streams RC4-encrypted per
+    object (Algorithm 1). ``owner_password`` computes a REAL /O via
+    Algorithm 3 (else a fixed placeholder)."""
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+        _PW_PAD,
         _Rc4Decryptor,
+        _owner_rc4_key,
+        _rc4,
         _std_encryption_key,
         _std_user_check,
     )
 
-    o_entry = bytes(range(32))
+    if owner_password is not None:  # Algorithm 3 (encryption side)
+        n_ok = length // 8 if r >= 3 else 5
+        okey = _owner_rc4_key(owner_password, r, n_ok)
+        data = _rc4(okey, (password + _PW_PAD)[:32])
+        if r >= 3:
+            for i in range(1, 20):
+                data = _rc4(bytes(b ^ i for b in okey), data)
+        o_entry = data
+    else:
+        o_entry = bytes(range(32))
     id1 = bytes.fromhex("00112233445566778899aabbccddeeff")
     n = length // 8 if r >= 3 else 5
     key = _std_encryption_key(o_entry, p, id1, r, n, password=password)
@@ -620,10 +633,11 @@ def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False,
     )
 
 
-def make_aesv3_pdf(text: bytes, r=6, password=b""):
+def make_aesv3_pdf(text: bytes, r=6, password=b"", owner_password=None):
     """AESV3 (V5 R5/R6, AES-256-CBC) protected by user password
     ``password`` (blank by default) — /U validation hash and /UE key
-    wrap both derive from it."""
+    wrap both derive from it. ``owner_password`` additionally writes a
+    real /O + /OE keyed over U[0:48]."""
     import hashlib
 
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
@@ -641,6 +655,18 @@ def make_aesv3_pdf(text: bytes, r=6, password=b""):
         inter = hashlib.sha256(password + ksalt).digest()
     u_entry = check + vsalt + ksalt
     ue_entry = _aes_cbc_encrypt(inter, b"\x00" * 16, file_key)
+    if owner_password is not None:
+        ovsalt, oksalt = bytes(range(16, 24)), bytes(range(24, 32))
+        if r == 6:
+            ocheck = _hash_r6(owner_password, ovsalt, u_entry[:48])
+            ointer = _hash_r6(owner_password, oksalt, u_entry[:48])
+        else:
+            ocheck = hashlib.sha256(owner_password + ovsalt + u_entry[:48]).digest()
+            ointer = hashlib.sha256(owner_password + oksalt + u_entry[:48]).digest()
+        o_entry = ocheck + ovsalt + oksalt
+        oe_entry = _aes_cbc_encrypt(ointer, b"\x00" * 16, file_key)
+    else:
+        o_entry, oe_entry = bytes(48), bytes(32)
 
     iv = bytes(range(16, 32))
     body = iv + _aes_cbc_encrypt(file_key, iv, _aes_pad(zlib.compress(
@@ -653,8 +679,8 @@ def make_aesv3_pdf(text: bytes, r=6, password=b""):
         + b" /Length 256"
         + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
         + b" /StmF /StdCF /StrF /StdCF /P -44"
-        + b" /O <" + bytes(48).hex().encode() + b">"
-        + b" /OE <" + bytes(32).hex().encode() + b">"
+        + b" /O <" + o_entry.hex().encode() + b">"
+        + b" /OE <" + oe_entry.hex().encode() + b">"
         + b" /U <" + u_entry.hex().encode() + b">"
         + b" /UE <" + ue_entry.hex().encode() + b"> >>"
     )
@@ -893,3 +919,44 @@ def test_pdf_type0_stream_cidtogid_stays_stubbed():
     content = b"BT /F1 12 Tf <0003> Tj ET"
     data = make_type0_nounicode_pdf(font, content, cid2gid=b"99 0 R")
     assert pdf_pages(data) != ["H"]
+
+
+# --------------------------------------------- owner-password decryption
+
+
+def test_pdf_rc4_owner_password():
+    """Algorithm 7: the owner password recovers the padded user password
+    from /O and authorizes decryption (pypdf's either-password
+    behavior); a wrong owner password still fails closed."""
+    data = make_encrypted_pdf(b"owner locked", r=3, password=b"usr",
+                              owner_password=b"admin")
+    assert pdf_pages(data, password=b"usr") == ["owner locked"]
+    assert pdf_pages(data, password=b"admin") == ["owner locked"]
+    assert pdf_pages(data, password=b"wrong") == []
+    assert pdf_pages(data) == []
+
+
+def test_pdf_rc4_r2_owner_password():
+    data = make_encrypted_pdf(b"r2 owner", r=2, length=40, password=b"u",
+                              owner_password=b"o2")
+    assert pdf_pages(data, password=b"o2") == ["r2 owner"]
+    assert pdf_pages(data, password=b"u") == ["r2 owner"]
+    assert pdf_pages(data, password=b"x") == []
+
+
+def test_pdf_rc4_blank_user_owner_restricted():
+    """The common owner-restricted shape: blank user password opens it
+    with NO password; the owner password also authorizes."""
+    data = make_encrypted_pdf(b"restricted", r=3, password=b"",
+                              owner_password=b"corpadmin")
+    assert pdf_pages(data) == ["restricted"]
+    assert pdf_pages(data, password=b"corpadmin") == ["restricted"]
+
+
+def test_pdf_aesv3_owner_password():
+    for r in (5, 6):
+        data = make_aesv3_pdf(b"v5 owner", r=r, password=b"usr",
+                              owner_password=b"boss")
+        assert pdf_pages(data, password=b"usr") == ["v5 owner"], r
+        assert pdf_pages(data, password=b"boss") == ["v5 owner"], r
+        assert pdf_pages(data, password=b"nope") == [], r
