@@ -585,19 +585,30 @@ def _page_objs(body: bytes) -> dict[int, bytes]:
 
 
 def make_aesv2_pdf(text: bytes, p=-44, encrypt_metadata=True, cf_first=False,
-                   password=b""):
+                   password=b"", owner_password=None):
     """AESV2 (V4 R4, AES-128-CBC, StdCF) with user password
-    ``password`` (blank by default)."""
+    ``password`` (blank by default); ``owner_password`` computes a real
+    /O via Algorithm 3."""
     import hashlib
     import struct as _s
 
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
+        _PW_PAD,
         _aes_cbc_encrypt,
+        _owner_rc4_key,
+        _rc4,
         _std_encryption_key,
         _std_user_check,
     )
 
-    o_entry = bytes(range(32))
+    if owner_password is not None:
+        okey = _owner_rc4_key(owner_password, 4, 16)
+        data = _rc4(okey, (password + _PW_PAD)[:32])
+        for i in range(1, 20):
+            data = _rc4(bytes(b ^ i for b in okey), data)
+        o_entry = data
+    else:
+        o_entry = bytes(range(32))
     id1 = bytes.fromhex("00112233445566778899aabbccddeeff")
     key = _std_encryption_key(o_entry, p, id1, 4, 16, encrypt_metadata,
                               password=password)
@@ -960,3 +971,10 @@ def test_pdf_aesv3_owner_password():
         assert pdf_pages(data, password=b"usr") == ["v5 owner"], r
         assert pdf_pages(data, password=b"boss") == ["v5 owner"], r
         assert pdf_pages(data, password=b"nope") == [], r
+
+
+def test_pdf_aesv2_owner_password():
+    data = make_aesv2_pdf(b"aes owner", password=b"u2", owner_password=b"admin2")
+    assert pdf_pages(data, password=b"u2") == ["aes owner"]
+    assert pdf_pages(data, password=b"admin2") == ["aes owner"]
+    assert pdf_pages(data, password=b"zzz") == []
