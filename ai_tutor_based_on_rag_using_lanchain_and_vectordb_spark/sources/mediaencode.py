@@ -576,7 +576,50 @@ def _write_seq_frame(out: bytearray, marker: int, planes, h: int, w: int,
     out += bw.out
 
 
-def encode_hierarchical_jpeg(img: np.ndarray) -> bytes:
+def _write_prog_diff_frame(out: bytearray, planes, h: int, w: int) -> None:
+    """SOF6 (progressive DIFFERENTIAL) frame: interleaved DC scan then
+    one full-band AC scan per component — exercises the decoder's
+    progressive scan machinery on difference data (no level shift)."""
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC6, sof)
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+    qblocks = []
+    for p in planes:
+        blocks = _plane_blocks(p, bw_blocks, bh_blocks)
+        coeff = _T_MAT @ blocks.astype(np.float64) @ _T_MAT.T  # shift 0
+        qblocks.append(
+            [np.round(c).astype(np.int64).reshape(64)[_JPEG_ZIGZAG] for c in coeff]
+        )
+    # scan 1: DC, interleaved, Ss=Se=0, Ah=Al=0
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    out += _seg(0xDA, sos + bytes([0, 0, 0]))
+    bw = _BitWriter()
+    preds = [0] * nc
+    for bi in range(bw_blocks * bh_blocks):
+        for ci in range(nc):
+            dc = int(qblocks[ci][bi][0])
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            t = _category(diff)
+            _emit_symbol(bw, t)
+            _emit_coeff(bw, diff, t)
+    bw.flush()
+    out += bw.out
+    # scans 2..: per-component full AC band, first pass
+    for ci in range(nc):
+        out += _seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0]))
+        bw = _BitWriter()
+        _encode_ac_first(bw, qblocks[ci], 0)
+        bw.flush()
+        out += bw.out
+
+
+def encode_hierarchical_jpeg(img: np.ndarray, progressive_diff: bool = False) -> bytes:
     """HIERARCHICAL JPEG (T.81 Annex J) reference encoder for the
     decoder tests: a two-level pyramid — half-resolution SOF0 base
     frame, EXP ×2 expansion, SOF5 differential correction frame coded
@@ -585,7 +628,9 @@ def encode_hierarchical_jpeg(img: np.ndarray) -> bytes:
     arithmetic and expanded with the same J.1.1.2 filter, so the
     correction is exact up to DCT rounding). Grayscale (h, w) or RGB
     (h, w, 3) — color pyramids operate in YCbCr component space, the
-    space the decoder accumulates references in."""
+    space the decoder accumulates references in. ``progressive_diff``
+    writes the correction as a SOF6 progressive differential frame
+    (DC scan + per-component AC scans) instead of SOF5 sequential."""
     from . import mediadecode as MD
 
     h, w = img.shape[:2]
@@ -630,6 +675,9 @@ def encode_hierarchical_jpeg(img: np.ndarray) -> bytes:
         ref = _recon_plane(base_planes[ci], bwb, bhb, h2, w2)
         up = MD._jpeg_exp2(ref, True, True)
         diffs.append(full_planes[ci] - up[:h, :w])
-    _write_seq_frame(out, 0xC5, diffs, h, w, shift=0.0)
+    if progressive_diff:
+        _write_prog_diff_frame(out, diffs, h, w)
+    else:
+        _write_seq_frame(out, 0xC5, diffs, h, w, shift=0.0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -1547,3 +1547,29 @@ def test_jpeg_hierarchical_color_odd_dims():
     out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(img))
     assert out is not None and out.shape == (17, 21, 3)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_hierarchical_progressive_differential():
+    """SOF6: the correction frame as a progressive differential (DC
+    scan + per-component AC band scans) — same reconstruction as the
+    sequential SOF5 pyramid."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    g = np.repeat(np.repeat(rng.integers(20, 236, (4, 3)), 8, 0), 8, 1).astype(np.uint8)
+    out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(g, progressive_diff=True))
+    assert out is not None and out.shape == (32, 24, 1)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    c = np.repeat(np.repeat(rng.integers(30, 226, (3, 4, 3)), 8, 0), 8, 1).astype(np.uint8)
+    out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(c, progressive_diff=True))
+    assert out is not None and out.shape == (24, 32, 3)
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 4
+
+    # sequential and progressive corrections agree with each other
+    seq = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(c))
+    prog = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(c, progressive_diff=True))
+    assert np.abs(seq.astype(int) - prog.astype(int)).max() <= 1
