@@ -896,11 +896,12 @@ def _jpeg_exp2(plane, horiz: bool, vert: bool):
 
 def _jpeg_hierarchical(data: bytes):
     """HIERARCHICAL JPEG (DHP + frame pyramid, T.81 Annex J): decode a
-    sequence of DCT frames — a non-differential first frame (SOF0/1/2)
+    sequence of frames — a non-differential first frame (SOF0/1/2)
     followed by EXP reference expansions and differential correction
-    frames (SOF5/6) — into per-component reference planes that
-    accumulate unclamped until the end. Lossless or arithmetic frames
-    in the pyramid return None (fail-soft). 1-3 components; tables
+    frames: DCT (SOF5/6) or LOSSLESS (SOF7 — corrections coded
+    directly, mod 2^16, making the pyramid reconstruction exact) —
+    into per-component reference planes. Arithmetic or non-differential
+    lossless members return None (fail-soft). 1-3 components; tables
     persist across frames per the spec."""
     import numpy as np
 
@@ -910,8 +911,40 @@ def _jpeg_hierarchical(data: bytes):
     restart_interval = 0
     final = None  # DHP dims: (w, h, ncomp)
     refs: list | None = None  # per-component int32 planes (unclamped)
-    cur = None  # (w, h, comps, progressive, differential)
+    cur = None  # (w, h, comps, progressive, differential, lossless)
     cur_scans: list = []
+
+    def _lossless_diff_planes(w, h, nc, tds, intervals):
+        """Differential LOSSLESS frame (SOF7): each sample codes the
+        correction directly (no predictor, T.81 H.2 differential mode),
+        mod 2^16 — merging onto the reference is exact."""
+        planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+        n_mcus = w * h
+        per = restart_interval or n_mcus
+        it = iter(intervals)
+        mcu = 0
+        while mcu < n_mcus:
+            try:
+                br = _JpegBits(next(it))
+            except StopIteration:
+                break
+            end = min(mcu + per, n_mcus)
+            try:
+                for m in range(mcu, end):
+                    yy, xx = divmod(m, w)
+                    for ci in range(nc):
+                        s = _jpeg_huff_decode(br, huff_dc[tds[ci]])
+                        if s == 16:
+                            d = 32768
+                        elif s:
+                            d = _jpeg_extend(br.bits(s), s)
+                        else:
+                            d = 0
+                        planes[ci][yy, xx] = d & 0xFFFF
+            except (IndexError, KeyError):
+                break
+            mcu = end
+        return planes
 
     def flush_frame():
         """Decode the pending frame's scans and merge into refs."""
@@ -920,7 +953,24 @@ def _jpeg_hierarchical(data: bytes):
             return True
         if not cur_scans:
             return False
-        w, h, comps, progressive, differential = cur
+        w, h, comps, progressive, differential, lossless = cur
+        if lossless:
+            # only DIFFERENTIAL lossless inside a pyramid is supported
+            if not differential or refs is None or len(refs) != len(comps):
+                return False
+            sel, pss, _se, _ah, _al, intervals = cur_scans[0]
+            if len(sel) != len(comps) or pss != 0:
+                return False  # differential lossless codes Ss = 0
+            tds = [td for _, td, _ta in sel]
+            planes = _lossless_diff_planes(w, h, len(comps), tds, intervals)
+            merged = []
+            for r, d in zip(refs, planes):
+                if r.shape[0] < h or r.shape[1] < w:
+                    return False
+                merged.append(np.clip((r[:h, :w] + d) & 0xFFFF, 0, 255))
+            refs = merged
+            cur, cur_scans = None, []
+            return True
         for c in comps:
             if c[3] not in qt or not (1 <= c[1] <= 2 and 1 <= c[2] <= 2):
                 return False
@@ -1036,7 +1086,7 @@ def _jpeg_hierarchical(data: bytes):
                 table = _jpeg_huff_table(counts, body[p + 17 : p + 17 + nsym])
                 (huff_ac if tc else huff_dc)[th] = table
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6):  # pyramid frames
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7):  # pyramid frames
             if not flush_frame():
                 return None
             if len(body) < 6 or body[0] != 8:
@@ -1052,9 +1102,14 @@ def _jpeg_hierarchical(data: bytes):
                 cid = body[6 + 3 * c]
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
-            cur = (w, h, comps, marker in (0xC2, 0xC6), marker in (0xC5, 0xC6))
+            cur = (
+                w, h, comps,
+                marker in (0xC2, 0xC6),
+                marker in (0xC5, 0xC6, 0xC7),
+                marker == 0xC7,
+            )
         elif marker in _JPEG_SOF or marker == 0xCC:
-            return None  # lossless/arithmetic pyramid members / DAC
+            return None  # non-diff lossless / arithmetic members, DAC
         elif marker == 0xDF:  # EXP: expand the reference image
             if not flush_frame():
                 return None

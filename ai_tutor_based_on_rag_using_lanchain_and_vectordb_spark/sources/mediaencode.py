@@ -619,7 +619,38 @@ def _write_prog_diff_frame(out: bytearray, planes, h: int, w: int) -> None:
         out += bw.out
 
 
-def encode_hierarchical_jpeg(img: np.ndarray, progressive_diff: bool = False) -> bytes:
+def _write_lossless_diff_frame(out: bytearray, diffs, h: int, w: int) -> None:
+    """SOF7 (differential LOSSLESS) frame: every correction sample is
+    coded directly — category + extend bits, mod 2^16, no predictor
+    (T.81 H.2 differential mode) — so the pyramid reconstructs the
+    input EXACTLY. Reuses the universal table 0 (symbols 0-16 exist)."""
+    nc = len(diffs)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC7, sof)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    out += _seg(0xDA, sos + bytes([0, 0, 0]))  # Ss=0: no predictor
+    bw = _BitWriter()
+    for m in range(h * w):
+        y, x = divmod(m, w)
+        for ci in range(nc):
+            m16 = int(diffs[ci][y, x]) & 0xFFFF
+            if m16 == 32768:
+                _emit_symbol(bw, 16)
+                continue
+            signed = m16 - 65536 if m16 > 32768 else m16
+            s = int(abs(signed)).bit_length()
+            _emit_symbol(bw, s)
+            _emit_coeff(bw, signed, s)
+    bw.flush()
+    out += bw.out
+
+
+def encode_hierarchical_jpeg(img: np.ndarray, progressive_diff: bool = False,
+                             lossless_diff: bool = False) -> bytes:
     """HIERARCHICAL JPEG (T.81 Annex J) reference encoder for the
     decoder tests: a two-level pyramid — half-resolution SOF0 base
     frame, EXP ×2 expansion, SOF5 differential correction frame coded
@@ -675,7 +706,9 @@ def encode_hierarchical_jpeg(img: np.ndarray, progressive_diff: bool = False) ->
         ref = _recon_plane(base_planes[ci], bwb, bhb, h2, w2)
         up = MD._jpeg_exp2(ref, True, True)
         diffs.append(full_planes[ci] - up[:h, :w])
-    if progressive_diff:
+    if lossless_diff:
+        _write_lossless_diff_frame(out, diffs, h, w)
+    elif progressive_diff:
         _write_prog_diff_frame(out, diffs, h, w)
     else:
         _write_seq_frame(out, 0xC5, diffs, h, w, shift=0.0)

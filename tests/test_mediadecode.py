@@ -1573,3 +1573,39 @@ def test_jpeg_hierarchical_progressive_differential():
     seq = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(c))
     prog = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(c, progressive_diff=True))
     assert np.abs(seq.astype(int) - prog.astype(int)).max() <= 1
+
+
+def test_jpeg_hierarchical_lossless_differential_exact():
+    """SOF7: a lossless differential correction makes the pyramid
+    reconstruction EXACT — DCT base + direct mod-2^16 corrections
+    round-trip fully random grayscale bit-for-bit; color lands within
+    the final color-transform rounding only."""
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    rng = np.random.default_rng(29)
+    g = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(g, lossless_diff=True))
+    assert out is not None and out.shape == (23, 31, 1)
+    assert (out[:, :, 0] == g).all()
+
+    c = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+    out = MD.decode_jpeg_pixels(encode_hierarchical_jpeg(c, lossless_diff=True))
+    assert out is not None and out.shape == (16, 20, 3)
+    assert np.abs(out.astype(int) - c.astype(int)).max() <= 1
+
+
+def test_jpeg_hierarchical_lossless_diff_truncation_fails_soft():
+    import numpy as np
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_hierarchical_jpeg,
+    )
+
+    data = encode_hierarchical_jpeg(
+        np.arange(256, dtype=np.uint8).reshape(16, 16), lossless_diff=True
+    )
+    for cut in (8, len(data) // 3, len(data) - 4):
+        out = MD.decode_jpeg_pixels(data[:cut])  # must never raise
+        assert out is None or out.shape[2] == 1
