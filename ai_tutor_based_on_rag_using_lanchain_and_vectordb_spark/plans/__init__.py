@@ -10,9 +10,11 @@ rounded identically on both sides so value-hashes match despite
 summation-order differences.
 """
 
-from . import curation, documents, misc, pipeline, relational, tpch_extra, vectors
+from . import curation, documents, misc, pipeline, relational, tpch_extra, trainprep, vectors
 
-ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline, tpch_extra)
+ALL_MODULES = (
+    relational, documents, vectors, misc, curation, pipeline, tpch_extra, trainprep
+)
 
 # Round-6 driver-sample priority (the driver checks a ~50-query prefix
 # of this registry each round). Order: (1) queries changed this round
@@ -23,6 +25,9 @@ ALL_MODULES = (relational, documents, vectors, misc, curation, pipeline, tpch_ex
 # missed, so the r6 sample re-validates the other half of the registry.
 # The order is otherwise semantically irrelevant.
 _DRIVER_PRIORITY = (
+    # new corpus-prep queries (need first official rows)
+    "gopher_repetition", "corpus_boilerplate", "contamination_overlap",
+    "lang_temperature_sample",
     "neardup_keep_best",  # new this round: composed curation dedup
     "knn_numpy_topk", "ngram_jaccard_pairs", "neardup_components",
     "volume_shipping_pairs", "nation_market_share", "product_type_profit",

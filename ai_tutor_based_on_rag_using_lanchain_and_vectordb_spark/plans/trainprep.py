@@ -1,0 +1,338 @@
+"""Pre-training corpus-preparation queries over ``documents``: the
+repetition/boilerplate/contamination/mixing stages an LLM data pipeline
+runs between dedup and tokenization (public recipes: Gopher/MassiveText
+repetition rules, C4 boilerplate removal, benchmark-contamination
+n-gram checks, temperature-scaled language mixing).
+
+Scale notes (100 TB design point):
+
+- Every text statistic is expression-only (codegen'd splits/explodes) —
+  no Python in any hot path; stats shapes are explode → two-level
+  groupBy with map-side partial aggregation, so per-doc state never
+  materializes an unbounded array.
+- The corpus-frequency joins (``corpus_boilerplate``,
+  ``contamination_overlap``) key on the gram string — corpus-scaled on
+  BOTH sides, so neither side carries a forced broadcast hint; AQE's
+  runtime join selection picks broadcast only when the measured side is
+  genuinely small (the repo-wide hint policy, see plans/tpch_extra.py).
+- ``lang_temperature_sample`` broadcasts only fixed-cardinality sides
+  (per-language rates; a 1-row global max) — the one join shape where a
+  forced broadcast is scale-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import exact as X
+from ..operators.dedup import shingle_starts
+from ..session import default_parallelism
+
+# Gopher-style repetition thresholds (flag = likely machine-generated /
+# template text). Compared on the ROUNDED fractions so the Spark and
+# DuckDB sides agree bit-for-bit at the decision boundary.
+DUP_WORD_MAX = 0.60
+TOP_2GRAM_MAX = 0.20
+
+# A 3-gram present in at least this many DISTINCT documents counts as
+# corpus boilerplate (license headers, navigation chrome).
+BOILER_MIN_DF = 4
+
+# Deterministic benchmark split for the contamination check: every
+# doc_id divisible by this models the held-out eval set.
+BENCH_MOD = 97
+CONTAM_MAX = 0.05
+
+# Knuth multiplicative-hash constant for the deterministic sampling
+# decision — plain integer arithmetic both engines compute identically
+# (never rand(): resampling must be reproducible across runs/engines).
+_MIX_A = 2654435761
+_MIX_M = 1_000_000
+
+
+def _tokens(text: F.Column) -> F.Column:
+    """Non-empty lowercase whitespace tokens (JVM-side split+filter)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def _grams(ws: F.Column, n: int) -> F.Column:
+    """Sliding word n-grams of the token array (empty when < n tokens)."""
+    return F.transform(
+        shingle_starts(ws, n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ws) with the explicit repartition that fans token
+    generation out of a handful of parquet splits (same fix the
+    Jaccard/LSH paths carry)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(default_parallelism()).select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("ws")
+    )
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document:
+    duplicate-word fraction and the most-frequent-2-gram share, with
+    the reject flag. Two explode→groupBy branches (words, 2-grams)
+    joined on doc_id — each branch partial-aggregates map-side, so no
+    per-doc array survives the shuffle."""
+    toks = _tokenized(spark, sf_dir)
+    wcount = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    wstat = wcount.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+    )
+    gcount = (
+        toks.select("doc_id", F.explode(_grams(F.col("ws"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    gstat = gcount.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram"),
+    )
+    dup_frac = X.pround(
+        F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 4
+    )
+    top_frac = X.pround(
+        F.coalesce(F.col("top_gram") / F.col("n_grams"), F.lit(0.0)), 4
+    )
+    return (
+        wstat.join(gstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_2gram_frac"),
+            (
+                (dup_frac > F.lit(DUP_WORD_MAX))
+                | (top_frac > F.lit(TOP_2GRAM_MAX))
+            ).alias("flagged"),
+        )
+    )
+
+
+def _distinct_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, g) word-3-grams for the corpus-frequency ops."""
+    toks = _tokenized(spark, sf_dir)
+    return toks.select(
+        "doc_id", F.explode(_grams(F.col("ws"), 3)).alias("g")
+    ).distinct()
+
+
+def corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate measurement: the fraction of
+    each document's distinct 3-grams that occur in ≥ BOILER_MIN_DF
+    distinct documents corpus-wide. The document-frequency side is
+    gram-cardinality (corpus-scaled) so it carries NO broadcast hint —
+    the join shuffles on the gram, the same inverted-index key the
+    near-dup path uses."""
+    dg = _distinct_grams(spark, sf_dir)
+    df = dg.groupBy("g").agg(F.count("*").alias("df"))
+    boiler = F.sum(
+        F.when(F.col("df") >= BOILER_MIN_DF, 1).otherwise(0)
+    )
+    return (
+        dg.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            boiler.cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            X.pround(F.col("n_boiler") / F.col("n_grams"), 4).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct 3-grams that also occur in the held-out
+    benchmark split (doc_id % BENCH_MOD == 0). The benchmark gram set
+    is ~1 % of the corpus — still corpus-scaled, so it shuffles rather
+    than broadcasts (AQE may still elect broadcast when it measures the
+    side small, which is the right call at bench scale)."""
+    dg = _distinct_grams(spark, sf_dir)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0
+    bench = (
+        dg.where(is_bench).select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    corpus = dg.where(~is_bench)
+    frac = X.pround(F.col("n_hit") / F.col("n_grams"), 4)
+    return (
+        corpus.join(bench, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            frac.alias("contam_frac"),
+            (frac > F.lit(CONTAM_MAX)).alias("flagged"),
+        )
+    )
+
+
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (α = 0.5): per-language keep
+    rate ∝ sqrt(share of the largest language), applied with a
+    deterministic multiplicative-hash coin so the sample is reproducible
+    across engines and runs. The per-language rate table and the 1-row
+    global max are the only broadcast sides — both fixed-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    max_n = counts.agg(F.max("n").alias("max_n"))
+    rates = counts.crossJoin(F.broadcast(max_n)).select(
+        "lang", F.sqrt(F.col("n") / F.col("max_n")).alias("rate")
+    )
+    coin = F.pmod(F.col("doc_id") * F.lit(_MIX_A), F.lit(_MIX_M))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(coin < F.floor(F.col("rate") * _MIX_M).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            X.pround(F.col("rate"), 4).alias("sample_rate"),
+        )
+    )
+
+
+QUERIES = {
+    "gopher_repetition": gopher_repetition,
+    "corpus_boilerplate": corpus_boilerplate,
+    "contamination_overlap": contamination_overlap,
+    "lang_temperature_sample": lang_temperature_sample,
+}
+
+_TOKS_SQL = r"""
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                           t -> t != '') AS ws
+        FROM documents
+    )
+"""
+
+_GRAMS3_SQL = (
+    _TOKS_SQL
+    + r""", grams AS (
+        SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws)-2)) AS i
+              FROM toks WHERE len(ws) >= 3)
+    ), dg AS (SELECT DISTINCT doc_id, g FROM grams)
+"""
+)
+
+ORACLE = {
+    "gopher_repetition": r"""
+        WITH {toks}, words AS (
+            SELECT doc_id, unnest(ws) AS w FROM toks
+        ), wcount AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        ), wstat AS (
+            SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct
+            FROM wcount GROUP BY doc_id
+        ), grams AS (
+            SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws)-1)) AS i
+                  FROM toks WHERE len(ws) >= 2)
+        ), gcount AS (
+            SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+        ), gstat AS (
+            SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram
+            FROM gcount GROUP BY doc_id
+        )
+        SELECT wstat.doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               {dup} AS dup_word_frac,
+               {top} AS top_2gram_frac,
+               ({dup} > {dw} OR {top} > {tg}) AS flagged
+        FROM wstat LEFT JOIN gstat ON wstat.doc_id = gstat.doc_id
+    """.format(
+        toks=_TOKS_SQL,
+        dup=X.pround_sql("1.0 - n_distinct * 1.0 / n_words", 4),
+        top=X.pround_sql("coalesce(top_gram * 1.0 / n_grams, 0.0)", 4),
+        dw=DUP_WORD_MAX,
+        tg=TOP_2GRAM_MAX,
+    ),
+    "corpus_boilerplate": r"""
+        WITH {grams}, df AS (
+            SELECT g, count(*) AS df FROM dg GROUP BY g
+        )
+        SELECT dg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df.df >= {mindf} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               {frac} AS boiler_frac
+        FROM dg JOIN df ON dg.g = df.g
+        GROUP BY dg.doc_id
+    """.format(
+        grams=_GRAMS3_SQL,
+        mindf=BOILER_MIN_DF,
+        frac=X.pround_sql(
+            "sum(CASE WHEN df.df >= %d THEN 1 ELSE 0 END) * 1.0 / count(*)"
+            % BOILER_MIN_DF,
+            4,
+        ),
+    ),
+    "contamination_overlap": r"""
+        WITH {grams}, bench AS (
+            SELECT DISTINCT g FROM dg WHERE doc_id % {m} = 0
+        ), corpus AS (
+            SELECT doc_id, g FROM dg WHERE doc_id % {m} <> 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               {frac} AS contam_frac,
+               ({frac} > {mx}) AS flagged
+        FROM corpus LEFT JOIN bench ON corpus.g = bench.g
+        GROUP BY doc_id
+    """.format(
+        grams=_GRAMS3_SQL,
+        m=BENCH_MOD,
+        mx=CONTAM_MAX,
+        frac=X.pround_sql(
+            "sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 1.0 / count(*)",
+            4,
+        ),
+    ),
+    "lang_temperature_sample": """
+        WITH counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ), rates AS (
+            SELECT lang,
+                   sqrt(n * 1.0 / (SELECT max(n) FROM counts)) AS rate
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, {rate} AS sample_rate
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE (d.doc_id * {a}) % {m}
+              < CAST(floor(r.rate * {m}) AS BIGINT)
+    """.format(
+        rate=X.pround_sql("r.rate", 4), a=_MIX_A, m=_MIX_M
+    ),
+}
