@@ -952,11 +952,13 @@ def _ttf_unicode_cmap(font: bytes) -> dict[int, int] | None:
 def _type0_ttf_fallback(
     table: dict[int, bytes], fbody: bytes, decrypt=None
 ) -> tuple[dict[int, str], int] | None:
-    """Glyph-id → unicode map for an Identity-H /Type0 font with no
+    """CID → unicode map for an Identity-H /Type0 font with no
     /ToUnicode, recovered by inverting the embedded TrueType program's
-    own 'cmap' (pypdf's fallback path). None unless the font is
-    Identity-encoded with an identity CID→GID map and a parseable
-    /FontFile2 — anything else keeps the documented stub behavior."""
+    own 'cmap' (pypdf's fallback path). Handles both /CIDToGIDMap
+    /Identity (CID == GID) and a stream-based map (big-endian u16 GID
+    per CID, ISO 32000-1 §9.7.4.3). None unless the font is
+    Identity-encoded with a parseable /FontFile2 — anything else fails
+    closed to the latin-1 path."""
     if not re.search(rb"/Subtype\s*/Type0\b", fbody):
         return None
     if not re.search(rb"/Encoding\s*/Identity-[HV]\b", fbody):
@@ -973,8 +975,18 @@ def _type0_ttf_fallback(
     if not desc:
         return None
     c2g = re.search(rb"/CIDToGIDMap\s*(/\w+|\d+\s+\d+\s+R)", desc)
+    gid_map: bytes | None = None  # None = /Identity (CID == GID)
     if c2g and c2g.group(1).strip() != b"/Identity":
-        return None  # stream-based CID→GID maps stay stubbed
+        sm = re.match(rb"(\d+)\s+\d+\s+R", c2g.group(1).strip())
+        if not sm:
+            return None  # unknown named map — fail closed
+        map_body = table.get(int(sm.group(1)))
+        if not map_body:
+            return None
+        gid_map = _content_stream(map_body, int(sm.group(1)), decrypt)
+        # u16 per CID; Identity-H CIDs are 2 bytes, so 65536 entries max
+        if not gid_map or len(gid_map) % 2 or len(gid_map) > 2 * 65536:
+            return None
     fd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
     if not fd:
         return None
@@ -996,7 +1008,16 @@ def _type0_ttf_fallback(
     gid2uni: dict[int, str] = {}
     for cp in sorted(uni2gid, reverse=True):
         gid2uni[uni2gid[cp]] = chr(cp)
-    return gid2uni, 2
+    if gid_map is None:
+        return gid2uni, 2
+    # stream map: route each CID through its GID before the inversion
+    cid2uni: dict[int, str] = {}
+    for cid in range(len(gid_map) // 2):
+        gid = (gid_map[2 * cid] << 8) | gid_map[2 * cid + 1]
+        u = gid2uni.get(gid)
+        if u is not None:
+            cid2uni[cid] = u
+    return (cid2uni, 2) if cid2uni else None
 
 
 def _page_fonts(

@@ -861,7 +861,8 @@ def _ttf_with_cmap(uni2gid: dict[int, int], fmt: int = 4) -> bytes:
 
 
 def make_type0_nounicode_pdf(font: bytes, content: bytes,
-                             cid2gid: bytes = b"/Identity") -> bytes:
+                             cid2gid: bytes = b"/Identity",
+                             extra_objs: dict[int, bytes] | None = None) -> bytes:
     """Type0/Identity-H PDF with NO /ToUnicode; glyph→unicode only via
     the embedded /FontFile2 program (the digitally-produced CJK shape)."""
     body = zlib.compress(content)
@@ -882,6 +883,7 @@ def make_type0_nounicode_pdf(font: bytes, content: bytes,
         9: (b"<< /Filter /FlateDecode /Length " + str(len(ff)).encode()
             + b" >>\nstream\n" + ff + b"\nendstream"),
     }
+    objs.update(extra_objs or {})
     out = io.BytesIO()
     out.write(b"%PDF-1.5\n")
     for num in sorted(objs):
@@ -924,11 +926,44 @@ def test_pdf_type0_truncated_font_fails_closed():
         assert isinstance(pages, list)
 
 
-def test_pdf_type0_stream_cidtogid_stays_stubbed():
-    """A stream-based /CIDToGIDMap is not Identity: no fallback map."""
+def _cid2gid_stream_obj(gids: list[int]) -> bytes:
+    """A /CIDToGIDMap stream object body: big-endian u16 GID per CID."""
+    raw = b"".join(g.to_bytes(2, "big") for g in gids)
+    body = zlib.compress(raw)
+    return (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream")
+
+
+def test_pdf_type0_stream_cidtogid():
+    """A stream-based /CIDToGIDMap (u16 GID per CID) routes each CID
+    through its glyph before the TTF-cmap inversion — the
+    non-identity-subset shape font subsetters emit."""
+    font = _ttf_with_cmap(_T0_MAP, fmt=4)  # gids 3..6 = H é l o
+    # CIDs 1..4 → gids 3..6 (a shifted, non-identity map)
+    extra = {10: _cid2gid_stream_obj([0, 3, 4, 5, 6])}
+    content = b"BT /F1 12 Tf <0001 0002 0003 0003 0004> Tj ET"
+    data = make_type0_nounicode_pdf(font, content, cid2gid=b"10 0 R",
+                                    extra_objs=extra)
+    assert pdf_pages(data) == ["H\xe9llo"]
+
+
+def test_pdf_type0_stream_cidtogid_hostile_fails_closed():
+    """Odd-length, oversized, or missing map streams fail closed to the
+    latin-1 path instead of mis-attributing glyphs."""
     font = _ttf_with_cmap(_T0_MAP, fmt=4)
-    content = b"BT /F1 12 Tf <0003> Tj ET"
+    content = b"BT /F1 12 Tf <0001> Tj ET"
+    # missing object
     data = make_type0_nounicode_pdf(font, content, cid2gid=b"99 0 R")
+    assert pdf_pages(data) != ["H"]
+    # odd length
+    odd = b"<< /Length 3 >>\nstream\n\x00\x03\x00\nendstream"
+    data = make_type0_nounicode_pdf(font, content, cid2gid=b"10 0 R",
+                                    extra_objs={10: odd})
+    assert pdf_pages(data) != ["H"]
+    # oversized (more than 65536 CIDs)
+    extra = {10: _cid2gid_stream_obj([0] * 65537)}
+    data = make_type0_nounicode_pdf(font, content, cid2gid=b"10 0 R",
+                                    extra_objs=extra)
     assert pdf_pages(data) != ["H"]
 
 
