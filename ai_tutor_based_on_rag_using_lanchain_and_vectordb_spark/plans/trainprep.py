@@ -216,7 +216,41 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency scoring with the corpus as its own LM:
+    score = mean over a document's bigram occurrences of
+    P(w2 | w1) = c(w1 w2) / c(w1 ·), estimated from corpus-wide bigram
+    counts. Two corpus-vocabulary joins (bigram count, left-context
+    mass), both shuffling on their key — vocabulary is corpus-scaled,
+    so neither side broadcasts. Probabilities are averaged in linear
+    space with each ratio pre-rounded and summed in decimal, keeping
+    the mean bit-identical across engines (log-space would hinge on
+    libm ulp agreement). Docs with fewer than 2 tokens have no bigrams
+    and drop out."""
+    toks = _tokenized(spark, sf_dir)
+    bi = toks.select(
+        "doc_id", F.explode(_grams(F.col("ws"), 2)).alias("g")
+    )
+    cb = bi.groupBy("g").agg(F.count("*").alias("cg"))
+    cfirst = cb.groupBy(
+        F.substring_index("g", " ", 1).alias("w")
+    ).agg(F.sum("cg").alias("cw"))
+    ratio = X.pround(F.col("cg") / F.col("cw"), 6)
+    return (
+        bi.join(cb, "g")
+        .join(cfirst, F.substring_index(bi["g"], " ", 1) == F.col("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            X.pround(
+                F.sum(ratio.cast(X.DEC)).cast("double") / F.count("*"), 6
+            ).alias("lm_score"),
+        )
+    )
+
+
 QUERIES = {
+    "bigram_lm_score": bigram_lm_score,
     "gopher_repetition": gopher_repetition,
     "corpus_boilerplate": corpus_boilerplate,
     "contamination_overlap": contamination_overlap,
@@ -244,6 +278,34 @@ _GRAMS3_SQL = (
 )
 
 ORACLE = {
+    "bigram_lm_score": r"""
+        WITH {toks}, bi AS (
+            SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws)-1)) AS i
+                  FROM toks WHERE len(ws) >= 2)
+        ), cb AS (
+            SELECT g, count(*) AS cg FROM bi GROUP BY g
+        ), cfirst AS (
+            SELECT split_part(g, ' ', 1) AS w, sum(cg) AS cw
+            FROM cb GROUP BY split_part(g, ' ', 1)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               {score} AS lm_score
+        FROM bi
+        JOIN cb USING (g)
+        JOIN cfirst ON split_part(bi.g, ' ', 1) = cfirst.w
+        GROUP BY doc_id
+    """.format(
+        toks=_TOKS_SQL,
+        score=X.pround_sql(
+            "CAST(sum(CAST({r} AS {dec}) ) AS DOUBLE) / count(*)".format(
+                r=X.pround_sql("cg * 1.0 / cw", 6), dec=X.DEC_SQL
+            ),
+            6,
+        ),
+    ),
     "gopher_repetition": r"""
         WITH {toks}, words AS (
             SELECT doc_id, unnest(ws) AS w FROM toks
