@@ -1,8 +1,9 @@
 """Pre-training corpus-preparation queries over ``documents``: the
-repetition/boilerplate/contamination/mixing stages an LLM data pipeline
-runs between dedup and tokenization (public recipes: Gopher/MassiveText
-repetition rules, C4 boilerplate removal, benchmark-contamination
-n-gram checks, temperature-scaled language mixing).
+repetition/boilerplate/contamination/fluency/mixing stages an LLM data
+pipeline runs between dedup and tokenization (public recipes:
+Gopher/MassiveText repetition rules, C4 boilerplate removal,
+benchmark-contamination n-gram checks, CCNet-style LM fluency scoring,
+temperature-scaled language mixing).
 
 Scale notes (100 TB design point):
 
