@@ -49,8 +49,12 @@ CONTAM_MAX = 0.05
 # Knuth multiplicative-hash constant for the deterministic sampling
 # decision — plain integer arithmetic both engines compute identically
 # (never rand(): resampling must be reproducible across runs/engines).
+# The id is reduced mod 2^31 BEFORE the multiply so the product stays
+# inside int64 for any doc_id (2^31 · A < 2^63; an unreduced multiply
+# overflows — and throws under ANSI mode — once ids pass ~3.5e9).
 _MIX_A = 2654435761
 _MIX_M = 1_000_000
+_MIX_R = 2**31
 
 
 def _tokens(text: F.Column) -> F.Column:
@@ -205,7 +209,9 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = counts.crossJoin(F.broadcast(max_n)).select(
         "lang", F.sqrt(F.col("n") / F.col("max_n")).alias("rate")
     )
-    coin = F.pmod(F.col("doc_id") * F.lit(_MIX_A), F.lit(_MIX_M))
+    coin = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MIX_R)) * F.lit(_MIX_A), F.lit(_MIX_M)
+    )
     return (
         docs.join(F.broadcast(rates), "lang")
         .where(coin < F.floor(F.col("rate") * _MIX_M).cast("long"))
@@ -393,9 +399,9 @@ ORACLE = {
         )
         SELECT d.doc_id, d.lang, {rate} AS sample_rate
         FROM documents d JOIN rates r ON d.lang = r.lang
-        WHERE (d.doc_id * {a}) % {m}
+        WHERE ((d.doc_id % {r}) * {a}) % {m}
               < CAST(floor(r.rate * {m}) AS BIGINT)
     """.format(
-        rate=X.pround_sql("r.rate", 4), a=_MIX_A, m=_MIX_M
+        rate=X.pround_sql("r.rate", 4), a=_MIX_A, m=_MIX_M, r=_MIX_R
     ),
 }
