@@ -1,0 +1,235 @@
+"""Product quantization (PQ) for compressed-domain similarity search —
+the memory-bound scale path next to IVF (operators/knn.py knn_ivf):
+vectors are stored as M small codes (one byte-ish each) instead of D
+floats, and queries score candidates from an M×K lookup table without
+touching the original vectors (asymmetric distance computation, ADC —
+Jégou et al., "Product Quantization for Nearest Neighbor Search",
+public literature).
+
+Scale shape (100 TB design point):
+
+- Codebooks are FIXED-cardinality (M · K · D/M floats ≈ a few KB) —
+  the one thing that may live in every task's closure. Training reads
+  a bounded, deterministic sample (orderBy + limit = TakeOrdered, no
+  full sort) — never the corpus.
+- Encoding is one mapInPandas pass (Arrow-batched numpy argmin per
+  subspace): embarrassingly parallel, output ~M bytes/vector, so the
+  encoded corpus is D·4/M× smaller than the raw one — the point of PQ.
+- ADC search scans CODES, not vectors: per Arrow batch the score is
+  M fancy-indexed LUT gathers + a sum, with per-partition partial
+  top-k (same merge shape as knn_bruteforce_numpy) so the shuffle sees
+  ≤ shortlist·partitions rows, never the corpus.
+- The optional exact re-rank joins the shortlist ids back to the raw
+  vectors (hash join on id) — touching D floats for only
+  shortlist·|queries| rows. ADC-shortlist → exact-rerank is the
+  standard production arrangement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import knn as KNN
+
+
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
+    """Deterministic Lloyd k-means (seeded init, fixed iteration count,
+    empty clusters re-seeded from the farthest points). numpy-only so
+    the fit has no MLlib/JVM nondeterminism across runs."""
+    rng = np.random.RandomState(seed)
+    init = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    cents = x[np.sort(init)].astype(np.float64).copy()
+    if len(cents) < k:  # tiny sample: pad with jittered repeats
+        pad = cents[rng.randint(0, len(cents), k - len(cents))]
+        cents = np.vstack([cents, pad + 1e-6])
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        far = d2[np.arange(len(x)), assign].argsort()[::-1]
+        spare = iter(far)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                cents[j] = x[sel].mean(axis=0)
+            else:  # re-seed dead centroid at the current farthest point
+                cents[j] = x[next(spare)]
+    return cents
+
+
+def fit_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_n: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train M per-subspace codebooks of K centroids on a bounded
+    deterministic sample (first `sample_n` rows by id — TakeOrdered,
+    not a full sort). Vectors are unit-normalized before fitting so
+    ADC inner products approximate cosine. Returns (M, K, D/M)."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0
+    x = x[keep] / norms[keep]
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return np.stack(
+        [_lloyd(x[:, i * sub : (i + 1) * sub], k, seed + i) for i in range(m)]
+    )
+
+
+_CODES_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("vnorm", T.DoubleType()),
+    ]
+)
+
+
+def encode_pq(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Arrow-batched pass assigning each vector's M subvectors to
+    their nearest codebook entries. Zero-norm vectors are dropped
+    (cosine undefined — same contract as knn_exact_expr). Output is
+    (vec_id, codes[M], original norm); at 100 TB this is the table you
+    persist instead of the raw vectors."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = cb.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            mat, ids = mat[keep] / norms[keep, None], pdf[id_col].to_numpy()[keep]
+            if not len(mat):  # all-zero-norm batch: empty object column
+                continue  # would break Arrow's list<int32> conversion
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for i in range(m):
+                seg = mat[:, i * sub : (i + 1) * sub]
+                d2 = (
+                    (seg**2).sum(axis=1)[:, None]
+                    - 2.0 * seg @ cb[i].T
+                    + (cb[i] ** 2).sum(axis=1)[None, :]
+                )
+                codes[:, i] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids.astype(np.int64),
+                    # plain lists: Arrow's ndarray-of-ndarray conversion
+                    # is not implemented for some batch shapes
+                    "codes": codes.tolist(),
+                    "vnorm": norms[keep],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, _CODES_SCHEMA)
+
+
+def knn_pq_adc(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_matrix: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    shortlist: int = 50,
+    rerank_vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k over the encoded corpus: per query an M×K LUT of
+    subspace inner products is closure-captured; each Arrow batch
+    scores its codes with M gathers + a sum and keeps a partial
+    shortlist per query. With `rerank_vectors` the shortlist is
+    re-scored exactly (hash join on id against the raw vectors) —
+    ADC ranks, exact scores decide, the production arrangement."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kc, sub = cb.shape
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qu = qm / qn
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # LUT[q, i, c] = <query subvector i, codebook i entry c>
+    lut = np.einsum("qis,ics->qic", qu.reshape(len(qu), m, sub), cb)
+
+    n_short = max(shortlist, k)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            # scores[q, n] = sum_i LUT[q, i, codes[n, i]]
+            gathered = lut[:, np.arange(m)[None, :], codes[:, :]]  # Q×N×M
+            scores = gathered.sum(axis=2)
+            for qi, qid in enumerate(qids):
+                mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+                cand = pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": ids[mask],
+                        "score": scores[qi][mask],
+                    }
+                )
+                merged = (
+                    pd.concat([best[qi], cand]) if qi in best else cand
+                )
+                best[qi] = merged.nlargest(n_short, "score")
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    partial = encoded.select("vec_id", "codes").mapInPandas(
+        score, KNN._SCORE_SCHEMA
+    )
+    if rerank_vectors is None:
+        return KNN._topk_window(partial, k)
+    short = KNN._topk_window(partial, n_short).select("query_id", "neighbor_id")
+    qdf_rows = [(int(q), [float(v) for v in qu[i]]) for i, q in enumerate(qids)]
+    spark = encoded.sparkSession
+    qdf = spark.createDataFrame(qdf_rows, "query_id long, qv array<double>")
+    dim = cb.shape[0] * cb.shape[2]
+    from ..functions import vector as V
+
+    exact = (
+        short.join(
+            rerank_vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .where(F.col("cnorm") > 0)
+        .withColumn(
+            "score",
+            V.dot_fixed(F.col("qv"), F.col("cv"), dim) / F.col("cnorm"),
+        )
+    )
+    return KNN._topk_window(exact, k)

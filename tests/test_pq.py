@@ -1,0 +1,96 @@
+"""Product quantization: deterministic codebooks, lossless plumbing
+(code ranges, zero-norm exclusion, compression factor), and the
+ADC-shortlist → exact-rerank recall gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import knn as KNN
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import pq as PQ
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return PQ.fit_pq_codebooks(emb, m=8, k=32)
+
+
+def test_codebooks_shape_and_determinism(emb, codebooks):
+    assert codebooks.shape == (8, 32, 8)  # dim 64 / m 8 subspaces
+    again = PQ.fit_pq_codebooks(emb, m=8, k=32)
+    assert np.array_equal(codebooks, again)  # seeded fit, bounded sample
+
+
+def test_indivisible_dim_rejected(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.fit_pq_codebooks(emb, m=7)
+
+
+def test_encode_codes_in_range(emb, codebooks):
+    enc = PQ.encode_pq(emb, codebooks)
+    stats = enc.select(
+        F.count("*").alias("n"),
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m_lo"),
+        F.max(F.size("codes")).alias("m_hi"),
+    ).first()
+    assert stats["n"] == emb.where(F.expr("aggregate(embedding, 0D, (a,x) -> a + double(x)*double(x))") > 0).count()
+    assert 0 <= stats["lo"] and stats["hi"] < 32
+    assert stats["m_lo"] == stats["m_hi"] == 8
+
+
+def test_encode_drops_zero_norm(spark, codebooks):
+    z = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] + [0.0] * 63)],
+        "vec_id long, embedding array<float>",
+    )
+    enc = PQ.encode_pq(z, codebooks)
+    assert [r["vec_id"] for r in enc.collect()] == [2]
+
+
+def test_adc_rerank_recall_gate(emb, codebooks):
+    q = emb.where("vec_id < 5").select("vec_id", "embedding").collect()
+    qm = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+    qids = np.asarray([r["vec_id"] for r in q], dtype=np.int64)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in KNN.knn_exact_expr(emb, emb.where("vec_id < 5"), k=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    out = PQ.knn_pq_adc(
+        PQ.encode_pq(emb, codebooks), codebooks, qm, qids,
+        k=5, shortlist=100, rerank_vectors=emb,
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in out}
+    recall = len(got & exact) / len(exact)
+    # measured 0.92 at sf0.001 / 0.96 at sf0.01 — gate with margin
+    assert recall >= 0.7, recall
+    # re-ranked scores are EXACT cosine: every returned score matches
+    # the exact engine's score for the same pair
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in KNN.knn_exact_expr(emb, emb.where("vec_id < 5"), k=500)
+        .collect()
+    }
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_registered_gate_query(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import knn_pq_recall
+
+    row = knn_pq_recall(spark, sf_dir).first()
+    assert row["passed"], row
+    assert row["mean_recall"] >= 0.7
