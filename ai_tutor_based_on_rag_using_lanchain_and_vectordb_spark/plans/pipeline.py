@@ -626,6 +626,37 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py) checked
+    merge-for-merge against the in-repo pure-Python reference on the
+    same word-frequency table. The corpus collapses to (word, count)
+    first — vocabulary cardinality, the table production BPE trainers
+    operate on — so each merge round scans rows proportional to the
+    vocabulary, not the corpus. The reference side collects that same
+    bounded table (31 types at test scale; bounded by |vocab| always).
+    Rows-only: 20 rounds of iterative argmax is not one SQL query."""
+    from ..operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = B.word_counts(docs)
+    spark_merges = B.bpe_train(wc, n_merges=20)
+    counts = {r["word"]: r["n"] for r in wc.collect()}
+    ref_merges = B.bpe_reference(counts, n_merges=20)
+    n_match = sum(1 for a, b in zip(spark_merges, ref_merges) if a == b)
+    return spark.createDataFrame(
+        [
+            (
+                "bpe_wordfreq",
+                len(spark_merges),
+                len(ref_merges),
+                n_match,
+                spark_merges == ref_merges and len(spark_merges) > 0,
+            )
+        ],
+        "strategy string, n_merges long, n_ref long, n_match long, passed boolean",
+    )
+
+
 def knn_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy brute-force k-NN (partition-local partial top-k) —
     the throughput path. Exact: same (query, k, tie-break) contract as
@@ -698,6 +729,7 @@ QUERIES = {
     "knn_ivf_recall": knn_ivf_recall,
     "knn_pq_approx": knn_pq_approx,
     "knn_pq_recall": knn_pq_recall,
+    "bpe_train_gate": bpe_train_gate,
     "hll_rollup_gate": hll_rollup_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
