@@ -1,0 +1,157 @@
+"""`corpusdir` — a Spark 4 Python DataSource for document-directory
+ingestion: ``spark.read.format("corpusdir").option("path", dir)`` yields
+one row per extracted page, decoding PDF/DOCX/HTML/TXT with the in-repo
+stdlib extractors (sources/minidecode.py) INSIDE the partitions.
+
+Why a custom source instead of binaryFile + UDF (loaders.py keeps that
+path too): the DataSource API moves file listing, partition planning and
+filter-based pruning in front of the scan —
+
+- ``partitions()`` plans one InputPartition per file (a 100 TB corpus
+  of many small uploads parallelizes by file; co-group tiny files
+  upstream if file count explodes — the partition count here is the
+  task count).
+- ``pushFilters`` accepts EqualTo/In on ``kind`` (the extension-derived
+  format) and prunes WHOLE FILES at planning time: a query for
+  kind='pdf' never opens the .docx payloads — scan-level pruning the
+  UDF path cannot express.
+- The streaming side (SimpleDataSourceStreamReader) turns the same
+  directory into an incremental source: the offset is the count of
+  files processed from the deterministically-sorted listing, so each
+  micro-batch decodes only newly-arrived files and replays exactly on
+  recovery (readBetweenOffsets re-reads a committed range).
+
+Local-filesystem listing matches this container; the seams (``_list``,
+``_read_file``) are where an object-store lister drops in.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA = (
+    "path string, kind string, file_size long, page_no int, page_text string"
+)
+
+_KINDS = ("pdf", "docx", "html", "txt")
+
+
+def _kind_of(path: str) -> str:
+    suffix = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    return suffix if suffix in _KINDS else "txt"
+
+
+def _list(root: str) -> list[str]:
+    """Deterministic recursive listing (sorted: the stream offset
+    indexes into this order)."""
+    out = []
+    for base, _dirs, files in os.walk(root):
+        for f in files:
+            out.append(os.path.join(base, f))
+    return sorted(out)
+
+
+def _read_file(path: str) -> Iterator[Tuple]:
+    from .loaders import DECODERS, _text_passthrough
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    decoder = DECODERS.get("." + _kind_of(path), _text_passthrough)
+    for i, text in enumerate(decoder(data)):
+        yield (path, _kind_of(path), len(data), i, text)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class CorpusDirReader(DataSourceReader):
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("corpusdir: option 'path' is required")
+        self.kinds: set[str] | None = None  # None = all
+
+    def pushFilters(self, filters):
+        """Keep kind-equality filters for file-level pruning; everything
+        else goes back to Spark (returned = unsupported)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("kind",):
+                self.kinds = {f.value}
+            elif isinstance(f, In) and f.attribute == ("kind",):
+                self.kinds = set(f.values)
+            else:
+                yield f
+
+    def partitions(self):
+        paths = _list(self.root)
+        if self.kinds is not None:
+            paths = [p for p in paths if _kind_of(p) in self.kinds]
+        return [_FilePartition(p) for p in paths]
+
+    def read(self, partition: _FilePartition):
+        return _read_file(partition.path)
+
+
+class CorpusDirStreamReader(SimpleDataSourceStreamReader):
+    """Offset = files consumed from the sorted listing. New files must
+    sort AFTER already-consumed ones to be picked up (upload with
+    monotonic names — timestamps/sequence ids — the standard
+    drop-directory contract)."""
+
+    def __init__(self, options):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("corpusdir: option 'path' is required")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        paths = _list(self.root)
+        end = {"index": len(paths)}
+        rows = [
+            row for p in paths[start["index"]:] for row in _read_file(p)
+        ]
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        paths = _list(self.root)[start["index"]: end["index"]]
+        return iter([row for p in paths for row in _read_file(p)])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the directory is the source of truth
+
+
+class CorpusDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "corpusdir"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> CorpusDirReader:
+        return CorpusDirReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CorpusDirStreamReader:
+        return CorpusDirStreamReader(self.options)
+
+
+def register(spark) -> None:
+    # pushFilters is rejected at reader init unless the engine-side
+    # pushdown flag is on (runtime-settable)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CorpusDirDataSource)
