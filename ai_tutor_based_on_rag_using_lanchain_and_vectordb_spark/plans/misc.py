@@ -291,7 +291,88 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week, activity tracked as distinct (user, week) pairs, retention =
+    active-in-week / cohort size. Two aggregations plus one join on the
+    cohort week — the per-user first-event agg and the (user, week)
+    distinct both map-side combine, and the cohort-size side is
+    week-cardinality (fixed by calendar span, broadcastable)."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    firsts = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = events.select("user_id", week.alias("week")).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            X.pround(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the dbt-test/Deequ shape): FK
+    orphans as anti-joins, PK duplicates as a grouped HAVING, null/range
+    checks as filters — one row of violation counts. Every check is a
+    key-shuffled anti-join or map-side-combined count; nothing
+    broadcasts the fact side, so the audit runs at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orphan_li = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+    ).count()
+    orphan_orders = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).count()
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    bad_rows = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        )
+    ).first()["null_custkey"]
+    neg_qty = li.where(F.col("l_quantity") <= 0).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(orphan_li),
+                int(orphan_orders),
+                int(dup_pk),
+                int(bad_rows or 0),
+                int(neg_qty),
+                orphan_li == orphan_orders == dup_pk == neg_qty == 0
+                and not bad_rows,
+            )
+        ],
+        "orphan_lineitems long, orphan_orders long, dup_orderkeys long,"
+        " null_custkeys long, nonpositive_qty long, passed boolean",
+    )
+
+
 QUERIES = {
+    "cohort_retention": cohort_retention,
+    "constraint_audit": constraint_audit,
     "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
     "doc_text_search": doc_text_search,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
@@ -314,6 +395,62 @@ QUERIES = {
 
 
 ORACLE = {
+    "cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ), sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size
+            FROM firsts GROUP BY cohort_week
+        )
+        SELECT a.cohort_week,
+               CAST(date_diff('day', a.cohort_week, a.week) / 7 AS INT)
+                   AS week_offset,
+               CAST(a.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               {pr} AS retention
+        FROM (
+            SELECT f.cohort_week, act.week, count(*) AS n_active
+            FROM activity act JOIN firsts f ON act.user_id = f.user_id
+            GROUP BY f.cohort_week, act.week
+        ) a JOIN sizes s ON a.cohort_week = s.cohort_week
+    """.format(pr=X.pround_sql("a.n_active * 1.0 / s.cohort_size", 4)),
+    "constraint_audit": """
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             l WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE l.l_orderkey = o.o_orderkey))
+                AS orphan_lineitems,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders
+             o WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE o.o_custkey = c.c_custkey))
+                AS orphan_orders,
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1))
+                AS dup_orderkeys,
+            (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey IS NULL) AS null_custkeys,
+            (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_quantity <= 0) AS nonpositive_qty,
+            (SELECT count(*) FROM lineitem
+             l WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE l.l_orderkey = o.o_orderkey)) = 0
+            AND (SELECT count(*) FROM orders
+                 o WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE o.o_custkey = c.c_custkey)) = 0
+            AND (SELECT count(*) FROM (
+                SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+            AND (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+            AND (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) = 0
+                AS passed
+    """,
     "disjunctive_predicate_revenue": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_lines,
                {X.pround_sql("CAST(sum(" + X.DISC_PRICE_SQL + ") AS DOUBLE)", 2)} AS revenue
