@@ -1,0 +1,84 @@
+"""Z-order (Morton-curve) clustered writes — multi-dimensional data
+skipping for parquet (the OPTIMIZE ZORDER layout idea from the public
+Delta/Databricks literature, built from Spark primitives).
+
+A range-partition + sort on ONE key gives that key tight per-file
+min/max ranges but leaves every other predicate column full-range in
+every file, so predicate pushdown skips nothing for them. Interleaving
+the bits of several normalized keys into one Morton value and
+clustering on IT gives every participating column partially-localized
+per-file (and per-row-group) min/max ranges — a filter on ANY of the
+z-ordered columns skips most row groups.
+
+Shape: one bounded 1-row min/max preflight per column (never a sort of
+the data to rank it), then a codegen'd bit-interleave expression, a
+``repartitionByRange`` on the z-value (sampled range boundaries — no
+global sort), and ``sortWithinPartitions`` so row-group stats inside
+each file are tight too. The z column is dropped before the write; the
+layout IS the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(ints: list[Column], bits: int) -> Column:
+    """Morton-interleave `bits` low bits of each int column: bit b of
+    column i lands at position b·n + i. Pure shift/and/or — stays in
+    whole-stage codegen."""
+    n = len(ints)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits exceeds int64")
+    out: Column | None = None
+    for i, c in enumerate(ints):
+        for b in range(bits):
+            piece = F.shiftleft(
+                F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+            out = piece if out is None else out.bitwiseOR(piece)
+    return out
+
+
+def zvalue(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
+    """The Morton key for `cols`: each column min/max-normalized to
+    [0, 2^bits) with a bounded 1-row preflight, then bit-interleaved.
+    Normalization is linear (rank-free): good enough for skipping, and
+    it avoids the global sort a percent_rank would need."""
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        if mx > mn:
+            norm = (F.col(c).cast("double") - mn) / (mx - mn)
+        else:
+            norm = F.lit(0.0)
+        scaled.append(
+            F.least(F.floor(norm * (top + 1)).cast("long"), F.lit(top))
+        )
+    return _interleave(scaled, bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    n_files: int = 8,
+) -> None:
+    """Cluster `df` along the Morton curve of `cols` and write parquet:
+    range-partition on the z-value (sampled boundaries), sort within
+    each partition so row-group min/max stats are tight, drop the key."""
+    (
+        df.withColumn("_zorder", zvalue(df, cols, bits))
+        .repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,98 @@
+"""Z-order clustering: the written layout must localize EVERY
+participating column's per-file value range (the property that makes
+row-group skipping work for multi-dimensional predicates), where a
+single-key sort localizes only its own column."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.zorder import (
+    _interleave,
+    zorder_write,
+    zvalue,
+)
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[int, int]]:
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            out.append((min(mins), max(maxs)))
+    return out
+
+
+def _mean_span(ranges: list[tuple[int, int]]) -> float:
+    return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+
+def test_interleave_morton_property(spark):
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # x=0b011, y=0b101 → interleaved (x bit b at 2b, y bit b at 2b+1)
+    # = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 0b100111 = 39
+    got = df.select(
+        _interleave([F.col("x"), F.col("y")], 3).alias("z")
+    ).first()["z"]
+    assert got == 0b100111
+
+
+def test_zvalue_is_deterministic_and_bounded(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = li.select(zvalue(li, ["l_partkey", "l_suppkey"], bits=8).alias("z"))
+    stats = z.agg(F.min("z"), F.max("z")).first()
+    assert 0 <= stats[0] and stats[1] < (1 << 16)
+
+
+def test_zorder_localizes_both_columns(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    glob_pk = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    glob_sk = li.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0]
+
+    # baseline: single-key range sort — partkey tight, suppkey full-range
+    single = str(tmp_path / "single")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(single)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(li, zpath, ["l_partkey", "l_suppkey"], bits=10, n_files=8)
+
+    s_pk = _mean_span(_file_ranges(single, "l_partkey"))
+    s_sk = _mean_span(_file_ranges(single, "l_suppkey"))
+    z_pk = _mean_span(_file_ranges(zpath, "l_partkey"))
+    z_sk = _mean_span(_file_ranges(zpath, "l_suppkey"))
+
+    assert s_pk < 0.4 * glob_pk          # sanity: sort localizes its key
+    assert s_sk > 0.9 * glob_sk          # ...and nothing else
+    assert z_pk < 0.7 * glob_pk          # z-order localizes BOTH
+    assert z_sk < 0.7 * glob_sk
+
+    # layout change must not change content
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert (
+        back.agg(F.sum("l_orderkey")).first()[0]
+        == li.agg(F.sum("l_orderkey")).first()[0]
+    )
+
+
+def test_too_many_bits_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="exceeds int64"):
+        _interleave([F.col("x"), F.col("y")], 32)
