@@ -256,8 +256,31 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sampling: the k "first" documents per
+    language in multiplicative-hash order — a reproducible fixed-budget
+    eval split (rate-based sampling can't hit an exact per-stratum
+    count). row_number ≤ k is WindowGroupLimit: each map task keeps
+    only k rows per language before the shuffle, so the exchange
+    carries O(strata·k), not the corpus."""
+    from pyspark.sql import Window
+
+    k = 5
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MIX_R)) * F.lit(_MIX_A), F.lit(_MIX_M)
+    )
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= k)
+        .select("doc_id", "lang", F.col("pick").cast("long").alias("pick"))
+    )
+
+
 QUERIES = {
     "bigram_lm_score": bigram_lm_score,
+    "stratified_exact_sample": stratified_exact_sample,
     "gopher_repetition": gopher_repetition,
     "corpus_boilerplate": corpus_boilerplate,
     "contamination_overlap": contamination_overlap,
@@ -389,6 +412,16 @@ ORACLE = {
             4,
         ),
     ),
+    "stratified_exact_sample": """
+        SELECT doc_id, lang, CAST(pick AS BIGINT) AS pick FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ((doc_id % {r}) * {a}) % {m} ASC, doc_id ASC
+                   ) AS pick
+            FROM documents
+        ) WHERE pick <= 5
+    """.format(a=_MIX_A, m=_MIX_M, r=_MIX_R),
     "lang_temperature_sample": """
         WITH counts AS (
             SELECT lang, count(*) AS n FROM documents GROUP BY lang

@@ -67,3 +67,34 @@ def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n_day = one_day.count()
     expect = events.where(F.to_date("ts") == "2024-01-03").count()
     assert n_day == expect and n_day > 0
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark, sf_dir, tmp_path):
+    """DPP: joining the date-partitioned fact to a FILTERED dim prunes
+    fact partitions at runtime from the dim's join keys — the partition
+    filter is not statically known, so only dynamic pruning can skip
+    the other days' directories (the 100 TB star-join pattern)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day_dpp")
+    B.write_date_partitioned(events, path, "ts")
+    fact = spark.read.parquet(path)
+
+    # a date dimension with an attribute; the ATTRIBUTE filter is what
+    # the fact scan can't see statically — DPP pipes the surviving join
+    # keys into the fact's partition filter at runtime
+    dim = (
+        events.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("is_promo_day", F.dayofmonth("event_date") <= 2)
+    ).where(F.col("is_promo_day"))
+    joined = fact.join(F.broadcast(dim), "event_date")
+    p = _plan(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    expect = (
+        events.withColumn("event_date", F.to_date("ts"))
+        .join(F.broadcast(dim), "event_date")
+        .count()
+    )
+    assert joined.count() == expect and expect > 0
