@@ -626,6 +626,76 @@ def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QBIN_W = 2.0  # static bin bounds: a STREAMING sketch cannot re-bin,
+_QBIN_N = 256  # so [0, 512) is pinned (events.value sits in [0, 491))
+
+
+def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch rollup — the percentile analog of the
+    HLL rollup: one fixed-bin histogram row set per day (additive
+    (day, bin, n) longs, so ANY date range's quantiles come from
+    group-summing bins — no raw re-scan, and a stream maintains it
+    with plain additive upserts via the rollup.py machinery). The
+    median estimate linearly interpolates inside the covering bin,
+    which bounds its error by one bin width; the query emits the
+    estimate next to the exact percentile for a full range and a
+    sub-range, with the error asserted ≤ bin width. Fully
+    SQL-expressible, so the whole sketch pipeline is oracle-checked."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    clamped = F.least(
+        F.greatest(F.col("value"), F.lit(0.0)), F.lit(_QBIN_W * _QBIN_N - 1e-9)
+    )
+    bin_ = F.floor(clamped / _QBIN_W).cast("int")
+    hist = events.select(
+        day.alias("day"), bin_.alias("bin"), "value"
+    )
+    # the stored rollup table: one additive (day, bin, n) row set per day
+    daily = hist.groupBy("day", "bin").agg(F.count("*").alias("dn"))
+
+    def one_range(tag: str, upto: str | None) -> DataFrame:
+        h = hist if upto is None else hist.where(F.col("day") <= upto)
+        d = daily if upto is None else daily.where(F.col("day") <= upto)
+        merged = d.groupBy("bin").agg(F.sum("dn").alias("n"))
+        from pyspark.sql import Window
+
+        # unpartitioned window on the MERGED SKETCH only: ≤ 256 rows by
+        # construction at any corpus size, so the single-partition sort
+        # Spark warns about is a fixed-size driver-ish step, not a scale
+        # hazard (the corpus-sized work all happened in the groupBys)
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        cum = merged.select(
+            "bin", "n", F.sum("n").over(w).alias("cum")
+        ).crossJoin(
+            F.broadcast(merged.agg(F.sum("n").alias("total")))
+        )
+        target = F.col("total") * 0.5
+        est_in_bin = (
+            F.col("bin") * _QBIN_W
+            + _QBIN_W
+            * (target - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        )
+        est = (
+            cum.where(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(est_in_bin.alias("est"))
+        )
+        exact = h.agg(F.expr("percentile(value, 0.5)").alias("exact"))
+        return est.crossJoin(F.broadcast(exact)).select(
+            F.lit(tag).alias("range_tag"),
+            X.pround(F.col("est"), 4).alias("median_est"),
+            X.pround(F.col("exact"), 4).alias("median_exact"),
+            X.pround(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
+            (F.abs(F.col("est") - F.col("exact")) <= _QBIN_W).alias("passed"),
+        )
+
+    return one_range("all_days", None).unionByName(
+        one_range("first_10_days", "2024-01-10")
+    )
+
+
 def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py) checked
     merge-for-merge against the in-repo pure-Python reference on the
@@ -730,6 +800,7 @@ QUERIES = {
     "knn_pq_approx": knn_pq_approx,
     "knn_pq_recall": knn_pq_recall,
     "bpe_train_gate": bpe_train_gate,
+    "quantile_rollup": quantile_rollup,
     "hll_rollup_gate": hll_rollup_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
@@ -748,3 +819,69 @@ ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
 from .vectors import ORACLE as _VEC_ORACLE  # noqa: E402
 
 ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
+
+# the mergeable-histogram quantile pipeline is plain SQL — replicate the
+# daily-sketch → range-merge → interpolate math bin-for-bin in DuckDB
+_QROLLUP_ONE = """
+    SELECT '{tag}' AS range_tag,
+           {est} AS median_est,
+           {exact} AS median_exact,
+           {err} AS abs_err,
+           abs(est - exact) <= {w} AS passed
+    FROM (
+        SELECT
+            (SELECT min(bin * {w} + {w} * ((total * 0.5) - (cum - n)) / n)
+             FROM (
+                 SELECT bin, n,
+                        sum(n) OVER (ORDER BY bin) AS cum,
+                        sum(n) OVER () AS total
+                 FROM (
+                     SELECT bin, sum(dn) AS n FROM (
+                         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                                CAST(floor(least(greatest(value, 0.0),
+                                     {top}) / {w}) AS INT) AS bin,
+                                count(*) AS dn
+                         FROM events {cond}
+                         GROUP BY 1, 2
+                     ) GROUP BY bin
+                 )
+             ) WHERE cum >= total * 0.5 AND bin = (
+                 SELECT min(bin) FROM (
+                     SELECT bin, sum(n) OVER (ORDER BY bin) AS cum,
+                            sum(n) OVER () AS total
+                     FROM (
+                         SELECT bin, count(*) AS n FROM (
+                             SELECT CAST(floor(least(greatest(value, 0.0),
+                                    {top}) / {w}) AS INT) AS bin
+                             FROM events {cond}
+                         ) GROUP BY bin
+                     )
+                 ) WHERE cum >= total * 0.5
+             )) AS est,
+            (SELECT quantile_cont(value, 0.5) FROM events {cond}) AS exact
+    )
+"""
+
+
+def _qrollup_sql(tag: str, cond: str) -> str:
+    from ..functions.exact import pround_sql
+
+    return _QROLLUP_ONE.format(
+        tag=tag,
+        cond=cond,
+        w=_QBIN_W,
+        top=_QBIN_W * _QBIN_N - 1e-9,
+        est=pround_sql("est", 4),
+        exact=pround_sql("exact", 4),
+        err=pround_sql("abs(est - exact)", 4),
+    )
+
+
+ORACLE["quantile_rollup"] = (
+    _qrollup_sql("all_days", "")
+    + " UNION ALL "
+    + _qrollup_sql(
+        "first_10_days",
+        "WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-10'",
+    )
+)
