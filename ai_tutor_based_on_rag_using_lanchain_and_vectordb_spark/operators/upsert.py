@@ -45,3 +45,70 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
         for c in target.columns
     ]
     return joined.select(*merged_cols)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective,
+    open_end: str = "9999-12-31",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance (Kimball SCD2, the
+    history-preserving MERGE): rows of ``dim`` carry ``valid_from`` /
+    ``valid_to`` / ``is_current``; an update whose attributes differ
+    from the key's current row CLOSES that row (valid_to = effective,
+    is_current = false) and INSERTS a new current row; identical
+    updates are no-ops; unknown keys insert. One full-outer join on the
+    key — history rows pass through untouched, so the shuffle carries
+    only current rows + updates regardless of how deep history grows.
+    ``effective`` is one batch-level literal (deterministic, replayable).
+    Open intervals end at ``open_end`` (the Kimball high-date sentinel)
+    rather than NULL — range predicates like ``BETWEEN valid_from AND
+    valid_to`` then need no null branch, and engines that stringify
+    null dates differently stay hash-comparable.
+    """
+    full = attrs + ["valid_from", "valid_to", "is_current"]
+    missing = [c for c in [key] + full if c not in dim.columns]
+    if missing:
+        raise ValueError(f"dim lacks columns: {missing}")
+    cur = dim.where(F.col("is_current")).alias("t")
+    hist = dim.where(~F.col("is_current"))
+    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
+    j = cur.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    matched = F.col("u._u_present").isNotNull() & F.col(f"t.{key}").isNotNull()
+    differs = None
+    for c in attrs:
+        d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = matched & differs
+    insert_only = F.col("u._u_present").isNotNull() & F.col(f"t.{key}").isNull()
+
+    def t_row(valid_to, current):
+        return [F.col(f"t.{key}").alias(key)] + [
+            F.col(f"t.{c}").alias(c) for c in attrs
+        ] + [
+            F.col("t.valid_from").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            current.alias("is_current"),
+        ]
+
+    u_row = [F.col(f"u.{key}").alias(key)] + [
+        F.col(f"u.{c}").alias(c) for c in attrs
+    ] + [
+        F.lit(effective).cast("date").alias("valid_from"),
+        F.lit(open_end).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ]
+
+    kept = j.where(~changed & F.col(f"t.{key}").isNotNull()).select(
+        *t_row(F.col("t.valid_to"), F.lit(True))
+    )
+    closed = j.where(changed).select(
+        *t_row(F.lit(effective).cast("date"), F.lit(False))
+    )
+    fresh = j.where(changed | insert_only).select(*u_row)
+    return hist.select(key, *full).unionByName(kept).unionByName(
+        closed
+    ).unionByName(fresh)

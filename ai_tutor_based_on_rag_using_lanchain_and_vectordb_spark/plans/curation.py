@@ -167,6 +167,41 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("doc_id", "lang", "source", "n_chars")
 
 
+def scd2_catalog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD catalog maintenance (operators/upsert.scd2_apply):
+    the document catalog as a validity-interval dimension, with every
+    7th document re-ingested (revised attributes) plus one brand-new
+    row at a later effective date. Changed keys produce a CLOSED
+    history row + a fresh current row; the oracle states the expected
+    net effect independently (it does not re-run the merge)."""
+    from ..operators.upsert import scd2_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = docs.select("doc_id", "lang", "source", "n_chars").select(
+        "*",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = docs.where(F.pmod("doc_id", F.lit(7)) == 0).select(
+        "doc_id",
+        "lang",
+        F.lit("reingest").alias("source"),
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    new_row = spark.createDataFrame(
+        [(10_000_000, "en", "reingest", 13)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    return scd2_apply(
+        dim,
+        updates.unionByName(new_row),
+        "doc_id",
+        ["lang", "source", "n_chars"],
+        "2024-02-01",
+    )
+
+
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile ranking: lifetime-spend quartiles with per-quartile stats
     (deterministic order: spend desc, custkey)."""
@@ -188,6 +223,7 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "catalog_merge_upsert": catalog_merge_upsert,
+    "scd2_catalog_history": scd2_catalog_history,
     "customer_spend_quartiles": customer_spend_quartiles,
     "purchase_asof_signup": purchase_asof_signup,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
@@ -211,6 +247,24 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "scd2_catalog_history": """
+        SELECT doc_id, lang, source, n_chars,
+               DATE '2024-01-01' AS valid_from,
+               DATE '9999-12-31' AS valid_to,
+               true AS is_current
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars,
+               DATE '2024-01-01', DATE '2024-02-01', false
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, lang, 'reingest', n_chars + 7,
+               DATE '2024-02-01', DATE '9999-12-31', true
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 10000000, 'en', 'reingest', 13,
+               DATE '2024-02-01', DATE '9999-12-31', true
+    """,
     "user_event_journeys": """
         WITH ranked AS (
             SELECT user_id, event_type, ts, event_id,

@@ -58,3 +58,58 @@ def test_schema_mismatch_rejected(spark):
     target, updates = _frames(spark)
     with pytest.raises(ValueError):
         merge_upsert(target, updates.drop("size"), "id")
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+def _scd2_frames(spark):
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01", "9999-12-31", True),
+         (2, "b", "2024-01-01", "9999-12-31", True),
+         (3, None, "2024-01-01", "9999-12-31", True),
+         # pre-existing history row for key 1
+         (1, "old", "2023-01-01", "2024-01-01", False)],
+        "id long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "id", "attr",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    return dim
+
+
+def test_scd2_change_closes_and_inserts(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.upsert import scd2_apply
+
+    dim = _scd2_frames(spark)
+    updates = spark.createDataFrame(
+        [(1, "a2"),   # changed → close + insert
+         (2, "b"),    # identical → no-op
+         (3, None),   # null == null (eqNullSafe) → no-op
+         (9, "new")], # unknown key → insert
+        "id long, attr string",
+    )
+    out = scd2_apply(dim, updates, "id", ["attr"], "2024-06-01")
+    rows = {(r["id"], r["attr"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "old", "2023-01-01", "2024-01-01", False),  # history untouched
+        (1, "a", "2024-01-01", "2024-06-01", False),    # closed
+        (1, "a2", "2024-06-01", "9999-12-31", True),    # new current
+        (2, "b", "2024-01-01", "9999-12-31", True),     # no-op
+        (3, None, "2024-01-01", "9999-12-31", True),    # null-safe no-op
+        (9, "new", "2024-06-01", "9999-12-31", True),   # insert
+    }
+
+
+def test_scd2_missing_columns_rejected(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.upsert import scd2_apply
+
+    dim = _scd2_frames(spark).drop("is_current")
+    updates = spark.createDataFrame([(1, "x")], "id long, attr string")
+    with pytest.raises(ValueError, match="dim lacks"):
+        scd2_apply(dim, updates, "id", ["attr"], "2024-06-01")
