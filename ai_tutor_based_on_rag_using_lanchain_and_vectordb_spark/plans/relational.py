@@ -135,6 +135,26 @@ def rate_limit_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: parse the
+    JSON ONCE into the binary variant encoding (try_parse_json —
+    malformed payloads become NULL instead of failing the scan), then
+    typed path extraction with variant_get. At scale this is the
+    parse-once/extract-many shape — repeated get_json_object calls
+    re-parse the string per path, variant shredding does not."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            X.pround(F.expr("percentile(k, 0.5)"), 2).alias("median_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 — JSON field extraction + aggregate (the LLM-response JSON
     parse, backend/langchain_utils.py:157-206)."""
@@ -490,6 +510,7 @@ QUERIES = {
     "event_type_counts": event_type_counts,
     "rate_limit_windows": rate_limit_windows,
     "json_props_stats": json_props_stats,
+    "props_variant_stats": props_variant_stats,
     "session_previews": session_previews,
     "daily_activity": daily_activity,
     "session_windows": session_windows,
@@ -565,6 +586,17 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_req
         FROM events GROUP BY 1, 2 HAVING count(*) >= 2
     """,
+    "props_variant_stats": """
+        SELECT event_type,
+               CAST(count(k) AS BIGINT) AS n_k,
+               {med} AS median_k,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events
+        ) GROUP BY event_type
+    """.format(med=X.pround_sql("quantile_cont(k, 0.5)", 2)),
     "json_props_stats": """
         SELECT event_type,
                CAST(count(k_val) AS BIGINT) AS n_with_k,
