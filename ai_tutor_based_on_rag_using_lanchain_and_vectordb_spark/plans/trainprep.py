@@ -278,8 +278,84 @@ def stratified_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact-substring span length (chars): long enough that a shared run
+# means real duplication, short enough to catch partial overlap — the
+# public substring-dedup recipe uses 50 BPE tokens; 40 chars plays the
+# same role at this corpus's scale.
+SPAN_L = 40
+SPAN_FLAG_FRAC = 0.5
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication measurement (the suffix-array dedup
+    recipe re-expressed relationally): every length-``SPAN_L`` char
+    window that occurs ≥ 2 times corpus-wide marks its positions, and
+    per document the marked windows merge into MAXIMAL spans
+    (gaps-and-islands over a running-max window). Output per doc:
+    span count, duplicated chars, duplicated fraction, flag.
+
+    Scale shape: window generation is an explode off the scan
+    (corpus-linear, ~|text| rows per doc); the duplicate-window join
+    keys on the 40-char string — corpus-scaled on both sides, so it
+    shuffles (no broadcast hint); the islands window partitions by
+    doc_id, so per-task state is one document's hit list."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(default_parallelism()).select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    )
+    grams = (
+        base.where(F.length("t") >= SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {SPAN_L - 1}),"
+                    f" i -> struct(i as i, substring(t, i, {SPAN_L}) as g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    hits = grams.join(dup.select("g"), "g").select(
+        "doc_id", "i", (F.col("i") + (SPAN_L - 1)).alias("e")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = tagged.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    frac = X.pround(
+        F.col("dup_chars") / F.greatest(F.length("t"), F.lit(1)), 4
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+            F.coalesce(frac, F.lit(0.0)).alias("dup_frac"),
+            F.coalesce(frac > SPAN_FLAG_FRAC, F.lit(False)).alias("flagged"),
+        )
+    )
+
+
 QUERIES = {
     "bigram_lm_score": bigram_lm_score,
+    "duplicate_spans": duplicate_spans,
     "stratified_exact_sample": stratified_exact_sample,
     "gopher_repetition": gopher_repetition,
     "corpus_boilerplate": corpus_boilerplate,
@@ -410,6 +486,55 @@ ORACLE = {
             "sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)"
             " * 1.0 / count(*)",
             4,
+        ),
+    ),
+    "duplicate_spans": """
+        WITH norm AS (
+            SELECT doc_id, lower(trim(text)) AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, i, substr(t, i, {L}) AS g
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, length(t) - {Lm1})) AS i
+                  FROM norm WHERE length(t) >= {L})
+        ), dupg AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+        ), hits AS (
+            SELECT doc_id, i, i + {Lm1} AS e FROM grams JOIN dupg USING (g)
+        ), tagged AS (
+            SELECT doc_id, i, e,
+                   CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                        OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM hits
+        ), islands AS (
+            SELECT doc_id, i, e,
+                   sum(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM tagged
+        ), spans AS (
+            SELECT doc_id, island, min(i) AS s, max(e) AS e
+            FROM islands GROUP BY doc_id, island
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_spans,
+                   sum(e - s + 1) AS dup_chars
+            FROM spans GROUP BY doc_id
+        )
+        SELECT norm.doc_id,
+               CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+               coalesce({frac}, 0.0) AS dup_frac,
+               coalesce({frac} > {flag}, false) AS flagged
+        FROM norm LEFT JOIN per_doc ON norm.doc_id = per_doc.doc_id
+    """.format(
+        L=SPAN_L,
+        Lm1=SPAN_L - 1,
+        flag=SPAN_FLAG_FRAC,
+        frac=X.pround_sql(
+            "dup_chars * 1.0 / greatest(length(t), 1)", 4
         ),
     ),
     "stratified_exact_sample": """

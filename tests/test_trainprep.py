@@ -32,6 +32,7 @@ TRAINPREP = [
     "contamination_overlap",
     "lang_temperature_sample",
     "bigram_lm_score",
+    "duplicate_spans",
 ]
 
 
