@@ -28,6 +28,15 @@ EN_STOPWORDS = (
 )
 
 
+def ws_tokens(text: Column) -> Column:
+    """Non-empty lowercase whitespace tokens — THE canonical tokenizer
+    the corpus-prep stats (plans/trainprep.py) and BPE training
+    (operators/bpe.py) share, so they provably see the same stream."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count; empty/blank → 0."""
     trimmed = F.trim(text)

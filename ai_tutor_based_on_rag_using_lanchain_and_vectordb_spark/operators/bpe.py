@@ -29,11 +29,12 @@ END = "</w>"  # end-of-word marker: keeps merges from crossing words
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, n) — the aggregated training table. Lowercased whitespace
-    tokens, one shuffle, map-side combined."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    """(word, n) — the aggregated training table. One shuffle,
+    map-side combined; tokenization is the SHARED ws_tokens helper, so
+    BPE trains on exactly the stream the corpus-prep stats describe."""
+    from ..functions.textstats import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
     return (
         docs.select(F.explode(toks).alias("word"))
         .groupBy("word")

@@ -52,13 +52,19 @@ def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         far = d2[np.arange(len(x)), assign].argsort()[::-1]
-        spare = iter(far)
+        n_spare = 0
         for j in range(k):
             sel = assign == j
             if sel.any():
                 cents[j] = x[sel].mean(axis=0)
-            else:  # re-seed dead centroid at the current farthest point
-                cents[j] = x[next(spare)]
+            else:
+                # re-seed dead centroids from the farthest points; wrap
+                # + jitter once there are more dead clusters than sample
+                # points (k > len(x)) so the iterator never exhausts
+                cents[j] = x[far[n_spare % len(far)]] + 1e-6 * (
+                    n_spare // len(far)
+                )
+                n_spare += 1
     return cents
 
 
@@ -170,9 +176,13 @@ def knn_pq_adc(
     cb = np.asarray(codebooks, dtype=np.float64)
     m, kc, sub = cb.shape
     qm = np.asarray(query_matrix, dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    qu = qm / qn
     qids = np.asarray(query_ids, dtype=np.int64)
+    # zero-norm queries drop out — cosine undefined, the same contract
+    # knn_exact_expr applies (a NaN LUT would rank arbitrarily instead)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    keep_q = qn[:, 0] > 0
+    qm, qn, qids = qm[keep_q], qn[keep_q], qids[keep_q]
+    qu = qm / qn
     # LUT[q, i, c] = <query subvector i, codebook i entry c>
     lut = np.einsum("qis,ics->qic", qu.reshape(len(qu), m, sub), cb)
 

@@ -69,10 +69,22 @@ def scd2_apply(
     valid_to`` then need no null branch, and engines that stringify
     null dates differently stay hash-comparable.
     """
+    if not attrs:
+        raise ValueError("scd2_apply needs at least one tracked attribute")
     full = attrs + ["valid_from", "valid_to", "is_current"]
     missing = [c for c in [key] + full if c not in dim.columns]
     if missing:
         raise ValueError(f"dim lacks columns: {missing}")
+    # one update row per key, like SQL MERGE's multiple-match error: a
+    # duplicated key would fan the full-outer join out and emit several
+    # is_current rows, silently breaking the single-current invariant
+    dup = (
+        updates.groupBy(key).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2_apply: duplicate update rows for {key}={dup[0][key]}"
+        )
     cur = dim.where(F.col("is_current")).alias("t")
     hist = dim.where(~F.col("is_current"))
     u = updates.withColumn("_u_present", F.lit(True)).alias("u")

@@ -57,11 +57,7 @@ _MIX_M = 1_000_000
 _MIX_R = 2**31
 
 
-def _tokens(text: F.Column) -> F.Column:
-    """Non-empty lowercase whitespace tokens (JVM-side split+filter)."""
-    return F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
-    )
+from ..functions.textstats import ws_tokens as _tokens  # shared tokenizer
 
 
 def _grams(ws: F.Column, n: int) -> F.Column:

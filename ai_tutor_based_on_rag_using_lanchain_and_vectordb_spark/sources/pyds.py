@@ -86,14 +86,19 @@ class CorpusDirReader(DataSourceReader):
 
     def pushFilters(self, filters):
         """Keep kind-equality filters for file-level pruning; everything
-        else goes back to Spark (returned = unsupported)."""
+        else goes back to Spark (returned = unsupported). Multiple kind
+        predicates INTERSECT — a consumed filter is never re-applied by
+        Spark, so keeping only the last one would drop constraints."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("kind",):
-                self.kinds = {f.value}
+                got = {f.value}
             elif isinstance(f, In) and f.attribute == ("kind",):
-                self.kinds = set(f.values)
+                # pyspark 4.1's In dataclass names its tuple field `value`
+                got = set(f.value)
             else:
                 yield f
+                continue
+            self.kinds = got if self.kinds is None else (self.kinds & got)
 
     def partitions(self):
         paths = _list(self.root)
@@ -122,6 +127,12 @@ class CorpusDirStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         paths = _list(self.root)
         end = {"index": len(paths)}
+        # A list-backed iterator is REQUIRED here: Spark's prefetching
+        # cache replays this batch via copy.copy(iterator), which fails
+        # on a generator (datasource_internal.getCache). The driver-side
+        # materialization this implies is the simple-reader trade-off —
+        # a backlog too big for driver memory belongs on the partitioned
+        # batch reader (one availableNow catch-up run), not this API.
         rows = [
             row for p in paths[start["index"]:] for row in _read_file(p)
         ]
@@ -129,7 +140,7 @@ class CorpusDirStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         paths = _list(self.root)[start["index"]: end["index"]]
-        return iter([row for p in paths for row in _read_file(p)])
+        return (row for p in paths for row in _read_file(p))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the directory is the source of truth

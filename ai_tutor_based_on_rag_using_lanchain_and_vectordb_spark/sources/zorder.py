@@ -53,7 +53,11 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
-        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # empty frame / all-NULL column:
+            scaled.append(F.lit(0).cast("long"))  # constant key, still
+            continue  # a valid (degenerate) layout — don't crash a job
+        mn, mx = float(mn), float(mx)
         if mx > mn:
             norm = (F.col(c).cast("double") - mn) / (mx - mn)
         else:

@@ -94,3 +94,24 @@ def test_registered_gate_query(spark, sf_dir):
     row = knn_pq_recall(spark, sf_dir).first()
     assert row["passed"], row
     assert row["mean_recall"] >= 0.7
+
+
+def test_lloyd_more_clusters_than_points():
+    """k > sample size with dead clusters must re-seed (wrap+jitter),
+    never exhaust the spare iterator."""
+    rng = np.random.RandomState(0)
+    cents = PQ._lloyd(rng.rand(4, 8), 32, seed=1)
+    assert cents.shape == (32, 8)
+    assert np.isfinite(cents).all()
+
+
+def test_zero_norm_query_excluded(emb, codebooks):
+    qm = np.zeros((2, 64))
+    qm[1, 0] = 1.0
+    out = PQ.knn_pq_adc(
+        PQ.encode_pq(emb, codebooks), codebooks, qm,
+        np.array([100, 101]), k=3, shortlist=10,
+    ).toPandas()
+    # the zero-norm query drops out; the valid one returns finite scores
+    assert set(out["query_id"]) == {101}
+    assert np.isfinite(out["score"]).all()

@@ -117,3 +117,23 @@ def test_streaming_incremental_pickup(spark, corpus_dir, tmp_path):
     run_once()
     got2 = [r for b in batches for r in b]
     assert [r["page_text"] for r in got2] == ["late arrival"]
+
+
+def test_in_filter_pushdown_and_intersection(spark, corpus_dir):
+    from pyspark.sql.datasource import EqualTo, In
+
+    reader = CorpusDirReader({"path": corpus_dir})
+    # pyspark 4.1's In dataclass carries its tuple in the `value` field
+    unsupported = list(reader.pushFilters([In(("kind",), ("pdf", "docx"))]))
+    assert unsupported == []
+    assert {p.path.rsplit(".", 1)[-1] for p in reader.partitions()} == {
+        "pdf", "docx"
+    }
+    # consumed filters INTERSECT — keeping only the last would drop one
+    reader2 = CorpusDirReader({"path": corpus_dir})
+    list(reader2.pushFilters([In(("kind",), ("pdf", "docx")),
+                              In(("kind",), ("docx", "html"))]))
+    assert {p.path.rsplit(".", 1)[-1] for p in reader2.partitions()} == {"docx"}
+    # end-to-end through the engine
+    df = _read(spark, corpus_dir).where(F.col("kind").isin("pdf", "txt"))
+    assert sorted(r["kind"] for r in df.collect()) == ["pdf", "pdf", "txt"]

@@ -113,3 +113,23 @@ def test_scd2_missing_columns_rejected(spark):
     updates = spark.createDataFrame([(1, "x")], "id long, attr string")
     with pytest.raises(ValueError, match="dim lacks"):
         scd2_apply(dim, updates, "id", ["attr"], "2024-06-01")
+
+
+def test_scd2_duplicate_update_keys_rejected(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.upsert import scd2_apply
+
+    dim = _scd2_frames(spark)
+    updates = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, attr string"
+    )
+    with pytest.raises(ValueError, match="duplicate update rows"):
+        scd2_apply(dim, updates, "id", ["attr"], "2024-06-01")
+
+
+def test_scd2_empty_attrs_rejected(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.upsert import scd2_apply
+
+    dim = _scd2_frames(spark)
+    updates = spark.createDataFrame([(1, "x")], "id long, attr string")
+    with pytest.raises(ValueError, match="at least one tracked"):
+        scd2_apply(dim, updates, "id", [], "2024-06-01")

@@ -96,3 +96,18 @@ def test_too_many_bits_rejected(spark):
     df = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(ValueError, match="exceeds int64"):
         _interleave([F.col("x"), F.col("y")], 32)
+
+
+def test_empty_and_allnull_frames_write_degenerate_layout(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("a", T.LongType()), T.StructField("b", T.LongType())
+    ])
+    empty = spark.createDataFrame([], schema)
+    zorder_write(empty, str(tmp_path / "empty"), ["a", "b"], bits=8, n_files=2)
+    assert spark.read.parquet(str(tmp_path / "empty")).count() == 0
+
+    allnull = spark.createDataFrame([(None, 1), (None, 2)], schema)
+    zorder_write(allnull, str(tmp_path / "nulls"), ["a", "b"], bits=8, n_files=2)
+    assert spark.read.parquet(str(tmp_path / "nulls")).count() == 2
