@@ -31,7 +31,7 @@ _DRIVER_PRIORITY = (
     "knn_pq_approx", "knn_pq_recall", "bpe_train_gate",
     "cohort_retention", "constraint_audit", "stratified_exact_sample",
     "quantile_rollup", "scd2_catalog_history", "props_variant_stats",
-    "duplicate_spans",
+    "duplicate_spans", "quality_classifier_filter",
     "neardup_keep_best",  # new this round: composed curation dedup
     "knn_numpy_topk", "ngram_jaccard_pairs", "neardup_components",
     "volume_shipping_pairs", "nation_market_share", "product_type_profit",

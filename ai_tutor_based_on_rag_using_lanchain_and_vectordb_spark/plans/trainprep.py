@@ -57,6 +57,7 @@ _MIX_M = 1_000_000
 _MIX_R = 2**31
 
 
+from ..functions.textstats import EN_STOPWORDS
 from ..functions.textstats import ws_tokens as _tokens  # shared tokenizer
 
 
@@ -349,9 +350,47 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Offline-trained quality-classifier weights (bias, punct_ratio,
+# stopword_ratio, tokens/100): logistic regression fit by seeded
+# full-batch gradient descent (500 steps, lr 0.5) against the
+# self-supervised proxy label quality_score > corpus median at sf0.01
+# (86.6 % agreement). Pinned as literals — the fastText-filter
+# deployment shape: training happens offline, INFERENCE ships as pure
+# arithmetic inside the scan, so the filter runs at whatever rate the
+# scan runs with no model runtime. punct weight is 0.0: this corpus has
+# no punctuation signal.
+_QC_W = (-3.798609, 0.0, 1.424105, 6.906249)
+_QC_KEEP = 0.0  # keep when logit > 0 (p > 0.5)
+
+
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as pure SQL inference: engineered
+    features (punctuation density, stopword ratio, length) dotted with
+    the pinned offline-trained weights in one codegen'd expression —
+    no UDF, no model server, monotone in the classifier probability
+    (the logit is emitted instead of the sigmoid so both engines stay
+    in exact arithmetic; libm exp() ulp drift never enters)."""
+    from ..functions import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    w0, w1, w2, w3 = _QC_W
+    logit = (
+        F.lit(w0)
+        + F.lit(w1) * TS.punct_ratio(F.col("text"))
+        + F.lit(w2) * TS.stopword_ratio(F.col("text"))
+        + F.lit(w3) * (TS.token_count(F.col("text")) / 100.0)
+    )
+    return docs.select(
+        "doc_id",
+        X.pround(logit, 6).alias("logit"),
+        (X.pround(logit, 6) > F.lit(_QC_KEEP)).alias("keep"),
+    )
+
+
 QUERIES = {
     "bigram_lm_score": bigram_lm_score,
     "duplicate_spans": duplicate_spans,
+    "quality_classifier_filter": quality_classifier_filter,
     "stratified_exact_sample": stratified_exact_sample,
     "gopher_repetition": gopher_repetition,
     "corpus_boilerplate": corpus_boilerplate,
@@ -483,6 +522,34 @@ ORACLE = {
             " * 1.0 / count(*)",
             4,
         ),
+    ),
+    "quality_classifier_filter": """
+        SELECT doc_id, {lg} AS logit, {lg} > {keep} AS keep
+        FROM (
+            SELECT doc_id,
+                   {w0} + {w1} * {punct} + {w2} * {stop}
+                        + {w3} * ({ntok} / 100.0) AS raw_logit
+            FROM documents
+        )
+    """.format(
+        lg=X.pround_sql("raw_logit", 6),
+        keep=_QC_KEEP,
+        w0=_QC_W[0], w1=_QC_W[1], w2=_QC_W[2], w3=_QC_W[3],
+        punct=X.pround_sql(
+            "length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g'))"
+            " * 1.0 / greatest(length(text), 1)", 4
+        ),
+        stop=X.pround_sql(
+            "len(list_filter(regexp_split_to_array(lower(trim(text)),"
+            " '\\s+'), t -> list_contains([{stops}], t))) * 1.0"
+            " / greatest(len(regexp_split_to_array(lower(trim(text)),"
+            " '\\s+')), 1)".format(
+                stops=", ".join(f"'{w}'" for w in EN_STOPWORDS)
+            ),
+            4,
+        ),
+        ntok="(CASE WHEN length(trim(text)) = 0 THEN 0"
+             " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)",
     ),
     "duplicate_spans": """
         WITH norm AS (

@@ -33,6 +33,7 @@ TRAINPREP = [
     "lang_temperature_sample",
     "bigram_lm_score",
     "duplicate_spans",
+    "quality_classifier_filter",
 ]
 
 
