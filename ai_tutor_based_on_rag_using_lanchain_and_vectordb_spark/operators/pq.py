@@ -114,14 +114,22 @@ def encode_pq(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One Arrow-batched pass assigning each vector's M subvectors to
     their nearest codebook entries. Zero-norm vectors are dropped
     (cosine undefined — same contract as knn_exact_expr). Output is
-    (vec_id, codes[M], original norm); at 100 TB this is the table you
-    persist instead of the raw vectors."""
+    (vec_id, codes[M], original norm) plus any ``keep_cols`` carried
+    through untouched (e.g. the IVF cell id); at 100 TB this is the
+    table you persist instead of the raw vectors."""
+    import pyspark.sql.types as T
+
     cb = np.asarray(codebooks, dtype=np.float64)
     m, k, sub = cb.shape
+    extra_fields = [
+        vectors.schema[c] for c in keep_cols
+    ]
+    schema = T.StructType(list(_CODES_SCHEMA.fields) + extra_fields)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,17 +150,20 @@ def encode_pq(
                     + (cb[i] ** 2).sum(axis=1)[None, :]
                 )
                 codes[:, i] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids.astype(np.int64),
-                    # plain lists: Arrow's ndarray-of-ndarray conversion
-                    # is not implemented for some batch shapes
-                    "codes": codes.tolist(),
-                    "vnorm": norms[keep],
-                }
-            )
+            out = {
+                "vec_id": ids.astype(np.int64),
+                # plain lists: Arrow's ndarray-of-ndarray conversion
+                # is not implemented for some batch shapes
+                "codes": codes.tolist(),
+                "vnorm": norms[keep],
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()[keep]
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(encode, _CODES_SCHEMA)
+    return vectors.select(id_col, vec_col, *keep_cols).mapInPandas(
+        encode, schema
+    )
 
 
 def knn_pq_adc(
@@ -220,10 +231,27 @@ def knn_pq_adc(
     if rerank_vectors is None:
         return KNN._topk_window(partial, k)
     short = KNN._topk_window(partial, n_short).select("query_id", "neighbor_id")
+    return _exact_rerank(
+        short, rerank_vectors, qu, qids, m * sub, k, id_col, vec_col
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    rerank_vectors: DataFrame,
+    qu: np.ndarray,
+    qids: np.ndarray,
+    dim: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-scoring of an ADC shortlist: hash join on id
+    back to the raw vectors, broadcast the (few) unit query vectors,
+    codegen'd fixed-dim dot product, window top-k."""
     qdf_rows = [(int(q), [float(v) for v in qu[i]]) for i, q in enumerate(qids)]
-    spark = encoded.sparkSession
+    spark = rerank_vectors.sparkSession
     qdf = spark.createDataFrame(qdf_rows, "query_id long, qv array<double>")
-    dim = cb.shape[0] * cb.shape[2]
     from ..functions import vector as V
 
     exact = (
@@ -243,3 +271,98 @@ def knn_pq_adc(
         )
     )
     return KNN._topk_window(exact, k)
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    kc: int = 32,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The canonical IVF+PQ arrangement (FAISS IVFPQ, public
+    literature): a KMeans coarse quantizer prunes the corpus to each
+    query's top-``nprobe`` cells, PQ codes score the surviving
+    candidates via the ADC lookup table, and the shortlist re-ranks
+    exactly against the raw vectors.
+
+    At 100 TB: the cell id is a write-time partition column (the probe
+    join IS partition pruning), the scan inside probed cells touches
+    M-byte codes instead of D floats, and raw vectors are read for only
+    shortlist·|queries| rows. Compute shape: the probe table
+    (queries × nprobe) broadcasts; candidate scoring is one
+    mapInPandas over the pruned code table with per-partition partial
+    top-k — no stage ever materializes a full score matrix."""
+    from .knn import fit_ivf_centroids, unit_vectors_ml
+
+    model, centroids = fit_ivf_centroids(vectors, n_clusters, vec_col)
+    assigned = (
+        model.transform(unit_vectors_ml(vectors, vec_col))
+        .withColumnRenamed("prediction", "cell")
+        .select(id_col, vec_col, "cell")
+    )
+    cb = fit_pq_codebooks(vectors, m=m, k=kc, vec_col=vec_col, id_col=id_col)
+    enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell",))
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qm = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    keep_q = qn[:, 0] > 0
+    qm, qn, qids = qm[keep_q], qn[keep_q], qids[keep_q]
+    qu = qm / qn
+    cell_scores = qu @ centroids.T
+    spark = vectors.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (int(qid), int(c))
+                for i, qid in enumerate(qids)
+                for c in np.argsort(-cell_scores[i])[:nprobe]
+            ],
+            schema="query_id long, cell int",
+        )
+    )
+    cand = enc.join(probe_df, "cell").select("query_id", "vec_id", "codes")
+
+    lut = np.einsum("qis,ics->qic", qu.reshape(len(qu), m, cb.shape[2]), cb)
+    qindex = {int(q): i for i, q in enumerate(qids)}
+    n_short = max(shortlist, k)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict[int, pd.DataFrame] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            qrow = pdf["query_id"].map(qindex).to_numpy().astype(np.int64)
+            # each candidate scores against ITS probing query only
+            scores = lut[qrow[:, None], np.arange(m)[None, :], codes].sum(
+                axis=1
+            )
+            frame = pd.DataFrame(
+                {"query_id": pdf["query_id"].to_numpy(), "neighbor_id": ids,
+                 "score": scores}
+            )
+            if exclude_self:
+                frame = frame[frame["query_id"] != frame["neighbor_id"]]
+            for qid, grp in frame.groupby("query_id"):
+                merged = (
+                    pd.concat([best[qid], grp]) if qid in best else grp
+                )
+                best[qid] = merged.nlargest(n_short, "score")
+        if best:
+            yield pd.concat(best.values(), ignore_index=True)
+
+    partial = cand.mapInPandas(score, KNN._SCORE_SCHEMA)
+    short = KNN._topk_window(partial, n_short).select("query_id", "neighbor_id")
+    return _exact_rerank(
+        short, vectors, qu, qids, qm.shape[1], k, id_col, vec_col
+    )

@@ -29,6 +29,7 @@ _DRIVER_PRIORITY = (
     "gopher_repetition", "corpus_boilerplate", "contamination_overlap",
     "lang_temperature_sample", "bigram_lm_score",
     "knn_pq_approx", "knn_pq_recall", "bpe_train_gate",
+    "knn_ivfpq_approx", "knn_ivfpq_recall",
     "cohort_retention", "constraint_audit", "stratified_exact_sample",
     "quantile_rollup", "scd2_catalog_history", "props_variant_stats",
     "duplicate_spans", "quality_classifier_filter",

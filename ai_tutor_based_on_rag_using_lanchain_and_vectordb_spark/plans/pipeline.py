@@ -696,6 +696,58 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical IVF+PQ composition (operators/pq.knn_ivfpq):
+    KMeans cells prune the corpus per query, PQ codes ADC-score the
+    survivors, the shortlist re-ranks exactly. Rows-only: k-means is
+    not SQL-expressible."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = PQ.knn_ivfpq(
+        emb, emb.where(F.col("vec_id") < 5), k=5,
+        n_clusters=8, nprobe=6, shortlist=150,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
+
+
+def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the IVF+PQ path: both approximations compound
+    (cell pruning AND code quantization), so the gate sits at ≥ 0.7 —
+    measured 0.84 (sf0.001) / 0.88 (sf0.01) at nprobe=6 of 8 cells,
+    shortlist 150. Rows-only: k-means is not SQL-expressible."""
+    from ..operators import knn as KNN
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    k = 5
+    exact = KNN.knn_exact_expr(emb, queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = PQ.knn_ivfpq(
+        emb, queries, k=k, n_clusters=8, nprobe=6, shortlist=150
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        (F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*")).alias("recall_q")
+    )
+    agg = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("recall_q"), 4).alias("mean_recall"),
+    )
+    return agg.select(
+        F.lit("ivfpq_adc_rerank").alias("strategy"),
+        "n_queries",
+        "mean_recall",
+        (F.col("mean_recall") >= 0.7).alias("passed"),
+    )
+
+
 def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py) checked
     merge-for-merge against the in-repo pure-Python reference on the
@@ -801,6 +853,8 @@ QUERIES = {
     "knn_pq_recall": knn_pq_recall,
     "bpe_train_gate": bpe_train_gate,
     "quantile_rollup": quantile_rollup,
+    "knn_ivfpq_approx": knn_ivfpq_approx,
+    "knn_ivfpq_recall": knn_ivfpq_recall,
     "hll_rollup_gate": hll_rollup_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,

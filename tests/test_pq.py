@@ -115,3 +115,32 @@ def test_zero_norm_query_excluded(emb, codebooks):
     # the zero-norm query drops out; the valid one returns finite scores
     assert set(out["query_id"]) == {101}
     assert np.isfinite(out["score"]).all()
+
+
+def test_ivfpq_recall_gate(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import knn_ivfpq_recall
+
+    row = knn_ivfpq_recall(spark, sf_dir).first()
+    assert row["passed"], row
+    assert row["mean_recall"] >= 0.7
+
+
+def test_ivfpq_rerank_scores_are_exact(spark, sf_dir, emb):
+    """Re-ranked IVFPQ scores must equal the exact engine's cosine for
+    the same (query, neighbor) pairs."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.pq import knn_ivfpq
+
+    out = knn_ivfpq(
+        emb, emb.where("vec_id < 5"), k=5, n_clusters=8, nprobe=6,
+        shortlist=150,
+    ).collect()
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in KNN.knn_exact_expr(emb, emb.where("vec_id < 5"), k=500)
+        .collect()
+    }
+    assert len(out) == 25
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["score"] - exact_scores[key]) < 1e-9
