@@ -330,10 +330,30 @@ def knn_ivfpq(
         )
     )
     cand = enc.join(probe_df, "cell").select("query_id", "vec_id", "codes")
+    n_short = max(shortlist, k)
+    partial = _adc_partial(cand, cb, qu, qids, n_short, exclude_self)
+    short = KNN._topk_window(partial, n_short).select("query_id", "neighbor_id")
+    return _exact_rerank(
+        short, vectors, qu, qids, qm.shape[1], k, id_col, vec_col
+    )
 
+
+def _adc_partial(
+    cand: DataFrame,
+    codebooks: np.ndarray,
+    qu: np.ndarray,
+    qids: np.ndarray,
+    n_short: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Per-(candidate, probing-query) ADC scoring over a pre-pruned
+    (query_id, vec_id, codes) frame with a partial per-query shortlist
+    kept inside each partition — shared by the inline composition
+    (knn_ivfpq) and the persistent index (pq_index.search)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m = cb.shape[0]
     lut = np.einsum("qis,ics->qic", qu.reshape(len(qu), m, cb.shape[2]), cb)
     qindex = {int(q): i for i, q in enumerate(qids)}
-    n_short = max(shortlist, k)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: dict[int, pd.DataFrame] = {}
@@ -361,8 +381,4 @@ def knn_ivfpq(
         if best:
             yield pd.concat(best.values(), ignore_index=True)
 
-    partial = cand.mapInPandas(score, KNN._SCORE_SCHEMA)
-    short = KNN._topk_window(partial, n_short).select("query_id", "neighbor_id")
-    return _exact_rerank(
-        short, vectors, qu, qids, qm.shape[1], k, id_col, vec_col
-    )
+    return cand.mapInPandas(score, KNN._SCORE_SCHEMA)

@@ -1,0 +1,133 @@
+"""Persistent IVF+PQ index — the compressed counterpart of the raw
+IVF layout in operators/ann_index.py: the corpus is stored ONCE as
+cell-partitioned PQ codes (M ints + a norm per vector instead of D
+floats — the 16×-smaller footprint is the point of the index), with
+the coarse centroids and subspace codebooks beside it. A search probes
+nprobe cells (a partition-pruned scan of the codes layout), ADC-scores
+the surviving codes, and re-ranks the shortlist exactly against the
+caller's raw-vector table.
+
+Build cost is paid once; searches never re-fit or re-encode — the
+difference between this and pq.knn_ivfpq (which fits inline and exists
+for gates/one-shot use).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import knn as KNN
+from .knn import fit_ivf_centroids, unit_vectors_ml
+from .pq import _adc_partial, _exact_rerank, encode_pq, fit_pq_codebooks
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    kc: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fit the coarse quantizer + subspace codebooks and write the
+    layout: codes parquet partitioned by cell, centroids, codebooks."""
+    model, centroids = fit_ivf_centroids(vectors, n_cells, vec_col)
+    assigned = (
+        model.transform(unit_vectors_ml(vectors, vec_col))
+        .withColumnRenamed("prediction", "cell")
+        .select(id_col, vec_col, "cell")
+    )
+    cb = fit_pq_codebooks(vectors, m=m, k=kc, vec_col=vec_col, id_col=id_col)
+    enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell",))
+    enc.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    spark = vectors.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in centroids[i]])
+        for i in range(len(centroids))
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    cb_rows = [
+        (int(i), int(c), [float(x) for x in cb[i, c]])
+        for i in range(cb.shape[0])
+        for c in range(cb.shape[1])
+    ]
+    spark.createDataFrame(
+        cb_rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+
+
+def read_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    pdf = spark.read.parquet(os.path.join(path, "codebooks")).toPandas()
+    m = int(pdf["subspace"].max()) + 1
+    kc = int(pdf["code"].max()) + 1
+    sub = len(pdf["centroid"].iloc[0])
+    cb = np.zeros((m, kc, sub))
+    for _, r in pdf.iterrows():
+        cb[int(r["subspace"]), int(r["code"])] = np.asarray(r["centroid"])
+    return cb
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    rerank_vectors: DataFrame,
+    k: int = 5,
+    nprobe: int = 6,
+    shortlist: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe → pruned code scan → ADC → exact re-rank. The cell
+    IN-filter prunes partitions of the codes layout before any byte of
+    code is read; raw vectors are touched only for the shortlist."""
+    centroids_pdf = spark.read.parquet(
+        os.path.join(path, "centroids")
+    ).toPandas()
+    cent = np.vstack(centroids_pdf["centroid"].to_numpy())
+    cells = centroids_pdf["cell"].to_numpy()
+    cb = read_codebooks(spark, path)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qm = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    keep_q = qn[:, 0] > 0
+    qm, qn, qids = qm[keep_q], qn[keep_q], qids[keep_q]
+    qu = qm / qn
+    scores = qu @ cent.T
+    probe_pairs = [
+        (int(qid), int(cells[c]))
+        for i, qid in enumerate(qids)
+        for c in np.argsort(-scores[i])[:nprobe]
+    ]
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    )
+    probed_cells = sorted({c for _, c in probe_pairs})
+    codes = spark.read.parquet(os.path.join(path, "codes")).where(
+        F.col("cell").isin(probed_cells)  # partition pruning
+    )
+    cand = codes.join(probe_df, "cell").select("query_id", "vec_id", "codes")
+    n_short = max(shortlist, k)
+    partial = _adc_partial(cand, cb, qu, qids, n_short, exclude_self)
+    short = KNN._topk_window(partial, n_short).select(
+        "query_id", "neighbor_id"
+    )
+    return _exact_rerank(
+        short, rerank_vectors, qu, qids, qm.shape[1], k, id_col, vec_col
+    )

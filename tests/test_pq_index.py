@@ -1,0 +1,76 @@
+"""Persistent IVF+PQ index: build-once layout, partition-pruned code
+scans, search identical to the inline composition (same seeds), and
+the compression property the index exists for."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import pq as PQ
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import pq_index as PI
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq_idx"))
+    PI.build_ivfpq_index(emb, path, n_cells=8, m=8, kc=32)
+    return path
+
+
+def test_layout_is_cell_partitioned_and_compressed(index_path, emb, tmp_path):
+    cells = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(index_path, "codes", "cell=*"))
+    )
+    assert len(cells) >= 2  # real partition directories
+    # codes layout is materially smaller than the raw vectors it replaces
+    raw = str(tmp_path / "raw")
+    emb.write.parquet(raw)
+    size = lambda d: sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+    assert size(os.path.join(index_path, "codes")) < 0.6 * size(raw)
+
+
+def test_search_matches_inline_composition(spark, emb, index_path):
+    q = emb.where("vec_id < 5")
+    inline = PQ.knn_ivfpq(
+        emb, q, k=5, n_clusters=8, nprobe=6, shortlist=150
+    ).collect()
+    indexed = PI.search_ivfpq_index(
+        spark, index_path, q, emb, k=5, nprobe=6, shortlist=150
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))
+        for r in rows
+    )
+    assert key(indexed) == key(inline)  # same seeds → identical results
+
+
+def test_search_scan_is_partition_pruned(spark, emb, index_path):
+    q = emb.where("vec_id < 2")
+    df = PI.search_ivfpq_index(
+        spark, index_path, q, emb, k=3, nprobe=2, shortlist=20
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_roundtrip_codebooks(spark, index_path, emb):
+    cb = PI.read_codebooks(spark, index_path)
+    assert cb.shape == (8, 32, 8)
+    again = PQ.fit_pq_codebooks(emb, m=8, k=32)
+    import numpy as np
+
+    assert np.allclose(cb, again)  # persisted == refit (seeded)
