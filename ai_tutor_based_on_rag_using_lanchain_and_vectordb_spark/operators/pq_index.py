@@ -131,3 +131,77 @@ def search_ivfpq_index(
     return _exact_rerank(
         short, rerank_vectors, qu, qids, qm.shape[1], k, id_col, vec_col
     )
+
+
+def upsert_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Merge a batch into the persistent codes layout with the FROZEN
+    quantizers: cells assign against the stored centroids, codes encode
+    against the stored codebooks, matching ids are replaced wherever
+    they previously lived (a column-pruned (id, cell) probe locates
+    stale rows — an updated vector may move cells), zero-norm vectors
+    quarantine, and only touched cell partitions rewrite (dynamic
+    partition overwrite). Re-fit policy (growth/drift) is the coarse
+    quantizer's concern — ann_index.upsert_ivf_index shows the
+    telemetry shape; this layout inherits it unchanged because the
+    codebooks are frozen the same way the centroids are."""
+    from .ann_index import _nearest_cell_expr
+
+    cent_pdf = spark.read.parquet(os.path.join(path, "centroids")).toPandas()
+    centroids = np.vstack(cent_pdf["centroid"].to_numpy())
+    cells = [int(c) for c in cent_pdf["cell"].to_numpy()]
+    cb = read_codebooks(spark, path)
+    dim = cb.shape[0] * cb.shape[2]
+
+    cell_col, _dist = _nearest_cell_expr(F.col(vec_col), centroids, cells, dim)
+    assigned = (
+        new_vectors.select(id_col, vec_col)
+        .dropDuplicates([id_col])
+        .withColumn("cell", cell_col)
+    )
+    n_skipped = assigned.where(F.col("cell").isNull()).count()
+    assigned = assigned.where(F.col("cell").isNotNull())
+    enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell",))
+    enc = enc.localCheckpoint(eager=True)
+    batch_cells = [
+        int(r["cell"]) for r in enc.select("cell").distinct().collect()
+    ]
+    n_batch = enc.count()
+    if not n_batch:
+        return {"added": 0, "replaced": 0, "skipped": n_skipped,
+                "touched_cells": []}
+
+    codes_path = os.path.join(path, "codes")
+    prior = (
+        spark.read.parquet(codes_path)
+        .select(id_col, "cell")
+        .join(F.broadcast(enc.select(id_col)), id_col, "left_semi")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    replaced = sum(int(r["n"]) for r in prior)
+    touched = sorted(set(batch_cells) | {int(r["cell"]) for r in prior})
+    existing = spark.read.parquet(codes_path).where(F.col("cell").isin(touched))
+    keep = existing.join(enc.select(id_col), id_col, "left_anti")
+    merged = keep.select(id_col, "codes", "vnorm", "cell").unionByName(
+        enc.select(id_col, "codes", "vnorm", "cell")
+    ).localCheckpoint(eager=True)  # materialize before overwriting inputs
+    (
+        merged.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(codes_path)
+    )
+    return {
+        "added": n_batch - replaced,
+        "replaced": replaced,
+        "skipped": n_skipped,
+        "touched_cells": touched,
+    }

@@ -74,3 +74,41 @@ def test_roundtrip_codebooks(spark, index_path, emb):
     import numpy as np
 
     assert np.allclose(cb, again)  # persisted == refit (seeded)
+
+
+def test_upsert_replaces_moves_and_adds(spark, emb, tmp_path):
+    path = str(tmp_path / "idx_upsert")
+    PI.build_ivfpq_index(emb, path, n_cells=8, m=8, kc=32)
+
+    # a brand-new id, an updated id (vector changed -> may move cells),
+    # and a zero-norm quarantine row
+    moved = emb.where("vec_id = 7").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    )
+    new = spark.createDataFrame(
+        [(999_999, [0.5] * 64), (999_998, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    res = PI.upsert_ivfpq_index(spark, path, moved.unionByName(new))
+    assert res["added"] == 1 and res["replaced"] == 1 and res["skipped"] == 1
+
+    codes = spark.read.parquet(path + "/codes")
+    assert codes.where("vec_id = 7").count() == 1   # no stale duplicate
+    assert codes.where("vec_id = 999999").count() == 1
+    assert codes.where("vec_id = 999998").count() == 0
+    # total = original corpus + 1 added
+    assert codes.count() == emb.count() + 1
+
+    # the new id is findable: search with its own vector as the query
+    q = spark.createDataFrame(
+        [(999_999, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    raw = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(999_999, [0.5] * 64)],
+                              "vec_id long, embedding array<float>")
+    )
+    hits = PI.search_ivfpq_index(
+        spark, path, q, raw, k=3, nprobe=8, shortlist=50,
+        exclude_self=False,
+    ).collect()
+    assert hits[0]["neighbor_id"] == 999_999  # finds itself, rank 1
