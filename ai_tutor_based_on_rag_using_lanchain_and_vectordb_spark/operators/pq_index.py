@@ -205,3 +205,29 @@ def upsert_ivfpq_index(
         "skipped": n_skipped,
         "touched_cells": touched,
     }
+
+
+def stream_ivfpq_index(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Continuous maintenance of the codes layout: every micro-batch
+    runs the frozen-quantizer upsert (same foreachBatch shape as
+    ann_index.stream_ivf_index). Returns the started StreamingQuery."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_ivfpq_index(
+            batch_df.sparkSession, path, batch_df,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -112,3 +112,25 @@ def test_upsert_replaces_moves_and_adds(spark, emb, tmp_path):
         exclude_self=False,
     ).collect()
     assert hits[0]["neighbor_id"] == 999_999  # finds itself, rank 1
+
+
+def test_stream_fed_index_matches_batch_upsert(spark, emb, sf_dir, tmp_path):
+    """Vectors arriving as a stream fold into the codes layout exactly
+    like one batch upsert would."""
+    path = str(tmp_path / "idx_stream")
+    # build from the first half; stream in the rest
+    PI.build_ivfpq_index(emb.where("vec_id < 250"), path, n_cells=8)
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.schemas import DRIVER_TABLES
+
+    stream = (
+        spark.readStream.schema(DRIVER_TABLES["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where("vec_id >= 250")
+        .select("vec_id", "embedding")
+    )
+    q = PI.stream_ivfpq_index(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    codes = spark.read.parquet(path + "/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
