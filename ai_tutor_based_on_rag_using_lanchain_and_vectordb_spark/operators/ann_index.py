@@ -122,6 +122,23 @@ def read_stats(spark: SparkSession, path: str) -> dict:
     return dict(row.asDict())
 
 
+def _clear_emptied_partitions(spark, merged, codes_path, touched) -> None:
+    """Dynamic partition overwrite only rewrites partitions PRESENT in
+    the output — a touched cell whose every row moved elsewhere keeps
+    its old files and would serve stale codes. Overwrite such cells'
+    directories with an empty (schema-bearing) parquet so the stale
+    rows are gone and the reader still discovers the partition."""
+    present = {
+        int(r["cell"]) for r in merged.select("cell").distinct().collect()
+    }
+    empty = spark.createDataFrame([], merged.drop("cell").schema)
+    for cell in touched:
+        if int(cell) not in present:
+            empty.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(codes_path, f"cell={int(cell)}")
+            )
+
+
 def upsert_ivf_index(
     spark: SparkSession,
     path: str,
@@ -213,6 +230,9 @@ def upsert_ivf_index(
         .partitionBy("cell")
         .parquet(vectors_path)
     )
+    # a touched cell whose every row moved elsewhere is absent from the
+    # dynamic overwrite and would keep stale files — clear it explicitly
+    _clear_emptied_partitions(spark, merged, vectors_path, touched)
 
     stats = read_stats(spark, path)
     cur_n = int(stats["cur_n"]) + n_batch - replaced

@@ -122,8 +122,6 @@ def encode_pq(
     (vec_id, codes[M], original norm) plus any ``keep_cols`` carried
     through untouched (e.g. the IVF cell id); at 100 TB this is the
     table you persist instead of the raw vectors."""
-    import pyspark.sql.types as T
-
     cb = np.asarray(codebooks, dtype=np.float64)
     m, k, sub = cb.shape
     extra_fields = [
@@ -301,6 +299,12 @@ def knn_ivfpq(
     top-k — no stage ever materializes a full score matrix."""
     from .knn import fit_ivf_centroids, unit_vectors_ml
 
+    spark = vectors.sparkSession
+    # queries first: an empty query set must not pay the k-means fits
+    qm, qu, qids = _prep_queries(queries, id_col, vec_col)
+    if not len(qids):
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+
     model, centroids = fit_ivf_centroids(vectors, n_clusters, vec_col)
     assigned = (
         model.transform(unit_vectors_ml(vectors, vec_col))
@@ -309,25 +313,8 @@ def knn_ivfpq(
     )
     cb = fit_pq_codebooks(vectors, m=m, k=kc, vec_col=vec_col, id_col=id_col)
     enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell",))
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    qm = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    qids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    keep_q = qn[:, 0] > 0
-    qm, qn, qids = qm[keep_q], qn[keep_q], qids[keep_q]
-    qu = qm / qn
-    cell_scores = qu @ centroids.T
-    spark = vectors.sparkSession
-    probe_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (int(qid), int(c))
-                for i, qid in enumerate(qids)
-                for c in np.argsort(-cell_scores[i])[:nprobe]
-            ],
-            schema="query_id long, cell int",
-        )
+    probe_df, _cells = _probe_df(
+        spark, qu, qids, centroids, list(range(len(centroids))), nprobe
     )
     cand = enc.join(probe_df, "cell").select("query_id", "vec_id", "codes")
     n_short = max(shortlist, k)
@@ -336,6 +323,50 @@ def knn_ivfpq(
     return _exact_rerank(
         short, vectors, qu, qids, qm.shape[1], k, id_col, vec_col
     )
+
+
+_RESULT_SCHEMA = (
+    "query_id long, neighbor_id long, rank int, score double"
+)
+
+
+def _prep_queries(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collect the (few) query vectors, drop zero-norm ones (cosine
+    undefined — the shared contract), return (qm, qu, qids). The single
+    place the query-side prep lives for every PQ-family search."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return (np.empty((0, 0)), np.empty((0, 0)), np.empty(0, np.int64))
+    qm = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    keep_q = qn[:, 0] > 0
+    qm, qn, qids = qm[keep_q], qn[keep_q], qids[keep_q]
+    return qm, (qm / qn if len(qm) else qm), qids
+
+
+def _probe_df(
+    spark,
+    qu: np.ndarray,
+    qids: np.ndarray,
+    centroids: np.ndarray,
+    cells,
+    nprobe: int,
+):
+    """(broadcast probe table, probed cell list) for the top-``nprobe``
+    cells of each query."""
+    scores = qu @ np.asarray(centroids, dtype=np.float64).T
+    pairs = [
+        (int(qid), int(cells[c]))
+        for i, qid in enumerate(qids)
+        for c in np.argsort(-scores[i])[:nprobe]
+    ]
+    probe = F.broadcast(
+        spark.createDataFrame(pairs, "query_id long, cell int")
+    )
+    return probe, sorted({c for _, c in pairs})
 
 
 def _adc_partial(

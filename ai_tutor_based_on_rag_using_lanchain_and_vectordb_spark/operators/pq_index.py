@@ -22,7 +22,15 @@ from pyspark.sql import functions as F
 
 from . import knn as KNN
 from .knn import fit_ivf_centroids, unit_vectors_ml
-from .pq import _adc_partial, _exact_rerank, encode_pq, fit_pq_codebooks
+from .pq import (
+    _RESULT_SCHEMA,
+    _adc_partial,
+    _exact_rerank,
+    _prep_queries,
+    _probe_df,
+    encode_pq,
+    fit_pq_codebooks,
+)
 
 
 def build_ivfpq_index(
@@ -95,30 +103,16 @@ def search_ivfpq_index(
     """Probe → pruned code scan → ADC → exact re-rank. The cell
     IN-filter prunes partitions of the codes layout before any byte of
     code is read; raw vectors are touched only for the shortlist."""
+    qm, qu, qids = _prep_queries(queries, id_col, vec_col)
+    if not len(qids):
+        return spark.createDataFrame([], _RESULT_SCHEMA)
     centroids_pdf = spark.read.parquet(
         os.path.join(path, "centroids")
     ).toPandas()
     cent = np.vstack(centroids_pdf["centroid"].to_numpy())
     cells = centroids_pdf["cell"].to_numpy()
     cb = read_codebooks(spark, path)
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    qm = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    qids = np.asarray([r[id_col] for r in q_rows], dtype=np.int64)
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    keep_q = qn[:, 0] > 0
-    qm, qn, qids = qm[keep_q], qn[keep_q], qids[keep_q]
-    qu = qm / qn
-    scores = qu @ cent.T
-    probe_pairs = [
-        (int(qid), int(cells[c]))
-        for i, qid in enumerate(qids)
-        for c in np.argsort(-scores[i])[:nprobe]
-    ]
-    probe_df = F.broadcast(
-        spark.createDataFrame(probe_pairs, "query_id long, cell int")
-    )
-    probed_cells = sorted({c for _, c in probe_pairs})
+    probe_df, probed_cells = _probe_df(spark, qu, qids, cent, cells, nprobe)
     codes = spark.read.parquet(os.path.join(path, "codes")).where(
         F.col("cell").isin(probed_cells)  # partition pruning
     )
@@ -199,12 +193,16 @@ def upsert_ivfpq_index(
         .partitionBy("cell")
         .parquet(codes_path)
     )
+    from .ann_index import _clear_emptied_partitions
+
+    _clear_emptied_partitions(spark, merged, codes_path, touched)
     return {
         "added": n_batch - replaced,
         "replaced": replaced,
         "skipped": n_skipped,
         "touched_cells": touched,
     }
+
 
 
 def stream_ivfpq_index(

@@ -68,6 +68,11 @@ def scd2_apply(
     rather than NULL — range predicates like ``BETWEEN valid_from AND
     valid_to`` then need no null branch, and engines that stringify
     null dates differently stay hash-comparable.
+
+    Precondition: at most one is_current row per key in ``dim`` — the
+    invariant this function itself maintains from a deduplicated
+    initial load (updates are checked for duplicate keys below; a dim
+    corrupted by an outside writer would fan the join out).
     """
     if not attrs:
         raise ValueError("scd2_apply needs at least one tracked attribute")
@@ -85,8 +90,13 @@ def scd2_apply(
         raise ValueError(
             f"scd2_apply: duplicate update rows for {key}={dup[0][key]}"
         )
-    cur = dim.where(F.col("is_current")).alias("t")
-    hist = dim.where(~F.col("is_current"))
+    # Partition WITHOUT losing rows: a NULL is_current (or a NULL key,
+    # which could never equi-join) fails BOTH `where(c)` and `where(~c)`
+    # under SQL null semantics — a history-preserving merge must never
+    # silently drop such rows, so they ride the passthrough side.
+    active = F.col("is_current") & F.col(key).isNotNull()
+    cur = dim.where(active).alias("t")
+    hist = dim.where(~F.coalesce(active, F.lit(False)))
     u = updates.withColumn("_u_present", F.lit(True)).alias("u")
     j = cur.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
     matched = F.col("u._u_present").isNotNull() & F.col(f"t.{key}").isNotNull()

@@ -636,10 +636,13 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, bin, n) longs, so ANY date range's quantiles come from
     group-summing bins — no raw re-scan, and a stream maintains it
     with plain additive upserts via the rollup.py machinery). The
-    median estimate linearly interpolates inside the covering bin,
-    which bounds its error by one bin width; the query emits the
-    estimate next to the exact percentile for a full range and a
-    sub-range, with the error asserted ≤ bin width. Fully
+    median estimate linearly interpolates inside the covering bin.
+    The provable bound is against the DISCRETE median (the smallest
+    data value whose CDF ≥ 0.5 — it always lies in the covering bin,
+    so |est − disc| < bin width holds unconditionally); the CONTINUOUS
+    median can sit outside the covering bin when the two middle order
+    statistics straddle a value gap, so it is emitted as telemetry,
+    not gated. Both ranges (full, partial) are checked. Fully
     SQL-expressible, so the whole sketch pipeline is oracle-checked."""
     events = load_table(spark, sf_dir, "events")
     day = F.to_date("ts")
@@ -682,13 +685,19 @@ def quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(est_in_bin.alias("est"))
         )
-        exact = h.agg(F.expr("percentile(value, 0.5)").alias("exact"))
+        exact = h.agg(
+            F.expr("percentile(value, 0.5)").alias("cont"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+            ).alias("disc"),
+        )
         return est.crossJoin(F.broadcast(exact)).select(
             F.lit(tag).alias("range_tag"),
             X.pround(F.col("est"), 4).alias("median_est"),
-            X.pround(F.col("exact"), 4).alias("median_exact"),
-            X.pround(F.abs(F.col("est") - F.col("exact")), 4).alias("abs_err"),
-            (F.abs(F.col("est") - F.col("exact")) <= _QBIN_W).alias("passed"),
+            X.pround(F.col("cont"), 4).alias("median_cont"),
+            X.pround(F.col("disc"), 4).alias("median_disc"),
+            X.pround(F.abs(F.col("est") - F.col("disc")), 4).alias("abs_err_disc"),
+            (F.abs(F.col("est") - F.col("disc")) <= _QBIN_W).alias("passed"),
         )
 
     return one_range("all_days", None).unionByName(
@@ -879,9 +888,10 @@ ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
 _QROLLUP_ONE = """
     SELECT '{tag}' AS range_tag,
            {est} AS median_est,
-           {exact} AS median_exact,
-           {err} AS abs_err,
-           abs(est - exact) <= {w} AS passed
+           {cont} AS median_cont,
+           {disc} AS median_disc,
+           {err} AS abs_err_disc,
+           abs(est - disc) <= {w} AS passed
     FROM (
         SELECT
             (SELECT min(bin * {w} + {w} * ((total * 0.5) - (cum - n)) / n)
@@ -912,7 +922,8 @@ _QROLLUP_ONE = """
                      )
                  ) WHERE cum >= total * 0.5
              )) AS est,
-            (SELECT quantile_cont(value, 0.5) FROM events {cond}) AS exact
+            (SELECT quantile_cont(value, 0.5) FROM events {cond}) AS cont,
+            (SELECT quantile_disc(value, 0.5) FROM events {cond}) AS disc
     )
 """
 
@@ -926,8 +937,9 @@ def _qrollup_sql(tag: str, cond: str) -> str:
         w=_QBIN_W,
         top=_QBIN_W * _QBIN_N - 1e-9,
         est=pround_sql("est", 4),
-        exact=pround_sql("exact", 4),
-        err=pround_sql("abs(est - exact)", 4),
+        cont=pround_sql("cont", 4),
+        disc=pround_sql("disc", 4),
+        err=pround_sql("abs(est - disc)", 4),
     )
 
 

@@ -313,11 +313,18 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
     )
-    dup = grams.groupBy("g").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
-    hits = grams.join(dup.select("g"), "g").select(
-        "doc_id", "i", (F.col("i") + (SPAN_L - 1)).alias("e")
-    )
     from pyspark.sql import Window
+
+    # one pass over the corpus-scale explode: a count window keyed on
+    # the gram marks duplicated windows in the same shuffle that would
+    # otherwise feed a groupBy + join-back (which re-explodes every
+    # document's character windows a second time)
+    wg = Window.partitionBy("g")
+    hits = (
+        grams.withColumn("c", F.count("*").over(wg))
+        .where(F.col("c") >= 2)
+        .select("doc_id", "i", (F.col("i") + (SPAN_L - 1)).alias("e"))
+    )
 
     w = Window.partitionBy("doc_id").orderBy("i")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))

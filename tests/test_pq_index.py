@@ -134,3 +134,40 @@ def test_stream_fed_index_matches_batch_upsert(spark, emb, sf_dir, tmp_path):
     codes = spark.read.parquet(path + "/codes")
     assert codes.count() == emb.count()
     assert codes.select("vec_id").distinct().count() == emb.count()
+
+
+def test_upsert_clears_emptied_cell(spark, tmp_path):
+    """A cell whose ONLY row moves to another cell must not keep its
+    stale file — dynamic partition overwrite alone would (the written
+    data contains no row for that cell), so the upsert explicitly
+    clears emptied partitions."""
+    import numpy as np
+
+    base = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 63), (2, [0.0, 1.0] + [0.0] * 62)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "idx_empty")
+    PI.build_ivfpq_index(base, path, n_cells=2, m=8, kc=2)
+    codes = spark.read.parquet(path + "/codes")
+    cells_before = {r["cell"]: r["vec_id"] for r in codes.collect()}
+    assert len(set(cells_before)) == 2  # one vector per cell
+
+    # move vec 1 onto vec 2's direction → its old cell empties
+    moved = spark.createDataFrame(
+        [(1, [0.0, 1.0] + [0.0] * 62)], "vec_id long, embedding array<float>"
+    )
+    PI.upsert_ivfpq_index(spark, path, moved)
+    after = spark.read.parquet(path + "/codes").collect()
+    assert len(after) == 2                      # no stale third row
+    assert sorted(r["vec_id"] for r in after) == [1, 2]
+    assert len({r["cell"] for r in after}) == 1  # both in one cell now
+
+
+def test_search_with_empty_queries(spark, emb, index_path):
+    out = PI.search_ivfpq_index(
+        spark, index_path, emb.where("vec_id < 0"), emb, k=3
+    )
+    assert out.count() == 0
+    out2 = PQ.knn_ivfpq(emb, emb.where("vec_id < 0"), k=3)
+    assert out2.count() == 0

@@ -133,3 +133,30 @@ def test_scd2_empty_attrs_rejected(spark):
     updates = spark.createDataFrame([(1, "x")], "id long, attr string")
     with pytest.raises(ValueError, match="at least one tracked"):
         scd2_apply(dim, updates, "id", [], "2024-06-01")
+
+
+def test_scd2_null_flag_rows_pass_through(spark):
+    """A NULL is_current (or NULL key) row fails both where(c) and
+    where(~c) under SQL null semantics — it must ride the passthrough
+    side, never silently vanish from a history-preserving merge."""
+    from pyspark.sql import functions as F
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.upsert import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(5, "x", "2024-01-01", "9999-12-31", None),
+         (None, "y", "2024-01-01", "9999-12-31", True),
+         (1, "a", "2024-01-01", "9999-12-31", True)],
+        "id long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "id", "attr",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame([(1, "a2")], "id long, attr string")
+    out = scd2_apply(dim, updates, "id", ["attr"], "2024-06-01")
+    rows = [(r["id"], r["attr"]) for r in out.collect()]
+    assert (5, "x") in rows      # null-flag row preserved
+    assert (None, "y") in rows   # null-key row preserved
+    assert len(rows) == 4        # plus key 1's closed + fresh rows
