@@ -133,6 +133,12 @@ def encode_pq(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL embeddings are dropped up front (np.vstack would
+            # crash on a None element) — same contract as the zero-norm
+            # drop below and as knn_exact_expr's norm filtering
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1)
             keep = norms > 0

@@ -159,8 +159,10 @@ def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("reingest").alias("source"),
         (F.col("n_chars") + 7).alias("n_chars"),
     )
+    # sentinel -1: generated doc_ids are non-negative at every scale
+    # factor, so the brand-new-row case can never collide with a real id
     new_row = spark.createDataFrame(
-        [(10_000_000, "brand new doc", "en", "reingest", 13)],
+        [(-1, "brand new doc", "en", "reingest", 13)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     merged = merge_upsert(docs, updates.unionByName(new_row), "doc_id")
@@ -189,8 +191,9 @@ def scd2_catalog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("reingest").alias("source"),
         (F.col("n_chars") + 7).alias("n_chars"),
     )
+    # sentinel -1: can never collide with generated (non-negative) ids
     new_row = spark.createDataFrame(
-        [(10_000_000, "en", "reingest", 13)],
+        [(-1, "en", "reingest", 13)],
         "doc_id long, lang string, source string, n_chars long",
     )
     return scd2_apply(
@@ -262,7 +265,7 @@ ORACLE = {
                DATE '2024-02-01', DATE '9999-12-31', true
         FROM documents WHERE doc_id % 7 = 0
         UNION ALL
-        SELECT 10000000, 'en', 'reingest', 13,
+        SELECT -1, 'en', 'reingest', 13,
                DATE '2024-02-01', DATE '9999-12-31', true
     """,
     "user_event_journeys": """
@@ -284,7 +287,7 @@ ORACLE = {
                    'reingest' AS source, n_chars + 7 AS n_chars
             FROM documents WHERE doc_id % 7 = 0
             UNION ALL
-            SELECT 10000000, 'brand new doc', 'en', 'reingest', 13
+            SELECT -1, 'brand new doc', 'en', 'reingest', 13
         )
         SELECT coalesce(u.doc_id, t.doc_id) AS doc_id,
                CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE t.lang END AS lang,

@@ -48,8 +48,12 @@ _KINDS = ("pdf", "docx", "html", "txt")
 
 
 def _kind_of(path: str) -> str:
+    """Extension-derived format. Unknown extensions map to a distinct
+    'other' kind (NOT 'txt'): aliasing them to txt would make
+    kind='txt' queries open arbitrary binary payloads as text, and
+    unknown files could never be pruned out of a scan."""
     suffix = path.rsplit(".", 1)[-1].lower() if "." in path else ""
-    return suffix if suffix in _KINDS else "txt"
+    return suffix if suffix in _KINDS else "other"
 
 
 def _list(root: str) -> list[str]:
@@ -111,10 +115,15 @@ class CorpusDirReader(DataSourceReader):
 
 
 class CorpusDirStreamReader(SimpleDataSourceStreamReader):
-    """Offset = files consumed from the sorted listing. New files must
-    sort AFTER already-consumed ones to be picked up (upload with
-    monotonic names — timestamps/sequence ids — the standard
-    drop-directory contract)."""
+    """Offset = files consumed from the sorted listing, VALIDATED by
+    path: the offset also records the last consumed path, and every
+    read asserts the listing still has that path at the recorded
+    boundary. New files must sort AFTER already-consumed ones to be
+    picked up (upload with monotonic names — timestamps/sequence ids —
+    the standard drop-directory contract); a violation (a deleted
+    consumed file, or a new file sorting before the watermark, which
+    would silently shift indices and skip/re-read documents) FAILS the
+    batch instead of being trusted."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -122,11 +131,32 @@ class CorpusDirStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("corpusdir: option 'path' is required")
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"index": 0, "last": None}
+
+    @staticmethod
+    def _check_boundary(paths: list[str], index: int, last) -> None:
+        """The consumed prefix ends exactly at `last`: sorted order
+        guarantees everything before it is <= last, so one positional
+        equality detects both deletions inside the prefix and
+        insertions that sort before the watermark."""
+        if index == 0 or last is None:  # None: pre-upgrade checkpoint
+            return
+        if index > len(paths) or paths[index - 1] != last:
+            raise RuntimeError(
+                f"corpusdir: directory listing no longer matches the "
+                f"committed offset (expected {last!r} at position "
+                f"{index - 1}); a consumed file was deleted or a new "
+                f"file sorted before the watermark — refusing to "
+                f"skip/re-read documents"
+            )
 
     def read(self, start: dict):
         paths = _list(self.root)
-        end = {"index": len(paths)}
+        self._check_boundary(paths, start["index"], start.get("last"))
+        end = {
+            "index": len(paths),
+            "last": paths[-1] if paths else start.get("last"),
+        }
         # A list-backed iterator is REQUIRED here: Spark's prefetching
         # cache replays this batch via copy.copy(iterator), which fails
         # on a generator (datasource_internal.getCache). The driver-side
@@ -139,8 +169,11 @@ class CorpusDirStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        paths = _list(self.root)[start["index"]: end["index"]]
-        return (row for p in paths for row in _read_file(p))
+        paths = _list(self.root)
+        self._check_boundary(paths, start["index"], start.get("last"))
+        self._check_boundary(paths, end["index"], end.get("last"))
+        chunk = paths[start["index"]: end["index"]]
+        return (row for p in chunk for row in _read_file(p))
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the directory is the source of truth

@@ -137,3 +137,51 @@ def test_in_filter_pushdown_and_intersection(spark, corpus_dir):
     # end-to-end through the engine
     df = _read(spark, corpus_dir).where(F.col("kind").isin("pdf", "txt"))
     assert sorted(r["kind"] for r in df.collect()) == ["pdf", "pdf", "txt"]
+
+
+def test_unknown_extension_is_other_kind(spark, corpus_dir):
+    import os
+
+    with open(os.path.join(corpus_dir, "z.bin"), "wb") as fh:
+        fh.write(b"\x00\x01binary payload")
+    # kind='txt' must NOT open the binary payload …
+    df = _read(spark, corpus_dir).where(F.col("kind") == "txt")
+    assert [r["page_text"] for r in df.collect()] == ["plain text"]
+    # … and the unknown file is separately addressable AND prunable
+    reader = CorpusDirReader({"path": corpus_dir})
+    from pyspark.sql.datasource import EqualTo
+
+    list(reader.pushFilters([EqualTo(("kind",), "other")]))
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("z.bin")
+
+
+def test_stream_offset_validates_listing_prefix(corpus_dir):
+    import os
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.pyds import (
+        CorpusDirStreamReader,
+    )
+
+    reader = CorpusDirStreamReader({"path": corpus_dir})
+    rows, end = reader.read(reader.initialOffset())
+    n = len(list(rows))
+    assert n == 5 and end["index"] == 4 and end["last"].endswith("d.txt")
+
+    # new file sorting BEFORE the watermark: indices shift → batch fails
+    with open(os.path.join(corpus_dir, "0_early.txt"), "wb") as fh:
+        fh.write(b"sorts first")
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        reader.read(end)
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        list(reader.readBetweenOffsets({"index": 0, "last": None}, end))
+    os.remove(os.path.join(corpus_dir, "0_early.txt"))
+
+    # a deleted consumed file also shifts the prefix → batch fails
+    os.remove(os.path.join(corpus_dir, "b.docx"))
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        reader.read(end)
+
+    # pre-upgrade checkpoints (no 'last') skip validation, not crash
+    rows, _end2 = reader.read({"index": 3})
+    assert len(list(rows)) == 0  # 3 files remain → nothing new at index 3
