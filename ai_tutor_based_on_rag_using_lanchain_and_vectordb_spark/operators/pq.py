@@ -170,6 +170,55 @@ def encode_pq(
     )
 
 
+def mean_pq_distortion(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> float | None:
+    """Mean squared quantization error of encoding ``vectors`` with the
+    given (frozen) codebooks — the observable a codebook-refit policy
+    needs: under distribution drift the frozen codebooks reconstruct
+    new vectors worse, and this number rises. Same normalization and
+    assignment math as :func:`encode_pq`; one Arrow pass emitting one
+    (count, sse) row per batch, aggregated to a scalar. Returns None
+    when no encodable (non-null, non-zero-norm) vectors exist."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = cb.shape
+
+    def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            mat = mat[norms > 0] / norms[norms > 0, None]
+            if not len(mat):
+                continue
+            sse = 0.0
+            for i in range(m):
+                seg = mat[:, i * sub : (i + 1) * sub]
+                d2 = (
+                    (seg**2).sum(axis=1)[:, None]
+                    - 2.0 * seg @ cb[i].T
+                    + (cb[i] ** 2).sum(axis=1)[None, :]
+                )
+                # float roundoff can push the true-minimum distance a
+                # hair below zero — clamp before summing
+                sse += float(np.maximum(d2.min(axis=1), 0.0).sum())
+            yield pd.DataFrame({"n": [len(mat)], "sse": [sse]})
+
+    totals = (
+        vectors.select(vec_col)
+        .mapInPandas(measure, "n long, sse double")
+        .agg(F.sum("n").alias("n"), F.sum("sse").alias("sse"))
+        .first()
+    )
+    if not totals or not totals["n"]:
+        return None
+    return float(totals["sse"]) / float(totals["n"])
+
+
 def knn_pq_adc(
     encoded: DataFrame,
     codebooks: np.ndarray,

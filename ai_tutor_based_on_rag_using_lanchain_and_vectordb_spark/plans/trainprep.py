@@ -315,15 +315,24 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    # one pass over the corpus-scale explode: a count window keyed on
-    # the gram marks duplicated windows in the same shuffle that would
-    # otherwise feed a groupBy + join-back (which re-explodes every
-    # document's character windows a second time)
-    wg = Window.partitionBy("g")
-    hits = (
-        grams.withColumn("c", F.count("*").over(wg))
+    # TWO-PHASE duplicate-gram detection, not a count window keyed on
+    # the gram: `count(*) OVER (PARTITION BY g)` buffers EVERY position
+    # of one gram in a single window task, so one corpus-wide
+    # boilerplate window (license header, template) becomes a
+    # straggler/spill at scale and AQE cannot split it. The groupBy
+    # gets map-side partial aggregation (a hot gram contributes at most
+    # one partial row per map partition to the shuffle), and the
+    # semi-join back is a plain shuffle join AQE's skew splitting CAN
+    # handle. Cost: the gram explode is evaluated twice (linear CPU) —
+    # the price for removing the unsplittable hot-key window.
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= 2)
-        .select("doc_id", "i", (F.col("i") + (SPAN_L - 1)).alias("e"))
+        .select("g")
+    )
+    hits = grams.join(dup_grams.hint("shuffle_hash"), "g", "left_semi").select(
+        "doc_id", "i", (F.col("i") + (SPAN_L - 1)).alias("e")
     )
 
     w = Window.partitionBy("doc_id").orderBy("i")

@@ -54,3 +54,25 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
         for f in fs
     ]
     assert written, "reliable checkpoint wrote no files"
+
+
+def test_env_knob_drives_plan_entry_checkpointing(spark, sf_dir, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR routes the neardup plan entries onto
+    reliable checkpoint() without code edits (cluster deployment knob)."""
+    import glob
+    import os
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import (
+        neardup_components,
+    )
+
+    ckpt = str(tmp_path / "plan_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt)
+    out = neardup_components(spark, sf_dir)
+    assert out.count() > 0
+    written = glob.glob(os.path.join(ckpt, "**", "*"), recursive=True)
+    assert written, "env-driven reliable checkpoint wrote no files"
+
+    # unset → default localCheckpoint path still works
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    assert neardup_components(spark, sf_dir).count() == out.count()

@@ -210,3 +210,65 @@ def test_minhash_candidates_are_join_free(spark, sf_dir):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in p, node
+
+
+def test_quartiles_has_no_unpartitioned_window(spark, sf_dir):
+    # customer_spend_quartiles formerly ran ntile(4) over a global
+    # (unpartitioned) sort — the single-task straggler at 100×. The
+    # bucketed rewrite must leave no window without a partition spec
+    # and no ntile at all.
+    p = _plan(_q("customer_spend_quartiles", spark, sf_dir))
+    assert "ntile" not in p
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_gbkt" in line  # every window partitioned by bucket
+
+
+def test_duplicate_spans_window_only_keys_on_doc(spark, sf_dir):
+    # the duplicate-gram count must be a two-phase groupBy + semi-join
+    # (map-side combinable, AQE-splittable), never a count window
+    # partitioned by the corpus-cardinality gram key
+    p = _plan(_q("duplicate_spans", spark, sf_dir))
+    for line in p.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "doc_id" in line and " g#" not in line
+
+
+def test_no_global_window_over_scaled_input_in_sources():
+    # static guard: an unpartitioned Window.orderBy over corpus-scaled
+    # input must not reappear anywhere in plans/. The two whitelisted
+    # sites are windows over BOUNDED inputs (a ≤256-row merged quantile
+    # sketch; a calendar-bounded daily aggregate).
+    import glob
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(bench.__file__),
+        "ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark",
+    )
+    allowed = {
+        ("plans/pipeline.py", "quantile sketch"),
+        ("plans/misc.py", "daily revenue"),
+    }
+    hits = []
+    for f in glob.glob(os.path.join(pkg, "plans", "*.py")):
+        for i, line in enumerate(open(f).read().splitlines(), 1):
+            if re.search(r"Window\.orderBy\(", line):
+                hits.append((os.path.relpath(f, pkg), i))
+    assert {h[0] for h in hits} <= {a[0] for a in allowed}, hits
+    assert len(hits) <= 2, hits
+
+
+def test_brand_supplier_counts_dedupes_pairs_before_joins(spark, sf_dir):
+    # the (partkey, suppkey) pair distinct must sit BELOW the part join
+    # in the plan: the aggregate that feeds the join reads only the two
+    # lineitem link keys (partial map-side agg collapses the fact table
+    # to partsupp cardinality before any join shuffles it)
+    p = _plan(_q("brand_supplier_counts", spark, sf_dir))
+    agg_keys = [
+        l for l in p.splitlines()
+        if "Keys" in l and "l_partkey" in l and "l_suppkey" in l
+        and "p_brand" not in l
+    ]
+    assert agg_keys, "pair-level distinct missing from plan"

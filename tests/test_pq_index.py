@@ -171,3 +171,38 @@ def test_search_with_empty_queries(spark, emb, index_path):
     assert out.count() == 0
     out2 = PQ.knn_ivfpq(emb, emb.where("vec_id < 0"), k=3)
     assert out2.count() == 0
+
+
+def test_upsert_reports_adc_error_rising_under_drift(spark, emb, tmp_path):
+    path = str(tmp_path / "drift_idx")
+    PI.build_ivfpq_index(emb, path, n_cells=4, m=8, kc=32)
+
+    # in-distribution batch: fresh ids, same vector population
+    indist = emb.where("vec_id >= 5 AND vec_id < 55").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    r1 = PI.upsert_ivfpq_index(spark, path, indist)
+    assert r1["mean_adc_error"] is not None and r1["mean_adc_error"] >= 0.0
+
+    # distribution shift: vectors collapse onto (almost) one basis
+    # direction — after the encoder's unit-normalization this is far
+    # from the population the codebooks were fit on (measured: error
+    # more than doubles vs the in-distribution batch)
+    shifted = emb.where("vec_id >= 5 AND vec_id < 55").select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, F.lit(1.0))
+            .otherwise(x * F.lit(0.01))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    r2 = PI.upsert_ivfpq_index(spark, path, shifted)
+    # the refit signal: frozen codebooks reconstruct drifted vectors worse
+    assert r2["mean_adc_error"] > r1["mean_adc_error"] * 1.5
+
+    # empty batch keeps the field present (None)
+    r3 = PI.upsert_ivfpq_index(
+        spark, path, emb.where("vec_id < 0").select("vec_id", "embedding")
+    )
+    assert r3["mean_adc_error"] is None

@@ -1,0 +1,103 @@
+"""operators/ranks.py — exact global row numbers / ntile without the
+single-task unpartitioned-window sort, verified row-for-row against
+Spark's own global-window results (which are the semantics oracle at
+test scale) including ties, nulls, and degenerate inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.ranks import (
+    global_row_number,
+    ntile_no_global_sort,
+)
+
+
+def _data(spark, n=500, with_ties=True, with_nulls=False):
+    rows = []
+    for i in range(n):
+        v = float((i * 37) % 97) if with_ties else float(i)
+        if with_nulls and i % 50 == 0:
+            v = None
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_global_row_number_matches_window(spark, desc):
+    df = _data(spark)
+    got, total = global_row_number(
+        df, "v", tiebreaks=("id",), primary_desc=desc, n_buckets=16
+    )
+    assert total == 500
+    order = [F.desc("v") if desc else F.asc("v"), F.asc("id")]
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+@pytest.mark.parametrize("k", [2, 4, 7])
+def test_ntile_matches_window(spark, k):
+    df = _data(spark, n=503)  # non-divisible: first n%k tiles get +1
+    got = ntile_no_global_sort(
+        df, k, "v", tiebreaks=("id",), primary_desc=True, n_buckets=16
+    )
+    want = df.withColumn(
+        "tile", F.ntile(k).over(Window.orderBy(F.desc("v"), F.asc("id")))
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_heavy_tie_value_still_exact(spark):
+    # one value dominating the distribution collapses buckets — ranks
+    # must still match (in-bucket tie-break sorts the hot value)
+    rows = [(i, 5.0 if i % 10 else float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got, total = global_row_number(df, "v", ("id",), n_buckets=8)
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))).cast("long")
+    )
+    assert total == 300
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_nulls_pinned_to_last_bucket(spark):
+    df = _data(spark, n=200, with_nulls=True)
+    got, _ = global_row_number(df, "v", ("id",), n_buckets=8)
+    # Spark default: nulls FIRST asc — ranks.py pins nulls to the LAST
+    # bucket, so compare against NULLS LAST ordering explicitly
+    want = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.asc_nulls_last("v"), F.asc("id")))
+        .cast("long"),
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_empty_and_tiny_inputs(spark):
+    empty = spark.createDataFrame([], "id long, v double")
+    got, total = global_row_number(empty, "v", ("id",))
+    assert total == 0 and got.count() == 0
+    one = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    tiled = ntile_no_global_sort(one, 4, "v")
+    assert [r["tile"] for r in tiled.collect()] == [1]
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = _data(spark)
+    got, _ = global_row_number(df, "v", ("id",), n_buckets=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # every Window node must carry a partition spec (the _gbkt bucket)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_gbkt" in line
