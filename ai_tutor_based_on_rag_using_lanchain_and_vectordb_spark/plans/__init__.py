@@ -28,10 +28,11 @@ ALL_MODULES = (
 # re-validates the other half of the registry. The order is otherwise
 # semantically irrelevant.
 _DRIVER_PRIORITY = (
-    # (1) changed this round — need fresh official rows first
+    # (1) new/changed this round — need fresh official rows first
+    "sequence_packing",
     "catalog_merge_upsert", "scd2_catalog_history",
     "customer_spend_quartiles", "duplicate_spans",
-    "brand_supplier_counts", "knn_ivf_exhaustive",
+    "brand_supplier_counts", "knn_ivf_exhaustive", "knn_pq_exhaustive",
     # (2) stale official rows (last green row r4)
     "cheapest_supplier_per_part", "deterministic_doc_sample",
     "event_gaps", "midnight_pt_countdown", "purchase_asof_signup",

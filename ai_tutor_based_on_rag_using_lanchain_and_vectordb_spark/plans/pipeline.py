@@ -611,6 +611,30 @@ def knn_pq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ path in its exhaustive configuration (shortlist ≥ corpus):
+    the ADC stage shortlists EVERYTHING, so the exact re-rank scores
+    every candidate and the result is knn_exact — with its DuckDB
+    oracle. This oracle-checks the PQ plumbing end-to-end (encode →
+    ADC partial top-k → re-rank join) the way knn_ivf_exhaustive
+    checks the IVF machinery: a correctness configuration, not a scale
+    path (production shortlists are bounded; see knn_pq_approx)."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = PQ.fit_pq_codebooks(emb, m=8, k=32)
+    qm, qids = _query_matrix(emb)
+    out = PQ.knn_pq_adc(
+        PQ.encode_pq(emb, cb), cb, qm, qids, k=5, shortlist=1_000_000,
+        rerank_vectors=emb,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
+
+
 def knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-checking recall gate for the PQ path (same pattern as
     knn_ivf_recall): ground truth = exact broadcast top-k, candidates =
@@ -884,6 +908,7 @@ QUERIES = {
     "knn_ivf_recall": knn_ivf_recall,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "knn_pq_approx": knn_pq_approx,
+    "knn_pq_exhaustive": knn_pq_exhaustive,
     "knn_pq_recall": knn_pq_recall,
     "bpe_train_gate": bpe_train_gate,
     "quantile_rollup": quantile_rollup,
@@ -908,9 +933,12 @@ from .vectors import ORACLE as _VEC_ORACLE  # noqa: E402
 
 ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
 
-# knn_ivf_exhaustive probes every cell, so the IVF machinery produces
-# the exact result — same contract, same oracle.
+# knn_ivf_exhaustive probes every cell, and knn_pq_exhaustive
+# shortlists the whole corpus into the exact re-rank — both machines
+# produce the exact result in these configurations, so both carry
+# knn_exact's oracle.
 ORACLE["knn_ivf_exhaustive"] = _VEC_ORACLE["knn_exact"]
+ORACLE["knn_pq_exhaustive"] = _VEC_ORACLE["knn_exact"]
 
 # the mergeable-histogram quantile pipeline is plain SQL — replicate the
 # daily-sketch → range-merge → interpolate math bin-for-bin in DuckDB

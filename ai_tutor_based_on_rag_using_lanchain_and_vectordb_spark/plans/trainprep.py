@@ -403,7 +403,55 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# concat-and-chunk packing: fixed training-sequence length in
+# (whitespace) tokens. Power of two ON PURPOSE — the seq/offset math
+# divides by it, and /2^k is exact in IEEE double, so both engines
+# floor identical values.
+SEQ_LEN = 2048
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the dominant LLM-pretraining
+    batching scheme: each language shard's documents are concatenated
+    in deterministic (doc_id) order and sliced into fixed
+    ``SEQ_LEN``-token training sequences; per document, emit its token
+    count, running offset, and the first/last sequence it lands in
+    (documents straddle chunk boundaries by design — that is the
+    concat-and-chunk contract).
+
+    Scale shape: the running offset is operators/prefix.py's two-phase
+    grouped prefix sum — per-(shard, quantile-bucket) partials + a
+    window over the SMALL partial table — so a dominant language never
+    pins one window task the way
+    ``sum() OVER (PARTITION BY lang ORDER BY doc_id)`` would.
+    Zero-token documents occupy no tokens but are still assigned the
+    sequence at their offset (first_seq = last_seq)."""
+    from ..functions import textstats as TS
+    from ..operators.prefix import grouped_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    cum = grouped_prefix_sum(
+        toks, ["lang"], "doc_id", F.col("n_tokens"), out_col="_cum"
+    ).withColumn("cum_before", F.col("_cum").cast("long")).drop("_cum")
+    L = F.lit(SEQ_LEN).cast("long")
+    last_tok = F.col("cum_before") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / L).cast("long").alias("first_seq"),
+        F.floor(last_tok / L).cast("long").alias("last_seq"),
+        F.pmod(F.col("cum_before"), L).cast("long").alias("start_off"),
+    )
+
+
 QUERIES = {
+    "sequence_packing": sequence_packing,
     "bigram_lm_score": bigram_lm_score,
     "duplicate_spans": duplicate_spans,
     "quality_classifier_filter": quality_classifier_filter,
@@ -435,6 +483,27 @@ _GRAMS3_SQL = (
 )
 
 ORACLE = {
+    "sequence_packing": r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens, cum_before,
+               cum_before // 2048 AS first_seq,
+               (cum_before + greatest(n_tokens, 1) - 1) // 2048 AS last_seq,
+               cum_before % 2048 AS start_off
+        FROM c
+    """,
     "bigram_lm_score": r"""
         WITH {toks}, bi AS (
             SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g

@@ -1,0 +1,78 @@
+"""operators/prefix.py — two-phase grouped prefix sums verified
+row-for-row against the plain per-group running window (the semantics
+oracle at test scale), plus the plan property the operator exists for:
+no window partitioned by the group alone."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.prefix import (
+    grouped_prefix_sum,
+)
+
+
+def _data(spark, n=600, groups=("en", "de", "fr")):
+    rows = [
+        (i, groups[i % len(groups)], float((i * 13) % 29))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, g string, v double")
+
+
+def test_matches_plain_running_window(spark):
+    df = _data(spark)
+    got = grouped_prefix_sum(df, ["g"], "id", F.col("v"), n_buckets=16)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "cum_before", F.coalesce(F.sum("v").over(w), F.lit(0.0))
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_skewed_group_and_single_bucket(spark):
+    # one group holds 90% of rows; also exercise the no-cuts path
+    rows = [(i, "hot" if i % 10 else "cold", 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = grouped_prefix_sum(df, ["g"], "id", F.col("v"), n_buckets=1)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "cum_before", F.coalesce(F.sum("v").over(w), F.lit(0.0))
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id long, g string, v double")
+    assert grouped_prefix_sum(df, ["g"], "id", F.col("v")).count() == 0
+
+
+def test_no_group_only_window_in_plan(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = _data(spark)
+    got = grouped_prefix_sum(df, ["g"], "id", F.col("v"), n_buckets=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    saw_window = False
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            saw_window = True
+            # every window over row data must include the bucket key;
+            # the offsets window runs over the small partial table,
+            # which aggregates on (_pbkt) too — so _pbkt appears in
+            # every window's context either way
+            assert "_pbkt" in line
+    assert saw_window
