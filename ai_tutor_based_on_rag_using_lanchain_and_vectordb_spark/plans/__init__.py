@@ -33,6 +33,7 @@ _DRIVER_PRIORITY = (
     "catalog_merge_upsert", "scd2_catalog_history",
     "customer_spend_quartiles", "duplicate_spans",
     "brand_supplier_counts", "knn_ivf_exhaustive", "knn_pq_exhaustive",
+    "knn_ivfpq_exhaustive",
     # (2) stale official rows (last green row r4)
     "cheapest_supplier_per_part", "deterministic_doc_sample",
     "event_gaps", "midnight_pt_countdown", "purchase_asof_signup",

@@ -772,6 +772,28 @@ def knn_ivfpq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ in its exhaustive configuration (nprobe = all cells AND
+    shortlist ≥ corpus): cell pruning admits everything, the ADC stage
+    shortlists everything, and the exact re-rank reduces the whole
+    composition to knn_exact — so the full FAISS-style arrangement
+    (assign → encode → probe → ADC → re-rank) is driver-oracle-checked
+    end-to-end with knn_exact's DuckDB SQL. Correctness configuration,
+    not a scale path."""
+    from ..operators import pq as PQ
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = PQ.knn_ivfpq(
+        emb, emb.where(F.col("vec_id") < 5), k=5,
+        n_clusters=8, nprobe=8, shortlist=1_000_000,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
+
+
 def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the IVF+PQ path: both approximations compound
     (cell pruning AND code quantization), so the gate sits at ≥ 0.7 —
@@ -913,6 +935,7 @@ QUERIES = {
     "bpe_train_gate": bpe_train_gate,
     "quantile_rollup": quantile_rollup,
     "knn_ivfpq_approx": knn_ivfpq_approx,
+    "knn_ivfpq_exhaustive": knn_ivfpq_exhaustive,
     "knn_ivfpq_recall": knn_ivfpq_recall,
     "hll_rollup_gate": hll_rollup_gate,
     "knn_numpy_topk": knn_numpy_topk,
@@ -939,6 +962,7 @@ ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
 # knn_exact's oracle.
 ORACLE["knn_ivf_exhaustive"] = _VEC_ORACLE["knn_exact"]
 ORACLE["knn_pq_exhaustive"] = _VEC_ORACLE["knn_exact"]
+ORACLE["knn_ivfpq_exhaustive"] = _VEC_ORACLE["knn_exact"]
 
 # the mergeable-histogram quantile pipeline is plain SQL — replicate the
 # daily-sketch → range-merge → interpolate math bin-for-bin in DuckDB
