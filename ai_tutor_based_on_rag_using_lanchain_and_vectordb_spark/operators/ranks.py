@@ -108,6 +108,83 @@ def global_row_number(
     return bucketed.withColumn(out_col, rn.cast("long")).drop("_gbkt"), total
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    primary: str,
+    tiebreaks: Sequence[str] = (),
+    primary_desc: bool = False,
+    n_buckets: int | None = None,
+    out_col: str = "rn",
+    count_col: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact PER-GROUP row numbers over (primary asc|desc, *tiebreaks
+    asc) without one window task per group — the grouped analog of
+    :func:`global_row_number` for low-cardinality groups whose members
+    are corpus-scaled (25 nations over 10⁹ customers: a plain
+    ``Window.partitionBy(nation)`` caps parallelism at 25 and sorts a
+    whole nation per task).
+
+    Buckets come from GLOBAL quantile cuts of the primary (one bounded
+    driver collect, shared across groups); per-(group, bucket) counts
+    turn into per-group cumulative offsets via a window over the SMALL
+    partial table (≤ n_buckets rows per group); the final row number is
+    offset + row_number within one (group, bucket) slice. Ties on the
+    primary stay inside one bucket, so tie-breaks order them exactly as
+    the single-window plan would.
+
+    ``count_col``: when set, also attach the group's total row count
+    (what percent_rank / cume_dist denominators need) — it falls out of
+    the same partial table for free."""
+    n_buckets = n_buckets or 4 * default_parallelism()
+    pcol = F.col(primary).cast("double")
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(pcol, probs, accuracy).alias("c")
+    ).first()
+    raw_cuts = (cuts_row["c"] if cuts_row else None) or []
+    cuts = sorted({float(c) for c in raw_cuts if c is not None})
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        if primary_desc:
+            bucket = F.size(F.filter(cut_arr, lambda c: c > pcol))
+        else:
+            bucket = F.size(F.filter(cut_arr, lambda c: c < pcol))
+    else:
+        bucket = F.lit(0)
+    bucket = F.when(pcol.isNull(), F.lit(len(cuts))).otherwise(bucket)
+
+    g = list(group_cols)
+    tagged = df.withColumn("_gbkt", bucket)
+    partials = tagged.groupBy(*g, "_gbkt").agg(F.count("*").alias("_bcnt"))
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy("_gbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        *g,
+        "_gbkt",
+        F.coalesce(F.sum("_bcnt").over(w_off), F.lit(0)).alias("_boff"),
+        F.sum("_bcnt").over(Window.partitionBy(*g)).alias("_gtot"),
+    )
+
+    order: list[Column] = [
+        F.desc_nulls_last(primary) if primary_desc else F.asc_nulls_last(primary)
+    ] + [F.asc(t) for t in tiebreaks]
+    w_run = Window.partitionBy(*g, "_gbkt").orderBy(*order)
+    out = tagged.join(offsets, [*g, "_gbkt"]).withColumn(
+        out_col, (F.col("_boff") + F.row_number().over(w_run)).cast("long")
+    )
+    keep = [*df.columns, out_col]
+    if count_col is not None:
+        out = out.withColumn(count_col, F.col("_gtot").cast("long"))
+        keep.append(count_col)
+    return out.select(*keep)
+
+
 def ntile_no_global_sort(
     df: DataFrame,
     n_tiles: int,

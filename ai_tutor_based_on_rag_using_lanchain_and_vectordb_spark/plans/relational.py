@@ -218,15 +218,31 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic ranks — percent_rank + cume_dist of customer balance
     within each nation (distribution-position functions the reference
-    lacks; deterministic: rank arithmetic only, no float aggregation)."""
+    lacks; deterministic: rank arithmetic only, no float aggregation).
+
+    Scale shape: NOT a ``Window.partitionBy(nation)`` — 25 nations
+    over a corpus-scaled customer table would cap parallelism at 25
+    and sort a whole nation per task. The (acctbal, custkey) order key
+    is UNIQUE, so percent_rank ≡ (rn−1)/(N−1) and cume_dist ≡ rn/N on
+    the per-group row number, which operators/ranks.grouped_row_number
+    computes via quantile range-buckets (every window task owns one
+    (nation, balance-range) slice)."""
+    from ..operators.ranks import grouped_row_number
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
+    ranked = grouped_row_number(
+        cust, ["c_nationkey"], "c_acctbal", tiebreaks=("c_custkey",),
+        out_col="_rn", count_col="_n",
+    )
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_rn") - 1) / (F.col("_n") - 1)
+    )
+    return ranked.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        X.pround(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        X.pround(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        X.pround(pct, 6).alias("bal_pct_rank"),
+        X.pround(F.col("_rn") / F.col("_n"), 6).alias("bal_cume_dist"),
     )
 
 

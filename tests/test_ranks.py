@@ -101,3 +101,23 @@ def test_no_unpartitioned_window_in_plan(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line:
             assert "_gbkt" in line
+
+
+def test_grouped_row_number_matches_window(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float((i * 31) % 23)) for i in range(450)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = grouped_row_number(
+        df, ["g"], "v", tiebreaks=("id",), n_buckets=12,
+        out_col="rn", count_col="n",
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count("*").over(Window.partitionBy("g")).cast("long")
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
