@@ -53,6 +53,7 @@ HEADLINE = [
     "waiting_suppliers",      # EXISTS/NOT-EXISTS self-joins (Q21 shape)
     "customer_order_distribution",  # left-outer count distribution (Q13)
     "purchase_attribution",   # interval range-join (stream-capable)
+    "sequence_packing",       # two-phase grouped prefix sums (packing)
 ]
 
 
