@@ -76,3 +76,24 @@ def test_no_group_only_window_in_plan(spark):
             # every window's context either way
             assert "_pbkt" in line
     assert saw_window
+
+
+def test_randomized_values_and_many_groups(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, f"g{i % 17}", float(rng.randint(0, 1000)))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = grouped_prefix_sum(df, ["g"], "id", F.col("v"), n_buckets=7)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "cum_before", F.coalesce(F.sum("v").over(w), F.lit(0.0))
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()

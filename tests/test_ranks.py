@@ -121,3 +121,43 @@ def test_grouped_row_number_matches_window(spark):
         "n", F.count("*").over(Window.partitionBy("g")).cast("long")
     )
     assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+@pytest.mark.parametrize("seed,dist", [
+    (1, "uniform"), (2, "constant"), (3, "negative"), (4, "bimodal"),
+])
+def test_randomized_distributions_match_window(spark, seed, dist):
+    """Seeded randomized cross-check of the two-phase rank machinery on
+    adversarial value distributions (all-equal values collapse every
+    bucket; negatives exercise the cut comparisons; bimodal leaves
+    empty buckets)."""
+    import random
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    rng = random.Random(seed)
+
+    def val():
+        if dist == "uniform":
+            return rng.uniform(-50, 50)
+        if dist == "constant":
+            return 7.0
+        if dist == "negative":
+            return -abs(rng.gauss(0, 10))
+        return rng.choice([-100.0, 100.0]) + rng.random()
+
+    rows = [(i, ["x", "y"][i % 2], val()) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+
+    got_g = grouped_row_number(df, ["g"], "v", ("id",), n_buckets=10)
+    wg = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want_g = df.withColumn("rn", F.row_number().over(wg).cast("long"))
+    assert got_g.orderBy("id").collect() == want_g.orderBy("id").collect()
+
+    got, total = global_row_number(df, "v", ("id",), n_buckets=10)
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert total == 300
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
