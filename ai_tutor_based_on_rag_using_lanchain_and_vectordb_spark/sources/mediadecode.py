@@ -1201,8 +1201,11 @@ def decode_jpeg_pixels(data: bytes):
     4-COMPONENT (CMYK/YCCK) frames — returned as 4 channels exactly as
     the codestream encodes them (APP14 transform 2 un-rotates YCCK
     back to CMY; ink interpretation is producer-dependent and stays
-    with the caller). Arithmetic entropy coding returns None —
-    metadata-only fallback, same contract as the other pixel decoders.
+    with the caller); plus sequential ARITHMETIC entropy coding (SOF9,
+    QM coder + Annex F conditioning via sources/arithcode.py,
+    :func:`_jpeg_arith_sequential`). Progressive/lossless arithmetic
+    variants (SOF10/11) return None — metadata-only fallback, same
+    contract as the other pixel decoders.
     Returns (height, width, channels) uint8.
 
     Per-block work is one einsum over all blocks per component; only
@@ -1287,8 +1290,10 @@ def decode_jpeg_pixels(data: bytes):
                 return _jpeg_lossless_scan(data)
             elif marker == 0xDE:  # DHP: hierarchical pyramid walk
                 return _jpeg_hierarchical(data)
-            elif marker in _JPEG_SOF:  # arithmetic (or stray differential)
-                return None
+            elif marker == 0xC9:  # sequential arithmetic: own walker
+                return _jpeg_arith_sequential(data)
+            elif marker in _JPEG_SOF:  # progressive/lossless arithmetic,
+                return None  # stray differential: metadata-only
             elif marker == 0xEE:  # APP14 (Adobe): color-transform flag
                 if len(body) >= 12 and body[:5] == b"Adobe":
                     adobe_transform = body[11]
@@ -1384,58 +1389,253 @@ def decode_jpeg_pixels(data: bytes):
         if decoded_units == 0:
             return None
 
-        t_mat = _jpeg_idct_matrix()
-        planes = []
-        for ci, (_, hi, vi, tq) in enumerate(comps):
-            bw, bh = grids[ci][0], grids[ci][1]
-            deq = coeffs[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
-            spatial = np.einsum(
-                "ux,nuv,vy->nxy", t_mat, deq.astype(np.float64), t_mat
-            )
-            blocks = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-            plane = (
-                blocks.reshape(bh, bw, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(bh * 8, bw * 8)
-            )
-            # upsample to full resolution (nearest, the baseline norm)
-            if hi < hmax:
-                plane = np.repeat(plane, hmax // hi, axis=1)
-            if vi < vmax:
-                plane = np.repeat(plane, vmax // vi, axis=0)
-            planes.append(plane[:h, :w])
-
-        if len(planes) == 1:
-            return planes[0][:, :, None].copy()
-        if len(planes) == 4:
-            # CMYK output AS THE CODESTREAM ENCODES IT (4 channels) —
-            # ink interpretation (Adobe inversion etc.) is
-            # producer-dependent and stays with the caller. YCCK
-            # (APP14 transform 2) un-rotates the first three planes
-            # through the YCbCr inverse back to CMY; transform 0 or no
-            # APP14 is direct CMYK.
-            if adobe_transform == 2:
-                y, cb, cr = (p.astype(np.float64) for p in planes[:3])
-                c0 = y + 1.402 * (cr - 128)
-                c1 = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-                c2 = y + 1.772 * (cb - 128)
-                cmy = [
-                    np.clip(np.round(c), 0, 255).astype(np.uint8)
-                    for c in (c0, c1, c2)
-                ]
-                return np.stack(cmy + [planes[3]], axis=2)
-            return np.stack(planes, axis=2)
-        y, cb, cr = (p.astype(np.float64) for p in planes)
-        r = y + 1.402 * (cr - 128)
-        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-        b = y + 1.772 * (cb - 128)
-        return np.clip(
-            np.round(np.stack([r, g, b], axis=2)), 0, 255
-        ).astype(np.uint8)
+        return _jpeg_reconstruct(
+            w, h, comps, grids, coeffs, qt, adobe_transform, hmax, vmax
+        )
     except Exception:
         # fail-closed: a malformed payload must never kill the Spark
         # task — unrecognized/corrupt streams degrade to metadata-only
         return None
+
+
+def _jpeg_arith_sequential(data: bytes):
+    """Sequential ARITHMETIC-coded JPEG (SOF9) pixel decode: QM coder +
+    Annex F DC/AC conditioning models (sources/arithcode.py), DAC
+    conditioning segments (defaults L=0, U=1, Kx=5), restart markers
+    (full stats + coder re-init), then the shared dequant/IDCT/color
+    assembly. Progressive (SOF10) and lossless (SOF11) arithmetic
+    variants stay metadata-only."""
+    import numpy as np
+
+    from . import arithcode as ARC
+
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        dc_cond: dict[int, tuple[int, int]] = {}  # th -> (L, U)
+        ac_cond: dict[int, int] = {}  # th -> Kx
+        frame = None
+        restart_interval = 0
+        adobe_transform = None
+        sos = None  # (sel, entropy_start)
+
+        i, n = 2, len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if seg_len < 2 or i + 2 + seg_len > n:
+                return None
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    p += 1
+                    m = 64 * (2 if pq else 1)
+                    if p + m > len(body) or tq > 3:
+                        return None
+                    raw = (
+                        np.frombuffer(body[p : p + m], dtype=">u2")
+                        if pq
+                        else np.frombuffer(body[p : p + m], dtype=np.uint8)
+                    ).astype(np.int32)
+                    tbl = np.zeros(64, dtype=np.int32)
+                    tbl[_JPEG_ZIGZAG] = raw
+                    qt[tq] = tbl.reshape(8, 8)
+                    p += m
+            elif marker == 0xCC:  # DAC conditioning
+                p = 0
+                while p + 2 <= len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    v = body[p + 1]
+                    if tc == 0:
+                        dc_cond[th] = (v & 0x0F, v >> 4)  # (L, U)
+                    else:
+                        ac_cond[th] = v  # Kx
+                    p += 2
+            elif marker == 0xC9:  # extended sequential, arithmetic
+                if len(body) < 6 or body[0] != 8:
+                    return None
+                h, w = struct.unpack(">HH", body[1:5])
+                nc = body[5]
+                if nc not in (1, 3, 4) or len(body) < 6 + 3 * nc or not (w and h):
+                    return None
+                if w * h > 64_000_000:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid = body[6 + 3 * c]
+                    hv = body[7 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+                frame = (w, h, comps)
+            elif marker in _JPEG_SOF:
+                return None  # progressive/lossless arithmetic: metadata-only
+            elif marker == 0xEE:
+                if len(body) >= 12 and body[:5] == b"Adobe":
+                    adobe_transform = body[11]
+            elif marker == 0xDD:
+                if len(body) < 2:
+                    return None
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS: one interleaved sequential scan
+                if frame is None or len(body) < 4:
+                    return None
+                ns = body[0]
+                if ns != len(frame[2]) or len(body) < 1 + 2 * ns + 3:
+                    return None
+                ids = [c[0] for c in frame[2]]
+                sel = []
+                for s in range(ns):
+                    cs = body[1 + 2 * s]
+                    if cs not in ids:
+                        return None
+                    td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0x0F
+                    sel.append((ids.index(cs), td, ta))
+                if tuple(body[1 + 2 * ns : 4 + 2 * ns][:2]) != (0, 63):
+                    return None
+                sos = (sel, i + 2 + seg_len)
+                break
+            i += 2 + seg_len
+        if frame is None or sos is None:
+            return None
+
+        w, h, comps = frame
+        for hi, vi in ((c[1], c[2]) for c in comps):
+            if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                return None
+        for c in comps:
+            if c[3] not in qt:
+                return None
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        grids = []
+        coeffs = []
+        for _, hi, vi, _tq in comps:
+            bw, bh = mcus_x * hi, mcus_y * vi
+            comp_w = -(-(w * hi) // hmax)
+            comp_h = -(-(h * vi) // vmax)
+            grids.append((bw, bh, -(-comp_w // 8), -(-comp_h // 8)))
+            coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
+
+        sel, pos = sos
+        nc = len(comps)
+
+        def fresh(start):
+            dec = ARC.ArithDecoder(data, start)
+            dstats = {td: bytearray(ARC.DC_STAT_BINS) for _, td, _ in sel}
+            astats = {ta: bytearray(ARC.AC_STAT_BINS) for _, _, ta in sel}
+            fixed = bytearray([ARC.FIXED_BIN])
+            return dec, dstats, astats, fixed, [0] * nc, [0] * nc
+
+        dec, dstats, astats, fixed, dctx, pred = fresh(pos)
+        since_restart = 0
+        zz = _JPEG_ZIGZAG
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and since_restart == restart_interval:
+                # skip to the RST marker the encoder emitted, then
+                # re-init the coder and ALL statistics
+                p = dec.pos
+                while p + 1 < n and not (
+                    data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    p += 1
+                if p + 1 >= n:
+                    return None
+                dec, dstats, astats, fixed, dctx, pred = fresh(p + 2)
+                since_restart = 0
+            my, mx = divmod(mcu, mcus_x)
+            for si, (ci, td, ta) in enumerate(sel):
+                _, hi, vi, _tq = comps[ci]
+                bwb = grids[ci][0]
+                L, U = dc_cond.get(td, (0, 1))
+                Kx = ac_cond.get(ta, 5)
+                for by in range(vi):
+                    for bx in range(hi):
+                        idx = (my * vi + by) * bwb + (mx * hi + bx)
+                        diff = ARC.decode_dc(
+                            dec, dstats[td], dctx, ci, L, U
+                        )
+                        pred[ci] += diff
+                        blk_zz = [0] * 64
+                        ARC.decode_ac(dec, astats[ta], fixed, blk_zz, Kx)
+                        blk_zz[0] = pred[ci]
+                        coeffs[ci][idx][zz] = blk_zz
+            since_restart += 1
+
+        return _jpeg_reconstruct(
+            w, h, comps, grids, coeffs, qt, adobe_transform, hmax, vmax
+        )
+    except Exception:
+        return None  # fail-closed, same contract as the Huffman path
+
+
+def _jpeg_reconstruct(w, h, comps, grids, coeffs, qt, adobe_transform,
+                      hmax, vmax):
+    """Dequant + IDCT + upsample + color-transform assembly shared by
+    the Huffman and arithmetic (SOF9) sequential paths."""
+    import numpy as np
+
+    t_mat = _jpeg_idct_matrix()
+    planes = []
+    for ci, (_, hi, vi, tq) in enumerate(comps):
+        bw, bh = grids[ci][0], grids[ci][1]
+        deq = coeffs[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
+        spatial = np.einsum(
+            "ux,nuv,vy->nxy", t_mat, deq.astype(np.float64), t_mat
+        )
+        blocks = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution (nearest, the baseline norm)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0][:, :, None].copy()
+    if len(planes) == 4:
+        # CMYK output AS THE CODESTREAM ENCODES IT (4 channels) —
+        # ink interpretation (Adobe inversion etc.) is
+        # producer-dependent and stays with the caller. YCCK
+        # (APP14 transform 2) un-rotates the first three planes
+        # through the YCbCr inverse back to CMY; transform 0 or no
+        # APP14 is direct CMYK.
+        if adobe_transform == 2:
+            y, cb, cr = (p.astype(np.float64) for p in planes[:3])
+            c0 = y + 1.402 * (cr - 128)
+            c1 = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            c2 = y + 1.772 * (cb - 128)
+            cmy = [
+                np.clip(np.round(c), 0, 255).astype(np.uint8)
+                for c in (c0, c1, c2)
+            ]
+            return np.stack(cmy + [planes[3]], axis=2)
+        return np.stack(planes, axis=2)
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
 
 
 def decode_image(data: bytes) -> ImageInfo | None:

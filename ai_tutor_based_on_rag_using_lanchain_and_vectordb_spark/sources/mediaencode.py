@@ -3,8 +3,10 @@ media self-check gates (plans/pipeline.multimodal_gate builds MJPEG
 frames in-engine with it) and the round-trip ground truth for the
 decoder tests (no golden binaries in the repo).
 
-Scope: 8-bit baseline (SOF0) or progressive (SOF2, four-stage scan
-script with successive approximation), grayscale / YCbCr 4:4:4 /
+Scope: 8-bit baseline (SOF0), progressive (SOF2, four-stage scan
+script with successive approximation), or sequential ARITHMETIC
+(SOF9, QM coder per T.81 Annex D/F via sources/arithcode.py, DAC
+conditioning at spec defaults), grayscale / YCbCr 4:4:4 /
 4:2:0 / CMYK-YCCK (APP14), LOSSLESS (SOF3, all predictors, 2-16 bit,
 restarts) and two-level HIERARCHICAL pyramids (DHP + EXP + SOF5
 differential, grayscale or YCbCr), near-lossless all-ones quantization
@@ -213,6 +215,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     ycck: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """img: (h, w) grayscale, (h, w, 3) RGB, or (h, w, 4) CMYK uint8.
     ``subsample=True`` writes 4:2:0 (chroma averaged 2x2, 3-comp only);
@@ -222,7 +225,13 @@ def encode_jpeg(
     ``progressive=True`` writes SOF2 with a four-stage scan script —
     DC first at Al=1, DC refinement, per-component AC first at Al=1,
     per-component AC refinement — exercising spectral selection,
-    successive approximation and EOB runs."""
+    successive approximation and EOB runs. ``arithmetic=True`` writes
+    SOF9 (extended sequential, QM arithmetic entropy coding per T.81
+    Annexes D/F, sources/arithcode.py) with a DAC conditioning segment
+    at the spec defaults (L=0, U=1, Kx=5); not combinable with
+    ``progressive``."""
+    if arithmetic and progressive:
+        raise ValueError("arithmetic + progressive not supported")
     gray = img.ndim == 2
     cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
@@ -280,9 +289,63 @@ def encode_jpeg(
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
     for ci, (hi, vi) in enumerate(samplings):
         sof += bytes([ci + 1, (hi << 4) | vi, 0])
-    out += _seg(0xC2 if progressive else 0xC0, bytes(sof))
-    out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
-    out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
+    sof_marker = 0xC9 if arithmetic else (0xC2 if progressive else 0xC0)
+    out += _seg(sof_marker, bytes(sof))
+    if arithmetic:
+        # DAC: DC table 0 conditioning (U<<4)|L = 0x10, AC table 0 Kx=5
+        out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    else:
+        out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
+        out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
+
+    if arithmetic:
+        from . import arithcode as ARC
+
+        if restart_interval:
+            out += _seg(0xDD, struct.pack(">H", restart_interval))
+        sos = bytearray([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, bytes(sos))
+
+        def fresh_state():
+            return (
+                ARC.ArithEncoder(),
+                bytearray(ARC.DC_STAT_BINS),
+                bytearray(ARC.AC_STAT_BINS),
+                bytearray([ARC.FIXED_BIN]),
+                [0] * len(planes),  # DC conditioning category per comp
+                [0] * len(planes),  # DC predictor per comp
+            )
+
+        enc, dstats, astats, fixed, dctx, pred = fresh_state()
+        rst = 0
+        since_restart = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and since_restart == restart_interval:
+                out += enc.finish()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                enc, dstats, astats, fixed, dctx, pred = fresh_state()
+                since_restart = 0
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (hi, vi) in enumerate(samplings):
+                arr, bwb = blocks[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        idx = (my * vi + by) * bwb + (mx * hi + bx)
+                        q = _quantize_block(arr[idx])
+                        dc = int(q[0])
+                        ARC.encode_dc(
+                            enc, dstats, dctx, ci, dc - pred[ci], 0, 1
+                        )
+                        pred[ci] = dc
+                        ARC.encode_ac(enc, astats, fixed, q, 5)
+            since_restart += 1
+        out += enc.finish()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     if progressive:
         qblocks = [

@@ -1609,3 +1609,104 @@ def test_jpeg_hierarchical_lossless_diff_truncation_fails_soft():
     for cut in (8, len(data) // 3, len(data) - 4):
         out = MD.decode_jpeg_pixels(data[:cut])  # must never raise
         assert out is None or out.shape[2] == 1
+
+
+# ------------------------------------------- JPEG arithmetic coding (SOF9)
+
+
+def test_jpeg_arith_gray_roundtrip():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    img = MD.decode_jpeg_pixels(encode_jpeg(g, arithmetic=True))
+    assert img is not None and img.shape == (24, 33, 1)
+    err = np.abs(img[:, :, 0].astype(int) - g.astype(int))
+    assert err.max() <= 3 and err.mean() < 0.5
+
+
+def test_jpeg_arith_matches_huffman_exactly():
+    """Entropy coding is lossless: the SOF9 stream must decode to
+    byte-identical pixels as the SOF0 stream of the same image (both
+    code the same quantized coefficients)."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    c = rng.integers(0, 256, (19, 30, 3), dtype=np.uint8)
+    a = MD.decode_jpeg_pixels(encode_jpeg(c, arithmetic=True))
+    hf = MD.decode_jpeg_pixels(encode_jpeg(c))
+    assert a is not None and hf is not None
+    assert np.array_equal(a, hf)
+
+
+def test_jpeg_arith_420_with_restarts_matches_huffman():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    xx, yy = np.meshgrid(np.arange(40), np.arange(28))
+    smooth = np.stack(
+        [(xx * 3) % 256, (yy * 2 + 30) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    a = MD.decode_jpeg_pixels(
+        encode_jpeg(smooth, subsample=True, restart_interval=2, arithmetic=True)
+    )
+    hf = MD.decode_jpeg_pixels(
+        encode_jpeg(smooth, subsample=True, restart_interval=2)
+    )
+    assert a is not None and np.array_equal(a, hf)
+
+
+def test_jpeg_arith_cmyk_and_ycck():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    c = rng.integers(0, 256, (12, 20, 4), dtype=np.uint8)
+    for ycck in (False, True):
+        a = MD.decode_jpeg_pixels(encode_jpeg(c, ycck=ycck, arithmetic=True))
+        hf = MD.decode_jpeg_pixels(encode_jpeg(c, ycck=ycck))
+        assert a is not None and np.array_equal(a, hf)
+
+
+def test_jpeg_arith_compresses_better_than_huffman():
+    # the point of arithmetic coding: adaptive contexts beat the fixed
+    # canonical Huffman layout on typical content
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    base = np.add.outer(np.arange(48) * 2, np.arange(64) * 3) % 200
+    img = base.astype(np.uint8)
+    assert len(encode_jpeg(img, arithmetic=True)) < len(encode_jpeg(img))
+
+
+def test_jpeg_arith_truncation_fails_soft():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = encode_jpeg(g, arithmetic=True)
+    # header-truncated: fail-closed to None; entropy-truncated: the
+    # decoder feeds zero data past the end (legal per T.81) — it must
+    # not raise either way
+    assert MD.decode_jpeg_pixels(data[:20]) is None
+    out = MD.decode_jpeg_pixels(data[:-10])
+    assert out is None or out.shape == (16, 16, 1)
+    # metadata header parse still fine
+    assert MD.decode_jpeg(data).width == 16
+
+
+def test_jpeg_progressive_arithmetic_stays_metadata_only():
+    # SOF10 (progressive arithmetic) remains a documented stub: pixels
+    # None, metadata real
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    g = np.full((8, 8), 100, np.uint8)
+    data = bytearray(encode_jpeg(g, arithmetic=True))
+    i = data.find(b"\xff\xc9")
+    data[i + 1] = 0xCA  # flip the frame marker to progressive-arith
+    assert MD.decode_jpeg_pixels(bytes(data)) is None
+    assert MD.decode_jpeg(bytes(data)).width == 8
