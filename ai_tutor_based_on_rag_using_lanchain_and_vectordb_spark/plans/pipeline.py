@@ -276,10 +276,14 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                # rotate the entropy coder per doc so the gate covers
+                # all three sequential frame flavors: Huffman baseline,
+                # progressive, and arithmetic (SOF9)
                 frames = [
                     encode_jpeg(
                         np.full((16, 24), 40 * (f + 1) + did, dtype=np.uint8),
-                        progressive=(did % 2 == 1),
+                        progressive=(did % 3 == 1),
+                        arithmetic=(did % 3 == 2),
                     )
                     for f in range(3)
                 ]
