@@ -1416,7 +1416,7 @@ def _jpeg_arith_sequential(data: bytes):
         frame = None
         restart_interval = 0
         adobe_transform = None
-        sos = None  # (sel, entropy_start)
+        scans = []  # (sel, entropy_start, dc_cond, ac_cond, dri)
 
         i, n = 2, len(data)
         while i + 4 <= n:
@@ -1487,11 +1487,13 @@ def _jpeg_arith_sequential(data: bytes):
                 if len(body) < 2:
                     return None
                 restart_interval = struct.unpack(">H", body[:2])[0]
-            elif marker == 0xDA:  # SOS: one interleaved sequential scan
+            elif marker == 0xDA:  # SOS: sequential scan (interleaved
+                # when ns > 1, per-component block walk when ns == 1);
+                # every scan re-inits the coder and its statistics
                 if frame is None or len(body) < 4:
                     return None
                 ns = body[0]
-                if ns != len(frame[2]) or len(body) < 1 + 2 * ns + 3:
+                if not (1 <= ns <= len(frame[2])) or len(body) < 1 + 2 * ns + 3:
                     return None
                 ids = [c[0] for c in frame[2]]
                 sel = []
@@ -1503,10 +1505,24 @@ def _jpeg_arith_sequential(data: bytes):
                     sel.append((ids.index(cs), td, ta))
                 if tuple(body[1 + 2 * ns : 4 + 2 * ns][:2]) != (0, 63):
                     return None
-                sos = (sel, i + 2 + seg_len)
-                break
+                scans.append((sel, i + 2 + seg_len, dict(dc_cond),
+                              dict(ac_cond), restart_interval))
+                # skip the entropy data: markers terminate it, 0xFF00
+                # is a stuffed data byte, RSTn continues the scan
+                p = i + 2 + seg_len
+                while p + 1 < n:
+                    if data[p] != 0xFF:
+                        p += 1
+                    elif data[p + 1] == 0x00 or data[p + 1] == 0xFF:
+                        p += 2 if data[p + 1] == 0x00 else 1
+                    elif 0xD0 <= data[p + 1] <= 0xD7:
+                        p += 2
+                    else:
+                        break
+                i = p
+                continue
             i += 2 + seg_len
-        if frame is None or sos is None:
+        if frame is None or not scans:
             return None
 
         w, h, comps = frame
@@ -1530,50 +1546,67 @@ def _jpeg_arith_sequential(data: bytes):
             grids.append((bw, bh, -(-comp_w // 8), -(-comp_h // 8)))
             coeffs.append(np.zeros((bh * bw, 64), dtype=np.int32))
 
-        sel, pos = sos
         nc = len(comps)
-
-        def fresh(start):
-            dec = ARC.ArithDecoder(data, start)
-            dstats = {td: bytearray(ARC.DC_STAT_BINS) for _, td, _ in sel}
-            astats = {ta: bytearray(ARC.AC_STAT_BINS) for _, _, ta in sel}
-            fixed = bytearray([ARC.FIXED_BIN])
-            return dec, dstats, astats, fixed, [0] * nc, [0] * nc
-
-        dec, dstats, astats, fixed, dctx, pred = fresh(pos)
-        since_restart = 0
         zz = _JPEG_ZIGZAG
-        for mcu in range(mcus_x * mcus_y):
-            if restart_interval and since_restart == restart_interval:
-                # skip to the RST marker the encoder emitted, then
-                # re-init the coder and ALL statistics
+
+        for sel, pos, sdc_cond, sac_cond, dri in scans:
+
+            def fresh(start):
+                dec = ARC.ArithDecoder(data, start)
+                dstats = {td: bytearray(ARC.DC_STAT_BINS) for _, td, _ in sel}
+                astats = {ta: bytearray(ARC.AC_STAT_BINS) for _, _, ta in sel}
+                fixed = bytearray([ARC.FIXED_BIN])
+                return dec, dstats, astats, fixed, [0] * nc, [0] * nc
+
+            def decode_block(dec, dstats, astats, fixed, dctx, pred,
+                             ci, td, ta, idx):
+                L, U = sdc_cond.get(td, (0, 1))
+                Kx = sac_cond.get(ta, 5)
+                diff = ARC.decode_dc(dec, dstats[td], dctx, ci, L, U)
+                pred[ci] += diff
+                blk_zz = [0] * 64
+                ARC.decode_ac(dec, astats[ta], fixed, blk_zz, Kx)
+                blk_zz[0] = pred[ci]
+                coeffs[ci][idx][zz] = blk_zz
+
+            def restart(dec):
+                # skip to the RST marker, re-init coder + ALL stats
                 p = dec.pos
                 while p + 1 < n and not (
                     data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
                 ):
                     p += 1
                 if p + 1 >= n:
-                    return None
-                dec, dstats, astats, fixed, dctx, pred = fresh(p + 2)
-                since_restart = 0
-            my, mx = divmod(mcu, mcus_x)
-            for si, (ci, td, ta) in enumerate(sel):
-                _, hi, vi, _tq = comps[ci]
-                bwb = grids[ci][0]
-                L, U = dc_cond.get(td, (0, 1))
-                Kx = ac_cond.get(ta, 5)
-                for by in range(vi):
-                    for bx in range(hi):
-                        idx = (my * vi + by) * bwb + (mx * hi + bx)
-                        diff = ARC.decode_dc(
-                            dec, dstats[td], dctx, ci, L, U
-                        )
-                        pred[ci] += diff
-                        blk_zz = [0] * 64
-                        ARC.decode_ac(dec, astats[ta], fixed, blk_zz, Kx)
-                        blk_zz[0] = pred[ci]
-                        coeffs[ci][idx][zz] = blk_zz
-            since_restart += 1
+                    raise ValueError("missing restart marker")
+                return fresh(p + 2)
+
+            state = fresh(pos)
+            since_restart = 0
+            if len(sel) == 1:
+                # non-interleaved: walk the component's TRUE block grid
+                ci, td, ta = sel[0]
+                bwb, _bh, cbw, cbh = grids[ci]
+                for unit in range(cbw * cbh):
+                    if dri and since_restart == dri:
+                        state = restart(state[0])
+                        since_restart = 0
+                    by, bx = divmod(unit, cbw)
+                    decode_block(*state, ci, td, ta, by * bwb + bx)
+                    since_restart += 1
+            else:
+                for mcu in range(mcus_x * mcus_y):
+                    if dri and since_restart == dri:
+                        state = restart(state[0])
+                        since_restart = 0
+                    my, mx = divmod(mcu, mcus_x)
+                    for ci, td, ta in sel:
+                        _, hi, vi, _tq = comps[ci]
+                        bwb = grids[ci][0]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                idx = (my * vi + by) * bwb + (mx * hi + bx)
+                                decode_block(*state, ci, td, ta, idx)
+                    since_restart += 1
 
         return _jpeg_reconstruct(
             w, h, comps, grids, coeffs, qt, adobe_transform, hmax, vmax

@@ -1710,3 +1710,58 @@ def test_jpeg_progressive_arithmetic_stays_metadata_only():
     data[i + 1] = 0xCA  # flip the frame marker to progressive-arith
     assert MD.decode_jpeg_pixels(bytes(data)) is None
     assert MD.decode_jpeg(bytes(data)).width == 8
+
+
+def test_jpeg_arith_non_interleaved_multi_scan():
+    """Sequential arithmetic with one scan PER COMPONENT (ns=1 x3):
+    each scan re-inits the coder and statistics; the result must equal
+    the interleaved single-scan decode of the same image."""
+    import struct
+
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import arithcode as ARC
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        _plane_blocks,
+        _quantize_block,
+        _seg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (17, 26, 3), dtype=np.uint8)
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    h, w = img.shape[:2]
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC9, bytes(sof))
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    for ci, p in enumerate(planes):
+        out += _seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        enc = ARC.ArithEncoder()
+        dstats = bytearray(ARC.DC_STAT_BINS)
+        astats = bytearray(ARC.AC_STAT_BINS)
+        fixed = bytearray([ARC.FIXED_BIN])
+        dctx, pred = [0], [0]
+        for blk in _plane_blocks(p, bw_blocks, bh_blocks):
+            q = _quantize_block(blk)
+            dc = int(q[0])
+            ARC.encode_dc(enc, dstats, dctx, 0, dc - pred[0], 0, 1)
+            pred[0] = dc
+            ARC.encode_ac(enc, astats, fixed, q, 5)
+        out += enc.finish()
+    out += b"\xff\xd9"
+
+    got = MD.decode_jpeg_pixels(bytes(out))
+    want = MD.decode_jpeg_pixels(encode_jpeg(img, arithmetic=True))
+    assert got is not None and want is not None
+    assert np.array_equal(got, want)
