@@ -90,13 +90,22 @@ def grouped_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # NULL-SAFE join back: a NULL group key is a legitimate group for
+    # groupBy, but an equi-join would silently drop its rows
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in g],
+        F.col("_pbkt").alias("_o_pbkt"),
+        "_boff",
+    )
+    cond = F.col("_pbkt").eqNullSafe(F.col("_o_pbkt"))
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     return (
-        tagged.join(offsets, [*g, "_pbkt"])
+        tagged.join(off, cond)
         .withColumn(
             out_col,
             F.col("_boff") + F.coalesce(F.sum("_pv").over(w_run), F.lit(0.0)),
         )
-        # the join moved the key columns to the front — restore the
-        # caller's column order, plus the new running-sum column
+        # restore the caller's column order, plus the running-sum column
         .select(*df.columns, out_col)
     )

@@ -175,7 +175,18 @@ def grouped_row_number(
         F.desc_nulls_last(primary) if primary_desc else F.asc_nulls_last(primary)
     ] + [F.asc(t) for t in tiebreaks]
     w_run = Window.partitionBy(*g, "_gbkt").orderBy(*order)
-    out = tagged.join(offsets, [*g, "_gbkt"]).withColumn(
+    # NULL-SAFE join back: a NULL group key is a legitimate group for
+    # groupBy, but an equi-join would silently drop its rows
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in g],
+        F.col("_gbkt").alias("_o_gbkt"),
+        "_boff",
+        "_gtot",
+    )
+    cond = F.col("_gbkt").eqNullSafe(F.col("_o_gbkt"))
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+    out = tagged.join(off, cond).withColumn(
         out_col, (F.col("_boff") + F.row_number().over(w_run)).cast("long")
     )
     keep = [*df.columns, out_col]

@@ -97,3 +97,12 @@ def test_randomized_values_and_many_groups(spark):
         "cum_before", F.coalesce(F.sum("v").over(w), F.lit(0.0))
     )
     assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_null_group_rows_survive(spark):
+    rows = [(1, "a", 2.0), (2, None, 3.0), (3, None, 4.0), (4, "a", 5.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = grouped_prefix_sum(df, ["g"], "id", F.col("v"))
+    assert got.count() == 4
+    by_id = {r["id"]: r["cum_before"] for r in got.collect()}
+    assert by_id == {1: 0.0, 2: 0.0, 3: 3.0, 4: 2.0}

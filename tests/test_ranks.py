@@ -161,3 +161,16 @@ def test_randomized_distributions_match_window(spark, seed, dist):
     want = df.withColumn("rn", F.row_number().over(w).cast("long"))
     assert total == 300
     assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_grouped_row_number_null_group_survives(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.ranks import (
+        grouped_row_number,
+    )
+
+    rows = [(1, "a", 2.0), (2, None, 3.0), (3, None, 1.0), (4, "a", 5.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = grouped_row_number(df, ["g"], "v", ("id",), count_col="n")
+    assert got.count() == 4
+    by_id = {r["id"]: (r["rn"], r["n"]) for r in got.collect()}
+    assert by_id == {1: (1, 2), 2: (2, 2), 3: (1, 2), 4: (2, 2)}
