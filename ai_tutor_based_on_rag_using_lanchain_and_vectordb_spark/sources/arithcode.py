@@ -366,15 +366,17 @@ def decode_dc(
 
 def encode_ac(
     enc: ArithEncoder, stats: bytearray, fixed: bytearray,
-    coeffs, Kx: int,
+    coeffs, Kx: int, ss: int = 1, se: int = 63,
 ) -> None:
-    """``coeffs``: the 64 quantized coefficients in ZIGZAG order."""
+    """``coeffs``: the 64 quantized coefficients in ZIGZAG order,
+    already point-transformed for progressive first scans. ``ss..se``
+    bounds the spectral band (sequential: 1..63)."""
     ke = 0
-    for k in range(63, 0, -1):
+    for k in range(se, ss - 1, -1):
         if coeffs[k]:
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)  # not EOB
@@ -412,26 +414,28 @@ def encode_ac(
         while m := m >> 1:
             enc.encode(stats, sp, 1 if (m & (v)) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         st = 3 * (ke + 1 - 1)
         enc.encode(stats, st, 1)  # EOB
 
 
 def decode_ac(
     dec: ArithDecoder, stats: bytearray, fixed: bytearray,
-    block, Kx: int,
+    block, Kx: int, ss: int = 1, se: int = 63, al: int = 0,
 ) -> None:
-    """Fills ``block`` (64 entries, ZIGZAG order) for positions 1..63."""
-    k = 1
-    while k <= 63:
+    """Fills ``block`` (64 entries, ZIGZAG order) for the band
+    ``ss..se`` (sequential: 1..63); stored values are shifted left by
+    ``al`` (progressive first-scan point transform)."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             return  # EOB
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("AC run past end of block")
+            if k > se:
+                raise ValueError("AC run past end of band")
         sign = dec.decode(fixed, 0)
         sp = st + 2
         m = dec.decode(stats, sp)
@@ -450,5 +454,100 @@ def decode_ac(
             if dec.decode(stats, sp):
                 v |= m
         v += 1
-        block[k] = -v if sign else v
+        block[k] = (-v if sign else v) << al
+        k += 1
+
+
+# --------------------------------------------------------------------------
+# Progressive refinement models (T.81 Annex G.2 / G.3): DC refinement
+# is one raw bit per block through the fixed bin; AC refinement codes,
+# per band position, a correction bit for previously-nonzero
+# coefficients (context st+2) and newly-significant coefficients via
+# the zero/nonzero bin (st+1) with a fixed-bin sign — with the EOB
+# decision (st) only beyond the previous stage's end-of-block index.
+# --------------------------------------------------------------------------
+
+
+def encode_dc_refine(enc: ArithEncoder, fixed: bytearray, bit: int) -> None:
+    enc.encode(fixed, 0, bit)
+
+
+def decode_dc_refine(dec: ArithDecoder, fixed: bytearray) -> int:
+    return dec.decode(fixed, 0)
+
+
+def encode_ac_refine(
+    enc: ArithEncoder, stats: bytearray, fixed: bytearray,
+    prev, full, ss: int, se: int, al: int,
+) -> None:
+    """``prev``: the block as the decoder knows it BEFORE this scan
+    (zigzag, resolution al+1); ``full``: the fully-resolved zigzag
+    coefficients. Codes the ``al`` bit of every band position."""
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if prev[k]:
+            kex = k
+            break
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if (abs(full[k]) >> al) > 0:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(stats, st, 0)  # not EOB yet
+        while True:
+            if prev[k]:
+                # correction bit for an already-significant coefficient
+                enc.encode(stats, st + 2, (abs(full[k]) >> al) & 1)
+                break
+            newly = 1 if (abs(full[k]) >> al) > 0 else 0
+            enc.encode(stats, st + 1, newly)
+            if newly:
+                enc.encode(fixed, 0, 1 if full[k] < 0 else 0)
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC refine run past end of band")
+        k += 1
+    if ke < se:
+        st = 3 * (ke + 1 - 1)
+        if ke + 1 > kex:
+            enc.encode(stats, st, 1)  # EOB
+
+
+def decode_ac_refine(
+    dec: ArithDecoder, stats: bytearray, fixed: bytearray,
+    block, ss: int, se: int, al: int,
+) -> None:
+    """Refines ``block`` (zigzag, holding the previous stage's values)
+    in place with the ``al`` bit of each band position."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if block[k]:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                return  # EOB
+        while True:
+            if block[k]:
+                if dec.decode(stats, st + 2):
+                    block[k] += m1 if block[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                block[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC refine run past end of band")
         k += 1

@@ -1290,10 +1290,10 @@ def decode_jpeg_pixels(data: bytes):
                 return _jpeg_lossless_scan(data)
             elif marker == 0xDE:  # DHP: hierarchical pyramid walk
                 return _jpeg_hierarchical(data)
-            elif marker == 0xC9:  # sequential arithmetic: own walker
+            elif marker in (0xC9, 0xCA):  # arithmetic: own walker
                 return _jpeg_arith_sequential(data)
-            elif marker in _JPEG_SOF:  # progressive/lossless arithmetic,
-                return None  # stray differential: metadata-only
+            elif marker in _JPEG_SOF:  # lossless arithmetic, stray
+                return None  # differential: metadata-only
             elif marker == 0xEE:  # APP14 (Adobe): color-transform flag
                 if len(body) >= 12 and body[:5] == b"Adobe":
                     adobe_transform = body[11]
@@ -1399,12 +1399,15 @@ def decode_jpeg_pixels(data: bytes):
 
 
 def _jpeg_arith_sequential(data: bytes):
-    """Sequential ARITHMETIC-coded JPEG (SOF9) pixel decode: QM coder +
-    Annex F DC/AC conditioning models (sources/arithcode.py), DAC
-    conditioning segments (defaults L=0, U=1, Kx=5), restart markers
-    (full stats + coder re-init), then the shared dequant/IDCT/color
-    assembly. Progressive (SOF10) and lossless (SOF11) arithmetic
-    variants stay metadata-only."""
+    """ARITHMETIC-coded JPEG pixel decode — sequential (SOF9) AND
+    progressive (SOF10): QM coder + Annex F/G conditioning models
+    (sources/arithcode.py), DAC conditioning segments (defaults L=0,
+    U=1, Kx=5), restart markers (full stats + coder re-init per
+    interval; every scan re-inits regardless), progressive scan
+    dispatch (DC first/refine, per-component AC first/refine with
+    spectral selection + successive approximation), then the shared
+    dequant/IDCT/color assembly. Lossless arithmetic (SOF11) stays
+    metadata-only."""
     import numpy as np
 
     from . import arithcode as ARC
@@ -1463,7 +1466,7 @@ def _jpeg_arith_sequential(data: bytes):
                     else:
                         ac_cond[th] = v  # Kx
                     p += 2
-            elif marker == 0xC9:  # extended sequential, arithmetic
+            elif marker in (0xC9, 0xCA):  # sequential / progressive arith
                 if len(body) < 6 or body[0] != 8:
                     return None
                 h, w = struct.unpack(">HH", body[1:5])
@@ -1477,7 +1480,7 @@ def _jpeg_arith_sequential(data: bytes):
                     cid = body[6 + 3 * c]
                     hv = body[7 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
-                frame = (w, h, comps)
+                frame = (w, h, comps, marker == 0xCA)
             elif marker in _JPEG_SOF:
                 return None  # progressive/lossless arithmetic: metadata-only
             elif marker == 0xEE:
@@ -1487,9 +1490,9 @@ def _jpeg_arith_sequential(data: bytes):
                 if len(body) < 2:
                     return None
                 restart_interval = struct.unpack(">H", body[:2])[0]
-            elif marker == 0xDA:  # SOS: sequential scan (interleaved
-                # when ns > 1, per-component block walk when ns == 1);
-                # every scan re-inits the coder and its statistics
+            elif marker == 0xDA:  # SOS (interleaved when ns > 1,
+                # per-component block walk when ns == 1); every scan
+                # re-inits the coder and its statistics
                 if frame is None or len(body) < 4:
                     return None
                 ns = body[0]
@@ -1503,10 +1506,20 @@ def _jpeg_arith_sequential(data: bytes):
                         return None
                     td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0x0F
                     sel.append((ids.index(cs), td, ta))
-                if tuple(body[1 + 2 * ns : 4 + 2 * ns][:2]) != (0, 63):
-                    return None
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                if frame[3]:  # progressive scan-header rules (G.1)
+                    if ss > se or se > 63:
+                        return None
+                    if ss == 0 and se != 0:
+                        return None  # DC scans carry only coefficient 0
+                    if ss > 0 and ns != 1:
+                        return None  # AC scans are single-component
+                elif (ss, se, ah) != (0, 63, 0):
+                    return None  # sequential scans span the full band
                 scans.append((sel, i + 2 + seg_len, dict(dc_cond),
-                              dict(ac_cond), restart_interval))
+                              dict(ac_cond), restart_interval,
+                              (ss, se, ah, al)))
                 # skip the entropy data: markers terminate it, 0xFF00
                 # is a stuffed data byte, RSTn continues the scan
                 p = i + 2 + seg_len
@@ -1525,7 +1538,7 @@ def _jpeg_arith_sequential(data: bytes):
         if frame is None or not scans:
             return None
 
-        w, h, comps = frame
+        w, h, comps, _progressive = frame
         for hi, vi in ((c[1], c[2]) for c in comps):
             if not (1 <= hi <= 2 and 1 <= vi <= 2):
                 return None
@@ -1549,7 +1562,7 @@ def _jpeg_arith_sequential(data: bytes):
         nc = len(comps)
         zz = _JPEG_ZIGZAG
 
-        for sel, pos, sdc_cond, sac_cond, dri in scans:
+        for sel, pos, sdc_cond, sac_cond, dri, (ss, se, ah, al) in scans:
 
             def fresh(start):
                 dec = ARC.ArithDecoder(data, start)
@@ -1560,14 +1573,37 @@ def _jpeg_arith_sequential(data: bytes):
 
             def decode_block(dec, dstats, astats, fixed, dctx, pred,
                              ci, td, ta, idx):
-                L, U = sdc_cond.get(td, (0, 1))
+                """One block of THIS scan: sequential scans decode
+                DC+AC; progressive scans dispatch on (ss, ah)."""
+                row = coeffs[ci][idx]
+                if ss == 0:
+                    if ah == 0:  # DC first (sequential when se == 63)
+                        L, U = sdc_cond.get(td, (0, 1))
+                        diff = ARC.decode_dc(dec, dstats[td], dctx, ci, L, U)
+                        pred[ci] += diff
+                        row[0] = pred[ci] << al
+                    else:  # DC refinement: one fixed-bin bit
+                        if ARC.decode_dc_refine(dec, fixed):
+                            row[0] |= 1 << al
+                    if se == 0:
+                        return
                 Kx = sac_cond.get(ta, 5)
-                diff = ARC.decode_dc(dec, dstats[td], dctx, ci, L, U)
-                pred[ci] += diff
-                blk_zz = [0] * 64
-                ARC.decode_ac(dec, astats[ta], fixed, blk_zz, Kx)
-                blk_zz[0] = pred[ci]
-                coeffs[ci][idx][zz] = blk_zz
+                lo = max(ss, 1)
+                if ah == 0:  # AC first (or the sequential AC band)
+                    blk_zz = [0] * 64
+                    ARC.decode_ac(
+                        dec, astats[ta], fixed, blk_zz, Kx, lo, se, al
+                    )
+                    row[zz[lo : se + 1]] = blk_zz[lo : se + 1]
+                else:  # AC refinement over the band, in place
+                    blk_zz = [0] * 64
+                    blk_zz[lo : se + 1] = [
+                        int(v) for v in row[zz[lo : se + 1]]
+                    ]
+                    ARC.decode_ac_refine(
+                        dec, astats[ta], fixed, blk_zz, lo, se, al
+                    )
+                    row[zz[lo : se + 1]] = blk_zz[lo : se + 1]
 
             def restart(dec):
                 # skip to the RST marker, re-init coder + ALL stats

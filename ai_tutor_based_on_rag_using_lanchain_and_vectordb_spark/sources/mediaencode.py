@@ -226,12 +226,11 @@ def encode_jpeg(
     DC first at Al=1, DC refinement, per-component AC first at Al=1,
     per-component AC refinement — exercising spectral selection,
     successive approximation and EOB runs. ``arithmetic=True`` writes
-    SOF9 (extended sequential, QM arithmetic entropy coding per T.81
-    Annexes D/F, sources/arithcode.py) with a DAC conditioning segment
-    at the spec defaults (L=0, U=1, Kx=5); not combinable with
-    ``progressive``."""
-    if arithmetic and progressive:
-        raise ValueError("arithmetic + progressive not supported")
+    arithmetic entropy coding (QM coder per T.81 Annexes D/F/G,
+    sources/arithcode.py) with a DAC conditioning segment at the spec
+    defaults (L=0, U=1, Kx=5): SOF9 (extended sequential) alone, or —
+    combined with ``progressive`` — SOF10 with the SAME four-stage
+    scan script (every scan re-inits the coder and statistics)."""
     gray = img.ndim == 2
     cmyk = img.ndim == 3 and img.shape[2] == 4
     h, w = img.shape[:2]
@@ -289,7 +288,10 @@ def encode_jpeg(
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
     for ci, (hi, vi) in enumerate(samplings):
         sof += bytes([ci + 1, (hi << 4) | vi, 0])
-    sof_marker = 0xC9 if arithmetic else (0xC2 if progressive else 0xC0)
+    if arithmetic:
+        sof_marker = 0xCA if progressive else 0xC9
+    else:
+        sof_marker = 0xC2 if progressive else 0xC0
     out += _seg(sof_marker, bytes(sof))
     if arithmetic:
         # DAC: DC table 0 conditioning (U<<4)|L = 0x10, AC table 0 Kx=5
@@ -297,6 +299,92 @@ def encode_jpeg(
     else:
         out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
         out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
+
+    if arithmetic and progressive:
+        from . import arithcode as ARC
+
+        qblocks = [
+            [_quantize_block(b) for b in arr] for arr, _ in blocks
+        ]
+
+        def sos_header(comp_ids, ss, se, ah, al):
+            hdr = bytearray([len(comp_ids)])
+            for cid in comp_ids:
+                hdr += bytes([cid + 1, 0x00])
+            hdr += bytes([ss, se, (ah << 4) | al])
+            return _seg(0xDA, bytes(hdr))
+
+        def mcu_blocks():
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for ci, (hi, vi) in enumerate(samplings):
+                    bwb = blocks[ci][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield ci, qblocks[ci][
+                                (my * vi + by) * bwb + (mx * hi + bx)
+                            ]
+
+        all_ids = list(range(len(planes)))
+        # scan 1: DC first, interleaved, Al=1 (floor-shift transform,
+        # predictors tracked in the shifted domain)
+        out += sos_header(all_ids, 0, 0, 0, 1)
+        enc = ARC.ArithEncoder()
+        dstats = bytearray(ARC.DC_STAT_BINS)
+        dctx, pred = [0] * len(planes), [0] * len(planes)
+        for ci, q in mcu_blocks():
+            v = int(q[0]) >> 1
+            ARC.encode_dc(enc, dstats, dctx, ci, v - pred[ci], 0, 1)
+            pred[ci] = v
+        out += enc.finish()
+        # scan 2: DC refinement — one fixed-bin bit per block
+        out += sos_header(all_ids, 0, 0, 1, 0)
+        enc = ARC.ArithEncoder()
+        fixed = bytearray([ARC.FIXED_BIN])
+        for _ci, q in mcu_blocks():
+            ARC.encode_dc_refine(enc, fixed, int(q[0]) & 1)
+        out += enc.finish()
+        # per component: AC first (Al=1) then AC refinement, walking
+        # the TRUE block grid (non-interleaved scans)
+        for ci, (hi, vi) in enumerate(samplings):
+            bwb = blocks[ci][1]
+            comp_w = -(-(w * hi) // hmax)
+            comp_h = -(-(h * vi) // vmax)
+            cbw, cbh = -(-comp_w // 8), -(-comp_h // 8)
+            order = [
+                qblocks[ci][by * bwb + bx]
+                for by in range(cbh)
+                for bx in range(cbw)
+            ]
+            out += sos_header([ci], 1, 63, 0, 1)
+            enc = ARC.ArithEncoder()
+            astats = bytearray(ARC.AC_STAT_BINS)
+            fixed = bytearray([ARC.FIXED_BIN])
+            for q in order:
+                # AC point transform truncates toward zero (T.81 G.1.2.1)
+                shifted = [
+                    int(q[k]) // 2 if q[k] >= 0 else -((-int(q[k])) // 2)
+                    for k in range(64)
+                ]
+                ARC.encode_ac(enc, astats, fixed, shifted, 5, ss=1, se=63)
+            out += enc.finish()
+            out += sos_header([ci], 1, 63, 1, 0)
+            enc = ARC.ArithEncoder()
+            astats = bytearray(ARC.AC_STAT_BINS)
+            fixed = bytearray([ARC.FIXED_BIN])
+            for q in order:
+                full = [int(q[k]) for k in range(64)]
+                # what the decoder holds after the Al=1 pass, at full
+                # scale: trunc(v/2) * 2 with sign
+                prev = [
+                    (v // 2 if v >= 0 else -((-v) // 2)) * 2 for v in full
+                ]
+                ARC.encode_ac_refine(
+                    enc, astats, fixed, prev, full, 1, 63, 0
+                )
+            out += enc.finish()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     if arithmetic:
         from . import arithcode as ARC

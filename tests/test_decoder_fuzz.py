@@ -90,6 +90,8 @@ def _valid_payloads():
                     ycck=True),
         encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
                     arithmetic=True, restart_interval=1),
+        encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3),
+                    arithmetic=True, progressive=True),
         encode_lossless_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8),
                              predictor=4, restart_interval=30),
         encode_hierarchical_jpeg(np.arange(192, dtype=np.uint8).reshape(12, 16)),

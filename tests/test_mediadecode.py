@@ -1698,8 +1698,40 @@ def test_jpeg_arith_truncation_fails_soft():
     assert MD.decode_jpeg(data).width == 16
 
 
-def test_jpeg_progressive_arithmetic_stays_metadata_only():
-    # SOF10 (progressive arithmetic) remains a documented stub: pixels
+def test_jpeg_progressive_arithmetic_roundtrip():
+    """SOF10 (progressive arithmetic): the four-stage scan script
+    decodes to byte-identical pixels vs the Huffman paths — equal to
+    SOF2 on aligned grids, and exactly equal to the SEQUENTIAL decode
+    everywhere (including the 4:2:0 MCU-padding rows, where the
+    Huffman progressive path drifts by a few levels)."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    assert np.array_equal(
+        MD.decode_jpeg_pixels(encode_jpeg(g, arithmetic=True, progressive=True)),
+        MD.decode_jpeg_pixels(encode_jpeg(g, progressive=True)),
+    )
+    c = rng.integers(0, 256, (17, 26, 3), dtype=np.uint8)
+    assert np.array_equal(
+        MD.decode_jpeg_pixels(encode_jpeg(c, arithmetic=True, progressive=True)),
+        MD.decode_jpeg_pixels(encode_jpeg(c, progressive=True)),
+    )
+    s = rng.integers(0, 256, (21, 35, 3), dtype=np.uint8)
+    pa = MD.decode_jpeg_pixels(
+        encode_jpeg(s, arithmetic=True, progressive=True, subsample=True)
+    )
+    assert np.array_equal(
+        pa, MD.decode_jpeg_pixels(encode_jpeg(s, subsample=True))
+    )
+    # metadata parse agrees
+    data = encode_jpeg(g, arithmetic=True, progressive=True)
+    assert MD.decode_jpeg(data).width == 33
+
+
+def test_jpeg_lossless_arithmetic_stays_metadata_only():
+    # SOF11 (lossless arithmetic) remains a documented stub: pixels
     # None, metadata real
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
@@ -1707,7 +1739,7 @@ def test_jpeg_progressive_arithmetic_stays_metadata_only():
     g = np.full((8, 8), 100, np.uint8)
     data = bytearray(encode_jpeg(g, arithmetic=True))
     i = data.find(b"\xff\xc9")
-    data[i + 1] = 0xCA  # flip the frame marker to progressive-arith
+    data[i + 1] = 0xCB  # flip the frame marker to lossless-arith
     assert MD.decode_jpeg_pixels(bytes(data)) is None
     assert MD.decode_jpeg(bytes(data)).width == 8
 
