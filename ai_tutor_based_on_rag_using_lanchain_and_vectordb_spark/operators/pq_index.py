@@ -133,6 +133,7 @@ def upsert_ivfpq_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    track_distortion: bool = False,
 ) -> dict:
     """Merge a batch into the persistent codes layout with the FROZEN
     quantizers: cells assign against the stored centroids, codes encode
@@ -142,9 +143,12 @@ def upsert_ivfpq_index(
     quarantine, and only touched cell partitions rewrite (dynamic
     partition overwrite).
 
-    Telemetry: the returned dict carries ``mean_adc_error`` — the
-    batch's mean squared quantization error under the FROZEN codebooks
-    (operators/pq.mean_pq_distortion). The coarse quantizer's
+    Telemetry: with ``track_distortion=True`` the returned dict
+    carries ``mean_adc_error`` — the batch's mean squared quantization
+    error under the FROZEN codebooks (operators/pq.mean_pq_distortion).
+    Off by default: it is a second full Arrow pass over the batch, so a
+    refit policy should sample batches rather than pay it on every
+    upsert. The coarse quantizer's
     growth/drift refit triggers live in ann_index.upsert_ivf_index;
     this is the matching signal for the PQ side: a refit policy
     re-fits the codebooks when the error trend of incoming batches
@@ -174,9 +178,11 @@ def upsert_ivfpq_index(
     if not n_batch:
         return {"added": 0, "replaced": 0, "skipped": n_skipped,
                 "touched_cells": [], "mean_adc_error": None}
-    from .pq import mean_pq_distortion
+    mean_adc_error = None
+    if track_distortion:
+        from .pq import mean_pq_distortion
 
-    mean_adc_error = mean_pq_distortion(assigned, cb, vec_col)
+        mean_adc_error = mean_pq_distortion(assigned, cb, vec_col)
 
     codes_path = os.path.join(path, "codes")
     prior = (

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..session import default_parallelism
+from .ranks import bucket_key_expr
 
 
 def grouped_prefix_sum(
@@ -51,7 +52,7 @@ def grouped_prefix_sum(
     everything else is distributed.
     """
     n_buckets = n_buckets or 4 * default_parallelism()
-    ocol = F.col(order_col).cast("double")
+    ocol = bucket_key_expr(df, order_col)
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = df.select(

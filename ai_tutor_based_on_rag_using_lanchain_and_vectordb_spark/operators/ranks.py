@@ -33,8 +33,25 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..session import default_parallelism
+
+
+def bucket_key_expr(df: DataFrame, name: str) -> Column:
+    """The primary sort key as a double for quantile bucketing —
+    validated: a non-castable type (string, date, array) would turn
+    every bucket id into NULL and silently collapse the operator back
+    into the one-task window it exists to avoid (r7 advisor finding).
+    """
+    dt = df.schema[name].dataType
+    if not isinstance(dt, (T.NumericType, T.TimestampType, T.TimestampNTZType)):
+        raise TypeError(
+            f"bucketed rank/prefix key {name!r} has type {dt.simpleString()}; "
+            "a numeric or timestamp key is required (cast dates with "
+            "to_timestamp, or hash string keys to a numeric surrogate first)"
+        )
+    return F.col(name).cast("double")
 
 
 def global_row_number(
@@ -55,7 +72,7 @@ def global_row_number(
     time; both collect O(n_buckets) values, never data rows.
     """
     n_buckets = n_buckets or 4 * default_parallelism()
-    pcol = F.col(primary).cast("double")
+    pcol = bucket_key_expr(df, primary)
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = df.select(
@@ -138,7 +155,7 @@ def grouped_row_number(
     (what percent_rank / cume_dist denominators need) — it falls out of
     the same partial table for free."""
     n_buckets = n_buckets or 4 * default_parallelism()
-    pcol = F.col(primary).cast("double")
+    pcol = bucket_key_expr(df, primary)
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts_row = df.select(

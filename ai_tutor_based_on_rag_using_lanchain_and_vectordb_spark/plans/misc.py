@@ -183,16 +183,17 @@ def priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-style: promo revenue share — broadcast the part dim,
-    conditional decimal-exact numerator over the full revenue
-    denominator."""
+    """TPC-H Q14-style: promo revenue share — conditional decimal-exact
+    numerator over the full revenue denominator. `part` is sf-scaled,
+    so no forced broadcast: Catalyst/AQE picks broadcast below the size
+    threshold and a shuffled join above it."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
     promo = F.col("p_type").startswith("PROMO")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     num = F.sum(F.when(promo, X.disc_price()).otherwise(F.lit(0).cast("decimal(24,6)")))
     den = F.sum(X.disc_price())
     return joined.agg(
@@ -245,7 +246,8 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     still push to the scans."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # part is sf-scaled — no forced broadcast; AQE decides per run.
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10)
     band2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 20)
     band3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 30)

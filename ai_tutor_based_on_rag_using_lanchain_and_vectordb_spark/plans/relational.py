@@ -342,7 +342,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # cust is ~1/5 of all customers (sf-scaled) — no forced
+        # broadcast; AQE picks broadcast at small scale only.
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(X.disc_price()).alias("rev_dec"))
         .orderBy(F.desc("rev_dec"), F.asc("l_orderkey"))

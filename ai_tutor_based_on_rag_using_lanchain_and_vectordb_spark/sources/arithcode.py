@@ -371,7 +371,10 @@ def encode_ac(
     """``coeffs``: the 64 quantized coefficients in ZIGZAG order,
     already point-transformed for progressive first scans. ``ss..se``
     bounds the spectral band (sequential: 1..63)."""
-    ke = 0
+    # ke floors at ss-1 so an all-zero band codes its trailing EOB at
+    # context 3*(ss-1) — the bin decode_ac reads first (T.81 F.1.4.3
+    # uses 3*(k-1) with k starting at Ss).
+    ke = ss - 1
     for k in range(se, ss - 1, -1):
         if coeffs[k]:
             ke = k
@@ -488,7 +491,8 @@ def encode_ac_refine(
         if prev[k]:
             kex = k
             break
-    ke = 0
+    # Same ss-1 floor as encode_ac: all-zero band → EOB at 3*(ss-1).
+    ke = ss - 1
     for k in range(se, ss - 1, -1):
         if (abs(full[k]) >> al) > 0:
             ke = k

@@ -124,6 +124,9 @@ SCALED_NO_HINT = [
     "brand_supplier_counts",  # part, bad-supplier list
     "small_qty_avg_revenue",  # part, per-part averages
     "promotable_part_suppliers",  # part semi-join
+    "promo_revenue_share",  # part (r8: hint removed)
+    "disjunctive_predicate_revenue",  # part (r8: hint removed)
+    "shipping_priority",  # segment-filtered customer (r8: hint removed)
 ]
 
 

@@ -174,3 +174,33 @@ def test_grouped_row_number_null_group_survives(spark):
     assert got.count() == 4
     by_id = {r["id"]: (r["rn"], r["n"]) for r in got.collect()}
     assert by_id == {1: (1, 2), 2: (2, 2), 3: (1, 2), 4: (2, 2)}
+
+
+def test_non_numeric_key_rejected(spark):
+    # A string/date key casts to NULL-per-row under the double bucket
+    # cast, silently collapsing every row into one bucket — the r7
+    # advisor asked for a loud error instead.
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.prefix import (
+        grouped_prefix_sum,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.ranks import (
+        global_row_number,
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "id long, s string, d string"
+    ).withColumn("d", F.to_date("d"))
+
+    for bad in ("s", "d"):
+        with pytest.raises(TypeError, match="numeric or timestamp"):
+            global_row_number(df, bad)
+        with pytest.raises(TypeError, match="numeric or timestamp"):
+            grouped_row_number(df, ["s"], bad)
+        with pytest.raises(TypeError, match="numeric or timestamp"):
+            grouped_prefix_sum(df, ["s"], bad, F.lit(1))
+
+    # timestamp keys stay accepted
+    ts = df.withColumn("t", F.col("d").cast("timestamp"))
+    got, total = global_row_number(ts, "t")
+    assert total == 1
