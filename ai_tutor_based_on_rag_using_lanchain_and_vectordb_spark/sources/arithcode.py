@@ -555,3 +555,97 @@ def decode_ac_refine(
             if k > se:
                 raise ValueError("AC refine run past end of band")
         k += 1
+
+
+# ---------------------------------------------------------------------------
+# Annex H.2 lossless statistical model: the DC difference model above,
+# re-conditioned on a TWO-dimensional context — the differences already
+# coded for the sample to the left (Da) and the sample above (Db), each
+# classified into the same five categories F.1.4.4.1.2 uses for the
+# sequential DC conditioning (zero/small, ±medium, ±large under the
+# DAC L/U thresholds). 25 context quads (S0/SS/SP/SN) at bins 0..99,
+# then TWO magnitude-category runs (X1..X15 + 14 magnitude-bit bins):
+# one at 100 used while Db is not large, one at 129 used when |Db| is
+# in the large category — 158 bins total, the spec's stated size for
+# the lossless statistics area.
+# ---------------------------------------------------------------------------
+
+LOSSLESS_STAT_BINS = 158
+_XRUN_SMALL = 100  # X1 when Db classifies below the large category
+_XRUN_LARGE = 129  # X1 when Db is large
+
+
+def classify_diff(d: int, L: int, U: int) -> int:
+    """F.1.4.4.1.2 five-way classification of a coded difference:
+    0 zero/small, 1 +medium, 2 -medium, 3 +large, 4 -large."""
+    a = abs(d)
+    if a == 0 or 2 * a <= (1 << L):
+        return 0
+    cat = 1 if d > 0 else 2
+    if 2 * a > (1 << U):
+        cat += 2
+    return cat
+
+
+def encode_lossless_diff(
+    enc: ArithEncoder, stats: bytearray, da: int, db: int,
+    diff: int, L: int, U: int,
+) -> None:
+    """Code one prediction difference (signed, -32768..32767) under the
+    (Da, Db) two-dimensional context."""
+    ca, cb = classify_diff(da, L, U), classify_diff(db, L, U)
+    st = 4 * (5 * ca + cb)
+    if diff == 0:
+        enc.encode(stats, st, 0)
+        return
+    enc.encode(stats, st, 1)
+    if diff > 0:
+        enc.encode(stats, st + 1, 0)
+        sp = st + 2
+        v = diff
+    else:
+        enc.encode(stats, st + 1, 1)
+        sp = st + 3
+        v = -diff
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, sp, 1)
+        m = 1
+        sp = _XRUN_LARGE if cb >= 3 else _XRUN_SMALL
+        v2 = v
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(stats, sp, 1)
+            m <<= 1
+            sp += 1
+    enc.encode(stats, sp, 0)
+    sp += 14
+    while m := m >> 1:
+        enc.encode(stats, sp, 1 if (m & v) else 0)
+
+
+def decode_lossless_diff(
+    dec: ArithDecoder, stats: bytearray, da: int, db: int, L: int, U: int,
+) -> int:
+    ca, cb = classify_diff(da, L, U), classify_diff(db, L, U)
+    st = 4 * (5 * ca + cb)
+    if dec.decode(stats, st) == 0:
+        return 0
+    sign = dec.decode(stats, st + 1)
+    sp = st + 2 + sign
+    m = dec.decode(stats, sp)
+    if m:
+        sp = _XRUN_LARGE if cb >= 3 else _XRUN_SMALL
+        while dec.decode(stats, sp):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("lossless magnitude overflow")
+            sp += 1
+    v = m
+    sp += 14
+    while m := m >> 1:
+        if dec.decode(stats, sp):
+            v |= m
+    v += 1
+    return -v if sign else v

@@ -870,6 +870,182 @@ def _jpeg_lossless_scan(data: bytes):
     return np.stack(out, axis=2)
 
 
+def _jpeg_lossless_arith_scan(data: bytes):
+    """LOSSLESS ARITHMETIC JPEG (SOF11, T.81 Annex H.2): predictive
+    decode with QM-coded differences under the two-dimensional (Da, Db)
+    conditioning model (sources/arithcode.decode_lossless_diff; DAC
+    defaults L=0, U=1). Same envelope as :func:`_jpeg_lossless_scan`:
+    1-3 components at 1×1 sampling, precision 2-16 bits, all seven
+    predictors, point transform, restart intervals (which re-init the
+    coder, the statistics, the difference-context history, and the
+    prediction). Returns (height, width, channels) uint8; None outside
+    the envelope (fail-soft)."""
+    import numpy as np
+
+    from . import arithcode as ARC
+
+    try:
+        dc_cond: dict[int, tuple[int, int]] = {}  # th -> (L, U)
+        frame = None  # (P, w, h, [comp ids])
+        restart_interval = 0
+        scan = None
+        i, n = 2, len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if seg_len < 2 or i + 2 + seg_len > n:
+                return None
+            body = data[i + 4 : i + 2 + seg_len]
+            if marker == 0xCC:  # DAC conditioning
+                p = 0
+                while p + 2 <= len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    v = body[p + 1]
+                    if tc == 0:
+                        dc_cond[th] = (v & 0x0F, v >> 4)  # (L, U)
+                    p += 2
+            elif marker == 0xCB:  # SOF11
+                if len(body) < 6:
+                    return None
+                prec = body[0]
+                h, w = struct.unpack(">HH", body[1:5])
+                nc = body[5]
+                if not (2 <= prec <= 16) or nc not in (1, 2, 3) or not (w and h):
+                    return None
+                if w * h > 64_000_000 or len(body) < 6 + 3 * nc:
+                    return None
+                ids = []
+                for c in range(nc):
+                    hv = body[7 + 3 * c]
+                    if hv != 0x11:  # subsampled lossless: out of envelope
+                        return None
+                    ids.append(body[6 + 3 * c])
+                frame = (prec, w, h, ids)
+            elif marker in _JPEG_SOF or marker == 0xC4:  # other frames
+                return None
+            elif marker == 0xDD:  # DRI
+                if len(body) < 2:
+                    return None
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if frame is None or len(body) < 4:
+                    return None
+                ns = body[0]
+                if ns != len(frame[3]) or len(body) < 1 + 2 * ns + 3:
+                    return None  # envelope: all components in one scan
+                tds = []
+                for s in range(ns):
+                    if body[1 + 2 * s] != frame[3][s]:
+                        return None  # components in frame order only
+                    tds.append(body[2 + 2 * s] >> 4)
+                pred_sel = body[1 + 2 * ns]  # Ss = predictor selector
+                pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                if not (1 <= pred_sel <= 7):
+                    return None
+                scan = (tds, pred_sel, pt, i + 2 + seg_len)
+                break
+            i += 2 + seg_len
+        if frame is None or scan is None:
+            return None
+
+        prec, w, h, ids = frame
+        tds, pred_sel, pt, start = scan
+        nc = len(ids)
+        if pt >= prec:
+            return None
+        default_pred = 1 << (prec - pt - 1)
+        planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+        conds = [dc_cond.get(td, (0, 1)) for td in tds]
+
+        def fresh(pos):
+            # one statistics area PER CONDITIONING TABLE (components
+            # sharing a Td share adaptation, as in the sequential path)
+            return (
+                ARC.ArithDecoder(data, pos),
+                {td: bytearray(ARC.LOSSLESS_STAT_BINS) for td in tds},
+                [np.zeros(w, dtype=np.int64) for _ in range(nc)],
+            )
+
+        mcu = 0  # one MCU = one sample per component (1x1 sampling)
+        n_mcus = w * h
+        per_interval = restart_interval or n_mcus
+        dec, stats, diff_rows = fresh(start)
+        while mcu < n_mcus:
+            first = mcu
+            end = min(mcu + per_interval, n_mcus)
+            for m in range(mcu, end):
+                y, x = divmod(m, w)
+                for ci in range(nc):
+                    pl = planes[ci]
+                    if m == first:
+                        pred = default_pred
+                    elif y == 0:
+                        pred = pl[0, x - 1]
+                    elif x == 0:
+                        pred = pl[y - 1, 0]
+                    else:
+                        ra = pl[y, x - 1]
+                        rb = pl[y - 1, x]
+                        rc = pl[y - 1, x - 1]
+                        if pred_sel == 1:
+                            pred = ra
+                        elif pred_sel == 2:
+                            pred = rb
+                        elif pred_sel == 3:
+                            pred = rc
+                        elif pred_sel == 4:
+                            pred = ra + rb - rc
+                        elif pred_sel == 5:
+                            pred = ra + ((rb - rc) >> 1)
+                        elif pred_sel == 6:
+                            pred = rb + ((ra - rc) >> 1)
+                        else:
+                            pred = (ra + rb) >> 1
+                    dr = diff_rows[ci]
+                    da = 0 if (x == 0 or m == first) else int(dr[x - 1])
+                    db = int(dr[x])
+                    L, U = conds[ci]
+                    diff = ARC.decode_lossless_diff(
+                        dec, stats[tds[ci]], da, db, L, U
+                    )
+                    dr[x] = diff
+                    pl[y, x] = (pred + diff) & 0xFFFF
+            mcu = end
+            if mcu < n_mcus:
+                # skip to the RST marker, re-init everything
+                p = dec.pos
+                while p + 1 < n and not (
+                    data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    p += 1
+                if p + 1 >= n:
+                    break  # truncated: keep what decoded (fail-soft)
+                dec, stats, diff_rows = fresh(p + 2)
+        # reconstruct: undo point transform, scale precision to 8-bit
+        out = []
+        for pl in planes:
+            v = pl << pt
+            if prec > 8:
+                v = v >> (prec - 8)
+            elif prec < 8:
+                v = v << (8 - prec)
+            out.append(np.clip(v, 0, 255).astype(np.uint8))
+        return np.stack(out, axis=2)
+    except Exception:
+        return None  # fail-closed, same contract as the other paths
+
+
 def _jpeg_exp2(plane, horiz: bool, vert: bool):
     """T.81 J.1.1.2 reference-image expansion: doubled axes take the
     input on even positions and the rounded two-point average on odd
@@ -1201,11 +1377,13 @@ def decode_jpeg_pixels(data: bytes):
     4-COMPONENT (CMYK/YCCK) frames — returned as 4 channels exactly as
     the codestream encodes them (APP14 transform 2 un-rotates YCCK
     back to CMY; ink interpretation is producer-dependent and stays
-    with the caller); plus sequential ARITHMETIC entropy coding (SOF9,
-    QM coder + Annex F conditioning via sources/arithcode.py,
-    :func:`_jpeg_arith_sequential`). Progressive/lossless arithmetic
-    variants (SOF10/11) return None — metadata-only fallback, same
-    contract as the other pixel decoders.
+    with the caller); plus ARITHMETIC entropy coding in all three
+    shapes — sequential (SOF9) and progressive (SOF10) via
+    :func:`_jpeg_arith` (QM coder + Annex F/G conditioning,
+    sources/arithcode.py) and lossless (SOF11) via
+    :func:`_jpeg_lossless_arith_scan` (Annex H.2 two-dimensional
+    difference conditioning). Only differential frames outside a
+    hierarchical pyramid return None (metadata-only fallback).
     Returns (height, width, channels) uint8.
 
     Per-block work is one einsum over all blocks per component; only
@@ -1291,9 +1469,11 @@ def decode_jpeg_pixels(data: bytes):
             elif marker == 0xDE:  # DHP: hierarchical pyramid walk
                 return _jpeg_hierarchical(data)
             elif marker in (0xC9, 0xCA):  # arithmetic: own walker
-                return _jpeg_arith_sequential(data)
-            elif marker in _JPEG_SOF:  # lossless arithmetic, stray
-                return None  # differential: metadata-only
+                return _jpeg_arith(data)
+            elif marker == 0xCB:  # lossless arithmetic: own walker
+                return _jpeg_lossless_arith_scan(data)
+            elif marker in _JPEG_SOF:  # stray differential frames
+                return None  # metadata-only
             elif marker == 0xEE:  # APP14 (Adobe): color-transform flag
                 if len(body) >= 12 and body[:5] == b"Adobe":
                     adobe_transform = body[11]
@@ -1398,7 +1578,7 @@ def decode_jpeg_pixels(data: bytes):
         return None
 
 
-def _jpeg_arith_sequential(data: bytes):
+def _jpeg_arith(data: bytes):
     """ARITHMETIC-coded JPEG pixel decode — sequential (SOF9) AND
     progressive (SOF10): QM coder + Annex F/G conditioning models
     (sources/arithcode.py), DAC conditioning segments (defaults L=0,
@@ -1406,8 +1586,8 @@ def _jpeg_arith_sequential(data: bytes):
     interval; every scan re-inits regardless), progressive scan
     dispatch (DC first/refine, per-component AC first/refine with
     spectral selection + successive approximation), then the shared
-    dequant/IDCT/color assembly. Lossless arithmetic (SOF11) stays
-    metadata-only."""
+    dequant/IDCT/color assembly. Lossless arithmetic (SOF11) routes to
+    :func:`_jpeg_lossless_arith_scan` instead."""
     import numpy as np
 
     from . import arithcode as ARC

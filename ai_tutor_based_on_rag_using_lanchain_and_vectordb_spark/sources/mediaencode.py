@@ -27,6 +27,14 @@ from .mediadecode import _JPEG_ZIGZAG, _jpeg_idct_matrix
 # canonical code for symbol s: 8 bits for 0-127, 9 bits (256+s-128) after
 _HUFF_COUNTS = bytes([0] * 7 + [128, 128] + [0] * 7)
 _HUFF_SYMBOLS = bytes(range(256))
+# DC-class tables list ONLY the 16 DCT category symbols (0..15):
+# strict decoders (system libjpeg) reject DC tables defining symbols
+# above 15. All 16 get length-8 canonical codes, i.e. code == symbol —
+# exactly what _code() emits — so the entropy bitstream is unchanged.
+# (The lossless SOF3 encoder keeps its own 17-symbol table for SSSS=16;
+# strict-decoder interop there is moot — libjpeg has no lossless mode.)
+_HUFF_DC_COUNTS = bytes([0] * 7 + [16] + [0] * 8)
+_HUFF_DC_SYMBOLS = bytes(range(16))
 
 
 def _code(sym: int) -> tuple[int, int]:
@@ -297,7 +305,7 @@ def encode_jpeg(
         # DAC: DC table 0 conditioning (U<<4)|L = 0x10, AC table 0 Kx=5
         out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
     else:
-        out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
+        out += _seg(0xC4, bytes([0x00]) + _HUFF_DC_COUNTS + _HUFF_DC_SYMBOLS)  # DC 0
         out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
 
     if arithmetic and progressive:
@@ -608,15 +616,21 @@ def encode_lossless_jpeg(
     precision: int | None = None,
     pt: int = 0,
     restart_interval: int = 0,
+    arithmetic: bool = False,
 ) -> bytes:
-    """LOSSLESS JPEG (SOF3, T.81 Annex H) reference encoder for the
-    decoder tests: ``img`` is (h, w) or (h, w, C≤3) uint8/uint16;
-    components interleave at 1×1 sampling. One DC-class Huffman table
-    (17 difference categories at code length 5 — canonical, the all-ones
-    code stays unused as the spec requires). ``pt`` point-transform
-    shifts samples right before prediction; ``restart_interval`` (in
-    MCUs) emits RSTn markers and resets prediction, exercising the
-    decoder's restart path."""
+    """LOSSLESS JPEG (T.81 Annex H) reference encoder for the decoder
+    tests: ``img`` is (h, w) or (h, w, C≤3) uint8/uint16; components
+    interleave at 1×1 sampling. Huffman (SOF3) by default: one DC-class
+    table (17 difference categories at code length 5 — canonical, the
+    all-ones code stays unused as the spec requires).
+    ``arithmetic=True`` writes SOF11 instead: QM-coded differences
+    under the Annex H.2 two-dimensional (Da, Db) conditioning
+    (sources/arithcode.encode_lossless_diff), DAC defaults L=0, U=1.
+    ``pt`` point-transform shifts samples right before prediction;
+    ``restart_interval`` (in MCUs) emits RSTn markers and resets
+    prediction (and, under arithmetic, the coder, statistics, and the
+    difference-context history), exercising the decoder's restart
+    path."""
     arr = np.asarray(img)
     h, w = arr.shape[:2]
     planes = [arr] if arr.ndim == 2 else [arr[:, :, c] for c in range(arr.shape[2])]
@@ -629,12 +643,15 @@ def encode_lossless_jpeg(
     default_pred = 1 << (precision - pt - 1)
 
     out = bytearray(b"\xff\xd8")
-    counts = bytes([0, 0, 0, 0, 17] + [0] * 11)
-    out += _seg(0xC4, bytes([0x00]) + counts + bytes(range(17)))
+    if arithmetic:
+        out += _seg(0xCC, bytes([0x00, 0x10]))  # DAC: DC table 0, L=0 U=1
+    else:
+        counts = bytes([0, 0, 0, 0, 17] + [0] * 11)
+        out += _seg(0xC4, bytes([0x00]) + counts + bytes(range(17)))
     sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, 0])
-    out += _seg(0xC3, sof)
+    out += _seg(0xCB if arithmetic else 0xC3, sof)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
@@ -642,6 +659,52 @@ def encode_lossless_jpeg(
         sos += bytes([ci + 1, 0x00])
     sos += bytes([predictor, 0, pt])
     out += _seg(0xDA, sos)
+
+    if arithmetic:
+        from . import arithcode as ARC
+
+        n_mcus = h * w
+        per = restart_interval or n_mcus
+        rst = 0
+        mcu = 0
+        while mcu < n_mcus:
+            enc = ARC.ArithEncoder()
+            stats = bytearray(ARC.LOSSLESS_STAT_BINS)
+            # per-component Da/Db history resets with the interval
+            diff_rows = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+            first = mcu
+            end = min(mcu + per, n_mcus)
+            for m in range(mcu, end):
+                y, x = divmod(m, w)
+                for ci in range(nc):
+                    pl = shifted[ci]
+                    if m == first:
+                        pred = default_pred
+                    elif y == 0:
+                        pred = pl[0, x - 1]
+                    elif x == 0:
+                        pred = pl[y - 1, 0]
+                    else:
+                        ra, rb, rc = pl[y, x - 1], pl[y - 1, x], pl[y - 1, x - 1]
+                        pred = [
+                            ra, rb, rc, ra + rb - rc,
+                            ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                            (ra + rb) >> 1,
+                        ][predictor - 1]
+                    m16 = int(pl[y, x] - pred) & 0xFFFF
+                    diff = m16 - 65536 if m16 >= 32768 else m16
+                    dr = diff_rows[ci]
+                    da = 0 if (x == 0 or m == first) else int(dr[x - 1])
+                    db = int(dr[x])  # zeros until a row exists above
+                    ARC.encode_lossless_diff(enc, stats, da, db, diff, 0, 1)
+                    dr[x] = diff
+            mcu = end
+            out += enc.finish()
+            if mcu < n_mcus:
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+        out += b"\xff\xd9"
+        return bytes(out)
 
     bw = _BitWriter()
     n_mcus = h * w
@@ -847,7 +910,7 @@ def encode_hierarchical_jpeg(img: np.ndarray, progressive_diff: bool = False,
         dhp += bytes([ci + 1, 0x11, 0])
     out += _seg(0xDE, dhp)
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT 0: all ones
-    out += _seg(0xC4, bytes([0x00]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # DC 0
+    out += _seg(0xC4, bytes([0x00]) + _HUFF_DC_COUNTS + _HUFF_DC_SYMBOLS)  # DC 0
     out += _seg(0xC4, bytes([0x10]) + _HUFF_COUNTS + _HUFF_SYMBOLS)  # AC 0
     _write_seq_frame(out, 0xC0, base_planes, h2, w2, shift=128.0)
     out += _seg(0xDF, bytes([0x11]))  # EXP: expand both dimensions

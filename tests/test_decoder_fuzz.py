@@ -94,6 +94,9 @@ def _valid_payloads():
                     arithmetic=True, progressive=True),
         encode_lossless_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8),
                              predictor=4, restart_interval=30),
+        encode_lossless_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8),
+                             predictor=4, restart_interval=30,
+                             arithmetic=True),
         encode_hierarchical_jpeg(np.arange(192, dtype=np.uint8).reshape(12, 16)),
         encode_hierarchical_jpeg(
             np.arange(576, dtype=np.uint8).reshape(12, 16, 3) % 251

@@ -1730,9 +1730,112 @@ def test_jpeg_progressive_arithmetic_roundtrip():
     assert MD.decode_jpeg(data).width == 33
 
 
-def test_jpeg_lossless_arithmetic_stays_metadata_only():
-    # SOF11 (lossless arithmetic) remains a documented stub: pixels
-    # None, metadata real
+# ------------------------------------- lossless arithmetic JPEG (SOF11)
+
+
+def _smooth_img(h, w, c=None, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    base = rng.integers(0, 40, shape, dtype=np.int32)
+    ramp = (np.arange(w, dtype=np.int32) * 5)[None, :]
+    if c is not None:
+        ramp = ramp[:, :, None]
+    return ((base + ramp) % 256).astype(np.uint8)
+
+
+def test_jpeg_lossless_arith_all_predictors_exact():
+    """SOF11 decode must be bit-exact with both the source image and
+    the SOF3 decode of the same pixels, for every predictor."""
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    img = _smooth_img(21, 18)
+    for predictor in range(1, 8):
+        a = MD.decode_jpeg_pixels(
+            encode_lossless_jpeg(img, predictor=predictor, arithmetic=True)
+        )
+        hf = MD.decode_jpeg_pixels(
+            encode_lossless_jpeg(img, predictor=predictor)
+        )
+        assert a is not None and a.shape == (21, 18, 1)
+        assert np.array_equal(a[:, :, 0], img), predictor
+        assert np.array_equal(a, hf), predictor
+
+
+def test_jpeg_lossless_arith_three_channel_restarts():
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    img = _smooth_img(13, 11, 3, seed=3)
+    data = encode_lossless_jpeg(
+        img, predictor=4, restart_interval=17, arithmetic=True
+    )
+    assert data.count(b"\xff\xd0") + data.count(b"\xff\xd1") >= 2
+    out = MD.decode_jpeg_pixels(data)
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_jpeg_lossless_arith_16bit_and_point_transform():
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img16 = rng.integers(0, 65536, (9, 14), dtype=np.uint16)
+    a = MD.decode_jpeg_pixels(
+        encode_lossless_jpeg(img16, predictor=7, arithmetic=True)
+    )
+    hf = MD.decode_jpeg_pixels(encode_lossless_jpeg(img16, predictor=7))
+    assert a is not None and np.array_equal(a, hf)
+    assert np.array_equal(a[:, :, 0], (img16 >> 8).astype(np.uint8))
+
+    img8 = _smooth_img(10, 10, seed=9)
+    a2 = MD.decode_jpeg_pixels(
+        encode_lossless_jpeg(img8, predictor=1, pt=2, arithmetic=True)
+    )
+    hf2 = MD.decode_jpeg_pixels(encode_lossless_jpeg(img8, predictor=1, pt=2))
+    assert a2 is not None and np.array_equal(a2, hf2)
+    assert np.array_equal(a2[:, :, 0], img8 & ~np.uint8(3))
+
+
+def test_jpeg_lossless_arith_compresses_better_than_huffman():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    img = _smooth_img(40, 40, seed=1)
+    assert len(
+        encode_lossless_jpeg(img, predictor=4, arithmetic=True)
+    ) < len(encode_lossless_jpeg(img, predictor=4))
+
+
+def test_jpeg_lossless_arith_truncation_fails_soft():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import (
+        encode_lossless_jpeg,
+    )
+
+    img = _smooth_img(16, 16, seed=2)
+    data = encode_lossless_jpeg(img, predictor=4, arithmetic=True)
+    for cut in (8, len(data) // 3, len(data) // 2):
+        MD.decode_jpeg_pixels(data[:cut])  # must not raise (T.81
+        # convention: the coder feeds zero bytes past the segment, so
+        # a mid-entropy cut yields a wrong-but-well-formed image)
+    assert MD.decode_jpeg(data).width == 16
+
+
+def test_jpeg_sequential_flipped_to_sof11_fails_soft():
+    # a DCT scan wearing a lossless-arith frame marker is malformed
+    # (Ss=0 is no valid predictor): pixels None, metadata still real
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_jpeg
     import numpy as np
 
