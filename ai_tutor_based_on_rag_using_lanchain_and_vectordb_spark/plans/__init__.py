@@ -10,10 +10,11 @@ rounded identically on both sides so value-hashes match despite
 summation-order differences.
 """
 
-from . import curation, documents, misc, pipeline, relational, tpch_extra, trainprep, vectors
+from . import curation, documents, misc, pipeline, relational, streamgate, tpch_extra, trainprep, vectors
 
 ALL_MODULES = (
-    relational, documents, vectors, misc, curation, pipeline, tpch_extra, trainprep
+    relational, documents, vectors, misc, curation, pipeline, tpch_extra,
+    trainprep, streamgate,
 )
 
 # Round-7 driver-sample priority (the driver checks a ~50-query prefix
@@ -29,6 +30,8 @@ ALL_MODULES = (
 # semantically irrelevant.
 _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
+    "streaming_equivalence_gate", "promo_revenue_share",
+    "disjunctive_predicate_revenue", "shipping_priority",
     "sequence_packing",
     "catalog_merge_upsert", "scd2_catalog_history",
     "customer_spend_quartiles", "duplicate_spans",

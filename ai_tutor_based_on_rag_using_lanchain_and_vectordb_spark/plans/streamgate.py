@@ -1,0 +1,151 @@
+"""Driver-visible self-check for the STREAMING surface (SURVEY §2.8,
+ST1-ST5): the pytest suite proves stream ≡ batch per operator
+(tests/test_streaming.py, test_stream_dedup.py, test_sinks.py), but
+the driver's correctness gate never sees those runs. This gate runs
+each streaming operator as a real availableNow Structured Streaming
+query over the events fixture INSIDE the query, compares it to the
+batch formulation of the same operator, and emits one pass-flag row
+per operator (rows-only: a streaming drain isn't SQL-expressible).
+
+Modeled on plans/pipeline.multimodal_gate (the media analog).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import NANOS_TS_COLUMNS, _read_schema, ensure_nanos_conf, load_table
+from ..session import tune_for_oracle
+from ..streaming import windows as W
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream with the same nanos→timestamp
+    normalization the batch loader applies (catalog.load_table)."""
+    ensure_nanos_conf(spark)
+    schema, nanos = _read_schema("events", f"{sf_dir}/events.parquet")
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in nanos:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def _drain(spark: SparkSession, stream_df: DataFrame, mode: str):
+    name = f"sg_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _rows(df: DataFrame, cols) -> list[tuple]:
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per streaming operator: the availableNow stream drain
+    must produce exactly the batch operator's rows.
+
+    - ST1 rate-limit alerts (sliding window count, complete mode)
+    - ST2 session expiry (session_window, complete mode)
+    - ST3 active-user gauge (sliding window + HLL distinct — the HLL
+      merge is associative, so incremental state equals the batch pass)
+    - ST4 retention (watermark eviction: append-mode daily counts emit
+      exactly the windows the end-of-stream watermark finalized ≡ batch
+      windows ending before max(ts) - horizon)
+    - ST5 continuous-ingest dedup (dropDuplicatesWithinWatermark ≡
+      batch dropDuplicates on the fixture, whose duplicates are close
+      in event time)
+    - stream-stream interval join (click→purchase attribution)
+    """
+    tune_for_oracle(spark)
+    batch_events = load_table(spark, sf_dir, "events")
+    results = []
+
+    def check(op: str, stream_df: DataFrame, mode: str, batch_df: DataFrame,
+              cols) -> None:
+        got = _rows(_drain(spark, stream_df, mode), cols)
+        want = _rows(batch_df, cols)
+        results.append((op, len(got), len(want), got == want))
+
+    stream = _stream_events(spark, sf_dir)
+
+    check(
+        "st1_rate_limit",
+        W.rate_limit_alerts(stream, threshold=2),
+        "complete",
+        W.rate_limit_alerts(batch_events, threshold=2),
+        ["user_id", "window_start", "window_end", "n_req"],
+    )
+    check(
+        "st2_session_expiry",
+        W.session_expiry(stream, gap="60 minutes", watermark="61 minutes"),
+        "complete",
+        W.session_expiry(batch_events, gap="60 minutes"),
+        ["user_id", "session_start", "n_events"],
+    )
+    check(
+        "st3_active_gauge",
+        W.active_users_gauge(stream),
+        "complete",
+        W.active_users_gauge(batch_events),
+        ["window_start", "active_users"],
+    )
+    # ST4: watermark-driven eviction. In append mode the availableNow
+    # drain emits exactly the daily windows whose end precedes the
+    # final watermark (max ts - horizon) — the batch filter re-derives
+    # that set from the same anchor.
+    horizon = "1 day"
+    daily = F.window("ts", "1 day").alias("w")
+    st4_stream = (
+        W.retention_filter(stream, horizon=horizon)
+        .groupBy(daily)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day"), "n")
+    )
+    anchor = batch_events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {horizon}")).alias("_wm")
+    )
+    st4_batch = (
+        batch_events.groupBy(daily)
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(anchor))
+        .where(F.col("w.end") <= F.col("_wm"))
+        .select(F.col("w.start").alias("day"), "n")
+    )
+    check("st4_retention_eviction", st4_stream, "append", st4_batch,
+          ["day", "n"])
+    check(
+        "st5_ingest_dedup",
+        W.dedup_stream(stream, keys=("event_id",), watermark="365 days"),
+        "append",
+        W.dedup_stream(batch_events, keys=("event_id",)),
+        ["event_id"],
+    )
+    check(
+        "join_attribution",
+        W.click_purchase_attribution(stream),
+        "append",
+        W.click_purchase_attribution(batch_events),
+        ["user_id", "click_id", "purchase_id"],
+    )
+
+    return spark.createDataFrame(
+        results, "operator string, n_stream long, n_batch long, matched boolean"
+    ).orderBy("operator")
+
+
+QUERIES = {"streaming_equivalence_gate": streaming_equivalence_gate}
+ORACLE: dict[str, str] = {}

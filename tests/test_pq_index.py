@@ -207,3 +207,42 @@ def test_upsert_reports_adc_error_rising_under_drift(spark, emb, tmp_path):
         track_distortion=True,
     )
     assert r3["mean_adc_error"] is None
+
+
+def test_auto_search_params_scale_with_corpus(spark, emb, index_path, tmp_path):
+    # small corpus: the candidate-pool rule probes everything
+    np_small, sl_small = PI.auto_search_params(spark, index_path, k=5)
+    assert sl_small == 100
+    n_cells = spark.read.parquet(index_path + "/centroids").count()
+    assert np_small == n_cells  # exhaustive at fixture scale
+
+    # 20x corpus (replicated ids): expected per-cell mass covers the
+    # pool sooner, nprobe falls back toward the sqrt floor
+    big = emb
+    for i in range(1, 20):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 100_000 * i).alias("vec_id"),
+                       "embedding", *[c for c in emb.columns
+                                      if c not in ("vec_id", "embedding")])
+            .select(*emb.columns)
+        )
+    big_path = str(tmp_path / "big_idx")
+    PI.build_ivfpq_index(big, big_path, n_cells=8, m=8, kc=32)
+    np_big, sl_big = PI.auto_search_params(spark, big_path, k=5)
+    assert sl_big == 100
+    assert np_big < np_small
+    assert np_big >= 3  # ceil(sqrt(8)) floor
+
+
+def test_auto_params_keep_recall_gate(spark, emb, index_path):
+    """Defaulted search must clear the same ≥0.7 recall bar as the
+    tuned constants did (r7 verdict item 6's done-condition)."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import knn as KNN
+
+    q = emb.where("vec_id < 5")
+    exact = KNN.knn_exact_expr(emb, q, k=5)
+    approx = PI.search_ivfpq_index(spark, index_path, q, emb, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
