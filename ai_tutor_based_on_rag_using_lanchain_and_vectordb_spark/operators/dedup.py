@@ -446,3 +446,55 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """GROUND-TRUTH near-dup pairs: the exact-Jaccard VERIFY half of
+    :func:`minhash_dedup_pairs`, fed by an EXHAUSTIVE candidate set
+    (every pair sharing ≥1 shingle — any pair with J > 0 shares one, so
+    nothing above the threshold can be missed). Fully SQL-expressible,
+    hence the oracle-checkable split of the minhash pipeline the r7
+    verdict asked for: the LSH candidate step stays rows-only (checked
+    by the minhash_recall gate), this half carries the DuckDB oracle.
+
+    Candidate generation is the posting-list expansion (one shuffle on
+    the shingle key, per-pair intersection counts from a map-side
+    combinable count) — same shape as the n-gram path but WITHOUT the
+    document-frequency ceiling, because ground truth must not drop hot
+    shingles. That makes it O(Σ df(s)²): a measurement/oracle operator
+    for bounded corpora and samples; the production scale paths are
+    :func:`minhash_dedup_pairs` / the df-bounded n-gram variant."""
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    counts = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        sh.groupBy("_s")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(pairs_from_sorted_ids(F.col("ids"))).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("id_a"), F.col("p.doc_b").alias("id_b")
+        )
+        .agg(F.count("*").alias("_inter"))
+    )
+    na = counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    nb = counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    jac = F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        # the same size-ratio bound the LSH verify half applies:
+        # J <= min/max, so below-ratio pairs can't reach the threshold
+        .where(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -42,7 +42,7 @@ _DRIVER_PRIORITY = (
     "event_gaps", "midnight_pt_countdown", "purchase_asof_signup",
     "quality_above_lang_median", "segment_share",
     "signup_purchase_funnel", "user_event_journeys", "validation_flags",
-    "hll_rollup_gate", "knn_ivf_approx", "minhash_neardup",
+    "hll_rollup_gate", "knn_ivf_approx", "neardup_verified_pairs",
     "rag_chat_answers", "recursive_chunks", "simhash_neardup",
     "splitter_invariants",
     # (3) not drawn in r6's sample (latest row r5)

@@ -421,9 +421,26 @@ FROM ids
 
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.5."""
+    """MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.5.
+
+    No longer a registry row of its own (r8): the pipeline is split so
+    the driver checks each half at its strongest gate — the LSH
+    candidate step through Q(minhash_recall) (recall vs exact ground
+    truth; rows-only, probabilistic by nature: (16,4) banding misses a
+    0.9-Jaccard pair with p≈0.014, and sf0.01 contains exactly one
+    such miss), and the exact-Jaccard verify half through the
+    oracle-hash-checked Q(neardup_verified_pairs) below. The composed
+    operator stays pytest-covered (tests/test_dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return DD.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def neardup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard verify half of the minhash pipeline over an
+    exhaustive (shingle-sharing) candidate set — SQL-expressible, so it
+    carries a DuckDB oracle (operators/dedup.exact_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_jaccard_pairs(docs, threshold=0.5)
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,7 +943,7 @@ QUERIES = {
     "media_decode_gate": media_decode_gate,
     "media_metadata": media_metadata,
     "multimodal_gate": multimodal_gate,
-    "minhash_neardup": minhash_neardup,
+    "neardup_verified_pairs": neardup_verified_pairs,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,
     "embedding_gate": embedding_gate,
@@ -950,6 +967,36 @@ QUERIES = {
 # exception — its synthesized payload parameters ARE SQL arithmetic, so
 # the decode round-trip gets a real DuckDB oracle.
 ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
+
+# The exhaustive exact-Jaccard verify half of the minhash pipeline:
+# shingle sets, per-pair intersection via a shingle self-join, size
+# counts, threshold 0.5 — mirrors operators/dedup.exact_jaccard_pairs
+# (rounding via floor(x*1e4 + 0.5)/1e4 ≡ Spark's HALF_UP round(…, 4)).
+ORACLE["neardup_verified_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM idx
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(floor((inter*1.0/(ca.n+cb.n-inter))*10000 + 0.5)/10000
+            AS DOUBLE) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE least(ca.n, cb.n) >= 0.5 * greatest(ca.n, cb.n)
+  AND inter*1.0/(ca.n+cb.n-inter) >= 0.5
+"""
 
 # knn_numpy_topk is EXACT brute-force with knn_exact's (queries, k,
 # tie-break) contract, only the physical engine differs (Arrow/numpy

@@ -17,7 +17,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import NANOS_TS_COLUMNS, _read_schema, ensure_nanos_conf, load_table
+from ..catalog import _read_schema, ensure_nanos_conf, load_table
 from ..session import tune_for_oracle
 from ..streaming import windows as W
 

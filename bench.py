@@ -54,6 +54,7 @@ HEADLINE = [
     "customer_order_distribution",  # left-outer count distribution (Q13)
     "purchase_attribution",   # interval range-join (stream-capable)
     "sequence_packing",       # two-phase grouped prefix sums (packing)
+    "knn_ivfpq_search",       # persistent ANN index: pruned probe + ADC
 ]
 
 
@@ -75,6 +76,27 @@ def main() -> None:
 
     # JVM/codegen warmup on a trivial scan so q1 isn't charged for it
     materialize(all_queries["unique_sessions"](spark, sf_dir))
+
+    # Persistent ANN index: built ONCE (the index's whole point is
+    # build-once/search-many), searches are what the headline measures.
+    # Auto (cost-based) nprobe/shortlist — the production default.
+    import tempfile
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import (
+        pq_index as PI,
+    )
+
+    idx_path = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    PI.build_ivfpq_index(emb, idx_path, n_cells=8, m=8, kc=32)
+
+    def knn_ivfpq_search(spark, sf_dir):
+        q = load_table(spark, sf_dir, "embeddings").where("vec_id < 5")
+        return PI.search_ivfpq_index(spark, idx_path, q, emb, k=5)
+
+    all_queries = dict(all_queries)
+    all_queries["knn_ivfpq_search"] = knn_ivfpq_search
 
     # min-of-5 as the gate metric: on a shared host, per-query medians
     # of 3 runs still spread up to 2.4× (r4), so untouched queries read

@@ -355,3 +355,27 @@ def test_lsh_hot_bucket_ceiling(spark):
     # simhash: same ceiling on quarter buckets
     assert DD.simhash_pairs(docs).count() == 0
     assert DD.simhash_pairs(docs, max_bucket=n).count() == n * (n - 1) // 2
+
+
+def test_exact_jaccard_pairs_is_ground_truth_superset(spark, sf_dir):
+    """The exhaustive verify half dominates the LSH pipeline: every
+    minhash pair appears in the ground truth with the same Jaccard, and
+    any difference is LSH recall (candidates missed), never precision
+    (both halves share the exact verify)."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(truth)
+    for pair, j in lsh.items():
+        assert truth[pair] == j, pair
+    if truth:
+        assert len(lsh) / len(truth) >= 0.9  # recall bound (gate level)

@@ -66,18 +66,120 @@ def run_bench(sf_dir: str, runs: int) -> dict:
     return json.loads([l for l in out.splitlines() if l.strip()][-1])
 
 
+SKEW_QUERIES = ("sequence_packing", "balance_percentiles")
+
+
+def ensure_skewed(src: str, dst: str, rebuild: bool) -> None:
+    """A single-dominant-group variant of ``src``: 90 % of documents
+    collapse to lang='en' and 90 % of customers to nation 0 — the
+    adversarial shape for the two-phase rank/prefix operators (one
+    corpus-scaled group). Other tables are passed through verbatim."""
+    import shutil
+
+    import duckdb
+
+    marker = os.path.join(dst, "_SKEW_OK")
+    if os.path.exists(marker) and not rebuild:
+        return
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def rd(table: str) -> str:
+        p = os.path.join(src, f"{table}.parquet")
+        # scaled dirs are Spark-written parquet DIRECTORIES
+        return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+    con.sql(
+        f"""COPY (SELECT doc_id,
+                         text,
+                         CASE WHEN doc_id % 10 != 0 THEN 'en' ELSE lang END
+                             AS lang,
+                         source, n_chars
+                  FROM read_parquet('{rd("documents")}'))
+            TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.sql(
+        f"""COPY (SELECT c_custkey, c_name,
+                         CASE WHEN c_custkey % 10 != 0 THEN 0
+                              ELSE c_nationkey END AS c_nationkey,
+                         c_acctbal, c_mktsegment
+                  FROM read_parquet('{rd("customer")}'))
+            TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    for p in glob.glob(os.path.join(src, "*.parquet")):
+        name = os.path.basename(p)
+        if name not in ("documents.parquet", "customer.parquet"):
+            if os.path.isdir(p):
+                shutil.copytree(p, os.path.join(dst, name),
+                                dirs_exist_ok=True)
+            else:
+                shutil.copy(p, os.path.join(dst, name))
+    with open(marker, "w") as f:
+        f.write(f"src={src} skew=0.9\n")
+
+
+def run_skew_probe() -> dict:
+    """Time SKEW_QUERIES on (uniform, skewed) × (1x, 10x) in ONE Spark
+    process; report skew penalty (skewed/uniform, same scale) and
+    skewed 10x growth. Linear = the two-phase operators hold under a
+    single dominant group; a window-per-group plan would serialize the
+    hot group and blow both ratios up."""
+    skew1 = os.path.join(REPO, ".bench", "sf01_skew")
+    skew10 = os.path.join(REPO, ".bench", "sf1d_skew")
+    ensure_skewed(SRC_SF, skew1, False)
+    ensure_skewed(SCALED_DIR, skew10, False)
+
+    import time
+
+    sys.path.insert(0, REPO)
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark import plans
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.session import get_spark
+
+    spark = get_spark("ai-tutor-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = plans.all_queries()
+
+    def t(name, sf_dir):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    out = {}
+    for name in SKEW_QUERIES:
+        u1, s1 = t(name, SRC_SF), t(name, skew1)
+        u10, s10 = t(name, SCALED_DIR), t(name, skew10)
+        out[name] = {
+            "uniform_1x_s": u1, "skew_1x_s": s1,
+            "uniform_10x_s": u10, "skew_10x_s": s10,
+            "skew_penalty_1x": round(s1 / u1, 2),
+            "skew_penalty_10x": round(s10 / u10, 2),
+            "skew_growth_x": round(s10 / s1, 2),
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, default=None)
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--runs", type=int, default=1,
                     help="runs per query at sf1 (growth probe: 1)")
+    ap.add_argument("--no-skew", action="store_true",
+                    help="skip the single-dominant-group probe")
     args = ap.parse_args()
     rnd = args.round if args.round is not None else detect_round()
 
     ensure_scaled(args.rebuild)
     base = run_bench(SRC_SF, args.runs)
     scaled = run_bench(SCALED_DIR, args.runs)
+    skew = None if args.no_skew else run_skew_probe()
 
     growth = {
         q: (round(scaled["queries"][q] / base["queries"][q], 2)
@@ -100,6 +202,7 @@ def main() -> None:
             [q for q, g in growth.items() if g is not None and g > K],
             key=lambda q: -growth[q],
         ),
+        "skew": skew,
     }
     path = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
     with open(path, "w") as f:
