@@ -118,6 +118,102 @@ def auto_search_params(
     return nprobe, shortlist
 
 
+class IvfPqSearcher:
+    """Search-many handle over a persistent IVF+PQ layout: the small
+    driver-side artifacts (centroids, codebooks, the two stat counts
+    the cost-based defaults need) load ONCE at open; every
+    :meth:`search` then runs only the distributed jobs (pruned code
+    scan, ADC, exact re-rank). This is the production access pattern —
+    an online retrieval tier opens the index at startup and serves
+    query batches against it; re-open after upserts to refresh the
+    cached quantizers (they are frozen on disk between refits, so a
+    stale handle is merely stale, never wrong)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        rerank_vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.rerank_vectors = rerank_vectors
+        self.id_col = id_col
+        self.vec_col = vec_col
+        centroids_pdf = spark.read.parquet(
+            os.path.join(path, "centroids")
+        ).toPandas()
+        self.cent = np.vstack(centroids_pdf["centroid"].to_numpy())
+        self.cells = centroids_pdf["cell"].to_numpy()
+        self.cb = read_codebooks(spark, path)
+        self.n_cells = len(self.cells)
+        self.n_codes = spark.read.parquet(os.path.join(path, "codes")).count()
+
+    def auto_params(self, k: int) -> tuple[int, int]:
+        """:func:`auto_search_params` from the cached stats (no jobs)."""
+        shortlist = max(20 * k, 100)
+        avg = max(1.0, self.n_codes / max(1, self.n_cells))
+        want = int(np.ceil(20.0 * shortlist / avg))
+        floor = int(np.ceil(np.sqrt(max(1, self.n_cells))))
+        nprobe = max(1, min(int(self.n_cells), max(want, floor)))
+        return nprobe, shortlist
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int | None = None,
+        shortlist: int | None = None,
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Probe → pruned code scan → ADC → exact re-rank. The cell
+        IN-filter prunes partitions of the codes layout before any
+        byte of code is read; raw vectors are touched only for the
+        shortlist. ``nprobe``/``shortlist`` default to
+        :meth:`auto_params` when not given."""
+        if nprobe is None or shortlist is None:
+            auto_np, auto_sl = self.auto_params(k)
+            nprobe = auto_np if nprobe is None else nprobe
+            shortlist = auto_sl if shortlist is None else shortlist
+        qm, qu, qids = _prep_queries(queries, self.id_col, self.vec_col)
+        if not len(qids):
+            return self.spark.createDataFrame([], _RESULT_SCHEMA)
+        probe_df, probed_cells = _probe_df(
+            self.spark, qu, qids, self.cent, self.cells, nprobe
+        )
+        codes = self.spark.read.parquet(
+            os.path.join(self.path, "codes")
+        ).where(F.col("cell").isin(probed_cells))  # partition pruning
+        cand = codes.join(probe_df, "cell").select(
+            "query_id", "vec_id", "codes"
+        )
+        n_short = max(shortlist, k)
+        partial = _adc_partial(
+            cand, self.cb, qu, qids, n_short, exclude_self
+        )
+        short = KNN._topk_window(partial, n_short).select(
+            "query_id", "neighbor_id"
+        )
+        return _exact_rerank(
+            short, self.rerank_vectors, qu, qids, qm.shape[1], k,
+            self.id_col, self.vec_col,
+        )
+
+
+def open_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    rerank_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqSearcher:
+    """Open a persistent layout for repeated searches (see
+    :class:`IvfPqSearcher`)."""
+    return IvfPqSearcher(spark, path, rerank_vectors, id_col, vec_col)
+
+
 def search_ivfpq_index(
     spark: SparkSession,
     path: str,
@@ -130,36 +226,10 @@ def search_ivfpq_index(
     vec_col: str = "embedding",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Probe → pruned code scan → ADC → exact re-rank. The cell
-    IN-filter prunes partitions of the codes layout before any byte of
-    code is read; raw vectors are touched only for the shortlist.
-    ``nprobe``/``shortlist`` default to :func:`auto_search_params`
-    (index-stat-derived) when not given."""
-    if nprobe is None or shortlist is None:
-        auto_np, auto_sl = auto_search_params(spark, path, k)
-        nprobe = auto_np if nprobe is None else nprobe
-        shortlist = auto_sl if shortlist is None else shortlist
-    qm, qu, qids = _prep_queries(queries, id_col, vec_col)
-    if not len(qids):
-        return spark.createDataFrame([], _RESULT_SCHEMA)
-    centroids_pdf = spark.read.parquet(
-        os.path.join(path, "centroids")
-    ).toPandas()
-    cent = np.vstack(centroids_pdf["centroid"].to_numpy())
-    cells = centroids_pdf["cell"].to_numpy()
-    cb = read_codebooks(spark, path)
-    probe_df, probed_cells = _probe_df(spark, qu, qids, cent, cells, nprobe)
-    codes = spark.read.parquet(os.path.join(path, "codes")).where(
-        F.col("cell").isin(probed_cells)  # partition pruning
-    )
-    cand = codes.join(probe_df, "cell").select("query_id", "vec_id", "codes")
-    n_short = max(shortlist, k)
-    partial = _adc_partial(cand, cb, qu, qids, n_short, exclude_self)
-    short = KNN._topk_window(partial, n_short).select(
-        "query_id", "neighbor_id"
-    )
-    return _exact_rerank(
-        short, rerank_vectors, qu, qids, qm.shape[1], k, id_col, vec_col
+    """One-shot search: open + single :meth:`IvfPqSearcher.search`."""
+    return IvfPqSearcher(spark, path, rerank_vectors, id_col, vec_col).search(
+        queries, k=k, nprobe=nprobe, shortlist=shortlist,
+        exclude_self=exclude_self,
     )
 
 

@@ -90,10 +90,11 @@ def main() -> None:
     idx_path = tempfile.mkdtemp(prefix="bench_ivfpq_")
     emb = load_table(spark, sf_dir, "embeddings")
     PI.build_ivfpq_index(emb, idx_path, n_cells=8, m=8, kc=32)
+    searcher = PI.open_ivfpq_index(spark, idx_path, emb)
 
     def knn_ivfpq_search(spark, sf_dir):
         q = load_table(spark, sf_dir, "embeddings").where("vec_id < 5")
-        return PI.search_ivfpq_index(spark, idx_path, q, emb, k=5)
+        return searcher.search(q, k=5)
 
     all_queries = dict(all_queries)
     all_queries["knn_ivfpq_search"] = knn_ivfpq_search

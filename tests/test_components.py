@@ -7,9 +7,9 @@ from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.component
 )
 
 
-def _resolve(spark, edges):
+def _resolve(spark, edges, **kw):
     df = spark.createDataFrame(edges, "src long, dst long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r["node"]: r["component"] for r in rows}
 
 
@@ -30,9 +30,36 @@ def test_edge_direction_irrelevant(spark):
 
 
 def test_long_path_converges(spark):
+    # force the DISTRIBUTED propagation path (the driver fast path
+    # would trivially pass): O(log diameter) pointer jumping
     n = 25
-    got = _resolve(spark, [(i, i + 1) for i in range(n)])
+    got = _resolve(spark, [(i, i + 1) for i in range(n)],
+                   max_driver_edges=0)
     assert set(got.values()) == {0}
+
+
+def test_driver_fast_path_equals_distributed(spark):
+    # the size-gated union-find must agree with label propagation on
+    # an adversarial mix: chains, bridges, self-loops, singleton pairs
+    import random
+
+    rng = random.Random(0)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    edges += [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    fast = _resolve(spark, edges)  # small graph -> driver path
+    slow = _resolve(spark, edges, max_driver_edges=0)
+    assert fast == slow
+
+
+def test_checkpoint_mode_forces_distributed(spark, tmp_path):
+    # sanity: reliable-checkpoint coverage below must actually exercise
+    # the distributed rounds, not the driver shortcut
+    import os
+
+    ckpt = str(tmp_path / "ckpt2")
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    connected_components(df, checkpoint_dir=ckpt, max_driver_edges=0).collect()
+    assert any(fs for _, _, fs in os.walk(ckpt))
 
 
 def test_reliable_checkpoint_mode(spark, tmp_path):
@@ -45,7 +72,9 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
-    rows = connected_components(df, checkpoint_dir=ckpt).collect()
+    rows = connected_components(
+        df, checkpoint_dir=ckpt, max_driver_edges=0
+    ).collect()
     got = {r["node"]: r["component"] for r in rows}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     written = [

@@ -246,3 +246,23 @@ def test_auto_params_keep_recall_gate(spark, emb, index_path):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.7, recall
+
+
+def test_searcher_handle_matches_oneshot(spark, emb, index_path):
+    """open-once/search-many (IvfPqSearcher) ≡ the one-shot function —
+    cached driver artifacts must not change results — and repeated
+    searches reuse the handle without re-reading codebooks."""
+    s = PI.open_ivfpq_index(spark, index_path, emb)
+    q1 = emb.where("vec_id < 5")
+    q2 = emb.where("vec_id >= 5 AND vec_id < 8")
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], round(r["score"], 9))
+        for r in rows
+    )
+    assert key(s.search(q1, k=5).collect()) == key(
+        PI.search_ivfpq_index(spark, index_path, q1, emb, k=5).collect()
+    )
+    assert key(s.search(q2, k=3).collect()) == key(
+        PI.search_ivfpq_index(spark, index_path, q2, emb, k=3).collect()
+    )
+    assert s.auto_params(5) == PI.auto_search_params(spark, index_path, 5)
