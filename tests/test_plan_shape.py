@@ -23,8 +23,39 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+_BENCH_LOCAL: dict = {}
+
+
 def _q(name, spark, sf_dir):
-    return plans.all_queries()[name](spark, sf_dir)
+    reg = plans.all_queries()
+    if name in reg:
+        return reg[name](spark, sf_dir)
+    # Bench-local queries (not in the registry): reconstruct the same
+    # shape bench.py uses so the plan assertions still cover them.
+    if name == "knn_ivfpq_search":
+        if "ivfpq_searcher" not in _BENCH_LOCAL:
+            import tempfile
+
+            from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import (
+                load_table,
+            )
+            from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import (
+                pq_index as PI,
+            )
+
+            idx_path = tempfile.mkdtemp(prefix="planshape_ivfpq_")
+            emb = load_table(spark, sf_dir, "embeddings")
+            PI.build_ivfpq_index(emb, idx_path, n_cells=4, m=8, kc=16)
+            _BENCH_LOCAL["ivfpq_searcher"] = PI.open_ivfpq_index(
+                spark, idx_path, emb
+            )
+        from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import (
+            load_table,
+        )
+
+        q = load_table(spark, sf_dir, "embeddings").where("vec_id < 5")
+        return _BENCH_LOCAL["ivfpq_searcher"].search(q, k=5)
+    raise KeyError(name)
 
 
 def test_topk_uses_window_group_limit(spark, sf_dir):
