@@ -937,6 +937,33 @@ def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat.rag_answers(spark, sf_dir)
 
 
+def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET source+sink end-to-end (sources/warc.py): the documents
+    table is re-sharded by the executors into 4 per-record-gzip WET
+    segment files (write_warc_shards — the Common Crawl layout), then
+    read back through the `warc` Python DataSource (one task per
+    segment, record_type filter pushed into the parse) and landed on
+    the canonical document columns. The oracle reads the ORIGINAL
+    parquet: every doc_id/lang/text must survive the
+    encode→gzip→parse→decode trip byte-exactly, so this is a true
+    non-self-referential check of both the writer and the parser."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources import warc as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    # The gate stages the corpus as real WET files in local tmp — a
+    # correctness fixture sized to the driver-check SF, not a production
+    # path (production reads crawl segments in place). Removed at
+    # process exit so the returned lazy frame stays valid.
+    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    W.write_warc_shards(docs, out_dir, n_shards=4, shard_key="doc_id")
+    return W.wet_documents(spark, out_dir).select("doc_id", "lang", "text")
+
+
 QUERIES = {
     "recursive_chunks": recursive_chunks,
     "splitter_invariants": splitter_invariants,
@@ -961,12 +988,19 @@ QUERIES = {
     "hll_rollup_gate": hll_rollup_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
+    "warc_roundtrip_docs": warc_roundtrip_docs,
 }
 
 # Rows-only for the non-SQL-expressible operators; media_metadata is the
 # exception — its synthesized payload parameters ARE SQL arithmetic, so
 # the decode round-trip gets a real DuckDB oracle.
 ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
+
+# WET round-trip: the Spark side re-reads the documents through real
+# WARC bytes; the oracle reads the original parquet directly.
+ORACLE["warc_roundtrip_docs"] = (
+    "SELECT doc_id, lang, text FROM documents"
+)
 
 # The exhaustive exact-Jaccard verify half of the minhash pipeline:
 # shingle sets, per-pair intersection via a shingle self-join, size
