@@ -372,9 +372,23 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the event stream's user ids (operators/
+    freq.py): EXACT counts for every user above 0.8% of traffic via the
+    two-pass Misra-Gries plan — per-partition bounded summaries →
+    O(1/phi) candidate broadcast → exact recount. Only candidate keys
+    ever enter a shuffle, so the plan is indifferent to the distinct-
+    user cardinality (the naive groupBy shuffles the whole domain)."""
+    from ..operators.freq import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", phi=0.008)
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "constraint_audit": constraint_audit,
+    "event_heavy_hitters": event_heavy_hitters,
     "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
     "doc_text_search": doc_text_search,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
@@ -397,6 +411,12 @@ QUERIES = {
 
 
 ORACLE = {
+    "event_heavy_hitters": """
+        SELECT user_id, count(*) AS cnt
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
+    """,
     "cohort_retention": """
         WITH firsts AS (
             SELECT user_id,
