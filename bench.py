@@ -55,6 +55,7 @@ HEADLINE = [
     "purchase_attribution",   # interval range-join (stream-capable)
     "sequence_packing",       # two-phase grouped prefix sums (packing)
     "knn_ivfpq_search",       # persistent ANN index: pruned probe + ADC
+    "event_heavy_hitters",    # two-pass Misra-Gries exact heavy hitters
 ]
 
 
