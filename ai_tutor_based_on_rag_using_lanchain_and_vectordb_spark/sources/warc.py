@@ -94,7 +94,9 @@ def write_warc_record(
     h.append(b"WARC-Record-ID: " + record_id.encode("ascii"))
     h.append(b"WARC-Date: " + date.encode("ascii"))
     if target_uri is not None:
-        h.append(b"WARC-Target-URI: " + target_uri.encode("ascii"))
+        # WARC 1.1 field values are UTF-8 (ascii-only in 1.0; real
+        # crawls carry IRIs, so encode the superset)
+        h.append(b"WARC-Target-URI: " + target_uri.encode("utf-8"))
     for k, v in extra_headers:
         h.append(k.encode("ascii") + b": " + v.encode("utf-8"))
     h.append(b"Content-Type: " + content_type.encode("ascii"))

@@ -217,3 +217,48 @@ def test_roundtrip_query_matches_source(spark, sf_dir):
     want = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: arbitrary bodies/headers survive the writer->parser trip
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_hdr_val = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", max_codepoint=0x2FF),
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    bodies=st.lists(st.binary(max_size=300), min_size=1, max_size=8),
+    uri=_hdr_val,
+    gz=st.booleans(),
+)
+def test_fuzz_roundtrip_arbitrary_bodies(bodies, uri, gz):
+    # bodies may contain CRLFCRLF, fake "WARC/" lines, gzip magic —
+    # Content-Length framing must make the parser immune to all of it
+    recs = [
+        {
+            "record_type": "resource",
+            "record_id": f"<urn:fuzz:{i}>",
+            "date": "2026-01-01T00:00:00Z",
+            "target_uri": "u:" + uri.strip() if uri.strip() else None,
+            "body": b,
+        }
+        for i, b in enumerate(bodies)
+    ]
+    buf = io.BytesIO()
+    W.write_warc(recs, buf, gzip_per_record=gz)
+    stream = (
+        io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(buf.getvalue())))
+        if gz
+        else io.BytesIO(buf.getvalue())
+    )
+    out = list(W.parse_warc(stream, strict=True))
+    assert [r["body"] for r in out] == bodies
+    assert [r["headers"]["warc-record-id"] for r in out] == [
+        f"<urn:fuzz:{i}>" for i in range(len(bodies))
+    ]
