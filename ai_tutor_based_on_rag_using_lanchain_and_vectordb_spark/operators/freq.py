@@ -36,24 +36,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _mg_summaries(col: str, k: int):
+def mg_trim(counters: dict, k: int) -> dict:
+    """The mergeable-summaries reduction (Agarwal et al., PODS'12):
+    if more than k counters, subtract the (k+1)-th largest weight from
+    everything and drop non-positives. Applying it after adding two
+    summaries IS the MG merge; the ε·n error bound survives arbitrary
+    merge trees — which is what makes the streaming variant sound."""
+    if len(counters) <= k:
+        return counters
+    w = sorted(counters.values(), reverse=True)[k]
+    return {v: c - w for v, c in counters.items() if c - w > 0}
+
+
+def _mg_summaries(col: str, k: int, emit_part_rows: bool = False):
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for v, c in pdf[col].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > k:
-                # mergeable-summaries step: subtract the (k+1)-th
-                # largest weight from everything, drop non-positives
-                w = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    v: c - w for v, c in counters.items() if c - w > 0
+            counters = mg_trim(counters, k)
+        if emit_part_rows:
+            # one summary row per counter (part_rows 0) plus one
+            # null-key row carrying the partition's row count — both
+            # facts from a single pass over the partition
+            yield pd.DataFrame(
+                {
+                    col: list(counters) + [None],
+                    "mg_weight": list(counters.values()) + [0],
+                    "part_rows": [0] * len(counters) + [n_rows],
                 }
-        yield pd.DataFrame(
-            {col: list(counters), "mg_weight": list(counters.values())}
-        )
+            )
+        else:
+            yield pd.DataFrame(
+                {col: list(counters), "mg_weight": list(counters.values())}
+            )
 
     return run
 

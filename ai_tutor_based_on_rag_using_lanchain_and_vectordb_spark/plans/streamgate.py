@@ -142,6 +142,26 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "click_id", "purchase_id"],
     )
 
+    # Streaming heavy hitters: incremental Misra-Gries state over the
+    # drained stream + exact candidate recount against the stored
+    # corpus must equal the batch two-pass operator exactly.
+    from ..operators.freq import heavy_hitters
+    from ..streaming.freq import finalize_exact, run_heavy_hitters_stream
+
+    hh_state = run_heavy_hitters_stream(
+        _stream_events(spark, sf_dir).select("user_id"), "user_id", 0.008
+    )
+    hh_got = _rows(
+        finalize_exact(batch_events, "user_id", 0.008, hh_state),
+        ["user_id", "cnt"],
+    )
+    hh_want = _rows(
+        heavy_hitters(batch_events, "user_id", 0.008), ["user_id", "cnt"]
+    )
+    results.append(
+        ("st7_heavy_hitters", len(hh_got), len(hh_want), hh_got == hh_want)
+    )
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")
