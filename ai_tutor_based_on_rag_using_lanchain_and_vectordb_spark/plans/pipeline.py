@@ -254,6 +254,7 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import multimodal as MM
     from ..sources.mediaencode import encode_jpeg, encode_mjpeg_mp4
+    from ..sources.mpeg1 import encode_m1v
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def wav_half_loud(rate=8000):
@@ -295,6 +296,20 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "media_type": "audio",
                              "content": wav_half_loud(),
                              "meta": {"ext": "wav"}})
+                # MPEG-1 ES (asset_id offset +100): 2 uniform-gray
+                # pictures, level 50+did then +20 — the I picture and a
+                # residual-coded P picture both must pixel-decode
+                v = 50 + did
+                m1, _ = encode_m1v(
+                    [
+                        np.full((16, 24, 3), v, dtype=np.uint8),
+                        np.full((16, 24, 3), v + 20, dtype=np.uint8),
+                    ]
+                )
+                rows.append({"asset_id": did + 100, "owner_id": 0,
+                             "media_type": "video",
+                             "content": m1,
+                             "meta": {"ext": "m1v"}})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields]
             )
@@ -306,13 +321,25 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frames = MM.frame_features(assets, every_ms=500).select(
         "asset_id",
-        ((F.col("format") == "jpeg")
-         & F.col("pixels_real")
-         & (F.col("width") == 24) & (F.col("height") == 16)
-         & (F.abs(
-             F.element_at("pixel_mean", 1)
-             - (40 * (F.col("frame_no") + 1) + F.col("asset_id"))
-         ) <= 2)).alias("ok"),
+        F.when(
+            F.col("asset_id") >= 100,
+            # MPEG-1 path: decoded pictures arrive as BMP payloads
+            (F.col("format") == "bmp")
+            & F.col("pixels_real")
+            & (F.col("width") == 24) & (F.col("height") == 16)
+            & (F.abs(
+                F.element_at("pixel_mean", 1)
+                - (50 + (F.col("asset_id") - 100) + 20 * F.col("frame_no"))
+            ) <= 2),
+        ).otherwise(
+            (F.col("format") == "jpeg")
+            & F.col("pixels_real")
+            & (F.col("width") == 24) & (F.col("height") == 16)
+            & (F.abs(
+                F.element_at("pixel_mean", 1)
+                - (40 * (F.col("frame_no") + 1) + F.col("asset_id"))
+            ) <= 2)
+        ).alias("ok"),
     )
     segs = MM.audio_segments(assets, window_ms=100, strict=True).select(
         "asset_id",
@@ -326,12 +353,13 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_checks"),
         F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
     )
-    # 16 docs × (3 frames + 2 audio windows) = 80 expected checks
+    # 16 docs × (3 MJPEG frames + 2 MPEG-1 pictures + 2 audio windows)
+    # = 112 expected checks
     return agg.select(
         F.lit("multimodal_pipeline").alias("strategy"),
         "n_checks",
         "n_bad",
-        ((F.col("n_bad") == 0) & (F.col("n_checks") == 80)).alias("passed"),
+        ((F.col("n_bad") == 0) & (F.col("n_checks") == 112)).alias("passed"),
     )
 
 

@@ -928,3 +928,21 @@ def encode_hierarchical_jpeg(img: np.ndarray, progressive_diff: bool = False,
         _write_seq_frame(out, 0xC5, diffs, h, w, shift=0.0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_bmp(img: "np.ndarray", top_down: bool = False) -> bytes:
+    """Uncompressed 24/32-bit BMP from an (H, W, 3|4) uint8 RGB(A)
+    array — the transcode target for decoded video frames (BMP is the
+    cheapest payload image_features can pixel-decode)."""
+    h, w, nch = img.shape
+    bpp = nch * 8
+    bgr = img[:, :, [2, 1, 0]] if nch == 3 else img[:, :, [2, 1, 0, 3]]
+    rows = bgr if top_down else bgr[::-1]
+    row_bytes = (w * nch + 3) & ~3
+    pad = row_bytes - w * nch
+    pixel_data = b"".join(bytes(rows[y]) + b"\x00" * pad for y in range(h))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+                      0, len(pixel_data), 2835, 2835, 0, 0)
+    offset = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", offset + len(pixel_data), 0, 0, offset)
+    return hdr + dib + pixel_data

@@ -9,17 +9,17 @@ differential frames) and 4-component CMYK/YCCK, first-frame GIF (LZW),
 BMP 24/32/16-bit/paletted/RLE — plus WAV audio (header + PCM stats at
 all integer/float widths) and MJPEG frame extraction from MP4 sample
 tables are REAL pure-stdlib+numpy decoders (``mediadecode.py`` — same
-move as minidecode.py for PDF/DOCX). The deterministic fake is only
-the fallback for unrecognized codecs, and ``strict=True`` raises on
-those instead. Still stubbed: arithmetic-coded JPEG entropy coding
-(the only remaining JPEG mode — the QM-coder state table can't be
-reproduced from the spec text without transcription risk), and
-compressed video codec samples (h264 etc. need a decoder library this
-container doesn't ship; see the register_frame_codec seam below) —
-each stub either raises NotImplementedError (strict mode) or produces
-a deterministic fake derived from the bytes — the Spark-side plumbing
-(schemas, batch iteration, partitioning, output shapes) is real and
-tested.
+move as minidecode.py for PDF/DOCX). Arithmetic-coded JPEG (SOF9/10/11,
+sources/arithcode.py, libjpeg-cross-validated) and MPEG-1 video
+elementary streams (sources/mpeg1.py — real I/P-picture decode with
+motion compensation) are REAL too. The deterministic fake is only the
+fallback for unrecognized codecs, and ``strict=True`` raises on those
+instead. Still stubbed: MP4-contained modern codec samples (h264/vp9
+etc. need a decoder library this container doesn't ship; see the
+register_frame_codec seam below) — the stub either raises
+NotImplementedError (strict mode) or produces a deterministic fake
+derived from the bytes — the Spark-side plumbing (schemas, batch
+iteration, partitioning, output shapes) is real and tested.
 
 Compressed video is an EXTENSION POINT, not a dead end: the sample
 tables already yield each stored frame's exact byte range + timestamp
@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import mediadecode as MD
+from . import mpeg1 as M1
 from ..schemas import MEDIA_ASSETS  # noqa: F401  (canonical schema)
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -280,11 +281,25 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 data = bytes(r.content) if r.content is not None else b""
                 info = MD.decode_mp4(data)
+                if info is None and M1.is_mpeg1(data):
+                    m = M1.video_info(data)
+                    if m is not None:
+                        rows.append(
+                            {
+                                "asset_id": r.asset_id,
+                                "format": "mpeg1",
+                                "duration_ms": m.duration_ms,
+                                "width": m.width,
+                                "height": m.height,
+                                "n_tracks": 1,
+                            }
+                        )
+                        continue
                 if info is None:
                     if strict:
                         raise NotImplementedError(
                             f"unsupported video container for asset {r.asset_id} "
-                            "(stdlib decoder covers ISO BMFF / MP4)"
+                            "(stdlib decoder covers ISO BMFF / MP4 and MPEG-1 ES)"
                         )
                     rows.append(
                         {
@@ -350,11 +365,15 @@ def sample_frames(
     tick is emitted, and the payload is a standalone JPEG that
     image_features can pixel-decode downstream. Tracks whose fourcc has
     a registered frame codec (:func:`register_frame_codec`) follow the
-    same path with the codec's transcode applied per sample. Other MP4s
-    keep real TIMING from the mvhd duration with stub payload slices
-    (compressed video codecs need a decoder library this container
-    doesn't ship); unrecognized containers raise in strict mode, else
-    fall back to byte-slicing with synthetic timestamps. ``max_frames``
+    same path with the codec's transcode applied per sample. MPEG-1
+    elementary streams get REAL compressed-video decode
+    (sources/mpeg1.py): every picture is reconstructed through the
+    motion-compensation chain and the sampled ones are emitted as BMP
+    payloads. Other MP4s keep real TIMING from the mvhd duration with
+    stub payload slices (h264-class codecs need a decoder library this
+    container doesn't ship); unrecognized containers raise in strict
+    mode, else fall back to byte-slicing with synthetic timestamps.
+    ``max_frames``
     bounds the per-asset fan-out: headers are untrusted, and a corrupt
     timescale must not let one row explode a task."""
     codecs = dict(FRAME_CODECS)  # captured by value into the closure
@@ -406,6 +425,39 @@ def sample_frames(
                                     "frame": payload,
                                 }
                             )
+                        continue
+                if M1.is_mpeg1(data):
+                    # MPEG-1 elementary stream: REAL compressed-video
+                    # decode (sources/mpeg1.py) — every picture is
+                    # reconstructed (P frames need their reference
+                    # chain), then the sample nearest at/below each
+                    # every_ms tick is emitted as a BMP payload that
+                    # image_features pixel-decodes downstream.
+                    from .mediaencode import encode_bmp
+
+                    m = M1.video_info(data)
+                    fps = (m.fps if m and m.fps else 25.0)
+                    _, pics = M1.decode_m1v(
+                        data, strict=strict, max_frames=max_frames
+                    )
+                    out_no = 0
+                    for fi, img in enumerate(pics):
+                        ts = int(fi * 1000 / fps)
+                        nxt = int((fi + 1) * 1000 / fps)
+                        next_tick = -(-ts // every_ms) * every_ms
+                        if fi + 1 == len(pics) or next_tick < nxt:
+                            rows.append(
+                                {
+                                    "asset_id": r.asset_id,
+                                    "frame_no": out_no,
+                                    "frame_ts_ms": ts,
+                                    "frame": encode_bmp(img),
+                                }
+                            )
+                            out_no += 1
+                            if out_no >= max_frames:
+                                break
+                    if out_no:
                         continue
                 info = MD.decode_mp4(data)
                 if info is not None and info.duration_ms > 0:

@@ -13,6 +13,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import mediadecode as MD
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mpeg1 import (
+    decode_m1v,
+    video_info,
+)
 from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
     docx_pages,
     pdf_pages,
@@ -30,6 +34,7 @@ _MAGICS = [
     b"%PDF-1.4\n",
     b"PK\x03\x04",
     b"\x00\x00\x00\x18ftypisom",
+    b"\x00\x00\x01\xb3",
 ]
 
 _DECODERS = [
@@ -44,6 +49,8 @@ _DECODERS = [
     MD.mp4_video_track,
     pdf_pages,
     docx_pages,
+    video_info,
+    decode_m1v,  # lax mode: (info|None, frames) — must never raise
 ]
 
 
@@ -107,7 +114,18 @@ def _valid_payloads():
         make_mjpeg_mp4([encode_jpeg(np.full((8, 8), 99, dtype=np.uint8))] * 3),
         make_cid_pdf(_CMAP, b"BT /F1 12 Tf <0003> Tj ET"),
         make_encrypted_pdf(b"x"),
+        _m1v(),
     ]
+
+
+def _m1v():
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mpeg1 import encode_m1v
+
+    base = (np.arange(3 * 16 * 32, dtype=np.uint8).reshape(16, 32, 3) * 5) % 251
+    data, _ = encode_m1v([base, np.roll(base, 1, 1)], mvs=[None, (0, -2)])
+    return data
 
 
 def test_decoders_never_raise_on_truncation():

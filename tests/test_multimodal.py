@@ -56,3 +56,67 @@ def test_metadata_prunes_without_touching_content(spark, assets):
     plan = assets.select("asset_id", "meta").queryExecution if False else None
     df = assets.select("asset_id", F.map_values("meta").alias("vals"))
     assert df.count() == 4
+
+
+# ------------------------------------------------- MPEG-1 video pipeline
+
+
+@pytest.fixture(scope="module")
+def mpeg1_assets(spark):
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import mpeg1 as M1
+
+    y, x = np.mgrid[0:32, 0:48]
+    base = np.stack(
+        [(x * 5) % 256, (y * 3) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    frames = [base, np.roll(base, 2, axis=1), np.roll(base, 4, axis=1)]
+    data, recon = M1.encode_m1v(frames, mvs=[None, (0, -4), (0, -4)])
+    df = spark.createDataFrame(
+        [(7, 12, "video", bytearray(data), {"ext": "m1v"})], schemas.MEDIA_ASSETS
+    )
+    return df, data, recon
+
+
+def test_mpeg1_video_metadata(spark, mpeg1_assets):
+    assets, _, _ = mpeg1_assets
+    out = MM.video_metadata(assets, strict=True).toPandas()
+    assert list(out["format"]) == ["mpeg1"]
+    assert list(out["width"]) == [48] and list(out["height"]) == [32]
+    assert list(out["duration_ms"]) == [120]  # 3 pictures at 25 fps
+
+
+def test_mpeg1_sample_frames_real_pixels(spark, mpeg1_assets):
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import (
+        mediadecode as MD,
+    )
+
+    assets, _, recon = mpeg1_assets
+    # every_ms=40 at 25 fps → every picture sampled
+    frames = MM.sample_frames(assets, every_ms=40, strict=True).toPandas()
+    assert len(frames) == 3
+    assert list(frames["frame_ts_ms"]) == [0, 40, 80]
+    for i, row in frames.iterrows():
+        img = MD.decode_bmp_pixels(bytes(row["frame"]))
+        # the BMP payload carries the DECODED pictures exactly (which
+        # equal the encoder's reference recon — tests/test_mpeg1.py)
+        assert np.array_equal(img[..., :3], recon[row["frame_no"]])
+
+
+def test_mpeg1_frames_feed_image_features(spark, mpeg1_assets):
+    assets, _, _ = mpeg1_assets
+    frames = MM.sample_frames(assets, every_ms=40)
+    imgs = frames.select(
+        frames["asset_id"].alias("asset_id"),
+        frames["frame_no"].cast("long").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        frames["frame"].alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    feats = MM.image_features(imgs, strict=True).toPandas()
+    assert len(feats) == 3
+    assert (feats["pixels_real"]).all()
+    assert (feats["width"] == 48).all() and (feats["height"] == 32).all()
