@@ -216,3 +216,28 @@ def test_p_before_i_rejected():
     chopped = data[:seq_hdr_end] + data[second_pic:]
     with pytest.raises(M.Mpeg1Error, match="P picture before"):
         M.decode_m1v(chopped, strict=True)
+
+
+def test_golden_stream_pin():
+    """Byte-exact pin of a deterministic stream (I + full-pel P +
+    half-pel P, q=4, 2 slices): any drift in a VLC table, the zigzag,
+    quantization, or header layout changes these bytes. The round-trip
+    tests alone cannot catch a self-consistent table error; this pin at
+    least freezes today's transcription."""
+    import hashlib
+
+    y, x = np.mgrid[0:32, 0:48]
+    base = np.stack(
+        [(x * 5) % 256, (y * 3) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    data, _ = M.encode_m1v(
+        [base, np.roll(base, 2, axis=1), np.roll(base, 4, axis=1)],
+        mvs=[None, (0, -4), (1, -3)],
+        q_scale=4,
+        slices_per_picture=2,
+    )
+    assert len(data) == 419
+    assert (
+        hashlib.sha256(data).hexdigest()
+        == "5407f4f6458b1eef4e111ac9332f120deb15e108c6c64a558849f387f48ac00e"
+    )
