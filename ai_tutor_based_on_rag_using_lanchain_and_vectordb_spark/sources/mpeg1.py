@@ -100,6 +100,22 @@ MBTYPE_P = {
     "000001": (1, 0, 0, 1),
 }
 
+# B.2c macroblock_type for B pictures →
+# (quant, motion_forward, motion_backward, coded, intra)
+MBTYPE_B = {
+    "10": (0, 1, 1, 0, 0),
+    "11": (0, 1, 1, 1, 0),
+    "010": (0, 0, 1, 0, 0),
+    "011": (0, 0, 1, 1, 0),
+    "0010": (0, 1, 0, 0, 0),
+    "0011": (0, 1, 0, 1, 0),
+    "00011": (0, 0, 0, 0, 1),
+    "00010": (1, 1, 1, 1, 0),
+    "000011": (1, 1, 0, 1, 0),
+    "000010": (1, 0, 1, 1, 0),
+    "000001": (1, 0, 0, 0, 1),
+}
+
 # B.3 coded_block_pattern (cbp 1-63; 0 has no code)
 CBP_CODES = {
     60: "111", 4: "1101", 8: "1100", 16: "1011", 32: "1010",
@@ -301,6 +317,7 @@ _MBA_T[(len(MBA_ESCAPE), int(MBA_ESCAPE, 2))] = "escape"
 _MBA_T[(len(MBA_STUFFING), int(MBA_STUFFING, 2))] = "stuffing"
 _MBTYPE_I_T = _trie_from_bits(MBTYPE_I)
 _MBTYPE_P_T = _trie_from_bits(MBTYPE_P)
+_MBTYPE_B_T = _trie_from_bits(MBTYPE_B)
 _CBP_T = _build_trie(CBP_CODES)
 _MOTION_T = _build_trie(MOTION_CODES)
 _DCL_T = _build_trie(DC_SIZE_LUMA)
@@ -512,21 +529,30 @@ def encode_m1v(
     non_intra_q: np.ndarray | None = None,
     mb_stuffing: bool = False,
     slices_per_picture: int = 1,
+    b_frames: int = 0,
+    b_mvs: list | None = None,
 ) -> tuple:
     """Encode RGB frames (each (h, w, 3) uint8) as an MPEG-1 video
     elementary stream. Frame sizes are padded up to 16×16 macroblock
-    multiples internally (decode crops back). ``mvs``: optional
-    per-frame (mv_y, mv_x) forward vector in HALF-PEL units applied to
-    every MC macroblock of that P picture (the encoder compares the MC
-    prediction against intra cost per macroblock and picks per-MB).
-    Picture 0 and every ``gop``-th picture are intra.
+    multiples internally (decode crops back).
 
-    Returns ``(stream_bytes, reference_frames)`` — the reference
-    frames are the encoder's own reconstruction (RGB, decoder
+    ``mvs``: optional per-DISPLAY-frame (mv_y, mv_x) forward vector in
+    HALF-PEL units applied to every MC macroblock of that P/B picture
+    (the encoder still picks intra/MC/skip per macroblock by SAD).
+    ``b_frames``: number of B pictures between anchors (0 = the I/P
+    stream). ``b_mvs``: optional per-display-frame (fwd, bwd) vector
+    pair for B pictures, each (mv_y, mv_x) in half-pels. With B
+    pictures the stream is in CODED order (future anchor before its
+    Bs); gop must be a multiple of b_frames+1.
+
+    Returns ``(stream_bytes, reference_frames)`` — reference frames in
+    DISPLAY order, the encoder's own reconstruction (decoder
     arithmetic), which decode_m1v must reproduce EXACTLY; tests pin
     that equality."""
     if not frames:
         raise Mpeg1Error("no frames")
+    if b_frames and gop % (b_frames + 1):
+        raise Mpeg1Error("gop must be a multiple of b_frames+1")
     h, w = frames[0].shape[:2]
     iq = DEFAULT_INTRA_Q if intra_q is None else np.asarray(intra_q, np.int64)
     nq = (
@@ -569,13 +595,10 @@ def encode_m1v(
         crp = np.pad(cr, ((0, ph // 2 - cr.shape[0]), (0, pw // 2 - cr.shape[1])), mode="edge")
         return _PlaneSet(yp, cbp, crp)
 
-    ref: _PlaneSet | None = None
-    recon_frames = []
-
     def mb_blocks(ps: _PlaneSet, my: int, mx: int):
         """The 6 source blocks of MB (my, mx): 4 luma + cb + cr."""
         y0, x0 = my * 16, mx * 16
-        blks = [
+        return [
             ps.y[y0 : y0 + 8, x0 : x0 + 8],
             ps.y[y0 : y0 + 8, x0 + 8 : x0 + 16],
             ps.y[y0 + 8 : y0 + 16, x0 : x0 + 8],
@@ -583,29 +606,42 @@ def encode_m1v(
             ps.cb[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8],
             ps.cr[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8],
         ]
-        return blks
 
-    for fi, img in enumerate(frames):
-        if img.shape[:2] != (h, w):
-            raise Mpeg1Error("all frames must share one size")
-        src = pad_planes(img)
-        is_intra = fi % gop == 0 or ref is None
-        if fi % gop == 0:
-            bw.start_code(GOP_START)
-            bw.write(0, 25)  # time code
-            bw.write(1, 1)   # closed gop
-            bw.write(0, 1)   # broken link
+    def mc6(ref: _PlaneSet, my: int, mx: int, mv_y: int, mv_x: int):
+        """The 6 motion-compensated prediction blocks from ``ref``
+        (MV pre-clamped by the caller)."""
+        y0, x0 = my * 16, mx * 16
+        cy, cx = _chroma_mv(mv_y), _chroma_mv(mv_x)
+        return [
+            _half_pel_pred(ref.y, y0, x0, mv_y, mv_x, 8, 8),
+            _half_pel_pred(ref.y, y0, x0 + 8, mv_y, mv_x, 8, 8),
+            _half_pel_pred(ref.y, y0 + 8, x0, mv_y, mv_x, 8, 8),
+            _half_pel_pred(ref.y, y0 + 8, x0 + 8, mv_y, mv_x, 8, 8),
+            _half_pel_pred(ref.cb, y0 // 2, x0 // 2, cy, cx, 8, 8),
+            _half_pel_pred(ref.cr, y0 // 2, x0 // 2, cy, cx, 8, 8),
+        ]
+
+    def sad6(blks, preds) -> int:
+        return sum(
+            int(np.abs(b.astype(np.int32) - p).sum())
+            for b, p in zip(blks, preds)
+        )
+
+    def encode_picture(src: _PlaneSet, ptype: int, temporal_ref: int,
+                       fwd_ref, bwd_ref, mv, mvb) -> _PlaneSet:
+        """Emit one picture (header + slices + macroblocks) and return
+        its reconstruction. ptype 1=I, 2=P, 3=B."""
         bw.start_code(PIC_START)
-        bw.write(fi % gop, 10)  # temporal reference
-        bw.write(1 if is_intra else 2, 3)
+        bw.write(temporal_ref % 1024, 10)
+        bw.write(ptype, 3)
         bw.write(0xFFFF, 16)  # vbv_delay: variable
-        if not is_intra:
+        if ptype >= 2:
             bw.write(0, 1)  # full_pel_forward_vector = 0 (half-pel units)
             bw.write(f_code, 3)
+        if ptype == 3:
+            bw.write(0, 1)  # full_pel_backward_vector
+            bw.write(f_code, 3)
 
-        mv = (0, 0)
-        if mvs is not None and fi < len(mvs) and mvs[fi] is not None:
-            mv = tuple(mvs[fi])
         rec = _PlaneSet(
             np.zeros((ph, pw), np.uint8),
             np.zeros((ph // 2, pw // 2), np.uint8),
@@ -613,13 +649,13 @@ def encode_m1v(
         )
 
         rows_per_slice = max(1, mb_h // max(1, slices_per_picture))
-        n_mbs = mb_w * mb_h
         slice_starts = set(range(0, mb_h, rows_per_slice))
 
         addr_prev = -1
         pred_dc = [1024, 1024, 1024]
-        pred_mv = (0, 0)
-        pending_skip: list[int] = []
+        pred_mv = (0, 0)       # forward predictor
+        pred_mv_b = (0, 0)     # backward predictor (B pictures)
+        last_b_mode = None     # (use_f, use_b, mvf, mvb) of prev coded MB
 
         def flush_addr(bwr, addr):
             nonlocal addr_prev
@@ -642,39 +678,53 @@ def encode_m1v(
                 addr_prev = my * mb_w - 1
                 pred_dc = [1024, 1024, 1024]
                 pred_mv = (0, 0)
-                pending_skip = []
+                pred_mv_b = (0, 0)
+                last_b_mode = None
             for mx in range(mb_w):
                 addr = my * mb_w + mx
                 blks = mb_blocks(src, my, mx)
                 y0, x0 = my * 16, mx * 16
 
-                # --- candidate: motion-compensated prediction
-                use_intra = is_intra
+                # --- candidate predictions
+                use_intra = ptype == 1
+                use_f = use_b = False
                 preds = None
-                if not is_intra:
-                    mv_y, mv_x = mv
-                    # clamp so luma (16+½ pel) and chroma (8+½ pel)
-                    # reference reads stay inside the padded planes
-                    mv_y = _clamp_mv(mv_y, y0, ph)
-                    mv_x = _clamp_mv(mv_x, x0, pw)
-                    cy, cx = _chroma_mv(mv_y), _chroma_mv(mv_x)
-                    preds = [
-                        _half_pel_pred(ref.y, y0, x0, mv_y, mv_x, 8, 8),
-                        _half_pel_pred(ref.y, y0, x0 + 8, mv_y, mv_x, 8, 8),
-                        _half_pel_pred(ref.y, y0 + 8, x0, mv_y, mv_x, 8, 8),
-                        _half_pel_pred(ref.y, y0 + 8, x0 + 8, mv_y, mv_x, 8, 8),
-                        _half_pel_pred(ref.cb, y0 // 2, x0 // 2, cy, cx, 8, 8),
-                        _half_pel_pred(ref.cr, y0 // 2, x0 // 2, cy, cx, 8, 8),
-                    ]
-                    sad_mc = sum(
-                        int(np.abs(b.astype(np.int32) - p).sum())
-                        for b, p in zip(blks, preds)
-                    )
+                if ptype == 2:
+                    mv_y = _clamp_mv(mv[0], y0, ph)
+                    mv_x = _clamp_mv(mv[1], x0, pw)
+                    preds = mc6(fwd_ref, my, mx, mv_y, mv_x)
+                    sad_mc = sad6(blks, preds)
                     sad_intra = sum(
                         int(np.abs(b.astype(np.int32) - 128).sum()) for b in blks
                     )
                     use_intra = sad_intra * 2 < sad_mc
+                    use_f = not use_intra
                     cur_mv = (mv_y, mv_x)
+                elif ptype == 3:
+                    fy = _clamp_mv(mv[0], y0, ph)
+                    fx = _clamp_mv(mv[1], x0, pw)
+                    by = _clamp_mv(mvb[0], y0, ph)
+                    bx = _clamp_mv(mvb[1], x0, pw)
+                    pf = mc6(fwd_ref, my, mx, fy, fx)
+                    pb = mc6(bwd_ref, my, mx, by, bx)
+                    pi = [
+                        (a.astype(np.int32) + b_.astype(np.int32) + 1) >> 1
+                        for a, b_ in zip(pf, pb)
+                    ]
+                    cands = [
+                        (sad6(blks, pf), True, False, pf),
+                        (sad6(blks, pb), False, True, pb),
+                        (sad6(blks, pi), True, True, pi),
+                    ]
+                    best = min(cands, key=lambda c: c[0])
+                    sad_intra = sum(
+                        int(np.abs(b.astype(np.int32) - 128).sum()) for b in blks
+                    )
+                    use_intra = sad_intra * 2 < best[0]
+                    if not use_intra:
+                        _, use_f, use_b, preds = best
+                    cur_mv = (fy, fx)
+                    cur_mv_b = (by, bx)
 
                 targets = [
                     (0, y0, x0), (1, y0, x0 + 8), (2, y0 + 8, x0),
@@ -687,11 +737,10 @@ def encode_m1v(
                     plane[py : py + 8, px : px + 8] = np.clip(arr, 0, 255).astype(np.uint8)
 
                 if use_intra:
-                    # ----- intra macroblock ('1' in I pictures, B.2b
-                    # '00011' in P pictures)
+                    # ----- intra macroblock ('1' in I pictures, B.2b/c
+                    # '00011' otherwise)
                     flush_addr(bw, addr)
-                    pending_skip = []
-                    bw.write_bits("1" if is_intra else "00011")
+                    bw.write_bits("1" if ptype == 1 else "00011")
                     levels6 = []
                     for bi, b in enumerate(blks):
                         coef = _dct(b.astype(np.float64))
@@ -709,17 +758,22 @@ def encode_m1v(
                         recb = _recon_intra(lv, q_scale, iq)
                         place(bi, _idct(recb))
                     pred_mv = (0, 0)
-                else:
-                    # ----- P macroblock: mc (coded or not) or skip
-                    resid_lv = []
-                    cbp = 0
-                    for bi, (b, p) in enumerate(zip(blks, preds)):
-                        diffb = b.astype(np.float64) - p.astype(np.float64)
-                        coef = _dct(diffb)
-                        lv = _quant_non_intra_block(coef, q_scale, nq)
-                        resid_lv.append(lv)
-                        if np.any(lv):
-                            cbp |= 1 << (5 - bi)
+                    pred_mv_b = (0, 0)
+                    last_b_mode = None
+                    continue
+
+                # ----- non-intra: residual against the chosen prediction
+                resid_lv = []
+                cbp = 0
+                for bi, (b, p) in enumerate(zip(blks, preds)):
+                    diffb = b.astype(np.float64) - np.asarray(p, np.float64)
+                    coef = _dct(diffb)
+                    lv = _quant_non_intra_block(coef, q_scale, nq)
+                    resid_lv.append(lv)
+                    if np.any(lv):
+                        cbp |= 1 << (5 - bi)
+
+                if ptype == 2:
                     # skip only when nothing to code and MV is zero;
                     # never first/last MB of a row (so also never
                     # first/last of a slice — slices span whole rows)
@@ -731,15 +785,12 @@ def encode_m1v(
                         # skipped MB: recon = co-located previous frame
                         for bi in range(6):
                             place(bi, preds[bi])
-                        pending_skip.append(addr)
                         pred_mv = (0, 0)
                         pred_dc = [1024, 1024, 1024]
                         continue
                     flush_addr(bw, addr)
-                    pending_skip = []
                     if cbp == 0 and cur_mv == (0, 0):
-                        # must code something: no-MC coded with cbp? cbp 0
-                        # has no VLC — emit as MC-not-coded with MV(0,0)
+                        # cbp 0 has no VLC — emit as MC-not-coded, MV(0,0)
                         bw.write_bits("001")  # mc, not coded
                         dy = _wrap_mv(cur_mv[0] - pred_mv[0], f)
                         dx = _wrap_mv(cur_mv[1] - pred_mv[1], f)
@@ -761,29 +812,131 @@ def encode_m1v(
                         _emit_motion(bw, dx, f)
                         _emit_motion(bw, dy, f)
                         pred_mv = cur_mv
-                    if cbp:
-                        bw.write_bits(CBP_CODES[cbp])
-                        for bi in range(6):
-                            if not (cbp >> (5 - bi)) & 1:
-                                place(bi, preds[bi])
-                                continue
-                            lv = resid_lv[bi]
-                            zz = lv.flatten()[_ZZ]
-                            _emit_block(bw, zz, intra=False)
-                            recb = _recon_non_intra(lv, q_scale, nq)
-                            place(bi, preds[bi] + _idct(recb))
-                    else:
+                else:
+                    # ----- B macroblock (§2.4.4.3): skip repeats the
+                    # previous MB's prediction mode and vectors
+                    can_skip = (
+                        cbp == 0
+                        and last_b_mode == (use_f, use_b, cur_mv, cur_mv_b)
+                        and mx != 0 and mx != mb_w - 1
+                    )
+                    if can_skip:
                         for bi in range(6):
                             place(bi, preds[bi])
-                    pred_dc = [1024, 1024, 1024]
-        ref = rec
-        recon_frames.append(
-            _ycbcr420_to_rgb(rec.y[:h, :w], rec.cb[: (h + 1) // 2, : (w + 1) // 2],
-                             rec.cr[: (h + 1) // 2, : (w + 1) // 2])
+                        pred_dc = [1024, 1024, 1024]
+                        continue
+                    flush_addr(bw, addr)
+                    if not use_f and not use_b:
+                        raise Mpeg1Error("B macroblock without prediction")
+                    key = {
+                        (True, False): ("0011", "0010"),
+                        (False, True): ("011", "010"),
+                        (True, True): ("11", "10"),
+                    }[(use_f, use_b)]
+                    bw.write_bits(key[0] if cbp else key[1])
+                    if use_f:
+                        dx = _wrap_mv(cur_mv[1] - pred_mv[1], f)
+                        dy = _wrap_mv(cur_mv[0] - pred_mv[0], f)
+                        _emit_motion(bw, dx, f)
+                        _emit_motion(bw, dy, f)
+                        pred_mv = cur_mv
+                    if use_b:
+                        dx = _wrap_mv(cur_mv_b[1] - pred_mv_b[1], f)
+                        dy = _wrap_mv(cur_mv_b[0] - pred_mv_b[0], f)
+                        _emit_motion(bw, dx, f)
+                        _emit_motion(bw, dy, f)
+                        pred_mv_b = cur_mv_b
+                    last_b_mode = (use_f, use_b, cur_mv, cur_mv_b)
+
+                if cbp:
+                    bw.write_bits(CBP_CODES[cbp])
+                    for bi in range(6):
+                        if not (cbp >> (5 - bi)) & 1:
+                            place(bi, preds[bi])
+                            continue
+                        lv = resid_lv[bi]
+                        zz = lv.flatten()[_ZZ]
+                        _emit_block(bw, zz, intra=False)
+                        recb = _recon_non_intra(lv, q_scale, nq)
+                        place(bi, preds[bi] + _idct(recb))
+                else:
+                    for bi in range(6):
+                        place(bi, preds[bi])
+                pred_dc = [1024, 1024, 1024]
+        return rec
+
+    # ---- schedule: display → coded order
+    n = len(frames)
+    m = b_frames + 1
+    anchors = [i for i in range(n) if i % m == 0]
+    if anchors[-1] != n - 1:
+        # trailing frames have no future anchor: promote them to anchors
+        anchors += list(range(anchors[-1] + 1, n))
+    coded: list[tuple[int, int]] = []  # (display_idx, ptype)
+    prev_a = None
+    for a in anchors:
+        ptype = 1 if a % gop == 0 else 2
+        coded.append((a, ptype))
+        if prev_a is not None:
+            for b_idx in range(prev_a + 1, a):
+                coded.append((b_idx, 3))
+        prev_a = a
+
+    def frame_mv(i):
+        if mvs is not None and i < len(mvs) and mvs[i] is not None:
+            return tuple(mvs[i])
+        return (0, 0)
+
+    def frame_bmv(i):
+        if b_mvs is not None and i < len(b_mvs) and b_mvs[i] is not None:
+            return tuple(b_mvs[i][0]), tuple(b_mvs[i][1])
+        return frame_mv(i), (0, 0)
+
+    recon_by_idx: dict[int, np.ndarray] = {}
+    recs: dict[int, _PlaneSet] = {}
+    prev_anchor_idx = None
+    for display_idx, ptype in coded:
+        img = frames[display_idx]
+        if img.shape[:2] != (h, w):
+            raise Mpeg1Error("all frames must share one size")
+        src = pad_planes(img)
+        if ptype == 1:
+            bw.start_code(GOP_START)
+            bw.write(0, 25)  # time code
+            # later GOPs are open when B pictures lead them (their
+            # leading Bs reference the previous GOP's anchor)
+            closed = 1 if (display_idx == 0 or not b_frames) else 0
+            bw.write(closed, 1)
+            bw.write(0, 1)   # broken link
+        gop_start = (display_idx // gop) * gop
+        tref = display_idx - gop_start
+        if ptype == 3:
+            fwd = recs[prev_prev_anchor_idx]
+            bwd = recs[prev_anchor_idx]
+            mv_f, mv_b = frame_bmv(display_idx)
+            rec = encode_picture(src, 3, tref, fwd, bwd, mv_f, mv_b)
+        elif ptype == 2:
+            fwd = recs[prev_anchor_idx]
+            rec = encode_picture(src, 2, tref, fwd, None, frame_mv(display_idx), None)
+            prev_prev_anchor_idx = prev_anchor_idx
+            prev_anchor_idx = display_idx
+        else:
+            rec = encode_picture(src, 1, tref, None, None, None, None)
+            prev_prev_anchor_idx = prev_anchor_idx
+            prev_anchor_idx = display_idx
+        recs[display_idx] = rec
+        recon_by_idx[display_idx] = _ycbcr420_to_rgb(
+            rec.y[:h, :w],
+            rec.cb[: (h + 1) // 2, : (w + 1) // 2],
+            rec.cr[: (h + 1) // 2, : (w + 1) // 2],
         )
+        # B reconstructions are never referenced again — free them
+        if ptype == 3:
+            del recs[display_idx]
 
     bw.start_code(SEQ_END)
     bw.align()
+    recon_frames = [recon_by_idx[i] for i in range(n)]
     return bytes(bw.out), recon_frames
 
 
@@ -930,9 +1083,10 @@ def _wrap_mv_recon(pred: int, diff: int, f: int) -> int:
 
 def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
     """Decode an MPEG-1 video elementary stream → (Mpeg1Info, list of
-    (h, w, 3) uint8 RGB frames). I and P pictures; B/D pictures raise
-    (unsupported, fail-closed). Lax mode returns the frames decoded
-    before the first error; strict raises Mpeg1Error."""
+    (h, w, 3) uint8 RGB frames) in DISPLAY order. I, P, and B
+    pictures; D pictures raise (fail-closed). Lax mode returns the
+    frames decoded before the first error; strict raises
+    Mpeg1Error."""
     info = video_info(data)
     if info is None:
         if strict:
@@ -964,7 +1118,9 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
         return info, []
 
     frames: list = []
-    ref: _PlaneSet | None = None
+    ref: _PlaneSet | None = None        # most recent anchor (future ref)
+    prev_ref: _PlaneSet | None = None   # anchor before it (past ref)
+    pending_anchor = None               # display reordering buffer
 
     codes = list(_find_start_codes(data))
     # group: picture start → its slices (until next picture/sequence code)
@@ -979,18 +1135,32 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
         pbr = _BitReader(data[off + 1 :])
         pbr.read(10)  # temporal reference
         ptype = pbr.read(3)
-        if ptype not in (1, 2):
+        if ptype not in (1, 2, 3):
             raise Mpeg1Error(f"unsupported picture_coding_type {ptype} (B/D)")
         if ptype == 2 and ref is None:
             raise Mpeg1Error("P picture before any I picture")
+        if ptype == 3 and (ref is None or prev_ref is None):
+            raise Mpeg1Error("B picture before two reference pictures")
         pbr.read(16)  # vbv_delay
         full_pel = f = 0
-        if ptype == 2:
+        full_pel_b = fb = 0
+        if ptype >= 2:
             full_pel = pbr.read(1)
             f_code = pbr.read(3)
             if not 1 <= f_code <= 7:
                 raise Mpeg1Error(f"bad forward_f_code {f_code}")
             f = 1 << (f_code - 1)
+        if ptype == 3:
+            full_pel_b = pbr.read(1)
+            fb_code = pbr.read(3)
+            if not 1 <= fb_code <= 7:
+                raise Mpeg1Error(f"bad backward_f_code {fb_code}")
+            fb = 1 << (fb_code - 1)
+        # B pictures: forward ref = past anchor, backward ref = the
+        # future anchor (most recently decoded, precedes Bs in coded
+        # order)
+        fwd_ref = prev_ref if ptype == 3 else ref
+        bwd_ref = ref
 
         rec = _PlaneSet(
             np.zeros((ph, pw), np.uint8),
@@ -1013,6 +1183,8 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
             addr = mb_row0 * mb_w - 1
             pred_dc = [1024, 1024, 1024]
             pred_mv = [0, 0]
+            pred_mv_b = [0, 0]
+            last_b_mode = None  # (has_f, has_b, mvf, mvb) of prev MB
 
             def place(bi, my, mx, arr):
                 y0, x0 = my * 16, mx * 16
@@ -1026,19 +1198,36 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
                         arr, 0, 255
                     ).astype(np.uint8)
 
-            def mc_pred(my, mx, mv_y, mv_x):
+            def mc_pred(my, mx, mv_y, mv_x, src=None):
+                src = fwd_ref if src is None else src
                 y0, x0 = my * 16, mx * 16
                 mv_y = _clamp_mv(mv_y, y0, ph)
                 mv_x = _clamp_mv(mv_x, x0, pw)
                 cy, cx = _chroma_mv(mv_y), _chroma_mv(mv_x)
                 return [
-                    _half_pel_pred(ref.y, y0, x0, mv_y, mv_x, 8, 8),
-                    _half_pel_pred(ref.y, y0, x0 + 8, mv_y, mv_x, 8, 8),
-                    _half_pel_pred(ref.y, y0 + 8, x0, mv_y, mv_x, 8, 8),
-                    _half_pel_pred(ref.y, y0 + 8, x0 + 8, mv_y, mv_x, 8, 8),
-                    _half_pel_pred(ref.cb, y0 // 2, x0 // 2, cy, cx, 8, 8),
-                    _half_pel_pred(ref.cr, y0 // 2, x0 // 2, cy, cx, 8, 8),
+                    _half_pel_pred(src.y, y0, x0, mv_y, mv_x, 8, 8),
+                    _half_pel_pred(src.y, y0, x0 + 8, mv_y, mv_x, 8, 8),
+                    _half_pel_pred(src.y, y0 + 8, x0, mv_y, mv_x, 8, 8),
+                    _half_pel_pred(src.y, y0 + 8, x0 + 8, mv_y, mv_x, 8, 8),
+                    _half_pel_pred(src.cb, y0 // 2, x0 // 2, cy, cx, 8, 8),
+                    _half_pel_pred(src.cr, y0 // 2, x0 // 2, cy, cx, 8, 8),
                 ]
+
+            def combined_pred(my, mx, has_f, has_b, mvf, mvb):
+                """fwd / bwd / interpolated prediction (§2.4.4.3);
+                interp averages with upward rounding."""
+                pf = mc_pred(my, mx, mvf[0], mvf[1]) if has_f else None
+                pb = (
+                    mc_pred(my, mx, mvb[0], mvb[1], src=bwd_ref)
+                    if has_b
+                    else None
+                )
+                if has_f and has_b:
+                    return [
+                        (a.astype(np.int32) + b.astype(np.int32) + 1) >> 1
+                        for a, b in zip(pf, pb)
+                    ]
+                return pf if has_f else pb
 
             # macroblock loop until the slice's bits run out (next
             # start code boundary)
@@ -1064,22 +1253,39 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
                 addr += inc
                 if addr >= mb_w * mb_h:
                     raise Mpeg1Error("macroblock address out of range")
-                # skipped macroblocks: copy co-located from reference
+                # skipped macroblocks: P = zero-MV copy of the
+                # reference; B = repeat the previous MB's prediction
+                # mode and vectors (§2.4.4.4)
                 for sk in range(prev_addr + 1, addr):
                     if sk < 0:
                         continue
                     my, mx = divmod(sk, mb_w)
                     if ptype == 1:
                         raise Mpeg1Error("skipped macroblock in I picture")
-                    for bi, arr in enumerate(mc_pred(my, mx, 0, 0)):
+                    if ptype == 3:
+                        if last_b_mode is None:
+                            raise Mpeg1Error(
+                                "skipped B macroblock with no previous "
+                                "prediction to repeat"
+                            )
+                        arrs = combined_pred(my, mx, *last_b_mode)
+                    else:
+                        arrs = mc_pred(my, mx, 0, 0)
+                        pred_mv = [0, 0]
+                    for bi, arr in enumerate(arrs):
                         place(bi, my, mx, arr)
                     decoded[sk] = True
-                    pred_mv = [0, 0]
                     pred_dc = [1024, 1024, 1024]
                 my, mx = divmod(addr, mb_w)
-                quant, mf, coded, intra = sbr.vlc(
-                    _MBTYPE_I_T if ptype == 1 else _MBTYPE_P_T, 6, "mb_type"
-                )
+                mb = None  # backward motion flag only exists in B
+                if ptype == 1:
+                    quant, mf, coded, intra = sbr.vlc(_MBTYPE_I_T, 6, "mb_type")
+                elif ptype == 2:
+                    quant, mf, coded, intra = sbr.vlc(_MBTYPE_P_T, 6, "mb_type")
+                else:
+                    quant, mf, mb, coded, intra = sbr.vlc(
+                        _MBTYPE_B_T, 6, "mb_type"
+                    )
                 if quant:
                     q_scale = sbr.read(5)
                     if not q_scale:
@@ -1092,11 +1298,21 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
                         mv_x *= 2
                         mv_y *= 2
                     pred_mv = [mv_y, mv_x]
-                elif not intra:
+                elif not intra and ptype == 2:
                     pred_mv = [0, 0]
+                mvb_y = mvb_x = 0
+                if mb:
+                    mvb_x = _read_mv(sbr, fb, pred_mv_b[1])
+                    mvb_y = _read_mv(sbr, fb, pred_mv_b[0])
+                    if full_pel_b:
+                        mvb_x *= 2
+                        mvb_y *= 2
+                    pred_mv_b = [mvb_y, mvb_x]
 
                 if intra:
                     pred_mv = [0, 0]
+                    pred_mv_b = [0, 0]
+                    last_b_mode = None
                     for bi in range(6):
                         comp = 0 if bi < 4 else bi - 3
                         dc_diff = _read_dc(sbr, luma=bi < 4)
@@ -1107,7 +1323,16 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
                         place(bi, my, mx, _idct(recb))
                 else:
                     pred_dc = [1024, 1024, 1024]
-                    preds = mc_pred(my, mx, mv_y, mv_x)
+                    if ptype == 3:
+                        if not mf and not mb:
+                            raise Mpeg1Error("B macroblock without prediction")
+                        last_b_mode = (
+                            bool(mf), bool(mb),
+                            (mv_y, mv_x), (mvb_y, mvb_x),
+                        )
+                        preds = combined_pred(my, mx, *last_b_mode)
+                    else:
+                        preds = mc_pred(my, mx, mv_y, mv_x)
                     cbp = sbr.vlc(_CBP_T, 9, "coded_block_pattern") if coded else 0
                     for bi in range(6):
                         if (cbp >> (5 - bi)) & 1:
@@ -1121,25 +1346,42 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
 
         if ptype == 1 and not decoded.all():
             raise Mpeg1Error("I picture left undecoded macroblocks")
-        return rec, si
+        return rec, si, ptype
+
+    def to_rgb(rec: _PlaneSet):
+        return _ycbcr420_to_rgb(
+            rec.y[:h, :w],
+            rec.cb[: (h + 1) // 2, : (w + 1) // 2],
+            rec.cr[: (h + 1) // 2, : (w + 1) // 2],
+        )
 
     try:
         idx = 0
         while idx < len(codes) and len(frames) < max_frames:
             off, c = codes[idx]
             if c == PIC_START:
-                rec, idx = decode_picture(idx)
-                ref = rec
-                frames.append(
-                    _ycbcr420_to_rgb(
-                        rec.y[:h, :w],
-                        rec.cb[: (h + 1) // 2, : (w + 1) // 2],
-                        rec.cr[: (h + 1) // 2, : (w + 1) // 2],
-                    )
-                )
+                rec, idx, pt = decode_picture(idx)
+                if pt == 3:
+                    # B pictures display immediately (their anchors are
+                    # already decoded) and are never reference frames
+                    frames.append(to_rgb(rec))
+                else:
+                    # anchors display delayed: an anchor is emitted when
+                    # the NEXT anchor arrives (the Bs between them come
+                    # first in display order)
+                    if pending_anchor is not None:
+                        frames.append(pending_anchor)
+                    pending_anchor = to_rgb(rec)
+                    prev_ref = ref
+                    ref = rec
             else:
                 idx += 1
+        if pending_anchor is not None and len(frames) < max_frames:
+            frames.append(pending_anchor)
+            pending_anchor = None
     except Mpeg1Error:
         if strict:
             raise
+        if pending_anchor is not None and len(frames) < max_frames:
+            frames.append(pending_anchor)  # lax: flush what completed
     return info, frames

@@ -185,19 +185,95 @@ def test_truncation_lax_keeps_prefix_strict_raises():
         M.decode_m1v(cut, strict=True)
 
 
-def test_b_picture_rejected():
+def test_d_picture_rejected():
     data, _ = M.encode_m1v([_grad(16, 16)])
-    # flip picture_coding_type I→B in the picture header: the type
+    # flip picture_coding_type I→D in the picture header: the type
     # field is bits 10-12 after the picture start code
     idx = data.find(b"\x00\x00\x01\x00") + 4
     b = bytearray(data)
     # bits: tttttttttt TTT... → byte1 holds bits 8-15 of the header
     # temporal_ref(10) then type(3): type occupies bits 10-12
-    b[idx + 1] = (b[idx + 1] & ~0x38) | (3 << 3)
+    b[idx + 1] = (b[idx + 1] & ~0x38) | (4 << 3)
     with pytest.raises(M.Mpeg1Error, match="B/D"):
         M.decode_m1v(bytes(b), strict=True)
     info, frames = M.decode_m1v(bytes(b))
     assert frames == []
+
+
+def test_b_picture_before_two_refs_rejected():
+    # I B P stream with the P picture excised: the B has no backward
+    # anchor pair left in decode order... drop everything from the
+    # second start code group so only [I, B] remain
+    base = _grad(32, 32)
+    data, _ = M.encode_m1v([base, base, base], b_frames=2, gop=3)
+    # coded order: I(0), then the GOP's Bs would need TWO anchors —
+    # with all three display frames in one group the coded order is
+    # I, P?  Build explicitly: 4 frames b_frames=1 → coded I P B; cut
+    # the P out
+    data, _ = M.encode_m1v([base, base, base], b_frames=1, gop=2)
+    pics = []
+    start = 0
+    while True:
+        i = data.find(b"\x00\x00\x01\x00", start)
+        if i < 0:
+            break
+        pics.append(i)
+        start = i + 4
+    assert len(pics) == 3  # I(0) P(2) B(1) coded order
+    chopped = data[: pics[1]] + data[pics[2] :]  # remove the P
+    with pytest.raises(M.Mpeg1Error, match="two reference"):
+        M.decode_m1v(chopped, strict=True)
+
+
+# --------------------------------------------------------------- B frames
+
+
+def test_b_frames_roundtrip_exact():
+    base = _grad(48, 64)
+    frames = [np.roll(base, 2 * i, axis=1) for i in range(5)]  # I B P B P
+    data, info, dec = _roundtrip(
+        frames,
+        b_frames=1,
+        mvs=[None, (0, -2), (0, -4), (0, -2), (0, -4)],
+        b_mvs=[None, ((0, -2), (0, 2)), None, ((0, -2), (0, 2)), None],
+    )
+    assert info.n_pictures == 5
+
+
+def test_b_frames_display_order():
+    # distinct uniform levels per display frame: decode order differs
+    # from display order, output must come back sorted by display time
+    frames = [np.full((16, 16, 3), 40 + 30 * i, np.uint8) for i in range(5)]
+    data, _, dec = _roundtrip(frames, b_frames=1)
+    for i, img in enumerate(dec):
+        assert abs(int(img.mean()) - (40 + 30 * i)) <= 2, i
+
+
+def test_b_frames_interp_backward_paths():
+    # still scene then a jump: Bs between identical anchors prefer
+    # interp/backward modes; round trip must stay exact either way
+    a = _grad(32, 48, seed=1)
+    b = _grad(32, 48, seed=7)
+    _roundtrip([a, a, a, b, b, b], b_frames=2, gop=3)
+
+
+def test_b_frames_two_between():
+    base = _grad(32, 32)
+    frames = [np.roll(base, i, axis=0) for i in range(7)]
+    _roundtrip(frames, b_frames=2, gop=6,
+               mvs=[None] + [(-2 * (i % 3 or 3), 0) for i in range(1, 7)])
+
+
+def test_b_frames_trailing_tail_promoted():
+    # 6 frames, b=1 → anchors 0,2,4 and trailing 5 becomes a P anchor
+    base = _grad(16, 32)
+    frames = [np.roll(base, i, axis=1) for i in range(6)]
+    _roundtrip(frames, b_frames=1)
+
+
+def test_b_gop_validation():
+    with pytest.raises(M.Mpeg1Error, match="multiple"):
+        M.encode_m1v([_grad(16, 16)] * 4, b_frames=1, gop=3)
 
 
 def test_garbage_after_header_fail_soft():
