@@ -239,7 +239,10 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     - a WAV whose first 100 ms is a 0.5-amplitude sine and second
       100 ms silence, and assert audio_segments(window=100 ms) yields
       a loud window (|rms − 0.5/√2| ≤ 0.02) then a silent one
-      (rms ≤ 1e-6).
+      (rms ≤ 1e-6);
+    - the SAME signal as a FLAC stream (LPC-predicted, Rice-coded —
+      sources/flac.py), which must produce identical windows: lossless
+      decode means the FLAC rows satisfy the same rms bounds.
 
     One row, pass flag (rows-only: frame/window decode isn't
     SQL-expressible); pytest asserts it too."""
@@ -253,25 +256,36 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..sources import multimodal as MM
+    from ..sources.flac import encode_flac
     from ..sources.mediaencode import encode_jpeg, encode_mjpeg_mp4
     from ..sources.mpeg1 import encode_m1v
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def half_loud_samples(rate=8000):
+            return [
+                int(16383 * math.sin(2 * math.pi * 440 * i / rate))
+                for i in range(rate // 10)
+            ] + [0] * (rate // 10)
+
         def wav_half_loud(rate=8000):
             buf = io.BytesIO()
             with wave.open(buf, "wb") as f:
                 f.setnchannels(1)
                 f.setsampwidth(2)
                 f.setframerate(rate)
-                loud = b"".join(
-                    struct.pack(
-                        "<h",
-                        int(16383 * math.sin(2 * math.pi * 440 * i / rate)),
-                    )
-                    for i in range(rate // 10)
+                f.writeframes(
+                    b"".join(struct.pack("<h", v) for v in half_loud_samples(rate))
                 )
-                f.writeframes(loud + b"\x00" * (2 * (rate // 10)))
             return buf.getvalue()
+
+        def flac_half_loud(rate=8000):
+            return encode_flac(
+                np.array(half_loud_samples(rate), dtype=np.int64),
+                sample_rate=rate,
+                bits_per_sample=16,
+                block_size=256,
+                lpc_order=8,
+            )
 
         for pdf in batches:
             rows = []
@@ -296,6 +310,10 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "media_type": "audio",
                              "content": wav_half_loud(),
                              "meta": {"ext": "wav"}})
+                rows.append({"asset_id": did + 200, "owner_id": 0,
+                             "media_type": "audio",
+                             "content": flac_half_loud(),
+                             "meta": {"ext": "flac"}})
                 # MPEG-1 ES (asset_id offset +100): 2 uniform-gray
                 # pictures, level 50+did then +20 — the I picture and a
                 # residual-coded P picture both must pixel-decode
@@ -353,13 +371,13 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_checks"),
         F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
     )
-    # 16 docs × (3 MJPEG frames + 2 MPEG-1 pictures + 2 audio windows)
-    # = 112 expected checks
+    # 16 docs × (3 MJPEG frames + 2 MPEG-1 pictures + 2 WAV windows +
+    # 2 FLAC windows) = 144 expected checks
     return agg.select(
         F.lit("multimodal_pipeline").alias("strategy"),
         "n_checks",
         "n_bad",
-        ((F.col("n_bad") == 0) & (F.col("n_checks") == 112)).alias("passed"),
+        ((F.col("n_bad") == 0) & (F.col("n_checks") == 144)).alias("passed"),
     )
 
 

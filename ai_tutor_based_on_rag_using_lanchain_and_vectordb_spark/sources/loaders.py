@@ -34,6 +34,7 @@ MAGIC_MIME = {
     b"PK\x03\x04": "application/zip",  # docx is a zip container
     b"<!DO": "text/html",
     b"<htm": "text/html",
+    b"fLaC": "audio/flac",
 }
 
 EXPECTED_MIME = {

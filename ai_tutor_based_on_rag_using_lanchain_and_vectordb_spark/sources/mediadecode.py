@@ -2176,6 +2176,53 @@ def decode_wav_samples(data: bytes):
     return info, x
 
 
+def _flac_info_samples(data: bytes):
+    """(AudioInfo, per-channel int samples, bps) for a FLAC payload, or
+    None for non-FLAC/corrupt bytes (lax — the fuzz contract)."""
+    if len(data) < 4 or data[:4] != b"fLaC":
+        return None
+    from . import flac as FL
+
+    import numpy as np
+
+    try:
+        fi, s = FL.decode_flac(data)
+    except FL.FlacError:
+        return None
+    if not len(s):
+        return None
+    x = s.astype(np.float64) / float(1 << (fi.bits_per_sample - 1))
+    rms = float(np.sqrt(np.mean(x * x)))
+    peak = float(np.max(np.abs(x)))
+    dur = int(len(s) * 1000 // fi.sample_rate) if fi.sample_rate else 0
+    info = AudioInfo(
+        "flac", fi.channels, fi.sample_rate, fi.bits_per_sample,
+        len(s), dur, rms, peak,
+    )
+    return info, x
+
+
+def decode_audio(data: bytes) -> AudioInfo | None:
+    """Audio metadata + loudness for any supported codec: RIFF/WAV
+    (PCM int/float) or FLAC. None for anything else — never raises."""
+    if len(data) >= 4 and data[:4] == b"fLaC":
+        out = _flac_info_samples(data)
+        return out[0] if out else None
+    return decode_wav(data)
+
+
+def decode_audio_samples(data: bytes):
+    """(AudioInfo, float64 mono samples in [-1, 1]) for WAV or FLAC
+    payloads; None otherwise — never raises."""
+    if len(data) >= 4 and data[:4] == b"fLaC":
+        out = _flac_info_samples(data)
+        if out is None:
+            return None
+        info, x = out
+        return info, x.mean(axis=1)
+    return decode_wav_samples(data)
+
+
 # ------------------------------------------------------------------- video
 
 

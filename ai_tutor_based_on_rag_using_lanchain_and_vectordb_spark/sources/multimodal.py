@@ -7,7 +7,9 @@ and image PIXELS — PNG at every legal depth incl. Adam7, JPEG baseline,
 progressive, LOSSLESS (SOF3), HIERARCHICAL (DHP pyramid + SOF5/6
 differential frames) and 4-component CMYK/YCCK, first-frame GIF (LZW),
 BMP 24/32/16-bit/paletted/RLE — plus WAV audio (header + PCM stats at
-all integer/float widths) and MJPEG frame extraction from MP4 sample
+all integer/float widths), FLAC compressed audio (sources/flac.py —
+full RFC 9639 decode: fixed + LPC prediction, Rice/Rice2 residuals,
+all four stereo modes) and MJPEG frame extraction from MP4 sample
 tables are REAL pure-stdlib+numpy decoders (``mediadecode.py`` — same
 move as minidecode.py for PDF/DOCX). Arithmetic-coded JPEG (SOF9/10/11,
 sources/arithcode.py, libjpeg-cross-validated) and MPEG-1 video
@@ -218,21 +220,22 @@ def image_features(assets: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def audio_features(assets: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio metadata + loudness stage: binary → (header fields, PCM16
-    rms/peak). WAV is decoded for real (mediadecode.decode_wav); other
-    containers raise in strict mode or emit a null-stats row."""
+    """Audio metadata + loudness stage: binary → (header fields, PCM
+    rms/peak). WAV and FLAC are decoded for real (mediadecode
+    decode_audio → decode_wav / flac.decode_flac); other containers
+    raise in strict mode or emit a null-stats row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 data = bytes(r.content) if r.content is not None else b""
-                info = MD.decode_wav(data)
+                info = MD.decode_audio(data)
                 if info is None:
                     if strict:
                         raise NotImplementedError(
                             f"unsupported audio codec for asset {r.asset_id} "
-                            "(stdlib decoder covers RIFF/WAV)"
+                            "(stdlib decoders cover RIFF/WAV and FLAC)"
                         )
                     rows.append(
                         {
@@ -505,7 +508,8 @@ def audio_segments(
 ) -> DataFrame:
     """Windowed audio analysis (the audio analog of sample_frames): one
     row per ``window_ms`` segment with REAL per-window rms/peak, decoded
-    from any integer/float-PCM WAV (mono-averaged across channels).
+    from any integer/float-PCM WAV or FLAC stream (mono-averaged across
+    channels).
     Emitting rows per segment keeps downstream stages parallel per
     window, not per file. Non-PCM payloads raise in strict mode, else
     produce no rows. ``max_segments`` bounds per-asset fan-out against
@@ -517,12 +521,13 @@ def audio_segments(
             rows = []
             for r in pdf.itertuples(index=False):
                 data = bytes(r.content) if r.content is not None else b""
-                decoded = MD.decode_wav_samples(data)
+                decoded = MD.decode_audio_samples(data)
                 if decoded is None:
                     if strict:
                         raise NotImplementedError(
                             f"unsupported audio codec for asset {r.asset_id} "
-                            "(windowed stats cover integer/float PCM WAV)"
+                            "(windowed stats cover integer/float PCM WAV "
+                            "and FLAC)"
                         )
                     continue
                 info, x = decoded

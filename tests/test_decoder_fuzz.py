@@ -35,6 +35,7 @@ _MAGICS = [
     b"PK\x03\x04",
     b"\x00\x00\x00\x18ftypisom",
     b"\x00\x00\x01\xb3",
+    b"fLaC",
 ]
 
 _DECODERS = [
@@ -45,6 +46,8 @@ _DECODERS = [
     MD.decode_bmp_pixels,
     MD.decode_wav,
     MD.decode_wav_samples,
+    MD.decode_audio,
+    MD.decode_audio_samples,
     MD.decode_mp4,
     MD.mp4_video_track,
     pdf_pages,
@@ -115,7 +118,19 @@ def _valid_payloads():
         make_cid_pdf(_CMAP, b"BT /F1 12 Tf <0003> Tj ET"),
         make_encrypted_pdf(b"x"),
         _m1v(),
+        _flac(),
     ]
+
+
+def _flac():
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.flac import encode_flac
+
+    t = np.arange(700)
+    s = np.stack([(900 * np.sin(t / 9)).astype(np.int64),
+                  (800 * np.sin(t / 11)).astype(np.int64)], axis=1)
+    return encode_flac(s, block_size=256, lpc_order=6)
 
 
 def _m1v():
