@@ -89,14 +89,17 @@ def splitter_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize REAL PNG / WAV / MP4 payloads in-engine, one of each
-    per doc_id < 64, with every header parameter a fixed arithmetic
+    """Synthesize REAL PNG / WAV / FLAC / MP4 payloads in-engine, one of
+    each per doc_id < 64, with every header parameter a fixed arithmetic
     function of doc_id (width = 8 + id % 32, sample rate =
     8000 + (id % 3)·4000, duration = 500 + 10·id ms, ...). Because the
     parameters are pure SQL arithmetic, a DuckDB oracle can recompute
     the EXPECTED metadata independently — which turns the media decoders
     from a self-referential gate into an oracle-checked query
-    (media_metadata below)."""
+    (media_metadata below). The FLAC asset (asset_id = doc_id + 100) is
+    stereo with a doc-dependent sample count, so the compressed-audio
+    decode (sources/flac.py: frame walk, LPC/fixed subframes, stereo
+    reconstruction) is what produces the oracle-checked fields."""
     import io
     import math
     import struct
@@ -104,9 +107,11 @@ def _synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import zlib
     from collections.abc import Iterator
 
+    import numpy as np
     import pandas as pd
 
     from ..sources import multimodal as MM
+    from ..sources.flac import encode_flac
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def png(w, h):
@@ -159,6 +164,21 @@ def _synth_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rate = 8000 + (did % 3) * 4000
                 rows.append({"asset_id": did, "owner_id": 0, "media_type": "audio",
                              "content": wav(rate, rate // 10), "meta": {"ext": "wav"}})
+                nf = rate // 10 + did
+                tt = np.arange(nf)
+                fs = np.stack(
+                    [
+                        (2000 * np.sin(tt / (7 + did % 5))).astype(np.int64),
+                        (1500 * np.sin(tt / (9 + did % 3))).astype(np.int64),
+                    ],
+                    axis=1,
+                )
+                rows.append({"asset_id": did + 100, "owner_id": 0,
+                             "media_type": "audio",
+                             "content": encode_flac(
+                                 fs, sample_rate=rate, bits_per_sample=16,
+                                 block_size=256, lpc_order=4),
+                             "meta": {"ext": "flac"}})
                 rows.append({"asset_id": did, "owner_id": 0, "media_type": "video",
                              "content": mp4(500 + did * 10, 64 + did, 36 + did),
                              "meta": {"ext": "mp4"}})
@@ -198,12 +218,24 @@ def media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aud = MM.audio_features(assets, strict=True).select(
         "asset_id",
-        ((F.col("format") == "wav")
-         & (F.col("sample_rate") == 8000 + (F.col("asset_id") % 3) * 4000)
-         & (F.col("n_samples") == F.col("sample_rate") / 10)
-         & (F.col("duration_ms") == 100)
-         & (F.col("rms") > 0.2) & (F.col("rms") < 0.5)
-         & (F.col("peak") > 0.4) & (F.col("peak") <= 0.51)).alias("ok"),
+        F.when(
+            F.col("asset_id") >= 100,
+            # FLAC asset (asset_id = doc_id + 100): stereo, amplitude
+            # 2000/1500 over 32768 → rms/peak bounds scale accordingly
+            (F.col("format") == "flac")
+            & (F.col("channels") == 2)
+            & (F.col("sample_rate") == 8000 + ((F.col("asset_id") - 100) % 3) * 4000)
+            & (F.col("n_samples") == F.col("sample_rate") / 10 + F.col("asset_id") - 100)
+            & (F.col("rms") > 0.02) & (F.col("rms") < 0.07)
+            & (F.col("peak") > 0.045) & (F.col("peak") <= 0.062),
+        ).otherwise(
+            (F.col("format") == "wav")
+            & (F.col("sample_rate") == 8000 + (F.col("asset_id") % 3) * 4000)
+            & (F.col("n_samples") == F.col("sample_rate") / 10)
+            & (F.col("duration_ms") == 100)
+            & (F.col("rms") > 0.2) & (F.col("rms") < 0.5)
+            & (F.col("peak") > 0.4) & (F.col("peak") <= 0.51)
+        ).alias("ok"),
     )
     vid = MM.video_metadata(assets, strict=True).select(
         "asset_id",
@@ -383,7 +415,7 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked media decode: the engine synthesizes real
-    PNG/WAV/MP4 payloads (parameters = arithmetic on doc_id,
+    PNG/WAV/FLAC/MP4 payloads (parameters = arithmetic on doc_id,
     _synth_media_assets) and DECODES them back through the strict
     image/audio/video stages; DuckDB independently recomputes the
     expected metadata from the same arithmetic — so a decoder that
@@ -456,6 +488,16 @@ SELECT doc_id, 'audio',
        CAST(8000 + (doc_id % 3) * 4000 AS BIGINT),
        CAST((8000 + (doc_id % 3) * 4000) // 10 AS BIGINT),
        CAST(100 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM ids
+UNION ALL
+-- the FLAC asset: stereo, doc-dependent sample count (+100 asset ids)
+SELECT doc_id + 100, 'audio',
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT),
+       CAST((8000 + (doc_id % 3) * 4000) // 10 + doc_id AS BIGINT),
+       CAST(((8000 + (doc_id % 3) * 4000) // 10 + doc_id) * 1000
+            // (8000 + (doc_id % 3) * 4000) AS BIGINT),
+       CAST(0 AS BIGINT), 0.0
 FROM ids
 UNION ALL
 SELECT doc_id, 'video',
