@@ -1,0 +1,253 @@
+"""Exact quantiles at corpus scale: the rank-k VALUE without a global
+sort.
+
+The obvious plan — orderBy(col) then pick rows at the target ranks —
+range-shuffles the ENTIRE table into one total order; at the 100 TB
+design point that shuffle is the job, and the single reducer holding
+the target rank is the straggler. approx_percentile avoids it but is
+approximate. This operator returns the EXACT sorted-multiset value at
+every requested rank using the classic distributed-selection recipe
+(Blum et al. selection generalized to sampling pivots — the same
+two-phase shape as operators/freq.py):
+
+1. **Pivot pass** — a deterministic hash-sample of the column (bounded
+   collect: ``8·sample_target`` values hard-capped by ``limit``) plus
+   the exact total count. Sampling only steers bracketing; exactness
+   never depends on it.
+2. **Count pass** — for every candidate pivot, one map-side-combined
+   conditional-sum aggregate computes count(col <= pivot). All pivots
+   ride ONE aggregate row: a scan with no shuffle wider than a single
+   combine row. The rank-k value is bracketed in (lo, hi] where lo is
+   the widest pivot with count < k and hi the narrowest with
+   count >= k.
+3. **Bracket collect** — values in the union of brackets cross the
+   wire (expected size n/sample per rank; re-bracketed with fresh
+   in-bracket pivots while any bracket exceeds ``max_bracket``, so the
+   collect is bounded by construction), then the answer is read off a
+   local sort at offset k − count(<= lo).
+
+Total cost: 2-3 full scans with only counters and a bounded bracket
+leaving the executors — at 1000 executors the network carries a few
+hundred KB where orderBy would carry the table.
+"""
+
+from __future__ import annotations
+
+from bisect import bisect_right
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# expected bracket width is n/sample_target per rank; 2M rows ≈ 16 MB
+# of doubles on the driver — comfortably bounded, loop shrinks further
+DEFAULT_SAMPLE = 20_000
+DEFAULT_MAX_BRACKET = 2_000_000
+
+
+def _rank(num: int, den: int, n: int) -> int:
+    """Type-1 quantile rank: k = ceil(num·n/den) in exact integer
+    arithmetic (both engines must agree bit-for-bit, so no float
+    ceil)."""
+    return max(1, (num * n + den - 1) // den)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list,
+    sample_target: int = DEFAULT_SAMPLE,
+    max_bracket: int = DEFAULT_MAX_BRACKET,
+    max_rounds: int = 8,
+) -> list:
+    """[(label, num, den, k, value)] — the exact rank-k(q) value of the
+    sorted non-null multiset of ``df[col]`` for each quantile
+    ``probs = [(label, num, den), ...]`` with q = num/den.
+
+    Every driver-side collect is bounded by construction: the pivot
+    sample by an explicit ``limit``, the bracket by ``max_bracket``
+    (re-bracketing rounds shrink any over-wide bracket before
+    collecting it)."""
+    vals = df.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        return [(lbl, num, den, 0, None) for lbl, num, den in probs]
+    ranks = {lbl: _rank(num, den, n) for lbl, num, den in probs}
+
+    # pivot sample: deterministic value-hash thinning (duplicate-heavy
+    # values collapse onto one pivot, which is exactly what a pivot
+    # wants); bounded by limit() — pivot quality only affects speed
+    mod = max(1, n // sample_target)
+    sample_rows = (
+        vals.where(F.pmod(F.xxhash64("_v"), F.lit(mod)) == 0)
+        .limit(8 * sample_target)
+        .collect()
+    )
+    sample = sorted({r["_v"] for r in sample_rows})
+    if not sample:
+        sample = [r["_v"] for r in vals.limit(1).collect()]
+    # count only candidates NEAR each target rank — every pivot is an
+    # aggregate expression, so the count pass must stay narrow (a few
+    # dozen columns), not one per sample value
+    pivots = _near_rank_pivots(sample, ranks.values(), n)
+
+    # per-label bracket invariant: c_lo = EXACT count(col <= lo) (0 for
+    # the open end), c_hi = EXACT count(col <= hi) (n for the open
+    # end), and the rank-k value lies in (lo, hi]; "val" set = resolved
+    br = {
+        lbl: {"lo": None, "c_lo": 0, "hi": None, "c_hi": n, "val": None}
+        for lbl in ranks
+    }
+    for rnd in range(max_rounds):
+        counts = _counts_le(vals, pivots)  # {pivot: count(col <= pivot)}
+        for lbl, k in ranks.items():
+            b = br[lbl]
+            for p, c in counts.items():
+                if c < k:
+                    if b["lo"] is None or p > b["lo"]:
+                        b["lo"], b["c_lo"] = p, c
+                elif b["hi"] is None or p < b["hi"]:
+                    b["hi"], b["c_hi"] = p, c
+        wide = [
+            lbl
+            for lbl, b in br.items()
+            if b["val"] is None and b["c_hi"] - b["c_lo"] > max_bracket
+        ]
+        if not wide:
+            break
+        # a bracket whose mass sits on hi itself never tightens through
+        # <=-pivots; one strict-count aggregate resolves those exactly:
+        # count(col < hi) < k  ⇒  the rank-k value IS hi
+        strict = vals.agg(
+            *[
+                F.sum(F.when(F.col("_v") < F.lit(br[lbl]["hi"]), 1).otherwise(0))
+                .cast("long")
+                .alias(f"_s{i}")
+                for i, lbl in enumerate(wide)
+            ]
+        ).collect()[0]
+        still = []
+        for i, lbl in enumerate(wide):
+            if strict[f"_s{i}"] < ranks[lbl]:
+                br[lbl]["val"] = br[lbl]["hi"]
+            else:
+                still.append(lbl)
+        if not still:
+            break
+        # fresh in-bracket pivots, hash-thinned (NOT a bare limit —
+        # limit short-circuits into one partition and can return a
+        # single repeated value); the round salt decorrelates rounds
+        pivots = set()
+        for lbl in still:
+            b = br[lbl]
+            mod = max(1, (b["c_hi"] - b["c_lo"]) // sample_target)
+            sub = (
+                vals.where(_range_cond(b))
+                .where(F.pmod(F.xxhash64("_v", F.lit(rnd)), F.lit(mod)) == 0)
+                .limit(4 * sample_target)
+                .collect()
+            )
+            pivots.update(r["_v"] for r in sub)
+        pivots = _thin(sorted(pivots), 128)
+        if not pivots:  # thinning missed — fall back to first rows
+            pivots = sorted(
+                {
+                    r["_v"]
+                    for lbl in still
+                    for r in vals.where(_range_cond(br[lbl])).limit(1000).collect()
+                }
+            )
+    else:
+        raise ValueError(
+            f"quantile brackets did not shrink below {max_bracket} rows "
+            f"in {max_rounds} rounds"
+        )
+
+    # one filter pass collects the union of the unresolved brackets (a
+    # multiset — overlapping brackets read each row once, which is what
+    # the per-bracket offset arithmetic needs)
+    union_cond = None
+    for b in br.values():
+        if b["val"] is not None:
+            continue
+        cond = _range_cond(b)
+        union_cond = cond if union_cond is None else (union_cond | cond)
+    pool = (
+        sorted(r["_v"] for r in vals.where(union_cond).collect())
+        if union_cond is not None
+        else []
+    )
+
+    out = []
+    for lbl, num, den in probs:
+        k = ranks[lbl]
+        b = br[lbl]
+        if b["val"] is not None:
+            out.append((lbl, num, den, k, b["val"]))
+            continue
+        start = 0 if b["lo"] is None else bisect_right(pool, b["lo"])
+        value = pool[start + (k - b["c_lo"]) - 1]
+        out.append((lbl, num, den, k, value))
+    return out
+
+
+def _near_rank_pivots(sample: list, ks, n: int, per_side: int = 8) -> list:
+    """Candidate pivots from the sorted sample around each target
+    rank's expected position (± per_side entries, stepping outward in
+    growing strides so a skew-misplaced sample still brackets), plus
+    the sample extremes. Bounded: O(ranks · per_side) values."""
+    m = len(sample)
+    out = {sample[0], sample[-1]}
+    for k in ks:
+        i = min(m - 1, max(0, (k * m) // max(1, n)))
+        for d in range(-per_side, per_side + 1):
+            j = i + d * max(1, m // (per_side * 4))
+            if 0 <= j < m:
+                out.add(sample[j])
+    return sorted(out)
+
+
+def _thin(sorted_vals: list, cap: int) -> list:
+    if len(sorted_vals) <= cap:
+        return sorted_vals
+    step = len(sorted_vals) / cap
+    idx = {int(i * step) for i in range(cap)} | {len(sorted_vals) - 1}
+    return [sorted_vals[i] for i in sorted(idx)]
+
+
+def _range_cond(b: dict):
+    cond = F.lit(True)
+    if b["lo"] is not None:
+        cond = cond & (F.col("_v") > b["lo"])
+    if b["hi"] is not None:
+        cond = cond & (F.col("_v") <= b["hi"])
+    return cond
+
+
+def _counts_le(vals: DataFrame, pivots: list) -> dict:
+    """{pivot: count(col <= pivot)} in ONE map-side-combined aggregate
+    (a single scan; the shuffle carries one combine row per task)."""
+    aggs = [
+        F.sum(F.when(F.col("_v") <= F.lit(p), 1).otherwise(0))
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, p in enumerate(pivots)
+    ]
+    row = vals.agg(*aggs).collect()[0]
+    return {p: row[f"_c{i}"] for i, p in enumerate(pivots)}
+
+
+def exact_quantiles_df(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    probs: list,
+    **kw,
+) -> DataFrame:
+    """DataFrame wrapper: (pct string, k rank, value) — the driver-query
+    shape. The collect inside exact_quantiles is bounded by
+    construction (see its docstring)."""
+    rows = exact_quantiles(df, col, probs, **kw)
+    return spark.createDataFrame(
+        [(lbl, int(k), float(v)) for lbl, _, _, k, v in rows],
+        "pct string, k long, value double",
+    )

@@ -403,7 +403,26 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact l_extendedprice quantiles WITHOUT a global sort
+    (operators/quantiles.py: pivot-sample → one conditional-count
+    aggregate per round → bounded bracket collect). orderBy-based
+    percentiles range-shuffle the whole fact table at the 100 TB point;
+    this plan's network traffic is counters plus an ~n/sample bracket.
+    The driver-side collects are bounded by construction (pivot limit,
+    max_bracket loop). Oracle: the rank is recomputed in exact integer
+    arithmetic over a windowed row_number — same type-1 quantile
+    definition, k = ceil(num·n/den)."""
+    from ..operators.quantiles import exact_quantiles_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+             ("p90", 9, 10), ("p99", 99, 100)]
+    return exact_quantiles_df(spark, li, "l_extendedprice", probs)
+
+
 QUERIES = {
+    "exact_price_quantiles": exact_price_quantiles,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -423,6 +442,25 @@ QUERIES = {
 _PR_REV = X.pround_sql(f"CAST(sum({X.DISC_PRICE_SQL}) AS DOUBLE)")
 
 ORACLE = {
+    "exact_price_quantiles": """
+        WITH v AS (
+            SELECT l_extendedprice AS value FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+        ),
+        s AS (
+            SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS n
+            FROM v
+        ),
+        p(pct, num, den) AS (
+            VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+                   ('p90', 9, 10), ('p99', 99, 100)
+        )
+        SELECT p.pct AS pct,
+               CAST(GREATEST(1, (p.num * s.n + p.den - 1) // p.den) AS BIGINT) AS k,
+               s.value AS value
+        FROM p JOIN s ON s.rn = GREATEST(1, (p.num * s.n + p.den - 1) // p.den)
+    """,
     "volume_shipping_pairs": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INT) AS l_year,
