@@ -291,6 +291,7 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.flac import encode_flac
     from ..sources.mediaencode import encode_jpeg, encode_mjpeg_mp4
     from ..sources.mpeg1 import encode_m1v
+    from ..sources.mpegps import encode_mpeg_ps
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def half_loud_samples(rate=8000):
@@ -360,6 +361,13 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "media_type": "video",
                              "content": m1,
                              "meta": {"ext": "m1v"}})
+                # the same ES wrapped in an ISO 11172-1 program stream
+                # (asset_id +300): the PES demux must reassemble it and
+                # the pictures must decode identically
+                rows.append({"asset_id": did + 300, "owner_id": 0,
+                             "media_type": "video",
+                             "content": encode_mpeg_ps(m1, pes_size=200),
+                             "meta": {"ext": "mpg"}})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields]
             )
@@ -372,6 +380,16 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = MM.frame_features(assets, every_ms=500).select(
         "asset_id",
         F.when(
+            F.col("asset_id") >= 300,
+            # program-stream path: PES demux + the same MPEG-1 decode
+            (F.col("format") == "bmp")
+            & F.col("pixels_real")
+            & (F.col("width") == 24) & (F.col("height") == 16)
+            & (F.abs(
+                F.element_at("pixel_mean", 1)
+                - (50 + (F.col("asset_id") - 300) + 20 * F.col("frame_no"))
+            ) <= 2),
+        ).when(
             F.col("asset_id") >= 100,
             # MPEG-1 path: decoded pictures arrive as BMP payloads
             (F.col("format") == "bmp")
@@ -403,13 +421,13 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_checks"),
         F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
     )
-    # 16 docs × (3 MJPEG frames + 2 MPEG-1 pictures + 2 WAV windows +
-    # 2 FLAC windows) = 144 expected checks
+    # 16 docs × (3 MJPEG frames + 2 MPEG-1 pictures + 2 program-stream
+    # pictures + 2 WAV windows + 2 FLAC windows) = 176 expected checks
     return agg.select(
         F.lit("multimodal_pipeline").alias("strategy"),
         "n_checks",
         "n_bad",
-        ((F.col("n_bad") == 0) & (F.col("n_checks") == 144)).alias("passed"),
+        ((F.col("n_bad") == 0) & (F.col("n_checks") == 176)).alias("passed"),
     )
 
 

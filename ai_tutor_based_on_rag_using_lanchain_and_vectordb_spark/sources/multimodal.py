@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 
 from . import mediadecode as MD
 from . import mpeg1 as M1
+from . import mpegps as PS
 from ..schemas import MEDIA_ASSETS  # noqa: F401  (canonical schema)
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -284,13 +285,18 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 data = bytes(r.content) if r.content is not None else b""
                 info = MD.decode_mp4(data)
-                if info is None and M1.is_mpeg1(data):
-                    m = M1.video_info(data)
+                if info is None:
+                    # bare MPEG-1 ES, or a program stream (.mpg) whose
+                    # video PES payloads reassemble to one
+                    es, fmt = data, "mpeg1"
+                    if PS.is_mpeg_ps(data):
+                        es, fmt = PS.ps_video_es(data) or b"", "mpeg1-ps"
+                    m = M1.video_info(es) if M1.is_mpeg1(es) else None
                     if m is not None:
                         rows.append(
                             {
                                 "asset_id": r.asset_id,
-                                "format": "mpeg1",
+                                "format": fmt,
                                 "duration_ms": m.duration_ms,
                                 "width": m.width,
                                 "height": m.height,
@@ -302,7 +308,8 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
                     if strict:
                         raise NotImplementedError(
                             f"unsupported video container for asset {r.asset_id} "
-                            "(stdlib decoder covers ISO BMFF / MP4 and MPEG-1 ES)"
+                            "(stdlib decoder covers ISO BMFF / MP4, MPEG-1 ES "
+                            "and MPEG-1 program streams)"
                         )
                     rows.append(
                         {
@@ -429,7 +436,12 @@ def sample_frames(
                                 }
                             )
                         continue
-                if M1.is_mpeg1(data):
+                m1_es = data
+                if PS.is_mpeg_ps(data):
+                    # program stream (.mpg): demux the video PES
+                    # payloads, then decode the reassembled ES below
+                    m1_es = PS.ps_video_es(data) or b""
+                if M1.is_mpeg1(m1_es):
                     # MPEG-1 elementary stream: REAL compressed-video
                     # decode (sources/mpeg1.py) — every picture is
                     # reconstructed (P frames need their reference
@@ -438,10 +450,10 @@ def sample_frames(
                     # image_features pixel-decodes downstream.
                     from .mediaencode import encode_bmp
 
-                    m = M1.video_info(data)
+                    m = M1.video_info(m1_es)
                     fps = (m.fps if m and m.fps else 25.0)
                     _, pics = M1.decode_m1v(
-                        data, strict=strict, max_frames=max_frames
+                        m1_es, strict=strict, max_frames=max_frames
                     )
                     out_no = 0
                     for fi, img in enumerate(pics):

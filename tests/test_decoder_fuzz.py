@@ -17,6 +17,10 @@ from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mpeg1 impor
     decode_m1v,
     video_info,
 )
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mpegps import (
+    demux_mpeg_ps,
+    ps_video_es,
+)
 from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.minidecode import (
     docx_pages,
     pdf_pages,
@@ -36,6 +40,7 @@ _MAGICS = [
     b"\x00\x00\x00\x18ftypisom",
     b"\x00\x00\x01\xb3",
     b"fLaC",
+    b"\x00\x00\x01\xba",
 ]
 
 _DECODERS = [
@@ -54,6 +59,8 @@ _DECODERS = [
     docx_pages,
     video_info,
     decode_m1v,  # lax mode: (info|None, frames) — must never raise
+    demux_mpeg_ps,
+    ps_video_es,
 ]
 
 
@@ -63,7 +70,7 @@ def test_decoders_never_raise_on_garbage(magic, tail):
     data = magic + tail
     for dec in _DECODERS:
         out = dec(data)  # must not raise
-        assert out is None or isinstance(out, (list, tuple)) or hasattr(out, "shape")
+        assert out is None or isinstance(out, (list, tuple, dict)) or hasattr(out, "shape")
 
 
 def _valid_payloads():
@@ -119,6 +126,8 @@ def _valid_payloads():
         make_encrypted_pdf(b"x"),
         _m1v(),
         _flac(),
+        __import__("ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mpegps",
+                   fromlist=["encode_mpeg_ps"]).encode_mpeg_ps(_m1v(), pes_size=120),
     ]
 
 

@@ -1051,7 +1051,7 @@ def test_multimodal_gate_passes(spark, sf_dir):
 
     row = multimodal_gate(spark, sf_dir).first()
     assert row["passed"] is True, row.asDict()
-    assert row["n_checks"] == 144 and row["n_bad"] == 0
+    assert row["n_checks"] == 176 and row["n_bad"] == 0
 
 
 # --------------------------------------- review-finding regression tests
