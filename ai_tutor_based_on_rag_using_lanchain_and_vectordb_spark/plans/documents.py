@@ -525,7 +525,28 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERIES = [
+    ("q_sortmerge", "sort merge join"),
+    ("q_scan", "fast table scan"),
+    ("q_stream", "stream window agg"),
+]
+
+
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/bm25.py): top-5 documents per
+    query for three fixed queries. Postings semi-filter on the
+    broadcast query-term list before scoring; top-k per query is a
+    WindowGroupLimit. Oracle mirrors the exact float association
+    (pre-rounded contributions summed in decimal — see the module
+    docstring for the deliberate ln() parity note)."""
+    from ..operators.bm25 import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(spark, docs, BM25_QUERIES, k=5)
+
+
 QUERIES = {
+    "bm25_search_topk": bm25_search_topk,
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
     "neardup_keep_best": neardup_keep_best,
@@ -802,6 +823,61 @@ def _normalized_oracle_sql() -> str:
         f"CAST(length({norm}) AS BIGINT) AS norm_len FROM documents"
     )
 
+
+_BM25_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, text in BM25_QUERIES
+    for t in dict.fromkeys(text.lower().split())
+)
+
+# float association mirrors operators/bm25.py exactly: Python folds
+# (k1+1)=2.2 and (1-b)=0.25 into literals, so the SQL uses the same
+# folded constants and the same left-assoc (0.75 * dl) / avgdl
+ORACLE["bm25_search_topk"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM posting GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    dfc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM posting WHERE term IN (SELECT term FROM q) GROUP BY 1
+    ),
+    contrib AS (
+        SELECT q.query_id, p.doc_id,
+               {X.pround_sql(
+                   "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+                   " * ((tf * 2.2)"
+                   " / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))", 6)} AS c
+        FROM q
+        JOIN posting p USING (term)
+        JOIN dfc USING (term)
+        JOIN dl ON p.doc_id = dl.doc_id
+        CROSS JOIN stats
+    ),
+    scores AS (
+        SELECT query_id, doc_id, {X.dsum_sql("c", 4)} AS score
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rank,
+           score
+    FROM scores
+    QUALIFY rank <= 5
+"""
 
 ORACLE["doc_pii_scrub"] = _pii_oracle_sql()
 ORACLE["doc_normalized"] = _normalized_oracle_sql()
