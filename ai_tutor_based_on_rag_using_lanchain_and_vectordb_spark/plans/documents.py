@@ -830,11 +830,17 @@ _BM25_Q_SQL = ", ".join(
     for t in dict.fromkeys(text.lower().split())
 )
 
-# float association mirrors operators/bm25.py exactly: Python folds
-# (k1+1)=2.2 and (1-b)=0.25 into literals, so the SQL uses the same
-# folded constants and the same left-assoc (0.75 * dl) / avgdl
-ORACLE["bm25_search_topk"] = f"""
-    WITH toks AS (
+
+def bm25_ranked_cte_sql() -> str:
+    """The BM25 ranking as a WITH-chain ending in ``bm25_ranked``
+    (query_id, doc_id, score, rank) — shared by the bm25_search_topk
+    oracle and the hybrid-RRF oracle (plans/vectors.py).
+
+    Float association mirrors operators/bm25.py exactly: Python folds
+    (k1+1)=2.2 and (1-b)=0.25 into literals, so the SQL uses the same
+    folded constants and the same left-assoc (0.75 * dl) / avgdl."""
+    return f"""
+    toks AS (
         SELECT doc_id,
                unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
         FROM documents
@@ -866,17 +872,22 @@ ORACLE["bm25_search_topk"] = f"""
         JOIN dl ON p.doc_id = dl.doc_id
         CROSS JOIN stats
     ),
-    scores AS (
+    bm25_scores AS (
         SELECT query_id, doc_id, {X.dsum_sql("c", 4)} AS score
         FROM contrib GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id,
-           CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id
-           ) AS BIGINT) AS rank,
-           score
-    FROM scores
-    QUALIFY rank <= 5
+    ),
+    bm25_ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM bm25_scores
+    )"""
+
+
+ORACLE["bm25_search_topk"] = f"""
+    WITH {bm25_ranked_cte_sql()}
+    SELECT query_id, doc_id, rank, score FROM bm25_ranked WHERE rank <= 5
 """
 
 ORACLE["doc_pii_scrub"] = _pii_oracle_sql()

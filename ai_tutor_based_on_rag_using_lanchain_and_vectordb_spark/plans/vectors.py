@@ -438,7 +438,75 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 20  # per-ranker depth feeding the fusion
+RRF_C = 60  # the standard RRF damping constant
+RRF_TOPK = 5
+
+
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    ranking (operators/bm25.py over documents) and the exact-cosine
+    vector ranking (embeddings; vec_id aligns with doc_id), the
+    production RAG pattern the reference's embedding-only retriever
+    (backend/chroma_utils.py) upgrades to.
+
+    rrf(d) = Σ_rankers 1/(C + rank_r(d)) over each ranker's top-RRF_K,
+    top-RRF_TOPK per query by (score desc, doc_id). Rank arithmetic is
+    integer, the reciprocal is one IEEE division — exactly mirrorable
+    in SQL (pre-rounded decimal sum, no ln caveat). Each query's text
+    maps to a designated query vector (position i → vec_id i)."""
+    from ..operators.bm25 import bm25_search
+    from .documents import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_search(spark, docs, BM25_QUERIES, k=RRF_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    name = F.lit(None).cast("string")
+    for i, (qid, _) in enumerate(BM25_QUERIES):
+        name = F.when(F.col("query_id") == i, F.lit(qid)).otherwise(name)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    vec = (
+        _scored_pairs(emb, same_label_only=False)
+        .where(F.col("query_id") < len(BM25_QUERIES))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= RRF_K)
+        .select(
+            name.cast("string").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    contrib = X.pround(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank")), 6)
+    both = lex.select("query_id", "doc_id", contrib.alias("c")).unionByName(
+        vec.select("query_id", "doc_id", contrib.alias("c"))
+    )
+    fused = both.groupBy("query_id", "doc_id").agg(
+        X.pround(F.sum(F.col("c").cast(X.DEC)).cast("double"), 4).alias(
+            "rrf_score"
+        ),
+        F.count("*").cast("long").alias("n_rankers"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= RRF_TOPK)
+        .select(
+            "query_id", "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "rrf_score", "n_rankers",
+        )
+    )
+
+
 QUERIES = {
+    "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "knn_exact": knn_exact,
     "knn_label_filtered": knn_label_filtered,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -458,6 +526,50 @@ _SELF_COS = (
     "list_dot_product(v, v) / (sqrt(list_dot_product(v, v)) * "
     "sqrt(list_dot_product(v, v)))"
 )
+
+
+def _rrf_oracle_sql() -> str:
+    from .documents import BM25_QUERIES, bm25_ranked_cte_sql
+
+    vq_sql = ", ".join(f"('{qid}', {i})" for i, (qid, _) in enumerate(BM25_QUERIES))
+    recip = X.pround_sql(f"1.0 / ({RRF_C} + rank)", 6)
+    return f"""
+        WITH {bm25_ranked_cte_sql()},
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])) > 0),
+        vq(query_id, qvec) AS (VALUES {vq_sql}),
+        vecrank AS (
+            SELECT * FROM (
+                SELECT vq.query_id, b.vec_id AS doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY vq.query_id
+                           ORDER BY {_COS} DESC, b.vec_id ASC
+                       ) AS BIGINT) AS rank
+                FROM vq JOIN e a ON a.vec_id = vq.qvec
+                        JOIN e b ON b.vec_id != vq.qvec
+            ) WHERE rank <= {RRF_K}
+        ),
+        allr AS (
+            SELECT query_id, doc_id, {recip} AS c
+            FROM bm25_ranked WHERE rank <= {RRF_K}
+            UNION ALL
+            SELECT query_id, doc_id, {recip} FROM vecrank
+        ),
+        fused AS (
+            SELECT query_id, doc_id, {X.dsum_sql("c", 4)} AS rrf_score,
+                   CAST(count(*) AS BIGINT) AS n_rankers
+            FROM allr GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+               ) AS BIGINT) AS rank,
+               rrf_score, n_rankers
+        FROM fused
+        QUALIFY rank <= {RRF_TOPK}
+    """
 
 
 ORACLE = {
@@ -547,3 +659,5 @@ ORACLE = {
     """.format(pr_norm=X.pround_sql(
         "sqrt(CAST(sum(CAST(mean_x * mean_x AS DECIMAL(38,20))) AS DOUBLE))", 4)),
 }
+
+ORACLE["hybrid_rrf_fusion"] = _rrf_oracle_sql()

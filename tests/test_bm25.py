@@ -99,3 +99,59 @@ def test_plan_filters_postings_before_scoring(spark, docs_df):
     ).executedPlan().toString()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------- RRF fusion
+
+
+def test_hybrid_rrf_matches_base_rankers(spark, sf_dir):
+    """The fused score of every output row equals the sum of
+    pround(1/(C+rank), 6) over the document's ranks in the two base
+    rankings, recomputed here from the base operators directly."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import BM25_QUERIES
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans import vectors as PV
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bm25 import bm25_search
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    import math
+
+    fused = {
+        (r["query_id"], r["doc_id"]): (r["rrf_score"], r["n_rankers"], r["rank"])
+        for r in PV.hybrid_rrf_fusion(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in bm25_search(spark, docs, BM25_QUERIES, k=PV.RRF_K).collect()
+    }
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    vec_rows = (
+        PV._scored_pairs(emb, same_label_only=False)
+        .where(F.col("query_id") < len(BM25_QUERIES))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PV.RRF_K)
+        .collect()
+    )
+    names = {i: qid for i, (qid, _) in enumerate(BM25_QUERIES)}
+    vec = {(names[r["query_id"]], r["neighbor_id"]): r["rank"] for r in vec_rows}
+
+    def pround(x, d):
+        p = 10 ** d
+        return math.floor(x * p + 0.5) / p
+
+    assert len(fused) == len(BM25_QUERIES) * PV.RRF_TOPK
+    for (qid, doc), (score, n_rankers, rank) in fused.items():
+        ranks = [m[(qid, doc)] for m in (lex, vec) if (qid, doc) in m]
+        assert len(ranks) == n_rankers and ranks
+        want = pround(sum(pround(1.0 / (PV.RRF_C + r), 6) for r in ranks), 4)
+        assert score == want, (qid, doc)
+    # per-query: ranks dense 1..TOPK, scores non-increasing
+    for qid, _ in BM25_QUERIES:
+        rows = sorted(
+            (v[2], v[0]) for (q, _d), v in fused.items() if q == qid
+        )
+        assert [r for r, _ in rows] == list(range(1, PV.RRF_TOPK + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
