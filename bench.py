@@ -56,6 +56,9 @@ HEADLINE = [
     "sequence_packing",       # two-phase grouped prefix sums (packing)
     "knn_ivfpq_search",       # persistent ANN index: pruned probe + ADC
     "event_heavy_hitters",    # two-pass Misra-Gries exact heavy hitters
+    "exact_price_quantiles",  # distributed selection (no global sort)
+    "bm25_search_topk",       # inverted-index lexical retrieval
+    "hybrid_rrf_fusion",      # BM25 + vector kNN reciprocal rank fusion
 ]
 
 
