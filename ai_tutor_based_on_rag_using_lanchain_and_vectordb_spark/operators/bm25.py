@@ -37,6 +37,8 @@ doc_id tiebreak, so order is ulp-stable too.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -60,40 +62,28 @@ def bm25_postings(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def bm25_search(
-    spark: SparkSession,
-    docs: DataFrame,
-    queries: list,
-    k: int = 5,
-    k1: float = K1,
-    b: float = B,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Top-k documents per query by BM25: (query_id, doc_id, rank,
-    score). ``queries`` is a small [(query_id, text)] list — the
-    broadcast side, like the k-NN query vectors."""
-    postings = bm25_postings(docs, id_col, text_col)
-    # doc length + corpus stats reuse the postings aggregation
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
-    )
-
+def _query_terms_df(spark: SparkSession, queries: list) -> DataFrame:
     qterms = [
         (qid, t)
         for qid, text in queries
         for t in dict.fromkeys(text.lower().split())  # dedup, keep order
         if t
     ]
-    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    return spark.createDataFrame(qterms, "query_id string, term string")
 
-    # semi-filter postings on the broadcast query-term list FIRST: the
-    # scan touches only matched terms' postings
-    matched = postings.join(
-        F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
-    )
+
+def _score_topk(
+    qdf: DataFrame,
+    matched: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail for the direct and index paths (one source of
+    truth for the float association the oracle mirrors): matched
+    postings → df counts → per-(query, doc) BM25 sum → top-k window."""
     df_counts = matched.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
@@ -128,3 +118,153 @@ def bm25_search(
         .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"),
                 "score")
     )
+
+
+def bm25_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query by BM25: (query_id, doc_id, rank,
+    score). ``queries`` is a small [(query_id, text)] list — the
+    broadcast side, like the k-NN query vectors."""
+    postings = bm25_postings(docs, id_col, text_col)
+    # doc length + corpus stats reuse the postings aggregation
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+    )
+    qdf = _query_terms_df(spark, queries)
+    # semi-filter postings on the broadcast query-term list FIRST: the
+    # scan touches only matched terms' postings
+    matched = postings.join(
+        F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
+    )
+    return _score_topk(qdf, matched, dl, stats, k, k1, b)
+
+
+# ------------------------------------------------- persistent index
+#
+# Parquet layout (the IVF/PQ treatment applied to lexical search):
+#
+#   <path>/postings/bucket=<b>/…   (term, doc_id, tf), bucket =
+#                                  pmod(xxhash64(term), n_buckets) —
+#                                  a query reads ONLY its terms'
+#                                  bucket partitions (partition
+#                                  pruning) and pushes term equality
+#                                  into the scan
+#   <path>/doclens/…               (doc_id, dl) — slim, one row/doc
+#   <path>/meta/…                  (n_buckets) — 1 row
+#
+# Upserts are append-only and exactly correct by construction: a
+# document's postings and length are doc-local facts, and the corpus
+# stats (N, avgdl) derive from doclens at open — so an index built
+# incrementally over any batch split equals the index built in one
+# shot, row for row (the streaming-gate equivalence).
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    spark = docs.sparkSession
+    postings = bm25_postings(docs, id_col, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "postings"))
+    dl = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    spark.createDataFrame([(n_buckets,)], "n_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def upsert_bm25_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Append new documents' postings + lengths; documents already in
+    the index are skipped (postings are doc-local, so append-only
+    upserts keep the index exactly equal to a one-shot build)."""
+    n_buckets = spark.read.parquet(os.path.join(path, "meta")).first()[
+        "n_buckets"
+    ]
+    existing = spark.read.parquet(os.path.join(path, "doclens")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    n_in = docs.count()
+    fresh = docs.join(existing, id_col, "left_anti")
+    postings = bm25_postings(fresh, id_col, text_col)
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    added = dl.count()
+    if added:
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        ).repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, "postings"))
+        dl.write.mode("append").parquet(os.path.join(path, "doclens"))
+    return {"added": int(added), "skipped": int(n_in - added)}
+
+
+class Bm25Searcher:
+    """Search-many handle over a persistent BM25 layout: meta and the
+    two corpus stats load ONCE at open (bounded driver state: two
+    numbers); every :meth:`search` runs only the bucket-pruned postings
+    scan + scoring. Re-open after upserts to refresh the stats."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = spark.read.parquet(os.path.join(path, "meta")).first()[
+            "n_buckets"
+        ]
+        # the SAME 1-row aggregate the direct path cross-joins, kept as
+        # a DataFrame so the scoring float association is identical
+        self._dl = spark.read.parquet(os.path.join(path, "doclens"))
+        self._stats = self._dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+        ).localCheckpoint(eager=True)
+
+    def search(self, queries: list, k: int = 5, k1: float = K1,
+               b: float = B) -> DataFrame:
+        qdf = _query_terms_df(self.spark, queries)
+        # bucket ids computed with the engine's own xxhash64 (bounded
+        # collect: one row per distinct query term)
+        trows = (
+            qdf.select("term")
+            .distinct()
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+            .collect()
+        )
+        terms = [r["term"] for r in trows]
+        buckets = sorted({r["bucket"] for r in trows})
+        matched = (
+            self.spark.read.parquet(os.path.join(self.path, "postings"))
+            .where(F.col("bucket").isin(buckets))  # partition pruning
+            .where(F.col("term").isin(terms))  # pushed into the scan
+            .select("term", "doc_id", "tf")
+        )
+        return _score_topk(qdf, matched, self._dl, self._stats, k, k1, b)

@@ -545,8 +545,25 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(spark, docs, BM25_QUERIES, k=5)
 
 
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_search_topk through the PERSISTENT index layout (build →
+    open → bucket-pruned search, operators/bm25.py): the oracle checks
+    the postings/doclens/stats round trip end-to-end, not just the
+    in-plan formulation — the same move as knn_ivfpq_exhaustive for the
+    vector index."""
+    import tempfile
+
+    from ..operators.bm25 import Bm25Searcher, build_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_idx_")
+    build_bm25_index(docs, path)
+    return Bm25Searcher(spark, path).search(BM25_QUERIES, k=5)
+
+
 QUERIES = {
     "bm25_search_topk": bm25_search_topk,
+    "bm25_index_search": bm25_index_search,
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
     "neardup_keep_best": neardup_keep_best,
@@ -889,6 +906,8 @@ ORACLE["bm25_search_topk"] = f"""
     WITH {bm25_ranked_cte_sql()}
     SELECT query_id, doc_id, rank, score FROM bm25_ranked WHERE rank <= 5
 """
+# the index path must produce byte-identical results to the direct path
+ORACLE["bm25_index_search"] = ORACLE["bm25_search_topk"]
 
 ORACLE["doc_pii_scrub"] = _pii_oracle_sql()
 ORACLE["doc_normalized"] = _normalized_oracle_sql()

@@ -69,6 +69,10 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       batch dropDuplicates on the fixture, whose duplicates are close
       in event time)
     - stream-stream interval join (click→purchase attribution)
+    - ST7 streaming heavy hitters (incremental Misra-Gries + exact
+      recount ≡ the batch two-pass operator)
+    - ST8 streaming BM25 index maintenance (foreachBatch build/upsert
+      ≡ one-shot direct search)
     """
     tune_for_oracle(spark)
     batch_events = load_table(spark, sf_dir, "events")
@@ -160,6 +164,60 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     results.append(
         ("st7_heavy_hitters", len(hh_got), len(hh_want), hh_got == hh_want)
+    )
+
+    # Streaming BM25 index maintenance: documents streamed through
+    # foreachBatch (build on the first batch, upsert after) must yield
+    # an index whose bucket-pruned search equals the one-shot direct
+    # search — exact by construction (postings and doc lengths are
+    # doc-local; corpus stats derive from doclens at open).
+    import tempfile
+
+    from ..operators.bm25 import (
+        Bm25Searcher,
+        bm25_search,
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+    from .documents import BM25_QUERIES
+
+    dschema, dnanos = _read_schema("documents", f"{sf_dir}/documents.parquet")
+    doc_stream = (
+        spark.readStream.schema(dschema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    for c in dnanos:
+        doc_stream = doc_stream.withColumn(
+            c, F.expr(f"timestamp_micros({c} div 1000)")
+        )
+    idx_path = tempfile.mkdtemp(prefix="sg_bm25_")
+    state = {"built": False}
+
+    def feed(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not state["built"]:
+            build_bm25_index(batch_df, idx_path)
+            state["built"] = True
+        else:
+            upsert_bm25_index(batch_df.sparkSession, idx_path, batch_df)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(feed)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cols = ["query_id", "doc_id", "rank", "score"]
+    bm_got = _rows(Bm25Searcher(spark, idx_path).search(BM25_QUERIES, k=5), cols)
+    bm_want = _rows(
+        bm25_search(spark, load_table(spark, sf_dir, "documents"),
+                    BM25_QUERIES, k=5),
+        cols,
+    )
+    results.append(
+        ("st8_bm25_index", len(bm_got), len(bm_want), bm_got == bm_want)
     )
 
     return spark.createDataFrame(

@@ -155,3 +155,37 @@ def test_hybrid_rrf_matches_base_rankers(spark, sf_dir):
         assert [r for r, _ in rows] == list(range(1, PV.RRF_TOPK + 1))
         scores = [s for _, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------------ persistent index
+
+
+def test_index_search_equals_direct(spark, sf_dir, tmp_path):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bm25 import (
+        Bm25Searcher,
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = [("q1", "sort merge join"), ("q2", "fast table scan")]
+    direct = sorted(map(tuple, bm25_search(spark, docs, qs, k=5).collect()))
+
+    build_bm25_index(docs, str(tmp_path / "a"))
+    s = Bm25Searcher(spark, str(tmp_path / "a"))
+    assert sorted(map(tuple, s.search(qs, k=5).collect())) == direct
+
+    # split build + overlapping upsert: dupes skipped, result identical
+    half = docs.agg({"doc_id": "max"}).first()[0] // 2
+    build_bm25_index(docs.where(f"doc_id < {half}"), str(tmp_path / "b"))
+    r = upsert_bm25_index(
+        spark, str(tmp_path / "b"), docs.where(f"doc_id >= {half - 10}")
+    )
+    assert r["skipped"] == 10 and r["added"] > 0
+    s2 = Bm25Searcher(spark, str(tmp_path / "b"))
+    assert sorted(map(tuple, s2.search(qs, k=5).collect())) == direct
+
+    # the query-time scan is bucket-partition-pruned
+    plan = s.search(qs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
