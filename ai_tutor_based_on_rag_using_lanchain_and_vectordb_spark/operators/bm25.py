@@ -225,6 +225,40 @@ def upsert_bm25_index(
     return {"added": int(added), "skipped": int(n_in - added)}
 
 
+def _parquet_file_count(root: str) -> int:
+    n = 0
+    for _dir, _sub, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the postings and doclens layouts at one file per
+    partition. Append-only upserts add a parquet file per touched
+    bucket per upsert, so at crawl-scale cadence the query-time scan's
+    file listing and task count grow with UPSERT COUNT, not data size —
+    the classic small-files problem. Compaction is content-neutral:
+    search results are row-identical before and after (asserted in
+    tests). Returns {"files_before", "files_after"}."""
+    pp = os.path.join(path, "postings")
+    dp = os.path.join(path, "doclens")
+    before = _parquet_file_count(pp) + _parquet_file_count(dp)
+    # materialize BEFORE overwriting the input paths (the pq_index
+    # upsert pattern)
+    postings = spark.read.parquet(pp).localCheckpoint(eager=True)
+    doclens = spark.read.parquet(dp).localCheckpoint(eager=True)
+    postings.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(pp)
+    doclens.coalesce(max(1, doclens.rdd.getNumPartitions() // 8)).write.mode(
+        "overwrite"
+    ).parquet(dp)
+    return {
+        "files_before": before,
+        "files_after": _parquet_file_count(pp) + _parquet_file_count(dp),
+    }
+
+
 class Bm25Searcher:
     """Search-many handle over a persistent BM25 layout: meta and the
     two corpus stats load ONCE at open (bounded driver state: two

@@ -189,3 +189,28 @@ def test_index_search_equals_direct(spark, sf_dir, tmp_path):
     # the query-time scan is bucket-partition-pruned
     plan = s.search(qs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_compaction_shrinks_files_search_unchanged(spark, sf_dir, tmp_path):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bm25 import (
+        Bm25Searcher,
+        build_bm25_index,
+        compact_bm25_index,
+        upsert_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "c")
+    build_bm25_index(docs.where("doc_id % 4 = 0"), path)
+    for m in (1, 2, 3):  # three append upserts → files pile up
+        upsert_bm25_index(spark, path, docs.where(f"doc_id % 4 = {m}"))
+    qs = [("q1", "sort merge join")]
+    before = sorted(map(tuple, Bm25Searcher(spark, path).search(qs, k=5).collect()))
+    r = compact_bm25_index(spark, path)
+    assert r["files_after"] < r["files_before"]
+    after = sorted(map(tuple, Bm25Searcher(spark, path).search(qs, k=5).collect()))
+    assert after == before
+    # equal to the one-shot direct search too
+    direct = sorted(map(tuple, bm25_search(spark, docs, qs, k=5).collect()))
+    assert after == direct
