@@ -236,6 +236,181 @@ def _counts_le(vals: DataFrame, pivots: list) -> dict:
     return {p: row[f"_c{i}"] for i, p in enumerate(pivots)}
 
 
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    probs: list,
+    sample_target: int = 2000,
+    max_bracket: int = DEFAULT_MAX_BRACKET,
+    max_rounds: int = 8,
+) -> list:
+    """Per-group exact quantiles: [(group, label, k, value)] for every
+    group in ``df[group_col]`` (intended for low-cardinality groups —
+    languages, sources, segments; the per-group state lives on the
+    driver).
+
+    Same selection recipe as :func:`exact_quantiles`, but the count
+    pass is JOIN-shaped instead of wide-aggregate-shaped: the pivot
+    table (group, pivot) broadcast-joins the data on group with a
+    ``v <= pivot`` flag and aggregates count per (group, pivot) — the
+    shuffle carries G·P counter rows, and the aggregate stays narrow
+    no matter how many groups there are (a per-group column list would
+    grow the aggregate width with G·P). Row amplification is bounded by
+    the per-group pivot count (~a few dozen)."""
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group_col).alias("_g"), F.col(col).alias("_v")
+    ).where(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    # group sizes: bounded by group cardinality
+    sizes = {
+        r["_g"]: r["n"]
+        for r in vals.groupBy("_g").agg(F.count("*").alias("n")).collect()
+    }
+    if not sizes:
+        return []
+    ranks = {
+        (g, lbl): _rank(num, den, n)
+        for g, n in sizes.items()
+        for lbl, num, den in probs
+    }
+
+    # per-group pivot sample in ONE pass: hash-thin at each group's own
+    # rate (big groups thin harder), bounded by limit
+    mod_rows = [(g, max(1, n // sample_target)) for g, n in sizes.items()]
+    mods = spark.createDataFrame(mod_rows, ["_g", "_mod"])
+    sample_rows = (
+        vals.join(F.broadcast(mods), "_g")
+        .where(F.pmod(F.xxhash64("_v"), F.col("_mod")) == 0)
+        .limit(16 * sample_target * max(1, len(sizes)))
+        .collect()
+    )
+    by_group: dict = {g: set() for g in sizes}
+    for r in sample_rows:
+        by_group[r["_g"]].add(r["_v"])
+    pivots = []
+    for g, n in sizes.items():
+        sample = sorted(by_group[g])
+        if not sample:
+            sample = [
+                r["_v"] for r in vals.where(F.col("_g") == g).limit(1).collect()
+            ]
+        ks = [ranks[(g, lbl)] for lbl, _, _ in probs]
+        pivots.extend((g, p) for p in _near_rank_pivots(sample, ks, n, 4))
+
+    br = {
+        key: {"lo": None, "c_lo": 0, "hi": None, "c_hi": sizes[key[0]],
+              "val": None}
+        for key in ranks
+    }
+    for rnd in range(max_rounds):
+        counts = _group_counts_le(spark, vals, pivots)
+        for (g, lbl), k in ranks.items():
+            b = br[(g, lbl)]
+            for (pg, p), c in counts.items():
+                if pg != g:
+                    continue
+                if c < k:
+                    if b["lo"] is None or p > b["lo"]:
+                        b["lo"], b["c_lo"] = p, c
+                elif b["hi"] is None or p < b["hi"]:
+                    b["hi"], b["c_hi"] = p, c
+        wide = [
+            key
+            for key, b in br.items()
+            if b["val"] is None and b["c_hi"] - b["c_lo"] > max_bracket
+        ]
+        if not wide:
+            break
+        strict_aggs = [
+            F.sum(
+                F.when(
+                    (F.col("_g") == g) & (F.col("_v") < F.lit(br[(g, lbl)]["hi"])),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias(f"_s{i}")
+            for i, (g, lbl) in enumerate(wide)
+        ]
+        strict = vals.agg(*strict_aggs).collect()[0]
+        still = []
+        for i, key in enumerate(wide):
+            if strict[f"_s{i}"] < ranks[key]:
+                br[key]["val"] = br[key]["hi"]
+            else:
+                still.append(key)
+        if not still:
+            break
+        pivots = set()
+        for g, lbl in still:
+            b = br[(g, lbl)]
+            mod = max(1, (b["c_hi"] - b["c_lo"]) // sample_target)
+            sub = (
+                vals.where((F.col("_g") == g) & _range_cond(b))
+                .where(F.pmod(F.xxhash64("_v", F.lit(rnd)), F.lit(mod)) == 0)
+                .limit(4 * sample_target)
+                .collect()
+            )
+            pivots.update((g, r["_v"]) for r in sub)
+        if not pivots:  # thinning missed — fall back to first rows
+            for g, lbl in still:
+                sub = (
+                    vals.where((F.col("_g") == g) & _range_cond(br[(g, lbl)]))
+                    .limit(1000)
+                    .collect()
+                )
+                pivots.update((g, r["_v"]) for r in sub)
+        pivots = sorted(pivots)
+    else:
+        raise ValueError(
+            f"group quantile brackets did not shrink below {max_bracket} "
+            f"rows in {max_rounds} rounds"
+        )
+
+    union_cond = None
+    for (g, lbl), b in br.items():
+        if b["val"] is not None:
+            continue
+        cond = (F.col("_g") == g) & _range_cond(b)
+        union_cond = cond if union_cond is None else (union_cond | cond)
+    pools: dict = {g: [] for g in sizes}
+    if union_cond is not None:
+        for r in vals.where(union_cond).collect():
+            pools[r["_g"]].append(r["_v"])
+        for g in pools:
+            pools[g].sort()
+
+    out = []
+    for g in sorted(sizes, key=str):
+        for lbl, num, den in probs:
+            k = ranks[(g, lbl)]
+            b = br[(g, lbl)]
+            if b["val"] is not None:
+                out.append((g, lbl, k, b["val"]))
+                continue
+            pool = pools[g]
+            start = 0 if b["lo"] is None else bisect_right(pool, b["lo"])
+            out.append((g, lbl, k, pool[start + (k - b["c_lo"]) - 1]))
+    return out
+
+
+def _group_counts_le(spark: SparkSession, vals: DataFrame, pivots: list) -> dict:
+    """{(group, pivot): count(col <= pivot within group)} via a
+    broadcast pivot join + narrow groupBy — shuffle carries one counter
+    row per (group, pivot)."""
+    pdf = spark.createDataFrame(pivots, ["_g", "_p"])
+    joined = vals.join(F.broadcast(pdf), "_g")
+    rows = (
+        joined.groupBy("_g", "_p")
+        .agg(
+            F.sum(F.when(F.col("_v") <= F.col("_p"), 1).otherwise(0))
+            .cast("long")
+            .alias("_c")
+        )
+        .collect()
+    )
+    return {(r["_g"], r["_p"]): r["_c"] for r in rows}
+
+
 def exact_quantiles_df(
     spark: SparkSession,
     df: DataFrame,

@@ -30,7 +30,8 @@ ALL_MODULES = (
 # semantically irrelevant.
 _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
-    "exact_price_quantiles", "bm25_search_topk", "bm25_index_search",
+    "exact_price_quantiles", "lang_length_quantiles",
+    "bm25_search_topk", "bm25_index_search",
     "hybrid_rrf_fusion",
     "media_metadata", "media_decode_gate",
     "multimodal_gate",

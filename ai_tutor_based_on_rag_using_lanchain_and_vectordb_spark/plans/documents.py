@@ -561,9 +561,31 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Bm25Searcher(spark, path).search(BM25_QUERIES, k=5)
 
 
+def lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact n_chars quantiles WITHOUT a per-group sort
+    (operators/quantiles.exact_group_quantiles): the count pass is a
+    broadcast pivot join + narrow (group, pivot) counter aggregate —
+    shuffle carries G·P counter rows, never the corpus; bracket
+    collects are bounded by max_bracket with duplicate-heavy groups
+    resolved by the strict-count step. Oracle recomputes the same
+    type-1 ranks over a per-group windowed row_number."""
+    from ..operators.quantiles import exact_group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = exact_group_quantiles(
+        docs, "lang", "n_chars",
+        [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+    )
+    return spark.createDataFrame(
+        [(g, lbl, int(k), int(v)) for g, lbl, k, v in rows],
+        "lang string, pct string, k long, value long",
+    )
+
+
 QUERIES = {
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,
+    "lang_length_quantiles": lang_length_quantiles,
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
     "neardup_keep_best": neardup_keep_best,
@@ -908,6 +930,21 @@ ORACLE["bm25_search_topk"] = f"""
 """
 # the index path must produce byte-identical results to the direct path
 ORACLE["bm25_index_search"] = ORACLE["bm25_search_topk"]
+
+ORACLE["lang_length_quantiles"] = """
+    WITH s AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    p(pct, num, den) AS (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p90', 9, 10))
+    SELECT lang, pct,
+           CAST(GREATEST(1, (num * n + den - 1) // den) AS BIGINT) AS k,
+           CAST(n_chars AS BIGINT) AS value
+    FROM p JOIN s ON s.rn = GREATEST(1, (num * n + den - 1) // den)
+"""
 
 ORACLE["doc_pii_scrub"] = _pii_oracle_sql()
 ORACLE["doc_normalized"] = _normalized_oracle_sql()

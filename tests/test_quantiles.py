@@ -83,3 +83,48 @@ def test_pivot_sets_stay_narrow():
     assert len(pivots) <= 17 * len(ks) + 2
     assert _thin(list(range(10000)), 128)[-1] == 9999
     assert len(_thin(list(range(10000)), 128)) <= 129
+
+
+# -------------------------------------------------------------- grouped
+
+
+def test_group_quantiles_match_reference(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    rng = np.random.default_rng(5)
+    data = {
+        "en": sorted(rng.lognormal(3, 1.5, 8000).tolist()),
+        "de": sorted(rng.uniform(0, 100, 2000).tolist()),
+        "fr": sorted(rng.uniform(0, 9, 77).tolist()),
+        "zh": [42.0],
+        "dup": sorted([7.0] * 1500 + [9.0] * 50),  # strict-count path
+    }
+    rows = [(g, float(v)) for g, xs in data.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    probs = [("p50", 1, 2), ("p90", 9, 10)]
+    for mb in (2_000_000, 300):  # default + forced refinement rounds
+        got = exact_group_quantiles(
+            df, "g", "v", probs, sample_target=100, max_bracket=mb
+        )
+        assert len(got) == len(data) * len(probs)
+        for g, lbl, k, val in got:
+            num, den = {"p50": (1, 2), "p90": (9, 10)}[lbl]
+            xs = data[g]
+            wk = max(1, (num * len(xs) + den - 1) // den)
+            assert (k, val) == (wk, xs[wk - 1]), (g, lbl, mb)
+
+
+def test_group_quantiles_null_group_and_value_excluded(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.quantiles import (
+        exact_group_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), (None, 9.0)],
+        "g string, v double",
+    )
+    assert exact_group_quantiles(df, "g", "v", [("p50", 1, 2)]) == [
+        ("a", "p50", 1, 1.0)
+    ]
