@@ -116,21 +116,27 @@ def exact_quantiles(
             break
         # a bracket whose mass sits on hi itself never tightens through
         # <=-pivots; one strict-count aggregate resolves those exactly:
-        # count(col < hi) < k  ⇒  the rank-k value IS hi
-        strict = vals.agg(
-            *[
-                F.sum(F.when(F.col("_v") < F.lit(br[lbl]["hi"]), 1).otherwise(0))
-                .cast("long")
-                .alias(f"_s{i}")
-                for i, lbl in enumerate(wide)
-            ]
-        ).collect()[0]
-        still = []
-        for i, lbl in enumerate(wide):
-            if strict[f"_s{i}"] < ranks[lbl]:
-                br[lbl]["val"] = br[lbl]["hi"]
-            else:
-                still.append(lbl)
+        # count(col < hi) < k  ⇒  the rank-k value IS hi. Open-ended
+        # brackets (hi None: the sample missed the upper tail) can't be
+        # strict-resolved — they go straight to re-pivoting.
+        bounded = [lbl for lbl in wide if br[lbl]["hi"] is not None]
+        still = [lbl for lbl in wide if br[lbl]["hi"] is None]
+        if bounded:
+            strict = vals.agg(
+                *[
+                    F.sum(
+                        F.when(F.col("_v") < F.lit(br[lbl]["hi"]), 1).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias(f"_s{i}")
+                    for i, lbl in enumerate(bounded)
+                ]
+            ).collect()[0]
+            for i, lbl in enumerate(bounded):
+                if strict[f"_s{i}"] < ranks[lbl]:
+                    br[lbl]["val"] = br[lbl]["hi"]
+                else:
+                    still.append(lbl)
         if not still:
             break
         # fresh in-bracket pivots, hash-thinned (NOT a bare limit —
@@ -322,22 +328,27 @@ def exact_group_quantiles(
         ]
         if not wide:
             break
-        strict_aggs = [
-            F.sum(
-                F.when(
-                    (F.col("_g") == g) & (F.col("_v") < F.lit(br[(g, lbl)]["hi"])),
-                    1,
-                ).otherwise(0)
-            ).cast("long").alias(f"_s{i}")
-            for i, (g, lbl) in enumerate(wide)
-        ]
-        strict = vals.agg(*strict_aggs).collect()[0]
-        still = []
-        for i, key in enumerate(wide):
-            if strict[f"_s{i}"] < ranks[key]:
-                br[key]["val"] = br[key]["hi"]
-            else:
-                still.append(key)
+        # strict-count resolution only applies to brackets with a real
+        # hi; open-ended ones re-pivot (same reasoning as ungrouped)
+        bounded = [key for key in wide if br[key]["hi"] is not None]
+        still = [key for key in wide if br[key]["hi"] is None]
+        if bounded:
+            strict_aggs = [
+                F.sum(
+                    F.when(
+                        (F.col("_g") == g)
+                        & (F.col("_v") < F.lit(br[(g, lbl)]["hi"])),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias(f"_s{i}")
+                for i, (g, lbl) in enumerate(bounded)
+            ]
+            strict = vals.agg(*strict_aggs).collect()[0]
+            for i, key in enumerate(bounded):
+                if strict[f"_s{i}"] < ranks[key]:
+                    br[key]["val"] = br[key]["hi"]
+                else:
+                    still.append(key)
         if not still:
             break
         pivots = set()

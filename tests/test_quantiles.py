@@ -128,3 +128,28 @@ def test_group_quantiles_null_group_and_value_excluded(spark):
     assert exact_group_quantiles(df, "g", "v", [("p50", 1, 2)]) == [
         ("a", "p50", 1, 1.0)
     ]
+
+
+def test_open_ended_bracket_resolves(spark):
+    """A sparse pivot sample that misses the upper tail leaves the top
+    rank's bracket open-ended (hi=None); strict-count resolution must
+    NOT fire on it (it would 'resolve' to None) — re-pivoting inside
+    (lo, +inf) has to find the true maximum."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    rng = np.random.default_rng(2)
+    for shift in range(4):  # vary values → vary which ones hash-sample
+        xs = np.r_[
+            rng.uniform(0, 100, 20000), rng.uniform(900, 1000, 300)
+        ] + 10000 * shift
+        df = spark.createDataFrame([(float(v),) for v in xs], "v double")
+        got = exact_quantiles(
+            df, "v", [("p100", 1, 1), ("p999", 999, 1000)],
+            sample_target=10, max_bracket=50,
+        )
+        srt = sorted(xs)
+        for lbl, num, den, k, val in got:
+            wk = max(1, (num * len(xs) + den - 1) // den)
+            assert (k, val) == (wk, srt[wk - 1]), (shift, lbl)
