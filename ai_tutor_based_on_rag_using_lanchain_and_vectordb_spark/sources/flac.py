@@ -623,7 +623,7 @@ def _lpc_coefs(s: np.ndarray, order: int, precision: int = 12):
     (constant / too short) and LPC adds nothing."""
     x = s.astype(np.float64)
     n = len(x)
-    if n <= order + 1:
+    if order < 1 or n <= order + 1:
         return None
     ac = np.array([np.dot(x[: n - i], x[i:]) for i in range(order + 1)])
     if ac[0] == 0:
