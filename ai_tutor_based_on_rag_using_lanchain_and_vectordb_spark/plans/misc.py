@@ -385,7 +385,67 @@ def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(events, "user_id", phi=0.008)
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via the KMV bottom-k sketch
+    (operators/kmv.py) in its EXHAUSTIVE configuration: k ≥ |distinct|
+    means the sketch holds every distinct hash, so the count is exact
+    and the COUNT(DISTINCT) oracle checks the whole sketch pipeline
+    (JVM-side hashing, bounded per-partition k-min state, grouped
+    summary merge) — the knn_ivf_exhaustive move. The scale path runs
+    the same plan at k ≪ distinct (kmv_overlap_gate)."""
+    from ..operators.kmv import kmv_sketch_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch_grouped(ev, "event_type", "user_id", 100_000)
+    return sk.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def kmv_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only gate for the KMV ESTIMATION paths (not SQL-
+    expressible): per event-type pair, the k=64 sketch overlap estimate
+    must sit within the estimator's error envelope of the exact
+    intersection, and the exhaustive-k intersection must equal exact
+    EXACTLY. Sketch collects are bounded: ≤ k rows per group."""
+    from collections import defaultdict
+
+    from ..operators.kmv import kmv_intersection, kmv_sketch_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    small = defaultdict(list)
+    for r in kmv_sketch_grouped(ev, "event_type", "user_id", 64).collect():
+        small[r["event_type"]].append(r["uk"])
+    full = defaultdict(set)
+    for r in kmv_sketch_grouped(ev, "event_type", "user_id", 100_000).collect():
+        full[r["event_type"]].add(r["uk"])
+    rows = []
+    types = sorted(full)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            true = float(len(full[a] & full[b]))
+            est = kmv_intersection(small[a], small[b], 64)
+            exh = kmv_intersection(list(full[a]), list(full[b]), 100_000)
+            rel = abs(est - true) / true if true else abs(est)
+            rows.append(
+                (
+                    f"{a}|{b}",
+                    int(true),
+                    round(est, 2),
+                    round(rel, 4),
+                    bool(exh == true and rel <= 0.35),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "pair string, exact long, estimate double, rel_err double, "
+        "passed boolean",
+    )
+
+
 QUERIES = {
+    "kmv_distinct_users": kmv_distinct_users,
+    "kmv_overlap_gate": kmv_overlap_gate,
     "cohort_retention": cohort_retention,
     "constraint_audit": constraint_audit,
     "event_heavy_hitters": event_heavy_hitters,
@@ -411,6 +471,11 @@ QUERIES = {
 
 
 ORACLE = {
+    "kmv_distinct_users": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY event_type
+    """,
     "event_heavy_hitters": """
         SELECT user_id, count(*) AS cnt
         FROM events
