@@ -431,6 +431,113 @@ def multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_spectral_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible self-check for the SPECTRAL audio stage
+    (multimodal.audio_spectrogram): per doc_id < 16, synthesize the
+    half-loud signal (100 ms of a 0.5-amplitude 440 Hz sine at 8 kHz,
+    then 100 ms silence) as BOTH a WAV and a FLAC stream and assert,
+    per 100 ms window:
+
+    - loud window: dominant_hz == 440 exactly (440 sits on a bin at
+      8 kHz / 800-sample windows), band energies sum to the sine's
+      mean power 0.125 (Parseval) within 2e-3, centroid within 1 Hz;
+    - silent window: zero energy;
+    - WAV ≡ FLAC rows element-exact (lossless decode ⇒ identical
+      samples ⇒ identical spectra — the FLAC codec re-checked through
+      real DSP, not just headers).
+
+    One row, pass flag (rows-only: FFTs aren't SQL-expressible)."""
+    import io
+    import math
+    import struct
+    import wave
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import multimodal as MM
+    from ..sources.flac import encode_flac
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000
+
+        def samples():
+            return [
+                int(16383 * math.sin(2 * math.pi * 440 * i / rate))
+                for i in range(rate // 10)
+            ] + [0] * (rate // 10)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(rate)
+                    f.writeframes(
+                        b"".join(struct.pack("<h", v) for v in samples())
+                    )
+                rows.append({"asset_id": did, "owner_id": 0,
+                             "media_type": "audio",
+                             "content": buf.getvalue(),
+                             "meta": {"ext": "wav"}})
+                rows.append({"asset_id": did + 200, "owner_id": 0,
+                             "media_type": "audio",
+                             "content": encode_flac(
+                                 np.array(samples(), dtype=np.int64),
+                                 sample_rate=rate, bits_per_sample=16,
+                                 block_size=256, lpc_order=8),
+                             "meta": {"ext": "flac"}})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 16
+    )
+    assets = docs.mapInPandas(synth, MM.MEDIA_ASSETS)
+    spec = MM.audio_spectrogram(assets, window_ms=100, n_bands=8, strict=True)
+    total = F.aggregate("band_energy", F.lit(0.0), lambda a, x: a + x)
+    per_window = spec.select(
+        "asset_id",
+        F.when(
+            F.col("segment_no") == 0,
+            (F.col("dominant_hz") == 440.0)
+            & (F.abs(total - 0.125) < 2e-3)
+            & (F.abs(F.col("spectral_centroid_hz") - 440.0) < 1.0),
+        ).when(F.col("segment_no") == 1, total == 0.0)
+         .otherwise(F.lit(False)).alias("ok"),
+    )
+    wav = spec.where(F.col("asset_id") < 200).alias("w")
+    flc = spec.where(F.col("asset_id") >= 200).alias("f")
+    parity = wav.join(
+        flc,
+        (F.col("w.asset_id") == F.col("f.asset_id") - 200)
+        & (F.col("w.segment_no") == F.col("f.segment_no")),
+    ).select(
+        F.col("w.asset_id").alias("asset_id"),
+        ((F.col("w.band_energy") == F.col("f.band_energy"))
+         & (F.col("w.dominant_hz") == F.col("f.dominant_hz"))
+         & (F.col("w.spectral_centroid_hz")
+            == F.col("f.spectral_centroid_hz"))).alias("ok"),
+    )
+    both = per_window.unionByName(parity)
+    agg = both.agg(
+        F.count("*").cast("long").alias("n_checks"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
+    )
+    # 16 docs × (2 wav windows + 2 flac windows + 2 parity rows) = 96
+    return agg.select(
+        F.lit("audio_spectral").alias("strategy"),
+        "n_checks",
+        "n_bad",
+        ((F.col("n_bad") == 0) & (F.col("n_checks") == 96)).alias("passed"),
+    )
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked media decode: the engine synthesizes real
     PNG/WAV/FLAC/MP4 payloads (parameters = arithmetic on doc_id,
@@ -1076,6 +1183,7 @@ QUERIES = {
     "media_decode_gate": media_decode_gate,
     "media_metadata": media_metadata,
     "multimodal_gate": multimodal_gate,
+    "audio_spectral_gate": audio_spectral_gate,
     "neardup_verified_pairs": neardup_verified_pairs,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,

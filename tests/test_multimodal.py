@@ -120,3 +120,42 @@ def test_mpeg1_frames_feed_image_features(spark, mpeg1_assets):
     assert len(feats) == 3
     assert (feats["pixels_real"]).all()
     assert (feats["width"] == 48).all() and (feats["height"] == 32).all()
+
+
+def test_audio_spectral_gate_passes(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import audio_spectral_gate
+
+    row = audio_spectral_gate(spark, sf_dir).first()
+    assert row["passed"] and row["n_checks"] == 96 and row["n_bad"] == 0
+
+
+def test_audio_spectrogram_sine_and_parseval(spark):
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import multimodal as MM
+
+    rate = 8000
+    t = np.arange(rate // 5)
+    x = (16383 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    x[rate // 10 :] = 0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(x.tobytes())
+    assets = spark.createDataFrame(
+        [(1, 0, "audio", bytearray(buf.getvalue()), {})], MM.MEDIA_ASSETS
+    )
+    rows = {r["segment_no"]: r for r in
+            MM.audio_spectrogram(assets, window_ms=100, strict=True).collect()}
+    loud, quiet = rows[0], rows[1]
+    assert loud["dominant_hz"] == 440.0
+    seg = x[:800].astype(np.float64) / 32768.0
+    assert abs(sum(loud["band_energy"]) - np.mean(seg * seg)) < 1e-12  # Parseval
+    assert abs(loud["spectral_centroid_hz"] - 440.0) < 1.0
+    assert sum(quiet["band_energy"]) == 0.0 and quiet["dominant_hz"] == 0.0
