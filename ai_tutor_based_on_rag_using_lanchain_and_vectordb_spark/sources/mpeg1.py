@@ -531,6 +531,7 @@ def encode_m1v(
     slices_per_picture: int = 1,
     b_frames: int = 0,
     b_mvs: list | None = None,
+    d_pictures: bool = False,
 ) -> tuple:
     """Encode RGB frames (each (h, w, 3) uint8) as an MPEG-1 video
     elementary stream. Frame sizes are padded up to 16×16 macroblock
@@ -543,7 +544,10 @@ def encode_m1v(
     stream). ``b_mvs``: optional per-display-frame (fwd, bwd) vector
     pair for B pictures, each (mv_y, mv_x) in half-pels. With B
     pictures the stream is in CODED order (future anchor before its
-    Bs); gop must be a multiple of b_frames+1.
+    Bs); gop must be a multiple of b_frames+1. ``d_pictures`` encodes
+    EVERY picture as a D picture (DC-only intra, §2.4.4.1 — the
+    fast-forward preview type; the spec allows D only in all-D
+    streams, so it excludes b_frames/mvs).
 
     Returns ``(stream_bytes, reference_frames)`` — reference frames in
     DISPLAY order, the encoder's own reconstruction (decoder
@@ -553,6 +557,8 @@ def encode_m1v(
         raise Mpeg1Error("no frames")
     if b_frames and gop % (b_frames + 1):
         raise Mpeg1Error("gop must be a multiple of b_frames+1")
+    if d_pictures and (b_frames or mvs or b_mvs):
+        raise Mpeg1Error("D-picture streams are all-D (no B/P vectors)")
     h, w = frames[0].shape[:2]
     iq = DEFAULT_INTRA_Q if intra_q is None else np.asarray(intra_q, np.int64)
     nq = (
@@ -635,7 +641,7 @@ def encode_m1v(
         bw.write(temporal_ref % 1024, 10)
         bw.write(ptype, 3)
         bw.write(0xFFFF, 16)  # vbv_delay: variable
-        if ptype >= 2:
+        if ptype in (2, 3):
             bw.write(0, 1)  # full_pel_forward_vector = 0 (half-pel units)
             bw.write(f_code, 3)
         if ptype == 3:
@@ -735,6 +741,22 @@ def encode_m1v(
                     _, py, px = targets[bi]
                     plane = (rec.y, rec.y, rec.y, rec.y, rec.cb, rec.cr)[bi]
                     plane[py : py + 8, px : px + 8] = np.clip(arr, 0, 255).astype(np.uint8)
+
+                if ptype == 4:
+                    # D macroblock: type '1', six DC-only blocks, then
+                    # the end_of_macroblock bit (§2.4.3.7)
+                    flush_addr(bw, addr)
+                    bw.write(1, 1)  # macroblock_type: intra, no quant
+                    for bi, b in enumerate(blks):
+                        comp = 0 if bi < 4 else bi - 3
+                        dc = int(np.clip(np.round(b.astype(np.float64).mean()),
+                                         0, 255))
+                        diff = dc - pred_dc[comp] // 8
+                        pred_dc[comp] = dc * 8
+                        _emit_dc(bw, diff, luma=bi < 4)
+                        place(bi, np.full((8, 8), dc, np.float64))
+                    bw.write(1, 1)  # end_of_macroblock
+                    continue
 
                 if use_intra:
                     # ----- intra macroblock ('1' in I pictures, B.2b/c
@@ -873,14 +895,17 @@ def encode_m1v(
         # trailing frames have no future anchor: promote them to anchors
         anchors += list(range(anchors[-1] + 1, n))
     coded: list[tuple[int, int]] = []  # (display_idx, ptype)
-    prev_a = None
-    for a in anchors:
-        ptype = 1 if a % gop == 0 else 2
-        coded.append((a, ptype))
-        if prev_a is not None:
-            for b_idx in range(prev_a + 1, a):
-                coded.append((b_idx, 3))
-        prev_a = a
+    if d_pictures:
+        coded = [(i, 4) for i in range(n)]
+    else:
+        prev_a = None
+        for a in anchors:
+            ptype = 1 if a % gop == 0 else 2
+            coded.append((a, ptype))
+            if prev_a is not None:
+                for b_idx in range(prev_a + 1, a):
+                    coded.append((b_idx, 3))
+            prev_a = a
 
     def frame_mv(i):
         if mvs is not None and i < len(mvs) and mvs[i] is not None:
@@ -920,6 +945,8 @@ def encode_m1v(
             rec = encode_picture(src, 2, tref, fwd, None, frame_mv(display_idx), None)
             prev_prev_anchor_idx = prev_anchor_idx
             prev_anchor_idx = display_idx
+        elif ptype == 4:
+            rec = encode_picture(src, 4, tref, None, None, None, None)
         else:
             rec = encode_picture(src, 1, tref, None, None, None, None)
             prev_prev_anchor_idx = prev_anchor_idx
@@ -1135,8 +1162,8 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
         pbr = _BitReader(data[off + 1 :])
         pbr.read(10)  # temporal reference
         ptype = pbr.read(3)
-        if ptype not in (1, 2, 3):
-            raise Mpeg1Error(f"unsupported picture_coding_type {ptype} (B/D)")
+        if ptype not in (1, 2, 3, 4):
+            raise Mpeg1Error(f"reserved picture_coding_type {ptype} (B/D)")
         if ptype == 2 and ref is None:
             raise Mpeg1Error("P picture before any I picture")
         if ptype == 3 and (ref is None or prev_ref is None):
@@ -1144,7 +1171,7 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
         pbr.read(16)  # vbv_delay
         full_pel = f = 0
         full_pel_b = fb = 0
-        if ptype >= 2:
+        if ptype in (2, 3):
             full_pel = pbr.read(1)
             f_code = pbr.read(3)
             if not 1 <= f_code <= 7:
@@ -1260,8 +1287,8 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
                     if sk < 0:
                         continue
                     my, mx = divmod(sk, mb_w)
-                    if ptype == 1:
-                        raise Mpeg1Error("skipped macroblock in I picture")
+                    if ptype in (1, 4):
+                        raise Mpeg1Error("skipped macroblock in I/D picture")
                     if ptype == 3:
                         if last_b_mode is None:
                             raise Mpeg1Error(
@@ -1277,6 +1304,21 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
                     decoded[sk] = True
                     pred_dc = [1024, 1024, 1024]
                 my, mx = divmod(addr, mb_w)
+                if ptype == 4:
+                    # D macroblock: 1-bit type, six DC-only blocks,
+                    # end_of_macroblock bit (§2.4.3.7)
+                    if sbr.read(1) != 1:
+                        raise Mpeg1Error("bad D-picture macroblock_type")
+                    for bi in range(6):
+                        comp = 0 if bi < 4 else bi - 3
+                        dc_diff = _read_dc(sbr, luma=bi < 4)
+                        dc = pred_dc[comp] // 8 + dc_diff
+                        pred_dc[comp] = dc * 8
+                        place(bi, my, mx, np.full((8, 8), dc, np.int32))
+                    if sbr.read(1) != 1:
+                        raise Mpeg1Error("missing end_of_macroblock in D picture")
+                    decoded[addr] = True
+                    continue
                 mb = None  # backward motion flag only exists in B
                 if ptype == 1:
                     quant, mf, coded, intra = sbr.vlc(_MBTYPE_I_T, 6, "mb_type")
@@ -1361,9 +1403,10 @@ def decode_m1v(data: bytes, strict: bool = False, max_frames: int = 100_000):
             off, c = codes[idx]
             if c == PIC_START:
                 rec, idx, pt = decode_picture(idx)
-                if pt == 3:
+                if pt in (3, 4):
                     # B pictures display immediately (their anchors are
-                    # already decoded) and are never reference frames
+                    # already decoded); D pictures are standalone
+                    # previews — neither is ever a reference frame
                     frames.append(to_rgb(rec))
                 else:
                     # anchors display delayed: an anchor is emitted when

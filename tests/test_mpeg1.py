@@ -185,16 +185,16 @@ def test_truncation_lax_keeps_prefix_strict_raises():
         M.decode_m1v(cut, strict=True)
 
 
-def test_d_picture_rejected():
+def test_reserved_picture_type_rejected():
     data, _ = M.encode_m1v([_grad(16, 16)])
-    # flip picture_coding_type I→D in the picture header: the type
-    # field is bits 10-12 after the picture start code
+    # flip picture_coding_type I→5 (reserved) in the picture header:
+    # the type field is bits 10-12 after the picture start code
     idx = data.find(b"\x00\x00\x01\x00") + 4
     b = bytearray(data)
     # bits: tttttttttt TTT... → byte1 holds bits 8-15 of the header
     # temporal_ref(10) then type(3): type occupies bits 10-12
-    b[idx + 1] = (b[idx + 1] & ~0x38) | (4 << 3)
-    with pytest.raises(M.Mpeg1Error, match="B/D"):
+    b[idx + 1] = (b[idx + 1] & ~0x38) | (5 << 3)
+    with pytest.raises(M.Mpeg1Error, match="reserved picture_coding_type"):
         M.decode_m1v(bytes(b), strict=True)
     info, frames = M.decode_m1v(bytes(b))
     assert frames == []
@@ -317,3 +317,41 @@ def test_golden_stream_pin():
         hashlib.sha256(data).hexdigest()
         == "5407f4f6458b1eef4e111ac9332f120deb15e108c6c64a558849f387f48ac00e"
     )
+
+
+
+# --------------------------------------------------------------- D frames
+
+
+def test_d_pictures_roundtrip_exact():
+    # per-macroblock constant grays: DC-only quantization is exact
+    rng = np.random.default_rng(4)
+    levels = rng.integers(0, 256, (3, 2, 3))
+    frames = [
+        np.repeat(np.repeat(lv, 16, 0), 16, 1).astype(np.uint8)[..., None]
+        .repeat(3, 2)
+        for lv in levels
+    ]
+    data, ref = M.encode_m1v(frames, d_pictures=True)
+    info, dec = M.decode_m1v(data, strict=True)
+    assert info.n_pictures == 3 and len(dec) == 3
+    for d, r, f in zip(dec, ref, frames):
+        assert np.array_equal(d, r)  # decoder ≡ encoder reconstruction
+        assert np.array_equal(d, f)  # and exact on blockwise-flat input
+
+
+def test_d_pictures_gradient_recon_exact():
+    g = (np.arange(32 * 48 * 3, dtype=np.uint8).reshape(32, 48, 3) * 7) % 251
+    data, ref = M.encode_m1v([g, g], d_pictures=True)
+    _, dec = M.decode_m1v(data, strict=True)
+    assert np.array_equal(dec[0], ref[0])
+    # D coding keeps only per-block DC: tiny stream
+    assert len(data) < 300
+
+
+def test_d_pictures_exclude_prediction_options():
+    g = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(M.Mpeg1Error, match="all-D"):
+        M.encode_m1v([g, g], d_pictures=True, b_frames=1)
+    with pytest.raises(M.Mpeg1Error, match="all-D"):
+        M.encode_m1v([g, g], d_pictures=True, mvs=[None, (0, 2)])
