@@ -73,6 +73,8 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       recount ≡ the batch two-pass operator)
     - ST8 streaming BM25 index maintenance (foreachBatch build/upsert
       ≡ one-shot direct search)
+    - ST9 streaming KMV sketch (incremental merges ≡ one-shot sketch,
+      strict equality)
     """
     tune_for_oracle(spark)
     batch_events = load_table(spark, sf_dir, "events")
@@ -218,6 +220,37 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     results.append(
         ("st8_bm25_index", len(bm_got), len(bm_want), bm_got == bm_want)
+    )
+
+    # Streaming KMV distinct sketch: per-micro-batch sketches merged
+    # incrementally must equal the one-shot batch sketch EXACTLY
+    # (merge(kmv(A), kmv(B)) == kmv(A ∪ B) — the k smallest distinct
+    # hashes of a union are determined by the per-side k smallest).
+    from ..operators.kmv import kmv_merge, kmv_sketch
+
+    kmv_state: dict = {"sketch": None}
+
+    def feed_kmv(batch_df: DataFrame, _epoch: int) -> None:
+        sk = kmv_sketch(batch_df.select("user_id"), "user_id", 256)
+        merged = (
+            sk
+            if kmv_state["sketch"] is None
+            else kmv_merge(kmv_state["sketch"], sk, 256)
+        )
+        kmv_state["sketch"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("user_id")
+        .writeStream.foreachBatch(feed_kmv)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kmv_got = _rows(kmv_state["sketch"], ["uk"]) if kmv_state["sketch"] is not None else []
+    kmv_want = _rows(kmv_sketch(batch_events, "user_id", 256), ["uk"])
+    results.append(
+        ("st9_kmv_sketch", len(kmv_got), len(kmv_want), kmv_got == kmv_want)
     )
 
     return spark.createDataFrame(
