@@ -505,8 +505,31 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (5 iterations) over the embedding near-dup
+    graph (operators/pagerank.py) — centrality inside duplicate
+    neighborhoods, the 'keep the canonical copy' signal. Top-20 by
+    (rank desc, node_id); the top-k is a sort-limit (TakeOrdered),
+    never a global window. Oracle unrolls the same five iterations as
+    chained CTEs with identical per-iteration decimal rounding."""
+    from ..operators.pagerank import pagerank_undirected
+
+    pairs = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    pr = pagerank_undirected(pairs)
+    top = pr.orderBy(F.desc("rank"), F.asc("node_id")).limit(20)
+    w = Window.orderBy(F.desc("rank"), F.asc("node_id"))
+    return top.select(
+        "node_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "rank",
+    )
+
+
 QUERIES = {
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
+    "neardup_pagerank": neardup_pagerank,
     "knn_exact": knn_exact,
     "knn_label_filtered": knn_label_filtered,
     "embedding_neardup_pairs": embedding_neardup_pairs,
@@ -661,3 +684,20 @@ ORACLE = {
 }
 
 ORACLE["hybrid_rrf_fusion"] = _rrf_oracle_sql()
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.pagerank import pagerank_oracle_sql
+
+    return f"""
+        WITH {pagerank_oracle_sql(ORACLE["embedding_neardup_pairs"])}
+        SELECT node_id, pos, rank FROM (
+            SELECT node_id, rank,
+                   CAST(row_number() OVER (ORDER BY rank DESC, node_id)
+                        AS BIGINT) AS pos
+            FROM pr_final
+        ) WHERE pos <= 20
+    """
+
+
+ORACLE["neardup_pagerank"] = _pagerank_oracle()
