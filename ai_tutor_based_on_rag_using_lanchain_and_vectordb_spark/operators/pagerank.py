@@ -42,10 +42,17 @@ def pagerank_undirected(
     both directions are materialized internally). Nodes are the edge
     endpoints; every node therefore has degree ≥ 1 (no dangling
     mass)."""
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        # materialize once: every iteration joins this edge list, and
+        # without the checkpoint the (possibly expensive) upstream edge
+        # computation would re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     deg = deg.select(F.col("src").alias("node_id"), "deg").localCheckpoint(
