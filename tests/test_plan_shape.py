@@ -284,6 +284,9 @@ def test_no_global_window_over_scaled_input_in_sources():
     allowed = {
         ("plans/pipeline.py", "quantile sketch"),
         ("plans/misc.py", "daily revenue"),
+        # neardup_pagerank's rank ordinals: the window input is the
+        # 20-row output of a TakeOrdered limit, not a scaled table
+        ("plans/vectors.py", "pagerank top-20 over limit(20)"),
     }
     hits = []
     for f in glob.glob(os.path.join(pkg, "plans", "*.py")):
@@ -291,7 +294,7 @@ def test_no_global_window_over_scaled_input_in_sources():
             if re.search(r"Window\.orderBy\(", line):
                 hits.append((os.path.relpath(f, pkg), i))
     assert {h[0] for h in hits} <= {a[0] for a in allowed}, hits
-    assert len(hits) <= 2, hits
+    assert len(hits) <= 3, hits
 
 
 def test_brand_supplier_counts_dedupes_pairs_before_joins(spark, sf_dir):
