@@ -582,10 +582,50 @@ def lang_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can NEVER leak near-duplicates
+    across splits: documents are split by their near-dup CLUSTER, not
+    individually — the whole connected component (ngram-Jaccard graph,
+    operators/components.py) gets one deterministic multiplicative-hash
+    coin on its min-doc_id representative, 80/10/10. A doc-level hash
+    split puts ~J% of each near-dup pair's members in different splits
+    (evaluation contamination); this composition is the standard fix.
+    Isolated documents are their own singleton component. Per-doc
+    output (doc_id, component, split); the component CTE and the coin
+    arithmetic are both SQL-exact, so the oracle checks the whole
+    composition."""
+    from ..operators.components import connected_components
+    from .trainprep import _MIX_A, _MIX_M, _MIX_R
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b",
+        checkpoint_dir=_components_checkpoint_dir(),
+    ).select(F.col("node").alias("doc_id"), "component")
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    coin = F.pmod(
+        F.pmod(F.col("component"), F.lit(_MIX_R)) * F.lit(_MIX_A),
+        F.lit(_MIX_M),
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        F.when(coin < int(0.8 * _MIX_M), "train")
+        .when(coin < int(0.9 * _MIX_M), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 QUERIES = {
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,
     "lang_length_quantiles": lang_length_quantiles,
+    "leakage_safe_splits": leakage_safe_splits,
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
     "neardup_keep_best": neardup_keep_best,
@@ -829,7 +869,33 @@ _JACCARD_CTES_SQL = r"""grp AS (
 
 _JACCARD_CTES_SQL = _JACCARD_CTES_SQL.replace("{max_df}", str(MAX_SHINGLE_DF))
 
-for _k in ("ngram_jaccard_pairs", "neardup_components", "neardup_keep_best"):
+ORACLE["leakage_safe_splits"] = r"""
+    WITH RECURSIVE """ + "_JACCARD_CTES" + r""", edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM all_pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM all_pairs
+    ), reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ), comp AS (
+        SELECT node AS doc_id, min(label) AS component
+        FROM reach GROUP BY node
+    ), labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN (component % 2147483648) * 2654435761 % 1000000
+                     < 800000 THEN 'train'
+                WHEN (component % 2147483648) * 2654435761 % 1000000
+                     < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+"""
+
+for _k in ("ngram_jaccard_pairs", "neardup_components", "neardup_keep_best",
+           "leakage_safe_splits"):
     ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)
 # keep-best nests the (oracle-green) quality scorer as its ranking key,
 # so the two definitions can't drift

@@ -379,3 +379,27 @@ def test_exact_jaccard_pairs_is_ground_truth_superset(spark, sf_dir):
         assert truth[pair] == j, pair
     if truth:
         assert len(lsh) / len(truth) >= 0.9  # recall bound (gate level)
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
+    """Every near-dup pair (and transitively, every component) must land
+    in ONE split — the contamination-avoidance property a doc-level
+    hash split does not have."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import (
+        leakage_safe_splits,
+        ngram_jaccard_pairs,
+    )
+
+    rows = leakage_safe_splits(spark, sf_dir).collect()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    comp_of = {r["doc_id"]: r["component"] for r in rows}
+    # per-component single split
+    by_comp = {}
+    for d, c in comp_of.items():
+        by_comp.setdefault(c, set()).add(split_of[d])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # every near-dup pair co-splits
+    for p in ngram_jaccard_pairs(spark, sf_dir).collect():
+        assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
+    # all three splits are populated at the fixture scale
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
