@@ -406,6 +406,15 @@ def simhash_pairs(
     runs once, not once per join branch — the components edge-list
     pattern."""
     sig = _simhash_signatures(df, id_col, text_col)
+    return hamming_pairs(sig, max_hamming, max_bucket)
+
+
+def hamming_pairs(
+    sig: DataFrame, max_hamming: int, max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 64-bit signatures
+    (_id, _lo, _hi) — the quarter-block candidate machinery shared by
+    text SimHash and image pHash (multimodal.image_phash)."""
     quarters = sig.select(
         "_id",
         "_lo",

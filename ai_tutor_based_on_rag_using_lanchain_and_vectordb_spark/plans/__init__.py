@@ -32,7 +32,7 @@ _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
     "exact_price_quantiles", "lang_length_quantiles",
     "kmv_distinct_users", "kmv_overlap_gate", "audio_spectral_gate",
-    "neardup_pagerank", "leakage_safe_splits",
+    "neardup_pagerank", "leakage_safe_splits", "image_phash_gate",
     "bm25_search_topk", "bm25_index_search",
     "hybrid_rrf_fusion",
     "media_metadata", "media_decode_gate",

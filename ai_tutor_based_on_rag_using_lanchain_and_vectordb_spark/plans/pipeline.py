@@ -538,6 +538,84 @@ def audio_spectral_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible self-check for perceptual image dedup
+    (multimodal.image_phash + the shared Hamming-pair machinery): per
+    doc_id < 16, synthesize a smoothed random image (seeded by doc_id)
+    as a lossless BMP (asset d), a JPEG recompression (d+100) and an
+    exact BMP copy (d+200). The pair set must contain, per doc:
+
+    - (d, d+200) with Hamming 0 — identical pixels, identical hash;
+    - (d, d+100) and (d+100, d+200) with Hamming ≤ 8 — JPEG loss
+      perturbs low-frequency DCT signs only slightly;
+    - and NO pair across different docs (independent random content
+      collides at ~32/64 bits).
+
+    One row, pass flag (rows-only: pixel DSP isn't SQL-expressible)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import multimodal as MM
+    from ..sources.mediaencode import encode_bmp, encode_jpeg
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.default_rng(1000 + did)
+                img = rng.integers(0, 256, (48, 64, 3)).astype(np.int32)
+                img = (
+                    img + np.roll(img, 1, 0) + np.roll(img, 1, 1)
+                    + np.roll(img, 2, 0)
+                ) // 4
+                img = img.astype(np.uint8)
+                rows.append({"asset_id": did, "owner_id": 0,
+                             "media_type": "image",
+                             "content": encode_bmp(img),
+                             "meta": {"ext": "bmp"}})
+                rows.append({"asset_id": did + 100, "owner_id": 0,
+                             "media_type": "image",
+                             "content": encode_jpeg(img),
+                             "meta": {"ext": "jpg"}})
+                rows.append({"asset_id": did + 200, "owner_id": 0,
+                             "media_type": "image",
+                             "content": encode_bmp(img),
+                             "meta": {"ext": "bmp"}})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MM.MEDIA_ASSETS.fields]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 16
+    )
+    assets = docs.mapInPandas(synth, MM.MEDIA_ASSETS)
+    pairs = MM.image_phash_pairs(assets, max_hamming=16, strict=True)
+    doc_a = F.pmod(F.col("id_a"), F.lit(100))
+    doc_b = F.pmod(F.col("id_b"), F.lit(100))
+    kind_a = (F.col("id_a") / 100).cast("int")
+    kind_b = (F.col("id_b") / 100).cast("int")
+    per_pair = pairs.select(
+        F.when(doc_a != doc_b, F.lit(False))  # cross-doc pair: a failure
+        .when((kind_a == 0) & (kind_b == 2), F.col("hamming") == 0)
+        .otherwise(F.col("hamming") <= 8)
+        .alias("ok"),
+    )
+    agg = per_pair.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_bad"),
+    )
+    # 16 docs × 3 within-doc pairs, zero cross-doc pairs
+    return agg.select(
+        F.lit("image_phash").alias("strategy"),
+        "n_pairs",
+        "n_bad",
+        ((F.col("n_bad") == 0) & (F.col("n_pairs") == 48)).alias("passed"),
+    )
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked media decode: the engine synthesizes real
     PNG/WAV/FLAC/MP4 payloads (parameters = arithmetic on doc_id,
@@ -1184,6 +1262,7 @@ QUERIES = {
     "media_metadata": media_metadata,
     "multimodal_gate": multimodal_gate,
     "audio_spectral_gate": audio_spectral_gate,
+    "image_phash_gate": image_phash_gate,
     "neardup_verified_pairs": neardup_verified_pairs,
     "simhash_neardup": simhash_neardup,
     "doc_embeddings": doc_embeddings,

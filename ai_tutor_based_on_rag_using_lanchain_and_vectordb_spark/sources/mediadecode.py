@@ -2202,6 +2202,26 @@ def _flac_info_samples(data: bytes):
     return info, x
 
 
+def decode_image_pixels(data: bytes):
+    """(format, pixels (h, w, c) uint8 | None) for any recognized image
+    payload — the dispatch image_features applies inline (PNG decodes
+    every legal layout; BMP/GIF/JPEG variants outside the pixel
+    decoders return metadata-format with None pixels). Never raises."""
+    info = decode_image(data)
+    if info is None:
+        return None, None
+    img = None
+    if info.format == "png":
+        img = decode_png_pixels(data)
+    elif info.format == "bmp":
+        img = decode_bmp_pixels(data)
+    elif info.format == "gif":
+        img = decode_gif_pixels(data)
+    elif info.format == "jpeg":
+        img = decode_jpeg_pixels(data)
+    return info.format, img
+
+
 def decode_audio(data: bytes) -> AudioInfo | None:
     """Audio metadata + loudness for any supported codec: RIFF/WAV
     (PCM int/float) or FLAC. None for anything else — never raises."""

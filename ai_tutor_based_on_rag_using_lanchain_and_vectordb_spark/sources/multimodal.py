@@ -564,6 +564,98 @@ def audio_segments(
     ).mapInPandas(run, AUDIO_SEGMENTS_SCHEMA)
 
 
+IMAGE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+    ]
+)
+
+_PHASH_BASIS = None  # 32×32 DCT-II basis, built once per worker
+
+
+def _phash64(img) -> tuple:
+    """Classic perceptual hash: channel-mean grayscale → 32×32
+    area-mean downsample → 2-D DCT-II → 8×8 low-frequency block →
+    64 bits of coefficient > median(non-DC), packed as two 32-bit
+    halves (signed-long-safe, the SimHash layout)."""
+    import numpy as np
+
+    global _PHASH_BASIS
+    if _PHASH_BASIS is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        _PHASH_BASIS = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(33) * h) // 32
+    xs = (np.arange(33) * w) // 32
+    small = np.empty((32, 32))
+    for i in range(32):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        for j in range(32):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            small[i, j] = g[y0:y1, x0:x1].mean()
+    d = _PHASH_BASIS @ small @ _PHASH_BASIS.T
+    block = d[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    lo = sum(1 << i for i in range(32) if bits[i])
+    hi = sum(1 << i for i in range(32) if bits[32 + i])
+    return lo, hi
+
+
+def image_phash(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Perceptual 64-bit image hashes over REAL decoded pixels — the
+    image analog of text SimHash, for image near-dup detection (the
+    LAION-style image dedup step). Payloads whose pixels can't be
+    decoded raise in strict mode, else produce no row."""
+    import numpy as np  # noqa: F401 (used via _phash64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = bytes(r.content) if r.content is not None else b""
+                fmt, img = MD.decode_image_pixels(data)
+                if img is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no pixel decode for asset {r.asset_id} "
+                            f"(format {fmt})"
+                        )
+                    continue
+                lo, hi = _phash64(img)
+                rows.append(
+                    {"asset_id": r.asset_id, "phash_lo": lo, "phash_hi": hi}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_PHASH_SCHEMA]
+            )
+
+    return assets.where(F.col("media_type") == "image").select(
+        "asset_id", "content"
+    ).mapInPandas(run, IMAGE_PHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    assets: DataFrame, max_hamming: int = 12, strict: bool = False
+) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance, using the
+    quarter-block candidate machinery shared with text SimHash
+    (operators/dedup.hamming_pairs — bucketed, never all-pairs)."""
+    from ..operators.dedup import hamming_pairs
+
+    sig = image_phash(assets, strict=strict).select(
+        F.col("asset_id").alias("_id"),
+        F.col("phash_lo").alias("_lo"),
+        F.col("phash_hi").alias("_hi"),
+    )
+    return hamming_pairs(sig, max_hamming)
+
+
 AUDIO_SPECTRUM_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

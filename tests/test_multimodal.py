@@ -159,3 +159,41 @@ def test_audio_spectrogram_sine_and_parseval(spark):
     assert abs(sum(loud["band_energy"]) - np.mean(seg * seg)) < 1e-12  # Parseval
     assert abs(loud["spectral_centroid_hz"] - 440.0) < 1.0
     assert sum(quiet["band_energy"]) == 0.0 and quiet["dominant_hz"] == 0.0
+
+
+def test_image_phash_gate_passes(spark, sf_dir):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import image_phash_gate
+
+    row = image_phash_gate(spark, sf_dir).first()
+    assert row["passed"] and row["n_pairs"] == 48 and row["n_bad"] == 0
+
+
+def test_image_phash_properties(spark):
+    import numpy as np
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import multimodal as MM
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.mediaencode import encode_bmp
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 200, (40, 56, 3)).astype(np.int32)
+    img = ((img + np.roll(img, 1, 0) + np.roll(img, 1, 1)) // 3).astype(np.uint8)
+    bright = np.clip(img.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+    inverted = (255 - img.astype(np.int32)).astype(np.uint8)
+    assets = spark.createDataFrame(
+        [
+            (1, 0, "image", bytearray(encode_bmp(img)), {}),
+            (2, 0, "image", bytearray(encode_bmp(img)), {}),
+            (3, 0, "image", bytearray(encode_bmp(bright)), {}),
+            (4, 0, "image", bytearray(encode_bmp(inverted)), {}),
+        ],
+        MM.MEDIA_ASSETS,
+    )
+    sig = {r["asset_id"]: (r["phash_lo"], r["phash_hi"])
+           for r in MM.image_phash(assets, strict=True).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert sig[1] == sig[2]                     # identical pixels
+    assert ham(sig[1], sig[3]) == 0             # brightness shift: DC only
+    assert ham(sig[1], sig[4]) >= 40            # inversion flips signs
