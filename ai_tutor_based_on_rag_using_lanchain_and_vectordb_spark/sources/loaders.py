@@ -35,6 +35,7 @@ MAGIC_MIME = {
     b"<!DO": "text/html",
     b"<htm": "text/html",
     b"fLaC": "audio/flac",
+    b"\x1f\x8b": "application/gzip",
 }
 
 EXPECTED_MIME = {
@@ -128,16 +129,37 @@ DECODERS = {
 }
 
 
+def _gunzip_transparent(path: str, data: bytes) -> tuple:
+    """Crawl corpora ship documents gzip-member-compressed (.pdf.gz,
+    .html.gz): peel the gzip layer and the .gz suffix so the inner
+    decoder dispatches on the real type. Lax: corrupt gzip keeps the
+    original bytes (the fail-closed decoder contract)."""
+    if len(data) >= 2 and data[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            data = gzip.decompress(data)
+            if path.lower().endswith(".gz"):
+                path = path[:-3]
+        except Exception:
+            pass
+    return path, data
+
+
 @F.pandas_udf(PAGES_TYPE)
 def decode_pages_udf(paths: pd.Series, contents: pd.Series) -> pd.Series:
     """S1-S3 as one Arrow-batched UDTF-shaped decoder: suffix-dispatched
     binary → list of page texts (one Document per page for PDFs, single
-    blob for DOCX/HTML — matching backend/chroma_utils.py:61-69)."""
+    blob for DOCX/HTML — matching backend/chroma_utils.py:61-69).
+    Gzip-compressed payloads (.txt.gz etc.) are peeled transparently."""
     out = []
     for path, data in zip(paths, contents):
+        path, data = _gunzip_transparent(
+            path, bytes(data) if data is not None else b""
+        )
         suffix = ("." + path.rsplit(".", 1)[-1].lower()) if "." in path else ""
         decoder = DECODERS.get(suffix, _text_passthrough)
-        out.append(decoder(bytes(data) if data is not None else b""))
+        out.append(decoder(data))
     return pd.Series(out)
 
 

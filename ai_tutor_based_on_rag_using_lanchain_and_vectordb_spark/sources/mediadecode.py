@@ -2222,13 +2222,69 @@ def decode_image_pixels(data: bytes):
     return info.format, img
 
 
+# MPEG-1 Layer III (ISO 11172-3) header tables: bitrate kbps by index,
+# sample rate by index
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def decode_mp3(data: bytes) -> AudioInfo | None:
+    """MPEG-1 Layer III METADATA-ONLY decode: ID3v2 skip + frame-header
+    walk (sync, bitrate/sample-rate tables, padding, mode) → channels,
+    sample rate, sample count (1152/frame) and duration. No PCM
+    synthesis (the polyphase window is out of container scope — same
+    boundary as h264 video), so rms/peak are 0. None for non-MP3 bytes;
+    lax on truncation (keeps the valid frame prefix). Never raises."""
+    pos = 0
+    n = len(data)
+    if n >= 10 and data[:3] == b"ID3":
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)  # syncsafe
+        pos = 10 + size
+    frames = 0
+    rate = channels = 0
+    while pos + 4 <= n:
+        h = struct.unpack(">I", data[pos : pos + 4])[0]
+        if (h >> 21) != 0x7FF:
+            break
+        if (h >> 19) & 3 != 3 or (h >> 17) & 3 != 1:
+            break  # not MPEG-1 Layer III
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format/invalid
+        bitrate = _MP3_BITRATES[br_idx]
+        rate = _MP3_RATES[sr_idx]
+        padding = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        channels = 1 if mode == 3 else 2
+        flen = 144 * bitrate * 1000 // rate + padding
+        if flen < 4 or pos + flen > n:
+            break  # truncated final frame: keep the prefix
+        frames += 1
+        pos += flen
+    if not frames:
+        return None
+    n_samples = frames * 1152
+    return AudioInfo(
+        "mp3", channels, rate, 0, n_samples,
+        int(n_samples * 1000 // rate) if rate else 0, 0.0, 0.0,
+    )
+
+
 def decode_audio(data: bytes) -> AudioInfo | None:
     """Audio metadata + loudness for any supported codec: RIFF/WAV
-    (PCM int/float) or FLAC. None for anything else — never raises."""
+    (PCM int/float), FLAC (full decode) or MP3 (header metadata).
+    None for anything else — never raises."""
     if len(data) >= 4 and data[:4] == b"fLaC":
         out = _flac_info_samples(data)
         return out[0] if out else None
-    return decode_wav(data)
+    wav = decode_wav(data)
+    if wav is not None:
+        return wav
+    return decode_mp3(data)
 
 
 def decode_audio_samples(data: bytes):

@@ -40,6 +40,8 @@ _MAGICS = [
     b"\x00\x00\x00\x18ftypisom",
     b"\x00\x00\x01\xb3",
     b"fLaC",
+    b"ID3\x04\x00\x00\x00\x00\x00\x00",
+    b"\xff\xfb\x90\x00",
     b"\x00\x00\x01\xba",
 ]
 
@@ -53,6 +55,8 @@ _DECODERS = [
     MD.decode_wav_samples,
     MD.decode_audio,
     MD.decode_audio_samples,
+    MD.decode_mp3,
+    MD.decode_image_pixels,
     MD.decode_mp4,
     MD.mp4_video_track,
     pdf_pages,

@@ -1900,3 +1900,56 @@ def test_jpeg_arith_non_interleaved_multi_scan():
     want = MD.decode_jpeg_pixels(encode_jpeg(img, arithmetic=True))
     assert got is not None and want is not None
     assert np.array_equal(got, want)
+
+
+# ------------------------------------------------------------ MP3 headers
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, pad=0, mode=0):
+    import struct
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import mediadecode as MD
+
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+    h |= (bitrate_idx << 12) | (sr_idx << 10) | (pad << 9) | (mode << 6)
+    flen = 144 * MD._MP3_BITRATES[bitrate_idx] * 1000 // MD._MP3_RATES[sr_idx] + pad
+    return struct.pack(">I", h) + b"\x00" * (flen - 4)
+
+
+def test_mp3_header_metadata():
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources import mediadecode as MD
+
+    data = b"".join(_mp3_frame() for _ in range(38))
+    info = MD.decode_mp3(data)
+    assert info.format == "mp3" and info.channels == 2
+    assert info.sample_rate == 44100 and info.n_samples == 38 * 1152
+    assert abs(info.duration_ms - 992) <= 1
+    # ID3v2 syncsafe-size skip
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    assert MD.decode_mp3(id3 + data).n_samples == info.n_samples
+    # mono/mode, variable bitrate frames, 32 kHz
+    assert MD.decode_mp3(b"".join(_mp3_frame(mode=3) for _ in range(3))).channels == 1
+    vbr = _mp3_frame(5, 2) + _mp3_frame(12, 2, pad=1) + _mp3_frame(9, 2)
+    assert MD.decode_mp3(vbr).n_samples == 3 * 1152
+    # truncation keeps the prefix; garbage is None; dispatch works
+    assert MD.decode_mp3(data[: len(data) // 2]).n_samples > 0
+    assert MD.decode_mp3(b"junkjunk") is None
+    assert MD.decode_audio(data).format == "mp3"
+
+
+def test_gzip_transparent_document_decode():
+    import gzip
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.sources.loaders import (
+        _gunzip_transparent,
+        sniff_mime,
+    )
+
+    path, data = _gunzip_transparent("a/doc.txt.gz", gzip.compress(b"hello spark"))
+    assert path == "a/doc.txt" and data == b"hello spark"
+    # corrupt gzip: fail-closed, keep original bytes
+    path, data = _gunzip_transparent("x.gz", b"\x1f\x8b broken")
+    assert data == b"\x1f\x8b broken"
+    # non-gzip passthrough
+    assert _gunzip_transparent("a.txt", b"plain") == ("a.txt", b"plain")
+    assert sniff_mime(b"\x1f\x8b\x08") == "application/gzip"
