@@ -211,7 +211,11 @@ def upsert_bm25_index(
         F.col("doc_id").alias(id_col)
     )
     n_in = docs.count()
-    fresh = docs.join(existing, id_col, "left_anti")
+    # dedupe WITHIN the batch too: two rows sharing a new doc_id would
+    # otherwise merge their term counts into one doubled posting set,
+    # breaking the equals-a-one-shot-build invariant (and the skipped
+    # count). One arbitrary-but-single row per id survives.
+    fresh = docs.join(existing, id_col, "left_anti").dropDuplicates([id_col])
     postings = bm25_postings(fresh, id_col, text_col)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     added = dl.count()
@@ -263,7 +267,11 @@ class Bm25Searcher:
     """Search-many handle over a persistent BM25 layout: meta and the
     two corpus stats load ONCE at open (bounded driver state: two
     numbers); every :meth:`search` runs only the bucket-pruned postings
-    scan + scoring. Re-open after upserts to refresh the stats."""
+    scan + scoring. The handle is a CONSISTENT snapshot of open time:
+    doclens is pinned (checkpointed) at open and search restricts
+    matched postings to the snapshot's doc set, so an upsert after open
+    changes nothing this handle returns — never a mixed state where new
+    postings score against old n_docs/avgdl. Re-open to see upserts."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -272,8 +280,12 @@ class Bm25Searcher:
             "n_buckets"
         ]
         # the SAME 1-row aggregate the direct path cross-joins, kept as
-        # a DataFrame so the scoring float association is identical
-        self._dl = spark.read.parquet(os.path.join(path, "doclens"))
+        # a DataFrame so the scoring float association is identical.
+        # Both pinned eagerly (doclens is slim: one (id, long) row per
+        # doc, distributed in executor storage) — the snapshot contract.
+        self._dl = spark.read.parquet(
+            os.path.join(path, "doclens")
+        ).localCheckpoint(eager=True)
         self._stats = self._dl.agg(
             F.count("*").cast("long").alias("n_docs"),
             (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
@@ -300,5 +312,9 @@ class Bm25Searcher:
             .where(F.col("bucket").isin(buckets))  # partition pruning
             .where(F.col("term").isin(terms))  # pushed into the scan
             .select("term", "doc_id", "tf")
+            # snapshot consistency: postings appended since open must
+            # not leak into df counts while their docs are absent from
+            # the pinned stats — restrict to open-time docs
+            .join(self._dl.select("doc_id"), "doc_id", "left_semi")
         )
         return _score_topk(qdf, matched, self._dl, self._stats, k, k1, b)

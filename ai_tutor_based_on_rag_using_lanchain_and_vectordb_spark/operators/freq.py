@@ -25,6 +25,13 @@ candidate set:
 
 The total over n is a 1-row scalar aggregate (broadcast), never a
 driver-side count action.
+
+Domain: NON-NULL keys only. pandas ``value_counts`` excludes None/NaN,
+and the streaming variant reuses the null key as the partition-row-
+count sentinel, so NULL can never be a counter — rather than diverge
+silently, every entry point (the MG pass, the naive baseline, the
+driver oracle) filters ``col IS NOT NULL`` explicitly and the total n
+is the non-null row count.
 """
 
 from __future__ import annotations
@@ -55,8 +62,12 @@ def _mg_summaries(col: str, k: int, emit_part_rows: bool = False):
         counters: dict = {}
         n_rows = 0
         for pdf in batches:
-            n_rows += len(pdf)
-            for v, c in pdf[col].value_counts().items():
+            # non-null domain (module docstring): n counts only rows a
+            # counter could ever represent, keeping the stream total
+            # consistent with the batch operator's filtered total
+            s = pdf[col].dropna()
+            n_rows += len(s)
+            for v, c in s.value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             counters = mg_trim(counters, k)
         if emit_part_rows:
@@ -83,7 +94,9 @@ def heavy_hitters(df: DataFrame, col: str, phi: float, k: int | None = None) -> 
     row count, with their EXACT counts (columns: col, cnt). ``k`` is
     the per-partition counter budget; the default 2/phi keeps the
     candidate bound at 2/phi keys while guaranteeing the superset
-    property (any k ≥ 1/phi is sound)."""
+    property (any k ≥ 1/phi is sound). NULL keys are outside the
+    domain (module docstring): they are filtered here and the total n
+    is the non-null row count."""
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     if k is None:
@@ -94,6 +107,7 @@ def heavy_hitters(df: DataFrame, col: str, phi: float, k: int | None = None) -> 
             f"{math.ceil(1.0 / phi)}"
         )
 
+    df = df.where(F.col(col).isNotNull())
     dtype = df.schema[col].dataType.simpleString()
     summaries = df.select(col).mapInPandas(
         _mg_summaries(col, k), f"{col} {dtype}, mg_weight long"
@@ -121,7 +135,9 @@ def heavy_hitters(df: DataFrame, col: str, phi: float, k: int | None = None) -> 
 
 def exact_heavy_hitters_naive(df: DataFrame, col: str, phi: float) -> DataFrame:
     """The full-domain-shuffle plan, kept as the equivalence baseline
-    for tests (NOT the scale path)."""
+    for tests (NOT the scale path). Same non-null domain as
+    heavy_hitters so the two are row-for-row comparable."""
+    df = df.where(F.col(col).isNotNull())
     total = df.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     return (
         df.groupBy(col)

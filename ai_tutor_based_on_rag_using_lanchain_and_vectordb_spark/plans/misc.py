@@ -479,8 +479,10 @@ ORACLE = {
     "event_heavy_hitters": """
         SELECT user_id, count(*) AS cnt
         FROM events
+        WHERE user_id IS NOT NULL
         GROUP BY user_id
-        HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
+        HAVING count(*) > 0.008 *
+            (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
     """,
     "cohort_retention": """
         WITH firsts AS (

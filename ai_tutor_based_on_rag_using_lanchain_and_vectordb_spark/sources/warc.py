@@ -398,7 +398,13 @@ def write_warc_shards(
                 "date": "2026-01-01T00:00:00Z",
                 "target_uri": f"https://corpus.example/doc/{r.doc_id}",
                 "content_type": "text/plain",
-                "extra_headers": (("WARC-Identified-Content-Language", r.lang),),
+                # a NULL lang column must not crash the executor task:
+                # omit the (optional per WARC/1.1) language header then
+                "extra_headers": (
+                    (("WARC-Identified-Content-Language", r.lang),)
+                    if isinstance(r.lang, str)
+                    else ()
+                ),
                 "body": r.text.encode("utf-8"),
             }
             for r in rows

@@ -137,7 +137,18 @@ def run_heavy_hitters_stream(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(timeout)
+    # awaitTermination(timeout) returns False on timeout with the query
+    # still running — a partial drain. Returning the state then would
+    # silently under-count, so stop the query and fail loudly; the
+    # checkpoint + state_path make a retry resume where this one ended.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"heavy-hitters stream did not drain within {timeout}s "
+            f"(checkpoint={ckpt}); state is partial through epoch "
+            f"{state.last_epoch} — rerun with the same checkpoint and "
+            "state_path to resume"
+        )
     return state
 
 

@@ -214,3 +214,54 @@ def test_compaction_shrinks_files_search_unchanged(spark, sf_dir, tmp_path):
     # equal to the one-shot direct search too
     direct = sorted(map(tuple, bm25_search(spark, docs, qs, k=5).collect()))
     assert after == direct
+
+
+def test_upsert_dedupes_within_batch(spark, sf_dir, tmp_path):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bm25 import (
+        Bm25Searcher,
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "dup")
+    build_bm25_index(docs.where("doc_id % 2 = 0"), path)
+    # batch carries each new doc TWICE: tf must not double
+    odd = docs.where("doc_id % 2 = 1")
+    r = upsert_bm25_index(spark, path, odd.unionAll(odd))
+    assert r["added"] == odd.count()
+    qs = [("q1", "sort merge join"), ("q2", "fast table scan")]
+    got = sorted(map(tuple, Bm25Searcher(spark, path).search(qs, k=5).collect()))
+    direct = sorted(map(tuple, bm25_search(spark, docs, qs, k=5).collect()))
+    assert got == direct
+
+
+def test_searcher_is_consistent_snapshot(spark, sf_dir, tmp_path):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bm25 import (
+        Bm25Searcher,
+        build_bm25_index,
+        upsert_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.agg({"doc_id": "max"}).first()[0] // 2
+    old = docs.where(f"doc_id < {half}")
+    path = str(tmp_path / "snap")
+    build_bm25_index(old, path)
+    qs = [("q1", "sort merge join")]
+    s = Bm25Searcher(spark, path)
+    before = sorted(map(tuple, s.search(qs, k=5).collect()))
+    # upsert AFTER open: the stale handle must return exactly its
+    # open-time snapshot (old docs scored with old stats) — never a mix
+    # of new postings with old n_docs/avgdl
+    upsert_bm25_index(spark, path, docs.where(f"doc_id >= {half}"))
+    after = sorted(map(tuple, s.search(qs, k=5).collect()))
+    assert after == before
+    want_old = sorted(map(tuple, bm25_search(spark, old, qs, k=5).collect()))
+    assert after == want_old
+    # a re-opened handle sees the upsert
+    fresh = sorted(map(tuple, Bm25Searcher(spark, path).search(qs, k=5).collect()))
+    want_all = sorted(map(tuple, bm25_search(spark, docs, qs, k=5).collect()))
+    assert fresh == want_all

@@ -90,3 +90,21 @@ def test_registered_query_matches_naive(spark, sf_dir):
     want = exact_heavy_hitters_naive(events, "user_id", 0.008)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_null_keys_excluded_from_domain(spark):
+    # NULL is outside the key domain (module docstring): both plans
+    # filter it, the total n is the non-null row count, and a hot key's
+    # qualification is judged against that filtered total.
+    df = spark.range(400).select(
+        F.when(F.col("id") < 120, None)                # 120 null rows
+        .when(F.col("id") < 200, F.lit(1))             # 80 rows of key 1
+        .otherwise(F.col("id") + 100)                  # 200 singletons
+        .alias("k")
+    ).repartition(6)
+    got = _check_equiv(df, "k", 0.25)
+    rows = [(r.k, r.cnt) for r in got.collect()]
+    # 80 of 280 non-null rows = 28.6% > 25% qualifies; against the
+    # unfiltered 400 it would be 20% and (wrongly) excluded
+    assert rows == [(1, 80)]
+    assert all(k is not None for k, _ in rows)

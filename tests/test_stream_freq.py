@@ -103,3 +103,17 @@ def test_finalize_empty_candidates(spark):
     out = finalize_exact(df, "user_id", 0.5, st)
     assert out.count() == 0
     assert out.columns == ["user_id", "cnt"]
+
+
+def test_timeout_stops_query_and_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    path, _src = _multi_file_events(spark, sf_dir, tmp_path)
+    n_before = len(spark.streams.active)
+    # 1 ms: the 4-file drain cannot finish — a partial drain must raise
+    # (not silently return under-counted state) and stop the query
+    with pytest.raises(TimeoutError, match="did not drain"):
+        run_heavy_hitters_stream(
+            _stream(spark, path), "user_id", PHI, timeout=0.001
+        )
+    assert len(spark.streams.active) == n_before

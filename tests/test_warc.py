@@ -262,3 +262,16 @@ def test_fuzz_roundtrip_arbitrary_bodies(bodies, uri, gz):
     assert [r["headers"]["warc-record-id"] for r in out] == [
         f"<urn:fuzz:{i}>" for i in range(len(bodies))
     ]
+
+
+def test_null_lang_written_and_roundtripped(spark, tmp_path):
+    # a NULL lang row must write (language header omitted — optional
+    # per WARC/1.1) and round-trip back as NULL, not crash the task
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "nulllang")
+    W.write_warc_shards(docs, out, n_shards=1, shard_key="doc_id")
+    got = {r.doc_id: r.lang for r in W.wet_documents(spark, out).collect()}
+    assert got == {1: "en", 2: None}
