@@ -345,7 +345,18 @@ def simhash_signature(text: Column) -> Column:
     )
 
 
-def _simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def portable_token_hash(t: Column) -> Column:
+    """60-bit token hash both engines compute identically: the first 15
+    hex chars of md5, parsed base-16 (Spark ``conv``; DuckDB
+    ``('0x'||…)::BIGINT``). Slower than xxhash64 — used ONLY by the
+    oracle-checked verified configuration; the production path keeps
+    the JVM xxhash64."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
     """(_id, _lo, _hi) via explode → per-token bit votes → summed per
     bit → sign-packed. Bit-identical to :func:`simhash_signature`
     (vote sums are order-independent; token-less documents coalesce to
@@ -359,7 +370,10 @@ def _simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("_id"),
         F.explode(tokens_col(F.col(text_col))).alias("_t"),
     )
-    h = F.xxhash64(F.col("_t"))
+    # portable = md5-derived 60-bit hash (bits 60-63 vote -1 for every
+    # token, so those signature bits are constant-zero — hamming
+    # distances are unaffected); default = xxhash64, full 64 bits
+    h = portable_token_hash(F.col("_t")) if portable else F.xxhash64(F.col("_t"))
     votes = toks.select(
         "_id",
         *[
@@ -391,11 +405,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 12,
-    max_bucket: int = MAX_LSH_BUCKET,
+    max_bucket: int | None = MAX_LSH_BUCKET,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     signature quarters (pigeonhole: Hamming ≤ 3 guarantees a shared
     quarter; small distances collide with high probability).
+
+    The EXACT configuration — ``max_hamming ≤ 3, max_bucket=None`` —
+    returns precisely the pairs at Hamming ≤ threshold (pigeonhole,
+    no bucket drop); with ``portable=True`` the whole pipeline is
+    SQL-mirrorable and carries a DuckDB oracle
+    (plans/pipeline.simhash_verified_pairs).
 
     ``max_bucket`` caps the per-(quarter, value) bucket: a bucket
     bigger than that is template/boilerplate mass-collision whose
@@ -405,12 +426,12 @@ def simhash_pairs(
     materialized (4 small rows per doc) so the signature aggregation
     runs once, not once per join branch — the components edge-list
     pattern."""
-    sig = _simhash_signatures(df, id_col, text_col)
+    sig = _simhash_signatures(df, id_col, text_col, portable=portable)
     return hamming_pairs(sig, max_hamming, max_bucket)
 
 
 def hamming_pairs(
-    sig: DataFrame, max_hamming: int, max_bucket: int = MAX_LSH_BUCKET
+    sig: DataFrame, max_hamming: int, max_bucket: int | None = MAX_LSH_BUCKET
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance over 64-bit signatures
     (_id, _lo, _hi) — the quarter-block candidate machinery shared by
@@ -428,13 +449,14 @@ def hamming_pairs(
             )
         ).alias("q_idx", "q_val"),
     )
-    wq = Window.partitionBy("q_idx", "q_val")
-    quarters = (
-        quarters.withColumn("_bsz", F.count("*").over(wq))
-        .where(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-        .localCheckpoint(eager=True)
-    )
+    if max_bucket is not None:
+        wq = Window.partitionBy("q_idx", "q_val")
+        quarters = (
+            quarters.withColumn("_bsz", F.count("*").over(wq))
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    quarters = quarters.localCheckpoint(eager=True)
     a = quarters.alias("a")
     b = quarters.alias("b")
     ham = F.bit_count(F.col("a._lo").bitwiseXOR(F.col("b._lo"))) + F.bit_count(

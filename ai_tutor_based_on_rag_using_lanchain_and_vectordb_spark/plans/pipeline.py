@@ -740,6 +740,67 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs, max_hamming=12)
 
 
+def simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash pipeline in its EXACT, SQL-mirrorable configuration
+    (the knn_ivf_exhaustive move): Hamming ≤ 3 — where the 16-bit
+    quarter blocking is pigeonhole-EXACT — with the hot-bucket cap off
+    and the portable md5-derived token hash, so a DuckDB oracle can
+    recompute every signature bit, every candidate, every Hamming
+    distance. This promotes the simhash MATH (bit votes, sign packing,
+    quarter blocking, XOR popcount) to oracle-hash-checked; the
+    production path (Q(simhash_neardup): xxhash64, Hamming ≤ 12,
+    bounded buckets) stays the scale configuration."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(
+        docs, max_hamming=3, max_bucket=None, portable=True
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_verified_oracle() -> str:
+    """DuckDB mirror of the portable simhash configuration: 60-bit
+    md5 token hash → per-bit ±1 vote sums → sign packing into (lo, hi)
+    longs → exhaustive pairs at Hamming ≤ 3 (the blocking is exact
+    there, so the oracle may skip it and join all pairs)."""
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(60)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << (i - 32)} ELSE 0 END)"
+        for i in range(32, 60)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+      {votes}
+  FROM hashed GROUP BY doc_id
+), sigs0 AS (
+  SELECT doc_id, CAST({lo} AS BIGINT) AS lo, CAST({hi} AS BIGINT) AS hi
+  FROM votes
+), sigs AS (
+  SELECT d.doc_id, COALESCE(s.lo, 0) AS lo, COALESCE(s.hi, 0) AS hi
+  FROM documents d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
+
+
 def _embedding_scalars(docs: DataFrame) -> DataFrame:
     """Project the ArrayType embedding down to driver-hashable scalars:
     per-doc dimension, rounded L2 norm, and an order-sensitive xxhash64
@@ -1265,6 +1326,7 @@ QUERIES = {
     "image_phash_gate": image_phash_gate,
     "neardup_verified_pairs": neardup_verified_pairs,
     "simhash_neardup": simhash_neardup,
+    "simhash_verified_pairs": simhash_verified_pairs,
     "doc_embeddings": doc_embeddings,
     "embedding_gate": embedding_gate,
     "knn_ivf_approx": knn_ivf_approx,
@@ -1299,6 +1361,8 @@ ORACLE["warc_roundtrip_docs"] = (
 # shingle sets, per-pair intersection via a shingle self-join, size
 # counts, threshold 0.5 — mirrors operators/dedup.exact_jaccard_pairs
 # (rounding via floor(x*1e4 + 0.5)/1e4 ≡ Spark's HALF_UP round(…, 4)).
+ORACLE["simhash_verified_pairs"] = _simhash_verified_oracle()
+
 ORACLE["neardup_verified_pairs"] = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -403,3 +403,56 @@ def test_leakage_safe_splits_keep_clusters_together(spark, sf_dir):
         assert split_of[p["doc_a"]] == split_of[p["doc_b"]]
     # all three splits are populated at the fixture scale
     assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_simhash_exact_configuration_is_brute_force(spark):
+    # max_hamming ≤ 3 + no bucket cap: quarter blocking is pigeonhole-
+    # exact — the pair set must equal the O(n²) brute force over the
+    # same signatures, for both the xxhash64 and portable md5 hashes
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'x' if i % 7 == 0 else 'epsilon'} "
+             f"zeta {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        sig = DD._simhash_signatures(docs, "doc_id", "text", portable=portable)
+        a, b = sig.alias("a"), sig.alias("b")
+        ham = F.bit_count(
+            F.col("a._lo").bitwiseXOR(F.col("b._lo"))
+        ) + F.bit_count(F.col("a._hi").bitwiseXOR(F.col("b._hi")))
+        brute = (
+            a.crossJoin(b)
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= 3)
+        )
+        got = DD.simhash_pairs(
+            docs, max_hamming=3, max_bucket=None, portable=portable
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, brute.collect())
+        )
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    toks = ["hello", "wörld", "", "a b", "123"]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {
+        r["t"]: r["h"]
+        for r in df.select("t", DD.portable_token_hash(F.col("t")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        want = con.sql(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[t]
+        ).fetchone()[0]
+        assert got[t] == want, t
