@@ -236,7 +236,26 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join over part names (operators/
+    fuzzyjoin.py): every DISTINCT name pair within Levenshtein 1, with
+    occurrence counts — the entity-resolution primitive for catalog
+    merging. Candidates come from FastSS deletion-neighborhood
+    signatures (guaranteed superset, bounded |s|+1 fan-out per name),
+    verified exactly — never an all-pairs join; the DuckDB oracle IS
+    the all-pairs plan over distinct names, so the hash check proves
+    the blocked plan loses nothing. Domain note: part names are ASCII;
+    on non-ASCII text the two engines' levenshtein diverge (DuckDB
+    counts UTF-8 bytes, Spark counts characters — pinned in
+    tests/test_fuzzyjoin.py)."""
+    from ..operators.fuzzyjoin import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", k=1)
+
+
 QUERIES = {
+    "fuzzy_part_names": fuzzy_part_names,
     "catalog_merge_upsert": catalog_merge_upsert,
     "scd2_catalog_history": scd2_catalog_history,
     "customer_spend_quartiles": customer_spend_quartiles,
@@ -262,6 +281,17 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "fuzzy_part_names": """
+        WITH names AS (
+            SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n
+            FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+               a.n AS n_a, b.n AS n_b
+        FROM names a JOIN names b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 1
+    """,
     "scd2_catalog_history": """
         SELECT doc_id, lang, source, n_chars,
                DATE '2024-01-01' AS valid_from,
