@@ -30,7 +30,8 @@ ALL_MODULES = (
 # semantically irrelevant.
 _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
-    "simhash_verified_pairs", "fuzzy_part_names", "event_heavy_hitters",
+    "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
+    "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",
     "exact_price_quantiles", "lang_length_quantiles",
     "kmv_distinct_users", "kmv_overlap_gate", "audio_spectral_gate",

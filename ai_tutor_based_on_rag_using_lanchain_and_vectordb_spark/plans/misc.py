@@ -385,6 +385,31 @@ def event_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(events, "user_id", phi=0.008)
 
 
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (operators/cms.py) against exact
+    counts: build a (4 × 1024) sketch over every event's user_id in one
+    shuffle, estimate the first 25 user ids, join the exact counts.
+    Output (user_id, est, exact_cnt, overcount) — overcount >= 0 is the
+    CMS guarantee, and the whole pipeline (md5 bucket placement,
+    counter sums, min-over-rows) is recomputed by the DuckDB oracle, so
+    the hash check proves the sketch math, not just its error bound."""
+    from ..operators.cms import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sk = cms_build(ev, "user_id", width=1024, depth=4)
+    keys = ev.where(F.col("user_id") < 25)
+    est = cms_estimate(sk, keys, "user_id", width=1024, depth=4)
+    exact = keys.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "est",
+        "exact_cnt",
+        (F.col("est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users via the KMV bottom-k sketch
     (operators/kmv.py) in its EXHAUSTIVE configuration: k ≥ |distinct|
@@ -445,6 +470,7 @@ def kmv_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "kmv_distinct_users": kmv_distinct_users,
+    "cms_user_counts": cms_user_counts,
     "kmv_overlap_gate": kmv_overlap_gate,
     "cohort_retention": cohort_retention,
     "constraint_audit": constraint_audit,
@@ -475,6 +501,34 @@ ORACLE = {
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         GROUP BY event_type
+    """,
+    "cms_user_counts": """
+        WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        dd AS (SELECT unnest(generate_series(0, 3)) AS row),
+        buckets AS (
+            SELECT row,
+                   ('0x' || substr(md5(row::VARCHAR || '|' || user_id::VARCHAR),
+                    1, 15))::BIGINT % 1024 AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM ev, dd GROUP BY 1, 2
+        ), keys AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 25),
+        kc AS (
+            SELECT k.user_id, d.row,
+                   ('0x' || substr(md5(d.row::VARCHAR || '|' || k.user_id::VARCHAR),
+                    1, 15))::BIGINT % 1024 AS bucket
+            FROM keys k, dd d
+        ), est AS (
+            SELECT kc.user_id, CAST(min(COALESCE(b.cnt, 0)) AS BIGINT) AS est
+            FROM kc LEFT JOIN buckets b
+              ON b.row = kc.row AND b.bucket = kc.bucket
+            GROUP BY kc.user_id
+        ), exact AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM ev WHERE user_id < 25 GROUP BY user_id
+        )
+        SELECT e.user_id, e.est, x.exact_cnt,
+               CAST(e.est - x.exact_cnt AS BIGINT) AS overcount
+        FROM est e JOIN exact x ON e.user_id = x.user_id
     """,
     "event_heavy_hitters": """
         SELECT user_id, count(*) AS cnt

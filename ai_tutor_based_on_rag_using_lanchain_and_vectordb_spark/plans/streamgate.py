@@ -253,6 +253,41 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("st9_kmv_sketch", len(kmv_got), len(kmv_want), kmv_got == kmv_want)
     )
 
+    # Streaming Count-Min sketch: counter addition is associative, so
+    # per-micro-batch sketches merged incrementally must equal the
+    # one-shot batch sketch EXACTLY, counter for counter.
+    from ..operators.cms import cms_build, cms_merge
+
+    cms_state: dict = {"sketch": None}
+
+    def feed_cms(batch_df: DataFrame, _epoch: int) -> None:
+        sk = cms_build(batch_df, "user_id", width=256, depth=4)
+        merged = (
+            sk
+            if cms_state["sketch"] is None
+            else cms_merge(cms_state["sketch"], sk)
+        )
+        cms_state["sketch"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("user_id")
+        .writeStream.foreachBatch(feed_cms)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cms_cols = ["row", "bucket", "cnt"]
+    cms_got = (
+        _rows(cms_state["sketch"], cms_cols)
+        if cms_state["sketch"] is not None
+        else []
+    )
+    cms_want = _rows(cms_build(batch_events, "user_id", 256, 4), cms_cols)
+    results.append(
+        ("st10_cms_sketch", len(cms_got), len(cms_want), cms_got == cms_want)
+    )
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")
