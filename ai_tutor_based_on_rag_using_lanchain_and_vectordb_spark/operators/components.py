@@ -170,3 +170,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle + wedge census of an undirected graph; one row
+    ``(n_triangles, n_wedges)``.
+
+    Degree-oriented node-iterator (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): every edge
+    is oriented from its lower-(degree, id) endpoint to the higher one,
+    wedges are generated only at each triangle's unique two-out-edge
+    apex, and the closing edge is probed with a semi-join. The naive
+    canonical-order self-join generates Θ(Σ deg(v)²) candidate wedges —
+    one celebrity node with a million neighbors yields 10¹² wedges in
+    a single reducer; orientation bounds per-node out-degree by
+    O(√|E|), so the worst key holds O(|E|) wedges and the skew
+    disappears. Both joins are plain hash shuffles on node/pair keys —
+    no driver state, runs unchanged on a 1000-executor cluster.
+
+    ``n_wedges`` counts unordered neighbor pairs Σ deg·(deg−1)/2 over
+    UNDIRECTED degrees (the global-clustering denominator); integer
+    arithmetic throughout so the result is hash-stable.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.coalesce(F.expr("CAST(sum((deg * (deg - 1)) DIV 2) AS BIGINT)"), F.lit(0)).alias(
+            "n_wedges"
+        )
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    key_a = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    key_b = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = ed.select(
+        F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(key_a < key_b, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedge_pairs = o1.join(o2, "u").where(
+        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedge_pairs.join(closing, ["x", "y"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    return tri.crossJoin(F.broadcast(wedges))

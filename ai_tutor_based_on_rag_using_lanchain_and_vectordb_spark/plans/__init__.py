@@ -30,6 +30,7 @@ ALL_MODULES = (
 # semantically irrelevant.
 _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
+    "neardup_triangles", "copurchase_pairs", "session_overlap_counts",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

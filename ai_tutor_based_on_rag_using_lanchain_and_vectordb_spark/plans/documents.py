@@ -621,6 +621,34 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate similarity graph: how
+    transitively consistent is 3-gram-Jaccard similarity? Edges are the
+    oracle-green :func:`ngram_jaccard_pairs` set; the census (exact
+    triangle count, wedge count, global clustering coefficient
+    3·T/W) runs on the degree-oriented node-iterator in
+    operators/components.py:triangle_count — wedge generation is
+    bounded O(|E|^1.5) regardless of degree skew, vs Θ(Σdeg²) for the
+    naive self-join the oracle uses. Near-dup graphs are exactly the
+    skewed case (template boilerplate creates celebrity documents), so
+    the orientation is what keeps this runnable at corpus scale."""
+    from ..operators.components import triangle_count
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    tri = triangle_count(pairs, src="doc_a", dst="doc_b")
+    return tri.select(
+        "n_triangles",
+        "n_wedges",
+        X.pround(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("global_clustering"),
+    )
+
+
 QUERIES = {
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,
@@ -639,6 +667,7 @@ QUERIES = {
     "doc_fixed_chunks": doc_fixed_chunks,
     "doc_fingerprints": doc_fingerprints,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "neardup_triangles": neardup_triangles,
 }
 
 
@@ -752,6 +781,29 @@ ORACLE = {
     "ngram_jaccard_pairs": r"""
         WITH """ + "_JACCARD_CTES" + r"""
         SELECT doc_a, doc_b, jaccard FROM all_pairs
+    """,
+    # triangle x<y<z appears exactly once as e1=(x,y), e2=(y,z),
+    # e3=(x,z) because all_pairs is canonically doc_a < doc_b
+    "neardup_triangles": r"""
+        WITH """ + "_JACCARD_CTES" + r""", e AS (
+            SELECT DISTINCT doc_a AS a, doc_b AS b FROM all_pairs
+        ), deg AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+            ) GROUP BY node
+        ), tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), w AS (
+            SELECT coalesce(CAST(sum((deg * (deg - 1)) // 2) AS BIGINT), 0)
+                       AS n_wedges
+            FROM deg
+        )
+        SELECT n_triangles, n_wedges,
+               """ + "_GCC_EXPR" + r""" AS global_clustering
+        FROM tri, w
     """,
     "neardup_components": r"""
         WITH RECURSIVE """ + "_JACCARD_CTES" + r""", edges AS (
@@ -894,8 +946,15 @@ ORACLE["leakage_safe_splits"] = r"""
     FROM labeled
 """
 
+ORACLE["neardup_triangles"] = ORACLE["neardup_triangles"].replace(
+    "_GCC_EXPR",
+    X.pround_sql(
+        "CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END", 6
+    ),
+)
+
 for _k in ("ngram_jaccard_pairs", "neardup_components", "neardup_keep_best",
-           "leakage_safe_splits"):
+           "leakage_safe_splits", "neardup_triangles"):
     ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)
 # keep-best nests the (oracle-green) quality scorer as its ranking key,
 # so the two definitions can't drift

@@ -215,6 +215,54 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency: for every 60-minute-gap session
+    (same sessionization as :func:`session_windows`), how many OTHER
+    users' sessions overlap it in time. An interval-overlap SELF-join
+    with no equi-key — the oracle writes it as a non-equi join, which
+    Spark could only execute as a broadcast nested loop (O(n²)
+    comparisons, one task at corpus scale). The engine instead runs the
+    time-grid bucket join in operators/intervaljoin.py: explode each
+    session onto a 1-hour epoch grid, equi-join on the cell id,
+    dedupe by the responsibility rule, then re-aggregate per session.
+    Zero-overlap sessions are restored by a left join against the
+    (user_id, session_start)-keyed counts."""
+    from ..operators.intervaljoin import interval_overlap_join
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        events.groupBy("user_id", F.session_window("ts", "60 minutes"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .select("user_id", "s_start", "s_end")
+    )
+    left = sess.select(
+        F.col("user_id").alias("u"),
+        F.col("s_start").alias("a0"),
+        F.col("s_end").alias("a1"),
+    )
+    right = sess.select(
+        F.col("user_id").alias("v"),
+        F.col("s_start").alias("b0"),
+        F.col("s_end").alias("b1"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "a0", "a1", "b0", "b1",
+        bucket_width_s=3600,
+        extra_cond=lambda df: F.col("u") != F.col("v"),
+    )
+    counts = pairs.groupBy(
+        F.col("u").alias("user_id"), F.col("a0").alias("s_start")
+    ).agg(F.count("*").alias("_n"))
+    return (
+        sess.join(counts, ["user_id", "s_start"], "left")
+        .select(
+            "user_id",
+            F.col("s_start").alias("session_start"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )
+
+
 def balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic ranks — percent_rank + cume_dist of customer balance
     within each nation (distribution-position functions the reference
@@ -532,6 +580,7 @@ QUERIES = {
     "session_previews": session_previews,
     "daily_activity": daily_activity,
     "session_windows": session_windows,
+    "session_overlap_counts": session_overlap_counts,
     "balance_percentiles": balance_percentiles,
     "purchase_attribution": purchase_attribution,
     "user_daily_gapfill": user_daily_gapfill,
@@ -659,6 +708,29 @@ ORACLE = {
                {dsum_value} AS session_value
         FROM islands GROUP BY user_id, island
     """.format(dsum_value=X.dsum_sql("value")),
+    "session_overlap_counts": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts >= lag(ts) OVER w + INTERVAL 60 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT x.user_id, x.s_start AS session_start,
+               CAST(count(y.user_id) AS BIGINT) AS n_concurrent
+        FROM sess x
+        LEFT JOIN sess y
+          ON x.user_id <> y.user_id
+         AND x.s_start <= y.s_end AND y.s_start <= x.s_end
+        GROUP BY x.user_id, x.s_start
+    """,
     "balance_percentiles": f"""
         SELECT c_custkey, c_nationkey, c_acctbal,
                {X.pround_sql(

@@ -421,6 +421,52 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs bought together in ≥ 2
+    orders, with support counts (the A-Priori L2 step).
+
+    Scale shape: the textbook formulation is a lineitem SELF-JOIN on
+    l_orderkey (the oracle) — at 100 TB that shuffles the fact table
+    twice and any hot order explodes quadratically inside the join.
+    Here pair generation is MAP-SIDE: one shuffle groups the
+    (orderkey, partkey) pairs into per-order sorted baskets, an
+    in-row array comprehension emits each basket's C(n,2) ordered
+    pairs (basket width is bounded by order size, single digits, so
+    the fan-out is a small constant), and the pair count is a second
+    output-bounded shuffle. Before baskets are built, the A-Priori
+    monotonicity prune drops parts appearing in < 2 distinct orders —
+    a frequent PAIR needs both members frequent — via an aggregate
+    semi-join that shrinks the basket stage's input for free (the
+    count rides the same orderkey-distinct pass the baskets need)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    frequent = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("l_partkey")
+    )
+    baskets = (
+        li.join(frequent, "l_partkey", "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "volume_shipping_pairs": volume_shipping_pairs,
@@ -436,6 +482,7 @@ QUERIES = {
     "customer_order_distribution": customer_order_distribution,
     "promotable_part_suppliers": promotable_part_suppliers,
     "waiting_suppliers": waiting_suppliers,
+    "copurchase_pairs": copurchase_pairs,
 }
 
 
@@ -636,5 +683,17 @@ ORACLE = {
                 AND l3.l_suppkey <> l1.l_suppkey
                 AND l3.l_returnflag = 'R')
         GROUP BY s_name
+    """,
+    "copurchase_pairs": """
+        WITH p AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM p a
+        JOIN p b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
     """,
 }

@@ -1,0 +1,157 @@
+"""Grid-bucketed interval-overlap join + triangle census."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.components import (
+    triangle_count,
+)
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.intervaljoin import (
+    interval_overlap_join,
+)
+
+_T0 = dt.datetime(2024, 1, 1)
+
+
+def _iv(spark, rows, s, e):
+    return spark.createDataFrame(
+        [(i, _T0 + dt.timedelta(seconds=a), _T0 + dt.timedelta(seconds=b))
+         for i, (a, b) in enumerate(rows)],
+        f"id_{s} long, {s} timestamp, {e} timestamp",
+    )
+
+
+def _join(spark, left_rows, right_rows, width):
+    l = _iv(spark, left_rows, "a0", "a1")
+    r = _iv(spark, right_rows, "b0", "b1")
+    out = interval_overlap_join(l, r, "a0", "a1", "b0", "b1", bucket_width_s=width)
+    return sorted((row["id_a0"], row["id_b0"]) for row in out.collect())
+
+
+def _naive(left_rows, right_rows):
+    return sorted(
+        (i, j)
+        for i, (a0, a1) in enumerate(left_rows)
+        for j, (b0, b1) in enumerate(right_rows)
+        if a0 <= b1 and b0 <= a1
+    )
+
+
+def test_basic_overlap_and_disjoint(spark):
+    left = [(0, 100), (500, 600)]
+    right = [(50, 80), (90, 120), (200, 300), (599, 700)]
+    assert _join(spark, left, right, 60) == [(0, 0), (0, 1), (1, 3)]
+
+
+def test_pair_spanning_many_cells_emitted_once(spark):
+    # both intervals cover dozens of grid cells; the responsibility
+    # rule must emit the pair exactly once, not once per shared cell
+    left = [(0, 10_000)]
+    right = [(5, 9_000)]
+    assert _join(spark, left, right, 60) == [(0, 0)]
+
+
+def test_touching_endpoints_inclusive(spark):
+    # closed intervals: meeting exactly at an endpoint counts
+    assert _join(spark, [(0, 100)], [(100, 200)], 3600) == [(0, 0)]
+    assert _join(spark, [(0, 100)], [(101, 200)], 3600) == []
+
+
+def test_cell_boundary_pairs_survive(spark):
+    # overlap happens exactly at a bucket boundary: the owner cell is
+    # the one containing max(starts); integer-floor bucketing must not
+    # drop or double it for any width
+    for width in (10, 60, 3600):
+        left = [(0, width), (width, 2 * width - 1)]
+        right = [(width, width), (2 * width - 1, 3 * width)]
+        assert _join(spark, left, right, width) == _naive(left, right)
+
+
+def test_randomized_against_naive(spark):
+    rng = random.Random(7)
+    left = [(a, a + rng.randrange(0, 500)) for a in
+            (rng.randrange(0, 20_000) for _ in range(60))]
+    right = [(a, a + rng.randrange(0, 500)) for a in
+             (rng.randrange(0, 20_000) for _ in range(60))]
+    for width in (97, 1000):
+        assert _join(spark, left, right, width) == _naive(left, right)
+
+
+def test_extra_cond_filters_pairs(spark):
+    rows = [(0, 100), (50, 150), (120, 200)]
+    l = _iv(spark, rows, "a0", "a1")
+    r = _iv(spark, rows, "b0", "b1")
+    out = interval_overlap_join(
+        l, r, "a0", "a1", "b0", "b1", bucket_width_s=60,
+        extra_cond=lambda df: F.col("id_a0") < F.col("id_b0"),
+    )
+    got = sorted((row["id_a0"], row["id_b0"]) for row in out.collect())
+    assert got == [(0, 1), (1, 2)]
+
+
+# --- triangle census ------------------------------------------------------
+
+
+def _census(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    return row["n_triangles"], row["n_wedges"]
+
+
+def _naive_tri(edges):
+    adj = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        if (a, b) in es:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for (a, b) in es
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    return tri, wedges
+
+
+def test_triangle_simple(spark):
+    assert _census(spark, [(1, 2), (2, 3), (1, 3)]) == (1, 3)
+
+
+def test_square_has_no_triangle(spark):
+    assert _census(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == (0, 4)
+
+
+def test_k4_all_triangles(spark):
+    edges = list(itertools.combinations(range(4), 2))
+    assert _census(spark, edges) == (4, 12)
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    assert _census(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1)]
+    ) == (1, 3)
+
+
+def test_star_skew_hub(spark):
+    # celebrity hub: naive wedge generation would be Θ(deg²) at the hub;
+    # orientation keeps it exact regardless
+    edges = [(0, i) for i in range(1, 30)] + [(1, 2), (3, 4)]
+    assert _census(spark, edges) == _naive_tri(edges)
+
+
+def test_randomized_triangles_vs_naive(spark):
+    rng = random.Random(11)
+    edges = [(rng.randrange(18), rng.randrange(18)) for _ in range(70)]
+    assert _census(spark, edges) == _naive_tri(edges)
