@@ -1284,6 +1284,65 @@ def hll_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gk_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable ε-quantile summary (operators/gk.py) with an in-plan
+    error CERTIFICATE: sketch l_extendedprice at ε = 0.01, query seven
+    quantiles off the summary alone, then verify each answer's true
+    rank against the data — |rank(answer) − ⌈q·n⌉| must be ≤ ε·n.
+    Complements quantile_rollup (percentile_approx re-aggregation):
+    the GK summary is a persistable VALUE — per-shard/per-day partials
+    merge later without re-scanning, which percentile_approx cannot
+    do. One row (n, max_rank_err, bound, passed); rows-only — DuckDB
+    has no mergeable-summary equivalent, and the pytest suite
+    (tests/test_gk.py) pins the bound across distributions, merges,
+    and skewed/null partitions."""
+    import pandas as pd
+
+    from ..operators import gk
+
+    eps = 0.01
+    probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    sk = gk.gk_sketch(li, "x", eps)
+
+    def answers(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("v", kind="mergesort")
+        entries = list(zip(pdf["v"], pdf["g"], pdf["delta"]))
+        n = gk.total_count(entries)
+        return pd.DataFrame(
+            {
+                "q": probs,
+                "est": [gk.query(entries, q) for q in probs],
+                "n": [n] * len(probs),
+            }
+        )
+
+    est = sk.groupBy(F.lit(0).alias("_k")).applyInPandas(
+        answers, "q double, est double, n long"
+    )
+    ranked = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("q", "est", "n")
+        .agg(
+            F.sum((F.col("x") < F.col("est")).cast("long")).alias("r_lo"),
+            F.sum((F.col("x") <= F.col("est")).cast("long")).alias("r_hi"),
+        )
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")).cast("long"))
+    err = F.greatest(
+        F.col("r_lo") + 1 - target, target - F.col("r_hi"), F.lit(0)
+    )
+    return ranked.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("n_probs"),
+        F.max(err).alias("max_rank_err"),
+        F.ceil(F.max("n") * eps).cast("long").alias("bound"),
+        (F.max(err) <= F.ceil(F.max("n") * eps)).alias("passed"),
+    )
+
+
 def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 end-to-end chat dataflow with the deterministic LLM stub."""
     return chat.rag_answers(spark, sf_dir)
@@ -1341,6 +1400,7 @@ QUERIES = {
     "knn_ivfpq_exhaustive": knn_ivfpq_exhaustive,
     "knn_ivfpq_recall": knn_ivfpq_recall,
     "hll_rollup_gate": hll_rollup_gate,
+    "gk_quantile_gate": gk_quantile_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
     "warc_roundtrip_docs": warc_roundtrip_docs,

@@ -467,6 +467,41 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline): parts not dominated within
+    their brand — no other part both cheaper-or-equal AND
+    larger-or-equal with at least one strict. The relational statement
+    is a NOT EXISTS anti-join with an inequality-only correlation (the
+    oracle) — quadratic comparisons and, for Spark, a broadcast
+    nested loop. The engine uses the 2-D skyline sweep instead: a part
+    survives iff (1) it has the max size within its exact price point
+    and (2) every strictly-cheaper price point has a smaller max size.
+    Both conditions come from one aggregate over (brand, price) plus
+    one running-max window over each brand's DISTINCT price points —
+    O(n) + a window whose partition size is the distinct-price count,
+    not the row count, so a billion-part catalog with thousands of
+    price points stays balanced. Ties on (price, size) all survive,
+    matching the strict-dominance definition on both sides."""
+    part = load_table(spark, sf_dir, "part")
+    gmax = (
+        part.groupBy("p_brand", "p_retailprice")
+        .agg(F.max("p_size").alias("_gmax"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        gmax.withColumn("_prevmax", F.max("_gmax").over(w))
+        .where(F.col("_prevmax").isNull() | (F.col("_prevmax") < F.col("_gmax")))
+        .select("p_brand", "p_retailprice", F.col("_gmax").alias("p_size"))
+    )
+    return part.join(
+        frontier, ["p_brand", "p_retailprice", "p_size"], "left_semi"
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "volume_shipping_pairs": volume_shipping_pairs,
@@ -483,6 +518,7 @@ QUERIES = {
     "promotable_part_suppliers": promotable_part_suppliers,
     "waiting_suppliers": waiting_suppliers,
     "copurchase_pairs": copurchase_pairs,
+    "pareto_parts_skyline": pareto_parts_skyline,
 }
 
 
@@ -695,5 +731,17 @@ ORACLE = {
                AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """,
+    "pareto_parts_skyline": """
+        SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
+        FROM part a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part b
+            WHERE b.p_brand = a.p_brand
+              AND b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice
+                   OR b.p_size > a.p_size)
+        )
     """,
 }
