@@ -197,12 +197,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
+        # materialize once (the pagerank pattern): the edge list feeds
+        # degrees, the orientation join, and the closing-edge probe —
+        # without this the (possibly expensive) upstream pair pipeline
+        # re-executes for each of those consumers
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)  # consumed by the wedge census AND the orientation join
     )
     wedges = deg.agg(
         F.coalesce(F.expr("CAST(sum((deg * (deg - 1)) DIV 2) AS BIGINT)"), F.lit(0)).alias(
@@ -218,7 +224,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(key_a < key_b, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=True)  # consumed three times: both wedge legs + closing-edge probe
     o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedge_pairs = o1.join(o2, "u").where(

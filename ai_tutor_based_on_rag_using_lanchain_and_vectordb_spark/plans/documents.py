@@ -631,10 +631,16 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded O(|E|^1.5) regardless of degree skew, vs Θ(Σdeg²) for the
     naive self-join the oracle uses. Near-dup graphs are exactly the
     skewed case (template boilerplate creates celebrity documents), so
-    the orientation is what keeps this runnable at corpus scale."""
+    the orientation is what keeps this runnable at corpus scale.
+
+    Threshold 0.02 (vs the dedup queries' 0.05): the census exists to
+    measure transitivity of WEAK similarity — and at the driver-check
+    scale the 0.05 graph is all isolated pairs (0 wedges), which would
+    make the oracle row vacuous."""
     from ..operators.components import triangle_count
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_df(docs, threshold=0.02).select("doc_a", "doc_b")
     tri = triangle_count(pairs, src="doc_a", dst="doc_b")
     return tri.select(
         "n_triangles",
@@ -956,6 +962,11 @@ ORACLE["neardup_triangles"] = ORACLE["neardup_triangles"].replace(
 for _k in ("ngram_jaccard_pairs", "neardup_components", "neardup_keep_best",
            "leakage_safe_splits", "neardup_triangles"):
     ORACLE[_k] = ORACLE[_k].replace("_JACCARD_CTES", _JACCARD_CTES_SQL)
+# the census measures WEAK-similarity transitivity: threshold 0.02
+# (see neardup_triangles docstring); the CTE text carries 0.05
+ORACLE["neardup_triangles"] = ORACLE["neardup_triangles"].replace(
+    ">= 0.05", ">= 0.02"
+)
 # keep-best nests the (oracle-green) quality scorer as its ranking key,
 # so the two definitions can't drift
 ORACLE["neardup_keep_best"] = ORACLE["neardup_keep_best"].replace(
