@@ -254,7 +254,58 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(part, "p_name", k=1)
 
 
+def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC (Mann–Whitney U): how well does ``value``
+    rank purchase events above non-purchases — the classifier-eval
+    primitive a quality-scoring pipeline needs at corpus scale.
+
+    Identity: 2·P·N·AUC = Σ_v p_v · (2·cum_neg_below(v) + neg_v) over
+    DISTINCT score values v (ties contribute ½ via the middle term) —
+    integer arithmetic until the final division, so the oracle is
+    exact. Plan shape: one groupBy collapses rows to distinct scores,
+    then the bucketed exclusive prefix sum (operators/prefix.py) gives
+    cum_neg_below WITHOUT a single-task global window — the textbook
+    row_number-based rank-sum would funnel every row through one
+    window task at 100 TB."""
+    from ..operators.prefix import grouped_prefix_sum
+
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_v = (
+        events.groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("p"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "value",
+            "p",
+            (F.col("n") - F.col("p")).alias("neg"),
+            F.lit(0).alias("_g"),
+        )
+    )
+    pre = grouped_prefix_sum(
+        per_v, ["_g"], "value", F.col("neg"), out_col="cnb"
+    )
+    agg = pre.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cnb") + F.col("neg")))
+        .cast("long")
+        .alias("numer2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        X.pround(
+            F.col("numer2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
 QUERIES = {
+    "event_value_auc": event_value_auc,
     "fuzzy_part_names": fuzzy_part_names,
     "catalog_merge_upsert": catalog_merge_upsert,
     "scd2_catalog_history": scd2_catalog_history,
@@ -281,6 +332,30 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "event_value_auc": f"""
+        WITH base AS (
+            SELECT value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+            FROM events WHERE value IS NOT NULL
+        ), g AS (
+            SELECT value,
+                   CAST(sum(lbl) AS BIGINT) AS p,
+                   CAST(count(*) - sum(lbl) AS BIGINT) AS neg
+            FROM base GROUP BY value
+        ), c AS (
+            SELECT value, p, neg,
+                   coalesce(sum(neg) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cnb
+            FROM g
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               {X.pround_sql(
+                   "sum(p * (2 * cnb + neg)) / (2.0 * sum(p) * sum(neg))", 6
+               )} AS auc
+        FROM c
+    """,
     "fuzzy_part_names": """
         WITH names AS (
             SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n

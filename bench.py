@@ -59,6 +59,10 @@ HEADLINE = [
     "exact_price_quantiles",  # distributed selection (no global sort)
     "bm25_search_topk",       # inverted-index lexical retrieval
     "hybrid_rrf_fusion",      # BM25 + vector kNN reciprocal rank fusion
+    "session_overlap_counts", # no-equi-key interval-overlap grid join
+    "copurchase_pairs",       # market-basket pair mining (map-side A-Priori)
+    "pareto_parts_skyline",   # 2-D skyline sweep (vs quadratic NOT EXISTS)
+    "gk_quantile_gate",       # mergeable GK quantile summary + certificate
 ]
 
 

@@ -155,3 +155,39 @@ def test_randomized_triangles_vs_naive(spark):
     rng = random.Random(11)
     edges = [(rng.randrange(18), rng.randrange(18)) for _ in range(70)]
     assert _census(spark, edges) == _naive_tri(edges)
+
+
+# --- ROC-AUC (Mann–Whitney) --------------------------------------------
+
+
+def test_event_value_auc_matches_pairwise(spark):
+    import random
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.curation import (
+        event_value_auc,
+    )
+
+    rng = random.Random(5)
+    # ties on purpose: scores drawn from a tiny grid
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 10, 
+         "purchase" if rng.random() < 0.3 + (0.04 * (i % 9)) else "click",
+         float(rng.randrange(12)), "{}")
+        for i in range(800)
+    ]
+    import os, tempfile
+    d = tempfile.mkdtemp(prefix="auc_")
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = event_value_auc(spark, d).collect()[0]
+
+    pos = [v for (_, _, _, t, v, _) in rows if t == "purchase"]
+    neg = [v for (_, _, _, t, v, _) in rows if t != "purchase"]
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg)
+    want = wins / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - want) < 1e-6
