@@ -468,7 +468,28 @@ def kmv_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys for the orders fact table over
+    (o_custkey, order day): the multi-column layout key that makes
+    parquet footer min/max stats tight on BOTH dimensions after a
+    clustered write (operators/zorder.py; the Delta/Iceberg OPTIMIZE
+    ZORDER technique from plain DataFrame ops — pruning demonstrated
+    against real written footers in tests/test_zorder.py). Pure
+    shift/mask/or integer arithmetic inside whole-stage codegen; the
+    oracle evaluates the bit interleave as portable divide/modulo
+    arithmetic — the same function, provably, term by term."""
+    from ..operators.zorder import morton_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    return orders.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey"), day, bits=16).alias("zkey"),
+    )
+
+
 QUERIES = {
+    "zorder_order_keys": zorder_order_keys,
     "kmv_distinct_users": kmv_distinct_users,
     "cms_user_counts": cms_user_counts,
     "kmv_overlap_gate": kmv_overlap_gate,
@@ -497,6 +518,7 @@ QUERIES = {
 
 
 ORACLE = {
+    "zorder_order_keys": None,  # filled below (generated bit-arith SQL)
     "kmv_distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
@@ -755,3 +777,15 @@ ORACLE = {
         FROM events
     """,
 }
+
+from ..operators.zorder import morton_sql as _morton_sql  # noqa: E402
+
+ORACLE["zorder_order_keys"] = f"""
+    SELECT o_orderkey,
+           {_morton_sql(
+               "o_custkey",
+               "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+               16,
+           )} AS zkey
+    FROM orders
+"""
