@@ -470,15 +470,14 @@ def kmv_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zorder_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering keys for the orders fact table over
-    (o_custkey, order day): the multi-column layout key that makes
-    parquet footer min/max stats tight on BOTH dimensions after a
-    clustered write (operators/zorder.py; the Delta/Iceberg OPTIMIZE
-    ZORDER technique from plain DataFrame ops — pruning demonstrated
-    against real written footers in tests/test_zorder.py). Pure
+    (o_custkey, order day): the FIXED-MASK (re-scale-free, hence
+    incremental-write-compatible and oracle-mirrorable) variant of the
+    clustered-write layout in sources/zorder.py — pruning demonstrated
+    against real written footers in tests/test_zorder.py. Pure
     shift/mask/or integer arithmetic inside whole-stage codegen; the
     oracle evaluates the bit interleave as portable divide/modulo
     arithmetic — the same function, provably, term by term."""
-    from ..operators.zorder import morton_key
+    from ..sources.zorder import morton_key
 
     orders = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
@@ -778,7 +777,7 @@ ORACLE = {
     """,
 }
 
-from ..operators.zorder import morton_sql as _morton_sql  # noqa: E402
+from ..sources.zorder import morton_sql as _morton_sql  # noqa: E402
 
 ORACLE["zorder_order_keys"] = f"""
     SELECT o_orderkey,

@@ -86,3 +86,38 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """FIXED-MASK two-column Morton key: the low ``bits`` bits of each
+    input are interleaved directly (x bit i → position 2i, y bit i →
+    2i+1 — the ``_interleave`` layout), with NO min/max normalization.
+    Unlike :func:`zvalue` (whose scaling depends on a runtime data
+    preflight), this form is a pure function of the row — which makes
+    it mirrorable verbatim as oracle SQL (:func:`morton_sql`) and
+    stable across corpus growth, the right property for an INCREMENTAL
+    layout: new data files cluster compatibly with old ones because
+    the curve never re-scales. Inputs must be non-negative (they are
+    masked, so out-of-range wraps rather than collides)."""
+    mask = (1 << bits) - 1
+    return _interleave(
+        [
+            x.cast("long").bitwiseAND(F.lit(mask)),
+            y.cast("long").bitwiseAND(F.lit(mask)),
+        ],
+        bits,
+    )
+
+
+def morton_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """:func:`morton_key` as portable ANSI SQL (divide/modulo/multiply
+    only — no dialect bit builtins), term-for-term the same function;
+    used by the DuckDB oracle of Q(zorder_order_keys)."""
+    mask = (1 << bits) - 1
+    xs = f"(CAST({x_expr} AS BIGINT) % {mask + 1})"
+    ys = f"(CAST({y_expr} AS BIGINT) % {mask + 1})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xs} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ys} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
