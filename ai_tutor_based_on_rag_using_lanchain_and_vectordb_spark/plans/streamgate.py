@@ -288,6 +288,51 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("st10_cms_sketch", len(cms_got), len(cms_want), cms_got == cms_want)
     )
 
+    # Streaming GK quantile summary: unlike KMV/CMS the merge is not
+    # grouping-invariant (different batch splits give different — but
+    # equally VALID — summaries), so the equivalence criterion is the
+    # operator's actual contract: the stream-built summary must (a)
+    # account for exactly the batch row count and (b) answer every
+    # probe quantile within ε·n of the TRUE batch rank.
+    from ..operators import gk as GK
+
+    gk_eps = 0.02
+    gk_state: dict = {"entries": []}
+
+    def feed_gk(batch_df: DataFrame, _epoch: int) -> None:
+        rows = GK.gk_sketch(batch_df.select("value"), "value", gk_eps).collect()
+        entries = sorted((r["v"], r["g"], r["delta"]) for r in rows)
+        gk_state["entries"] = GK.compress(
+            GK.merge_two(gk_state["entries"], entries), gk_eps / 2
+        )
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("value")
+        .writeStream.foreachBatch(feed_gk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    gk_entries = gk_state["entries"]
+    gk_n = GK.total_count(gk_entries)
+    gk_vals = batch_events.select("value").where(F.col("value").isNotNull())
+    gk_n_batch = gk_vals.count()
+    gk_ok = gk_n == gk_n_batch
+    if gk_ok:
+        import math
+
+        for prob in (0.05, 0.25, 0.5, 0.75, 0.95):
+            ans = GK.query(gk_entries, prob)
+            r_hi = gk_vals.where(F.col("value") <= ans).count()
+            r_lo = gk_vals.where(F.col("value") < ans).count()
+            target = max(1, int(math.ceil(prob * gk_n_batch)))
+            err = max(r_lo + 1 - target, target - r_hi, 0)
+            if err > gk_eps * gk_n_batch + 1:
+                gk_ok = False
+                break
+    results.append(("st11_gk_quantiles", gk_n, gk_n_batch, gk_ok))
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")

@@ -18,7 +18,7 @@ def test_streaming_equivalence_gate_all_green(spark):
         "st1_rate_limit", "st2_session_expiry", "st3_active_gauge",
         "st4_retention_eviction", "st5_ingest_dedup", "join_attribution",
         "st7_heavy_hitters", "st8_bm25_index", "st9_kmv_sketch",
-        "st10_cms_sketch",
+        "st10_cms_sketch", "st11_gk_quantiles",
     }
     for name, r in ops.items():
         assert r["matched"], (name, r["n_stream"], r["n_batch"])
