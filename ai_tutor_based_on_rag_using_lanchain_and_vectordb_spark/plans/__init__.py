@@ -32,7 +32,7 @@ _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
     "neardup_triangles", "copurchase_pairs", "session_overlap_counts",
     "pareto_parts_skyline", "gk_quantile_gate", "event_value_auc",
-    "zorder_order_keys",
+    "zorder_order_keys", "association_rules", "value_calibration_curve",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

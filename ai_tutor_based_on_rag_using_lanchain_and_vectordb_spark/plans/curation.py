@@ -304,8 +304,42 @@ def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve for the :func:`event_value_auc` score: decile
+    the score (exact SQL-ntile semantics via
+    operators/ranks.ntile_no_global_sort — positional tile boundaries
+    from range-bucketed ranks, no single-task global window), then the
+    per-decile positive rate. The (value, event_id) order key is
+    unique, so the tiling is deterministic and the oracle's
+    ntile(10) window reproduces it bit-for-bit."""
+    from ..operators.ranks import ntile_no_global_sort
+
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tiled = ntile_no_global_sort(
+        events, 10, "value", tiebreaks=("event_id",), out_col="decile"
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_pos"),
+            X.dsum(F.col("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            X.pround(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            "sum_value",
+        )
+    )
+
+
 QUERIES = {
     "event_value_auc": event_value_auc,
+    "value_calibration_curve": value_calibration_curve,
     "fuzzy_part_names": fuzzy_part_names,
     "catalog_merge_upsert": catalog_merge_upsert,
     "scd2_catalog_history": scd2_catalog_history,
@@ -332,6 +366,22 @@ _QUALITY_SQL = r"""
 
 
 ORACLE = {
+    "value_calibration_curve": f"""
+        WITH tiled AS (
+            SELECT value, event_type,
+                   ntile(10) OVER (ORDER BY value, event_id) AS decile
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               {X.pround_sql(
+                   "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+                   " * 1.0 / count(*)", 6)} AS pos_rate,
+               {X.dsum_sql("value", 4)} AS sum_value
+        FROM tiled GROUP BY decile
+    """,
     "event_value_auc": f"""
         WITH base AS (
             SELECT value,

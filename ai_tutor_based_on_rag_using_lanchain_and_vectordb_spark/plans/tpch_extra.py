@@ -502,6 +502,55 @@ def pareto_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
 
 
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over the co-purchase pairs
+    (:func:`copurchase_pairs`): antecedent→consequent with support,
+    confidence = supp(ab)/supp(a) and lift = N·supp(ab)/(supp(a)·supp(b))
+    — the A-Priori rule-generation step on top of the L2 pair mine.
+    Item supports ride the same distinct (order, part) pass the pair
+    mine needs; the rule table is pair-output-bounded, and the scalar
+    N (distinct orders) is a 1-row broadcast, never a collect."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("supp_item"))
+    n_orders = F.broadcast(
+        li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    )
+    pairs = copurchase_pairs(spark, sf_dir)
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "support",
+        )
+    )
+    sa = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("supp_item").alias("supp_a")
+    )
+    sb = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("supp_item").alias("supp_b")
+    )
+    return (
+        directed.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(n_orders)
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            X.pround(F.col("support") / F.col("supp_a"), 6).alias("confidence"),
+            X.pround(
+                F.col("n_orders") * F.col("support")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "volume_shipping_pairs": volume_shipping_pairs,
@@ -519,6 +568,7 @@ QUERIES = {
     "waiting_suppliers": waiting_suppliers,
     "copurchase_pairs": copurchase_pairs,
     "pareto_parts_skyline": pareto_parts_skyline,
+    "association_rules": association_rules,
 }
 
 
@@ -731,6 +781,41 @@ ORACLE = {
                AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """,
+    "association_rules": f"""
+        WITH p AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM p a
+            JOIN p b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ), directed AS (
+            SELECT part_a AS antecedent, part_b AS consequent, support
+            FROM pairs
+            UNION ALL
+            SELECT part_b AS antecedent, part_a AS consequent, support
+            FROM pairs
+        ), item AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp_item
+            FROM p GROUP BY l_partkey
+        ), total AS (
+            SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM p
+        )
+        SELECT d.antecedent, d.consequent, d.support,
+               {X.pround_sql("d.support * 1.0 / sa.supp_item", 6)}
+                   AS confidence,
+               {X.pround_sql(
+                   "t.n_orders * d.support * 1.0 /"
+                   " (sa.supp_item * sb.supp_item)", 6)} AS lift
+        FROM directed d
+        JOIN item sa ON sa.l_partkey = d.antecedent
+        JOIN item sb ON sb.l_partkey = d.consequent
+        CROSS JOIN total t
     """,
     "pareto_parts_skyline": """
         SELECT a.p_brand, a.p_partkey, a.p_retailprice, a.p_size
