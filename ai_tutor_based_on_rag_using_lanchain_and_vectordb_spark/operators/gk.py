@@ -252,3 +252,84 @@ def _part_fold(eps: float):
             yield out
 
     return run
+
+
+def _group_fold(eps: float):
+    """Per-partition per-GROUP bounded fold (the grouped analogue of
+    ``_fold_batches``): state is O(groups-seen-in-partition · 1/ε)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        state: dict = {}
+        pid = [0]
+        for pdf in batches:
+            if len(pdf):
+                pid[0] = int(pdf["_pid"].iloc[0])
+            for gval, sub in pdf.groupby("_g", sort=False):
+                vals = sub["v"].to_numpy(dtype=np.float64)
+                vals = np.sort(vals[~np.isnan(vals)])
+                if not len(vals):
+                    continue
+                acc = state.get(gval, [])
+                state[gval] = compress(
+                    merge_two(acc, summarize_sorted(vals, eps / 2)), eps / 2
+                )
+        rows = {"_g": [], "v": [], "g": [], "delta": [], "_pid": []}
+        for gval, entries in state.items():
+            for v, g, d in entries:
+                rows["_g"].append(gval)
+                rows["v"].append(v)
+                rows["g"].append(g)
+                rows["delta"].append(d)
+                rows["_pid"].append(pid[0])
+        yield pd.DataFrame(rows)
+
+    return run
+
+
+def gk_sketch_grouped(
+    df: DataFrame, group_col: str, col: str, eps: float
+) -> DataFrame:
+    """Per-group ε-summaries: rows (group, v, g, delta) — the grouped
+    analogue of :func:`gk_sketch`, same shape as
+    ``operators/kmv.kmv_sketch_grouped``. Partition folds keep bounded
+    per-group state; the final per-group merge is an ``applyInPandas``
+    over the group key whose input is ≤ partitions·O(1/ε) rows per
+    group by construction (each partition already folded). Persisting
+    these rows per day/shard gives re-aggregatable quantile rollups:
+    any group's summary for any day-range is one merge away, no
+    re-scan."""
+    import pandas as pd
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    vals = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(col).cast("double").alias("v"),
+        F.spark_partition_id().alias("_pid"),
+    ).where(F.col(col).isNotNull() & F.col(group_col).isNotNull())
+    partials = vals.mapInPandas(
+        _group_fold(eps), f"_g {gtype}, v double, g long, delta long, _pid int"
+    )
+
+    def merge_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc: List[Entry] = []
+        for _, sub in pdf.groupby("_pid", sort=True):
+            sub = sub.sort_values("v", kind="mergesort")
+            entries = list(
+                zip(sub["v"].tolist(), sub["g"].tolist(), sub["delta"].tolist())
+            )
+            acc = compress(merge_two(acc, entries), eps / 2)
+        return pd.DataFrame(
+            {
+                "_g": [key[0]] * len(acc),
+                "v": [e[0] for e in acc],
+                "g": [e[1] for e in acc],
+                "delta": [e[2] for e in acc],
+            }
+        )
+
+    return (
+        partials.groupBy("_g")
+        .applyInPandas(merge_group, f"_g {gtype}, v double, g long, delta long")
+        .withColumnRenamed("_g", group_col)
+    )

@@ -17,22 +17,19 @@ ALL_MODULES = (
     trainprep, streamgate,
 )
 
-# Round-7 driver-sample priority (the driver checks a ~50-query prefix
-# of this registry each round). Order: (1) queries CHANGED this round —
-# the sentinel-id fix (catalog_merge_upsert / scd2_catalog_history),
-# the two scale-nit rewrites (customer_spend_quartiles's bucketed
-# ntile, duplicate_spans's two-phase gram counts), the
-# brand_supplier_counts pair-dedup restage, and the newly
-# oracle-promoted knn_ivf_exhaustive; (2) the remaining queries whose
-# last official driver row is r4 (the r6 verdict's stale-19 list);
-# (3) everything r6's 50-sample did NOT draw (latest row r5), so r7
-# re-validates the other half of the registry. The order is otherwise
-# semantically irrelevant.
+# Round-9 driver-sample priority (the driver checks a ~50-query prefix
+# of this registry each round). Order: (1) the ten operators NEW in
+# round 9 (interval join, triangle census, basket mining + rules,
+# skyline, GK gates, AUC, calibration, z-order) — these need their
+# first official rows; then the round-8/9-changed queries; (2) the
+# remaining queries with the stalest official rows; (3) everything
+# else. The order is otherwise semantically irrelevant.
 _DRIVER_PRIORITY = (
     # (1) new/changed this round — need fresh official rows first
     "neardup_triangles", "copurchase_pairs", "session_overlap_counts",
     "pareto_parts_skyline", "gk_quantile_gate", "event_value_auc",
     "zorder_order_keys", "association_rules", "value_calibration_curve",
+    "gk_grouped_quantile_gate",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

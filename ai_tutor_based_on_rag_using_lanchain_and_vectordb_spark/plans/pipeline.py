@@ -1343,6 +1343,64 @@ def gk_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gk_grouped_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mergeable quantile summaries
+    (operators/gk.py:gk_sketch_grouped) with the same in-plan error
+    certificate as gk_quantile_gate, per LANGUAGE: sketch documents'
+    n_chars per lang at ε = 0.02, answer three quantiles per group off
+    the summaries alone, re-check every answer's true within-group
+    rank against the data. One row per lang
+    (lang, n, max_rank_err, bound, passed); rows-only."""
+    import pandas as pd
+
+    from ..operators import gk
+
+    eps = 0.02
+    probs = [0.25, 0.5, 0.9]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("x")
+    )
+    sk = gk.gk_sketch_grouped(docs, "lang", "x", eps)
+
+    def answers(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("v", kind="mergesort")
+        entries = list(zip(pdf["v"], pdf["g"], pdf["delta"]))
+        n = gk.total_count(entries)
+        return pd.DataFrame(
+            {
+                "lang": [key[0]] * len(probs),
+                "q": probs,
+                "est": [gk.query(entries, p) for p in probs],
+                "n": [n] * len(probs),
+            }
+        )
+
+    est = sk.groupBy("lang").applyInPandas(
+        answers, "lang string, q double, est double, n long"
+    )
+    ranked = (
+        docs.join(F.broadcast(est), "lang")
+        .groupBy("lang", "q", "est", "n")
+        .agg(
+            F.sum((F.col("x") < F.col("est")).cast("long")).alias("r_lo"),
+            F.sum((F.col("x") <= F.col("est")).cast("long")).alias("r_hi"),
+        )
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n")).cast("long"))
+    err = F.greatest(
+        F.col("r_lo") + 1 - target, target - F.col("r_hi"), F.lit(0)
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(err).alias("max_rank_err"),
+            F.ceil(F.max("n") * eps).cast("long").alias("bound"),
+            (F.max(err) <= F.ceil(F.max("n") * eps)).alias("passed"),
+        )
+    )
+
+
 def rag_chat_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 end-to-end chat dataflow with the deterministic LLM stub."""
     return chat.rag_answers(spark, sf_dir)
@@ -1401,6 +1459,7 @@ QUERIES = {
     "knn_ivfpq_recall": knn_ivfpq_recall,
     "hll_rollup_gate": hll_rollup_gate,
     "gk_quantile_gate": gk_quantile_gate,
+    "gk_grouped_quantile_gate": gk_grouped_quantile_gate,
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
     "warc_roundtrip_docs": warc_roundtrip_docs,

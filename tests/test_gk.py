@@ -127,3 +127,29 @@ def test_spark_sketch_null_and_skewed_partitions(spark):
     entries = [(r["v"], r["g"], r["delta"]) for r in rows]
     data = np.asarray([v for (v,) in vals if v is not None])
     _check_eps(entries, data, 0.05)
+
+
+def test_grouped_sketch_bounds_per_group(spark):
+    import random
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.gk import (
+        gk_sketch_grouped,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for g, n, lo, hi in (("a", 9000, 0.0, 1.0), ("b", 400, 100.0, 200.0),
+                         ("c", 1, 7.0, 7.0)):
+        rows += [(g, lo + rng.random() * (hi - lo)) for _ in range(n)]
+    df = spark.createDataFrame(rows, "grp string, x double").repartition(11)
+    out = gk_sketch_grouped(df, "grp", "x", eps=0.05).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["grp"], []).append((r["v"], r["g"], r["delta"]))
+    data_by_g: dict = {}
+    for g, v in rows:
+        data_by_g.setdefault(g, []).append(v)
+    assert set(by_g) == set(data_by_g)
+    for g, entries in by_g.items():
+        entries.sort()
+        _check_eps(entries, np.asarray(data_by_g[g]), 0.05)
