@@ -655,7 +655,44 @@ def neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by tf·idf
+    (Lucene idf, the one deliberate ln — argued in operators/bm25.py),
+    ranked (rounded score desc, term asc) so ties are deterministic.
+    Reuses the BM25 postings build (one explode + one (doc,term)
+    shuffle); the per-doc top-k is a WindowGroupLimit, never a global
+    sort. Corpus-level df and N ride the same postings pass — at
+    100 TB this is the standard two-aggregate keyword job, no new scan
+    shapes."""
+    from ..operators.bm25 import bm25_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = bm25_postings(docs)
+    dfc = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = F.broadcast(docs.agg(F.count("*").cast("long").alias("n_docs")))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        post.join(dfc, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            X.pround(idf * F.col("tf"), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "term", "tfidf")
+    )
+
+
 QUERIES = {
+    "doc_top_terms": doc_top_terms,
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,
     "lang_length_quantiles": lang_length_quantiles,
@@ -787,6 +824,34 @@ ORACLE = {
     "ngram_jaccard_pairs": r"""
         WITH """ + "_JACCARD_CTES" + r"""
         SELECT doc_a, doc_b, jaccard FROM all_pairs
+    """,
+    "doc_top_terms": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS term
+            FROM documents
+        ), posting AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks WHERE term <> '' GROUP BY 1, 2
+        ), dfc AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM posting GROUP BY 1
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ), scored AS (
+            SELECT doc_id, term,
+                   (floor((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf)
+                       * 1000000 + 0.5) / 1000000) AS tfidf
+            FROM posting JOIN dfc USING (term) CROSS JOIN stats
+        ), ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+        FROM ranked WHERE rk <= 3
     """,
     # triangle x<y<z appears exactly once as e1=(x,y), e2=(y,z),
     # e3=(x,z) because all_pairs is canonically doc_a < doc_b

@@ -551,6 +551,45 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of extendedprice × quantity
+    by the EXACT-MOMENTS recipe: the five sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate in decimal — each per-row product is exactly
+    representable in double first (2-dp price × integer qty stays well
+    under 2^53), so the decimal sums are exact integers-of-units, and
+    the correlation formula then runs once per GROUP in double with an
+    expression mirrored token-for-token in the oracle. Never uses the
+    engines' native ``corr`` (whose streaming accumulation order makes
+    cross-engine float parity impossible); this is one scan + one
+    narrow groupBy — the moments pattern any 100 TB profiling job
+    wants anyway, since the same six columns answer corr, covariance,
+    variance and mean at once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    y = F.col("l_quantity")
+    dec = X.DEC
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        X.pround(corr, 6).alias("corr_price_qty"),
+        X.pround(F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")), 4).alias(
+            "covar_pop"
+        ),
+    )
+
+
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "volume_shipping_pairs": volume_shipping_pairs,
@@ -569,6 +608,7 @@ QUERIES = {
     "copurchase_pairs": copurchase_pairs,
     "pareto_parts_skyline": pareto_parts_skyline,
     "association_rules": association_rules,
+    "price_quantity_corr": price_quantity_corr,
 }
 
 
@@ -781,6 +821,32 @@ ORACLE = {
                AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
         HAVING count(*) >= 2
+    """,
+    "price_quantity_corr": f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(l_extendedprice AS {X.DEC_SQL}))
+                        AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_quantity AS {X.DEC_SQL}))
+                        AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_extendedprice * l_quantity
+                        AS {X.DEC_SQL})) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(l_extendedprice * l_extendedprice
+                        AS {X.DEC_SQL})) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(l_quantity * l_quantity
+                        AS {X.DEC_SQL})) AS DOUBLE) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               {X.pround_sql(
+                   "(n * sxy - sx * sy) /"
+                   " sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
+                   AS corr_price_qty,
+               {X.pround_sql("sxy / n - (sx / n) * (sy / n)", 4)}
+                   AS covar_pop
+        FROM m
     """,
     "association_rules": f"""
         WITH p AS (
