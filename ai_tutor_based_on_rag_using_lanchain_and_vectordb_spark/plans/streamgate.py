@@ -333,9 +333,64 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
     results.append(("st11_gk_quantiles", gk_n, gk_n_batch, gk_ok))
 
+    # Incremental connected components: edge batches (user ↔ value
+    # bucket bipartite graph) condensed through the live labeling must
+    # end at EXACTLY the one-shot batch labeling — min-labels are
+    # associative, so stream order must not matter (multi-batch order
+    # permutations are pinned in tests/test_stream_components.py).
+    from ..streaming.graph import IncrementalComponents
+
+    def _cc_edges(df: DataFrame) -> DataFrame:
+        return df.where(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        ).select(
+            F.col("user_id").alias("src"),
+            (F.lit(1_000_000) + F.floor("value").cast("long")).alias("dst"),
+        )
+
+    inc_cc = IncrementalComponents()
+
+    def feed_cc(batch_df: DataFrame, _epoch: int) -> None:
+        inc_cc.update(_cc_edges(batch_df))
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "value")
+        .writeStream.foreachBatch(feed_cc)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cc_cols = ["node", "label"]
+    cc_got = (
+        _rows(inc_cc.labels(), cc_cols) if inc_cc.labels() is not None else []
+    )
+    cc_want = _rows(
+        connected_components_gate_batch(batch_events), cc_cols
+    )
+    results.append(
+        ("st12_incremental_components", len(cc_got), len(cc_want),
+         cc_got == cc_want)
+    )
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")
+
+
+def connected_components_gate_batch(batch_events: DataFrame) -> DataFrame:
+    """One-shot labeling of the same bipartite graph st12 streams."""
+    from ..operators.components import connected_components
+
+    edges = batch_events.where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("src"),
+        (F.lit(1_000_000) + F.floor("value").cast("long")).alias("dst"),
+    )
+    return connected_components(edges).select(
+        "node", F.col("component").alias("label")
+    )
 
 
 QUERIES = {"streaming_equivalence_gate": streaming_equivalence_gate}
