@@ -236,3 +236,50 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.count("*").alias("n_triangles")
     )
     return tri.crossJoin(F.broadcast(wedges))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree ≥ k, by iterative peeling — drop under-degree nodes, recount,
+    repeat. One row column ``node``.
+
+    Each round is two hash shuffles (degree count + semi-join filter)
+    over the SURVIVING edge set, which only shrinks; no driver graph
+    state (one converged-yet count per round crosses the driver). The
+    peel is monotone, so stopping early at a fixpoint equals running
+    all ``max_iter`` rounds — which is what makes a FIXED-depth SQL
+    unrolling of the same peel an exact oracle for this loop whether
+    or not the oracle's depth was 'enough': once stable, further
+    rounds are identity on both sides.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    cur = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    prev_n = cur.count()
+    for _ in range(max_iter):
+        deg = cur.groupBy("a").agg(F.count("*").alias("_deg"))
+        keep = deg.where(F.col("_deg") >= k).select("a")
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur.select(F.col("a").alias("node")).distinct()

@@ -691,8 +691,27 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the weak-similarity graph (same 0.02-threshold edges
+    as :func:`neardup_triangles`): documents that survive iterative
+    degree-2 peeling — the densely-duplicated backbone, the set a
+    template/boilerplate hunter looks at first. The engine peels with
+    convergence early-exit (operators/components.py:k_core); the
+    oracle unrolls TEN fixed peel rounds — exact either way, because a
+    converged peel is a fixpoint and further rounds are identity on
+    both sides."""
+    from ..operators.components import k_core
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_df(docs, threshold=0.02).select("doc_a", "doc_b")
+    return k_core(pairs, k=2, src="doc_a", dst="doc_b", max_iter=10).select(
+        F.col("node").alias("doc_id")
+    )
+
+
 QUERIES = {
     "doc_top_terms": doc_top_terms,
+    "neardup_k_core": neardup_k_core,
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,
     "lang_length_quantiles": lang_length_quantiles,
@@ -1032,6 +1051,38 @@ for _k in ("ngram_jaccard_pairs", "neardup_components", "neardup_keep_best",
 ORACLE["neardup_triangles"] = ORACLE["neardup_triangles"].replace(
     ">= 0.05", ">= 0.02"
 )
+
+
+def _kcore_rounds_sql(k: int, rounds: int) -> str:
+    """Unrolled degree-k peel: e0 = symmetrized pairs; each round keeps
+    edges whose BOTH endpoints had degree ≥ k in the previous round."""
+    # every e{i} is referenced twice (degree count + next peel), so the
+    # CTEs MUST be materialized — inlining doubles the plan per round
+    # (2^rounds copies of the whole shingle pipeline; measured: fd
+    # exhaustion at 10 rounds)
+    parts = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM all_pairs"
+        " UNION ALL SELECT doc_b AS a, doc_a AS b FROM all_pairs)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS (SELECT a, count(*) AS c FROM e{i} GROUP BY a)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE c >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e"
+            f" SEMI JOIN k{i} x ON e.a = x.a"
+            f" SEMI JOIN k{i} y ON e.b = y.a)"
+        )
+    return ", ".join(parts)
+
+
+ORACLE["neardup_k_core"] = (
+    "WITH " + _JACCARD_CTES_SQL + ", " + _kcore_rounds_sql(2, 10)
+    + " SELECT DISTINCT a AS doc_id FROM e10"
+).replace(">= 0.05", ">= 0.02")
 # keep-best nests the (oracle-green) quality scorer as its ranking key,
 # so the two definitions can't drift
 ORACLE["neardup_keep_best"] = ORACLE["neardup_keep_best"].replace(

@@ -105,3 +105,64 @@ def test_env_knob_drives_plan_entry_checkpointing(spark, sf_dir, tmp_path, monke
     # unset → default localCheckpoint path still works
     monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
     assert neardup_components(spark, sf_dir).count() == out.count()
+
+
+# --- k-core peeling ------------------------------------------------------
+
+
+def _brute_k_core(edges, k):
+    adj: dict = {}
+    es = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        a, b = min(a, b), max(a, b)
+        if (a, b) not in es:
+            es.add((a, b))
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return set(adj)
+
+
+def _spark_k_core(spark, edges, k):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.components import (
+        k_core,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"] for r in k_core(df, k=k).collect()}
+
+
+def test_k_core_triangle_survives_tail_peeled(spark):
+    # triangle + pendant chain: 2-core is exactly the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _spark_k_core(spark, edges, 2) == {1, 2, 3}
+
+
+def test_k_core_cascading_peel(spark):
+    # peeling 5 exposes 4, which exposes 3: multi-round cascade ending
+    # at the square
+    edges = [(1, 2), (2, 6), (6, 7), (7, 1), (1, 3), (3, 4), (4, 5)]
+    assert _spark_k_core(spark, edges, 2) == _brute_k_core(edges, 2)
+    assert _spark_k_core(spark, edges, 2) == {1, 2, 6, 7}
+
+
+def test_k_core_empty_when_tree(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    assert _spark_k_core(spark, edges, 2) == set()
+
+
+def test_k_core_k3_randomized(spark):
+    import random
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(80)]
+    for k in (2, 3, 4):
+        assert _spark_k_core(spark, edges, k) == _brute_k_core(edges, k), k
