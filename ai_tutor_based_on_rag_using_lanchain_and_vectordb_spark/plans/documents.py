@@ -709,8 +709,42 @@ def neardup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate quality signal (low entropy = repeated
+    filler, high = encrypted/binary junk). Explode to (doc, char),
+    map-side combine collapses to distinct (doc, char) counts before
+    the shuffle (≤ alphabet·docs rows, not characters), then each
+    term −p·log₂p is pre-rounded and decimal-summed per doc — the
+    BM25 float-parity pattern, so cross-engine ln ulps can't flip the
+    hash. ln 2 is a shared literal (JVM Math.log vs libm could differ
+    in the last ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ln2 = 0.6931471805599453
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n")
+    term = X.pround(p * F.log(p) / F.lit(ln2), 6)
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            X.pround(
+                -F.sum(term.cast(X.DEC)).cast("double"), 4
+            ).alias("char_entropy"),
+        )
+    )
+
+
 QUERIES = {
     "doc_top_terms": doc_top_terms,
+    "doc_char_entropy": doc_char_entropy,
     "neardup_k_core": neardup_k_core,
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,
@@ -843,6 +877,28 @@ ORACLE = {
     "ngram_jaccard_pairs": r"""
         WITH """ + "_JACCARD_CTES" + r"""
         SELECT doc_a, doc_b, jaccard FROM all_pairs
+    """,
+    "doc_char_entropy": r"""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ), f AS (
+            SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS k
+            FROM ch WHERE ch <> '' GROUP BY 1, 2
+        ), n AS (
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM f GROUP BY 1
+        ), terms AS (
+            SELECT f.doc_id, n.n,
+                   (floor(((k * 1.0 / n.n) * ln(k * 1.0 / n.n)
+                       / 0.6931471805599453) * 1000000 + 0.5) / 1000000)
+                       AS t
+            FROM f JOIN n USING (doc_id)
+        )
+        SELECT doc_id,
+               max(n) AS n_chars,
+               (floor((-CAST(sum(CAST(t AS DECIMAL(28,6))) AS DOUBLE))
+                   * 10000 + 0.5) / 10000) AS char_entropy
+        FROM terms GROUP BY doc_id
     """,
     "doc_top_terms": r"""
         WITH toks AS (
