@@ -30,7 +30,7 @@ _DRIVER_PRIORITY = (
     "pareto_parts_skyline", "gk_quantile_gate", "event_value_auc",
     "zorder_order_keys", "association_rules", "value_calibration_curve",
     "gk_grouped_quantile_gate", "price_quantity_corr", "doc_top_terms",
-    "neardup_k_core", "doc_char_entropy",
+    "neardup_k_core", "doc_char_entropy", "doc_compression_ratio",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

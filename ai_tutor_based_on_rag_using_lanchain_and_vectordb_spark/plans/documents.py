@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -742,9 +744,42 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the other classic
+    redundancy signal next to :func:`doc_char_entropy` (templates and
+    repeated filler compress far below prose; random junk barely
+    compresses). zlib level 6 output length is deterministic for a
+    given input, but no SQL engine can mirror it, so this is a
+    rows-only entry whose invariants (ratio bounds, monotonicity on
+    constructed texts) are pinned in tests/test_intervaljoin.py. The
+    UDF is an Arrow-batched pandas_udf — per-batch Python, never
+    per-row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts: "pd.Series") -> "pd.Series":
+        import zlib
+
+        def one(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        zratio(F.col("text")).alias("zlib_ratio"),
+    )
+
+
 QUERIES = {
     "doc_top_terms": doc_top_terms,
     "doc_char_entropy": doc_char_entropy,
+    "doc_compression_ratio": doc_compression_ratio,
     "neardup_k_core": neardup_k_core,
     "bm25_search_topk": bm25_search_topk,
     "bm25_index_search": bm25_index_search,

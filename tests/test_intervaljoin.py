@@ -191,3 +191,41 @@ def test_event_value_auc_matches_pairwise(spark):
     want = wins / (len(pos) * len(neg))
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
     assert abs(got["auc"] - want) < 1e-6
+
+
+# --- compression-ratio quality signal ------------------------------------
+
+
+def test_doc_compression_ratio_invariants(spark):
+    import os, tempfile, zlib
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.documents import (
+        doc_compression_ratio,
+    )
+
+    texts = {
+        1: "all work and no play " * 200,          # filler: compresses hard
+        2: "The quick brown fox jumps over the lazy dog. " * 40,
+        3: "".join(
+            chr(33 + r)
+            for r in (lambda g: [g.randrange(90) for _ in range(4000)])(
+                random.Random(41)
+            )
+        ),  # pseudo-random junk: barely compresses
+        4: "",                                      # empty -> NULL ratio
+    }
+    d = tempfile.mkdtemp(prefix="zr_")
+    spark.createDataFrame(
+        [(k, v, "en", "t", len(v)) for k, v in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r["zlib_ratio"] for r in doc_compression_ratio(spark, d).collect()}
+
+    assert got[4] is None
+    # exact agreement with local zlib at the same level
+    for k in (1, 2, 3):
+        raw = texts[k].encode()
+        assert abs(got[k] - round(len(zlib.compress(raw, 6)) / len(raw), 6)) < 1e-9
+    # ordering: repetitive texts compress far below pseudo-random junk
+    assert got[1] < got[3] and got[2] < got[3]
+    assert 0 < got[1] and got[3] < 1.2
