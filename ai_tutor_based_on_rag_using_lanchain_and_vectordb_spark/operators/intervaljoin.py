@@ -44,11 +44,31 @@ from pyspark.sql import functions as F
 __all__ = ["interval_overlap_join"]
 
 
-def _buckets(start: Column, end: Column, width_s: int) -> Column:
-    """Grid-cell ids covering [start, end] (inclusive), integer-exact."""
+def _buckets(start: Column, end: Column, width_s: int, max_cells: int) -> Column:
+    """Grid-cell ids covering [start, end] (inclusive), integer-exact.
+
+    ``max_cells`` guards the explode: one corrupt row with a
+    decades-long interval would otherwise fan out into millions of
+    cells (Spark's ``sequence`` would eventually throw an opaque
+    too-many-elements error mid-job); ``raise_error`` surfaces the
+    offending width instead, at planning-comprehensible cost."""
     lo = F.floor(F.unix_timestamp(start) / F.lit(width_s))
     hi = F.floor(F.unix_timestamp(end) / F.lit(width_s))
-    return F.sequence(lo, hi)
+    n = hi - lo + 1
+    checked_hi = F.when(n <= F.lit(max_cells), hi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_overlap_join: interval spans more grid cells"
+                    f" than max_cells_per_interval={max_cells}"
+                    f" (width_s={width_s}); got "
+                ),
+                n.cast("string"),
+                F.lit(" cells — widen bucket_width_s or clean the data"),
+            )
+        ).cast("long")
+    )
+    return F.sequence(lo, checked_hi)
 
 
 def interval_overlap_join(
@@ -60,6 +80,7 @@ def interval_overlap_join(
     rend: str,
     bucket_width_s: int = 21600,
     extra_cond: Optional[Callable[[DataFrame], Column]] = None,
+    max_cells_per_interval: int = 100_000,
 ) -> DataFrame:
     """Inner-join ``left`` × ``right`` on closed-interval overlap.
 
@@ -75,8 +96,18 @@ def interval_overlap_join(
     (long width → more false-positive pairs per cell).  Pick it near
     the typical interval span.
     """
-    l = left.withColumn("_cell", F.explode(_buckets(F.col(lstart), F.col(lend), bucket_width_s)))
-    r = right.withColumn("_cell", F.explode(_buckets(F.col(rstart), F.col(rend), bucket_width_s)))
+    l = left.withColumn(
+        "_cell",
+        F.explode(
+            _buckets(F.col(lstart), F.col(lend), bucket_width_s, max_cells_per_interval)
+        ),
+    )
+    r = right.withColumn(
+        "_cell",
+        F.explode(
+            _buckets(F.col(rstart), F.col(rend), bucket_width_s, max_cells_per_interval)
+        ),
+    )
 
     joined = l.join(r, "_cell")
     overlap = (F.col(lstart) <= F.col(rend)) & (F.col(rstart) <= F.col(lend))

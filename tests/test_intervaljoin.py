@@ -229,3 +229,22 @@ def test_doc_compression_ratio_invariants(spark):
     # ordering: repetitive texts compress far below pseudo-random junk
     assert got[1] < got[3] and got[2] < got[3]
     assert 0 < got[1] and got[3] < 1.2
+
+
+def test_pathological_interval_raises_clear_error(spark):
+    import pytest
+
+    l = _iv(spark, [(0, 100)], "a0", "a1")
+    r = _iv(spark, [(0, 40_000_000)], "b0", "b1")  # ~463 days of 1s cells
+    out = interval_overlap_join(
+        l, r, "a0", "a1", "b0", "b1", bucket_width_s=1,
+        max_cells_per_interval=1000,
+    )
+    with pytest.raises(Exception, match="max_cells_per_interval"):
+        out.collect()
+    # same data passes with a sane width
+    ok = interval_overlap_join(
+        l, r, "a0", "a1", "b0", "b1", bucket_width_s=86_400,
+        max_cells_per_interval=1000,
+    )
+    assert [(x["id_a0"], x["id_b0"]) for x in ok.collect()] == [(0, 0)]
