@@ -215,7 +215,17 @@ def upsert_bm25_index(
     # otherwise merge their term counts into one doubled posting set,
     # breaking the equals-a-one-shot-build invariant (and the skipped
     # count). One arbitrary-but-single row per id survives.
-    fresh = docs.join(existing, id_col, "left_anti").dropDuplicates([id_col])
+    # PIN the surviving rows: dropDuplicates keeps an arbitrary row per
+    # id, and three separate actions (the added-count, the postings
+    # write, the doclens write) would each re-evaluate the plan — under
+    # AQE/speculation they could keep DIFFERENT rows, leaving doclens
+    # inconsistent with the written postings for that doc. The
+    # checkpoint also stops the anti-join+dedupe from recomputing 3×.
+    fresh = (
+        docs.join(existing, id_col, "left_anti")
+        .dropDuplicates([id_col])
+        .localCheckpoint(eager=True)
+    )
     postings = bm25_postings(fresh, id_col, text_col)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     added = dl.count()

@@ -55,17 +55,11 @@ def portable_bucket(key: Column, row: int, width: int) -> Column:
     return h % F.lit(int(width))
 
 
-def cms_build(
-    df: DataFrame,
-    col: str,
-    width: int = DEFAULT_WIDTH,
-    depth: int = DEFAULT_DEPTH,
-) -> DataFrame:
-    """Build the sketch: (row int, bucket long, cnt long), <= d·w rows.
-    NULL keys are outside the domain (freq.py convention)."""
-    if width < 1 or depth < 1:
-        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
-    coords = F.explode(
+def _coords(col: str, width: int, depth: int):
+    """The (row, bucket) coordinate explode — ONE definition shared by
+    build and estimate: every estimate is only an upper bound if the
+    probe computes byte-identical coordinates to the build."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -76,6 +70,19 @@ def cms_build(
             ]
         )
     )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+) -> DataFrame:
+    """Build the sketch: (row int, bucket long, cnt long), <= d·w rows.
+    NULL keys are outside the domain (freq.py convention)."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    coords = _coords(col, width, depth)
     return (
         df.where(F.col(col).isNotNull())
         .select(coords.alias("c"))
@@ -105,17 +112,7 @@ def cms_estimate(
     frame explodes into its d coordinates, joins the sketch (broadcast:
     <= d·w rows by construction), and takes min-over-rows; a bucket
     absent from the sketch counts 0 (nothing ever hashed there)."""
-    coords = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    portable_bucket(F.col(col), i, width).alias("bucket"),
-                )
-                for i in range(depth)
-            ]
-        )
-    )
+    coords = _coords(col, width, depth)
     kc = (
         keys.where(F.col(col).isNotNull())
         .distinct()

@@ -269,7 +269,10 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     prev_n = cur.count()
+    converged = prev_n == 0
     for _ in range(max_iter):
+        if converged:
+            break
         deg = cur.groupBy("a").agg(F.count("*").alias("_deg"))
         keep = deg.where(F.col("_deg") >= k).select("a")
         nxt = (
@@ -280,6 +283,16 @@ def k_core(
         n = nxt.count()
         cur = nxt
         if n == prev_n:
-            break
+            converged = True
         prev_n = n
+    if not converged:
+        # a silent return here would be a SUPERSET of the true k-core
+        # (e.g. a long path peels only its two endpoints per round);
+        # fail loudly instead — the fixed-depth SQL oracle would be
+        # equally wrong, so green-but-wrong is the failure mode this
+        # guard exists to prevent
+        raise ValueError(
+            f"k_core did not converge within max_iter={max_iter} peel "
+            f"rounds ({prev_n} directed edges remain); raise max_iter"
+        )
     return cur.select(F.col("a").alias("node")).distinct()

@@ -55,6 +55,21 @@ def mg_trim(counters: dict, k: int) -> dict:
     return {v: c - w for v, c in counters.items() if c - w > 0}
 
 
+def _domain_filter(df: DataFrame, col: str) -> DataFrame:
+    """Restrict to the operator's key domain: non-null AND (for float
+    keys) non-NaN. Spark's isNotNull keeps NaN, but the pandas fold's
+    value_counts drops it AND the None sentinel of the part_rows path
+    stores as NaN in a float column — so a NaN key could neither be
+    counted consistently nor represented. Excluding it on EVERY path
+    (fold, recount, naive baseline, streaming) keeps them
+    row-for-row comparable."""
+    dt = df.schema[col].dataType.simpleString()
+    cond = F.col(col).isNotNull()
+    if dt in ("float", "double"):
+        cond = cond & ~F.isnan(F.col(col))
+    return df.where(cond)
+
+
 def _mg_summaries(col: str, k: int, emit_part_rows: bool = False):
     import pandas as pd
 
@@ -96,7 +111,8 @@ def heavy_hitters(df: DataFrame, col: str, phi: float, k: int | None = None) -> 
     candidate bound at 2/phi keys while guaranteeing the superset
     property (any k ≥ 1/phi is sound). NULL keys are outside the
     domain (module docstring): they are filtered here and the total n
-    is the non-null row count."""
+    is the non-null row count. Float NaN keys are likewise outside the
+    domain (see _domain_filter)."""
     if not (0.0 < phi < 1.0):
         raise ValueError(f"phi must be in (0, 1), got {phi}")
     if k is None:
@@ -107,7 +123,7 @@ def heavy_hitters(df: DataFrame, col: str, phi: float, k: int | None = None) -> 
             f"{math.ceil(1.0 / phi)}"
         )
 
-    df = df.where(F.col(col).isNotNull())
+    df = _domain_filter(df, col)
     dtype = df.schema[col].dataType.simpleString()
     summaries = df.select(col).mapInPandas(
         _mg_summaries(col, k), f"{col} {dtype}, mg_weight long"
@@ -135,9 +151,9 @@ def heavy_hitters(df: DataFrame, col: str, phi: float, k: int | None = None) -> 
 
 def exact_heavy_hitters_naive(df: DataFrame, col: str, phi: float) -> DataFrame:
     """The full-domain-shuffle plan, kept as the equivalence baseline
-    for tests (NOT the scale path). Same non-null domain as
+    for tests (NOT the scale path). Same non-null non-NaN domain as
     heavy_hitters so the two are row-for-row comparable."""
-    df = df.where(F.col(col).isNotNull())
+    df = _domain_filter(df, col)
     total = df.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     return (
         df.groupBy(col)

@@ -98,13 +98,14 @@ def edit_distance_pairs(
         )
         .distinct()  # a close pair shares MANY signatures — verify once
     )
-    verified = cand.where(
-        F.levenshtein("name_a", "name_b") <= k
-    ).select(
+    # compute the DP once per candidate: project lev, THEN filter — a
+    # where+select pair would carry one levenshtein in the Filter and a
+    # second in the Project, doubling the verify step's hot path
+    verified = cand.select(
         "name_a",
         "name_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("lev"),
-    )
+    ).where(F.col("lev") <= k)
     na = names.select(F.col("name").alias("name_a"), F.col("n").alias("n_a"))
     nb = names.select(F.col("name").alias("name_b"), F.col("n").alias("n_b"))
     return verified.join(na, "name_a").join(nb, "name_b").select(

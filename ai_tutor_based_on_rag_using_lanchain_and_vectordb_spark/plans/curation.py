@@ -261,12 +261,17 @@ def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Identity: 2·P·N·AUC = Σ_v p_v · (2·cum_neg_below(v) + neg_v) over
     DISTINCT score values v (ties contribute ½ via the middle term) —
-    integer arithmetic until the final division, so the oracle is
-    exact. Plan shape: one groupBy collapses rows to distinct scores,
-    then the bucketed exclusive prefix sum (operators/prefix.py) gives
-    cum_neg_below WITHOUT a single-task global window — the textbook
-    row_number-based rank-sum would funnel every row through one
-    window task at 100 TB."""
+    exact until the final division: cum_neg_below comes back from the
+    prefix operator as a double but is integer-valued and double-exact
+    up to 2⁵³ negatives (~9·10¹⁵ rows — beyond any corpus), per-term
+    products multiply as decimals, and the Σ accumulates in
+    DECIMAL(38,0) because the TOTAL ≈ 2·P·N blows through 2⁵³ at
+    ~10⁸ rows — a double sum there would silently drift from the
+    integer-exact oracle. Plan shape: one groupBy collapses rows to
+    distinct scores, then the bucketed exclusive prefix sum
+    (operators/prefix.py) gives cum_neg_below WITHOUT a single-task
+    global window — the textbook row_number rank-sum would funnel
+    every row through one window task at 100 TB."""
     from ..operators.prefix import grouped_prefix_sum
 
     events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
@@ -288,18 +293,22 @@ def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = grouped_prefix_sum(
         per_v, ["_g"], "value", F.col("neg"), out_col="cnb"
     )
+    cnb = F.col("cnb").cast("long")
+    term = F.col("p").cast("decimal(19,0)") * (
+        2 * cnb + F.col("neg")
+    ).cast("decimal(19,0)")
     agg = pre.agg(
         F.sum("p").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
-        F.sum(F.col("p") * (2 * F.col("cnb") + F.col("neg")))
-        .cast("long")
-        .alias("numer2"),
+        F.sum(term).alias("numer2"),  # decimal(38,0): exact
     )
     return agg.select(
         "n_pos",
         "n_neg",
         X.pround(
-            F.col("numer2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+            F.col("numer2").cast("double")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
         ).alias("auc"),
     )
 

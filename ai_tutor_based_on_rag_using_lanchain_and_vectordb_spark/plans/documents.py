@@ -698,15 +698,17 @@ def neardup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     as :func:`neardup_triangles`): documents that survive iterative
     degree-2 peeling — the densely-duplicated backbone, the set a
     template/boilerplate hunter looks at first. The engine peels with
-    convergence early-exit (operators/components.py:k_core); the
-    oracle unrolls TEN fixed peel rounds — exact either way, because a
+    convergence early-exit (operators/components.py:k_core, which now
+    RAISES rather than silently returning a superset if the peel needs
+    more rounds than budgeted); the oracle unrolls SIXTEEN fixed peel
+    rounds — exact whenever the engine returns at all, because a
     converged peel is a fixpoint and further rounds are identity on
     both sides."""
     from ..operators.components import k_core
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_df(docs, threshold=0.02).select("doc_a", "doc_b")
-    return k_core(pairs, k=2, src="doc_a", dst="doc_b", max_iter=10).select(
+    return k_core(pairs, k=2, src="doc_a", dst="doc_b", max_iter=16).select(
         F.col("node").alias("doc_id")
     )
 
@@ -1171,8 +1173,8 @@ def _kcore_rounds_sql(k: int, rounds: int) -> str:
 
 
 ORACLE["neardup_k_core"] = (
-    "WITH " + _JACCARD_CTES_SQL + ", " + _kcore_rounds_sql(2, 10)
-    + " SELECT DISTINCT a AS doc_id FROM e10"
+    "WITH " + _JACCARD_CTES_SQL + ", " + _kcore_rounds_sql(2, 16)
+    + " SELECT DISTINCT a AS doc_id FROM e16"
 ).replace(">= 0.05", ">= 0.02")
 # keep-best nests the (oracle-green) quality scorer as its ranking key,
 # so the two definitions can't drift

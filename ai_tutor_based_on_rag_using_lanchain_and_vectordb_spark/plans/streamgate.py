@@ -340,14 +340,6 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # permutations are pinned in tests/test_stream_components.py).
     from ..streaming.graph import IncrementalComponents
 
-    def _cc_edges(df: DataFrame) -> DataFrame:
-        return df.where(
-            F.col("user_id").isNotNull() & F.col("value").isNotNull()
-        ).select(
-            F.col("user_id").alias("src"),
-            (F.lit(1_000_000) + F.floor("value").cast("long")).alias("dst"),
-        )
-
     inc_cc = IncrementalComponents()
 
     def feed_cc(batch_df: DataFrame, _epoch: int) -> None:
@@ -378,17 +370,24 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("operator")
 
 
-def connected_components_gate_batch(batch_events: DataFrame) -> DataFrame:
-    """One-shot labeling of the same bipartite graph st12 streams."""
-    from ..operators.components import connected_components
-
-    edges = batch_events.where(
+def _cc_edges(df: DataFrame) -> DataFrame:
+    """st12's graph encoding — ONE definition: the stream fold and the
+    batch reference labeling must encode the identical bipartite graph
+    (user ↔ 1e6-offset value bucket) or the gate compares apples to
+    oranges."""
+    return df.where(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     ).select(
         F.col("user_id").alias("src"),
         (F.lit(1_000_000) + F.floor("value").cast("long")).alias("dst"),
     )
-    return connected_components(edges).select(
+
+
+def connected_components_gate_batch(batch_events: DataFrame) -> DataFrame:
+    """One-shot labeling of the same bipartite graph st12 streams."""
+    from ..operators.components import connected_components
+
+    return connected_components(_cc_edges(batch_events)).select(
         "node", F.col("component").alias("label")
     )
 

@@ -35,7 +35,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.freq import _mg_summaries, mg_trim
+from ..operators.freq import _domain_filter, _mg_summaries, mg_trim
 
 
 class MgState:
@@ -115,7 +115,7 @@ def run_heavy_hitters_stream(
         dtype = batch_df.schema[col].dataType.simpleString()
         dtype_holder["t"] = dtype
         rows = (
-            batch_df.select(col)
+            _domain_filter(batch_df.select(col), col)
             .mapInPandas(
                 _mg_summaries(col, k, emit_part_rows=True),
                 f"{col} {dtype}, mg_weight long, part_rows long",

@@ -108,3 +108,22 @@ def test_null_keys_excluded_from_domain(spark):
     # unfiltered 400 it would be 20% and (wrongly) excluded
     assert rows == [(1, 80)]
     assert all(k is not None for k, _ in rows)
+
+
+def test_float_nan_keys_outside_domain_on_every_path(spark):
+    # NaN is not NULL in Spark, pandas value_counts drops it, and the
+    # part-rows sentinel can't represent it in a float column — so the
+    # operator excludes NaN from the key domain on EVERY path; the two
+    # entry points must stay row-for-row comparable on NaN-heavy data
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.freq import (
+        exact_heavy_hitters_naive,
+        heavy_hitters,
+    )
+
+    rows = [(float("nan"),)] * 50 + [(1.0,)] * 30 + [(2.0,)] * 5 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "k double").repartition(5)
+    got = sorted((r["k"], r["cnt"]) for r in heavy_hitters(df, "k", 0.25).collect())
+    want = sorted(
+        (r["k"], r["cnt"]) for r in exact_heavy_hitters_naive(df, "k", 0.25).collect()
+    )
+    assert got == want == [(1.0, 30)]
