@@ -31,6 +31,7 @@ _DRIVER_PRIORITY = (
     "zorder_order_keys", "association_rules", "value_calibration_curve",
     "gk_grouped_quantile_gate", "price_quantity_corr", "doc_top_terms",
     "neardup_k_core", "doc_char_entropy", "doc_compression_ratio",
+    "rolling_7d_distinct_users", "value_winsorized",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

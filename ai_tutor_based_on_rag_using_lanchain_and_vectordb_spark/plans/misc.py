@@ -487,8 +487,35 @@ def zorder_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping (winsorization) of event values at the exact
+    p01/p99 quantiles — the standard robust-feature step before
+    training. The two cut points are ONE 1-row aggregate broadcast
+    into the clip projection (never collected to the driver, never a
+    per-row subquery); the clip itself is codegen'd
+    least/greatest."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cuts = F.broadcast(
+        events.agg(
+            F.expr("percentile(value, 0.01)").alias("_lo"),
+            F.expr("percentile(value, 0.99)").alias("_hi"),
+        )
+    )
+    return events.crossJoin(cuts).select(
+        "event_id",
+        X.pround(F.col("value"), 6).alias("value"),
+        X.pround(
+            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")), 6
+        ).alias("value_winsorized"),
+        (
+            (F.col("value") < F.col("_lo")) | (F.col("value") > F.col("_hi"))
+        ).alias("clipped"),
+    )
+
+
 QUERIES = {
     "zorder_order_keys": zorder_order_keys,
+    "value_winsorized": value_winsorized,
     "kmv_distinct_users": kmv_distinct_users,
     "cms_user_counts": cms_user_counts,
     "kmv_overlap_gate": kmv_overlap_gate,
@@ -518,6 +545,20 @@ QUERIES = {
 
 ORACLE = {
     "zorder_order_keys": None,  # filled below (generated bit-arith SQL)
+    "value_winsorized": f"""
+        WITH cuts AS (
+            SELECT quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT event_id,
+               {X.pround_sql("value", 6)} AS value,
+               {X.pround_sql("least(greatest(value, lo), hi)", 6)}
+                   AS value_winsorized,
+               (value < lo OR value > hi) AS clipped
+        FROM events CROSS JOIN cuts
+        WHERE value IS NOT NULL
+    """,
     "kmv_distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL

@@ -263,6 +263,40 @@ def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the sliding-window
+    distinct that plain rollups cannot answer (distincts don't add).
+    The engine computes it from DAILY PARTIALS: one pass collapses
+    events to distinct (day, user) pairs, a compact day-spine range
+    join fans each daily partial into the ≤ 7 windows it serves, and a
+    count-distinct per target day finishes. At 100 TB this is the
+    stored-sketch pattern: the raw scan happens once to build daily
+    partials (persisted in production; KMV/HLL when approximation is
+    acceptable — operators/kmv.py, hll_rollup_gate), and any window
+    length re-aggregates the partials without touching raw events. The
+    fan-out join is on the small spine side (days × 7), never on raw
+    rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    spine = daily.select("day").distinct().select(
+        F.col("day").alias("window_day"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("_back"),
+    ).select(
+        "window_day", F.date_sub(F.col("window_day"), F.col("_back")).alias("day")
+    )
+    return (
+        daily.join(F.broadcast(spine), "day")
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users_7d"))
+    )
+
+
 def balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic ranks — percent_rank + cume_dist of customer balance
     within each nation (distribution-position functions the reference
@@ -581,6 +615,7 @@ QUERIES = {
     "daily_activity": daily_activity,
     "session_windows": session_windows,
     "session_overlap_counts": session_overlap_counts,
+    "rolling_7d_distinct_users": rolling_7d_distinct_users,
     "balance_percentiles": balance_percentiles,
     "purchase_attribution": purchase_attribution,
     "user_daily_gapfill": user_daily_gapfill,
@@ -730,6 +765,21 @@ ORACLE = {
           ON x.user_id <> y.user_id
          AND x.s_start <= y.s_end AND y.s_start <= x.s_end
         GROUP BY x.user_id, x.s_start
+    """,
+    "rolling_7d_distinct_users": """
+        WITH daily AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events WHERE user_id IS NOT NULL
+        ), spine AS (
+            SELECT DISTINCT day AS window_day FROM daily
+        )
+        SELECT s.window_day,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users_7d
+        FROM spine s
+        JOIN daily d
+          ON d.day <= s.window_day
+         AND d.day >= s.window_day - INTERVAL 6 DAY
+        GROUP BY s.window_day
     """,
     "balance_percentiles": f"""
         SELECT c_custkey, c_nationkey, c_acctbal,
