@@ -297,6 +297,36 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is weighted by how long it was 'current' — the gap to the user's
+    next event, in microseconds; a user's last event carries no weight
+    (no observed holding period). The per-user window is the natural
+    partitioning (users are the parallelism unit; no global sort), Δt
+    is exact integer arithmetic, and each value·Δt term is computed in
+    identical IEEE order on both engines then decimal-summed, the
+    standard float-parity pattern."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    dt = nxt - F.unix_micros(F.col("ts"))
+    weighted = events.select(
+        "user_id",
+        "value",
+        dt.alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return weighted.groupBy("user_id").agg(
+        F.sum("dt_us").cast("long").alias("observed_us"),
+        X.pround(
+            F.sum((F.col("value") * F.col("dt_us")).cast(X.DEC)).cast("double")
+            / F.sum("dt_us"),
+            6,
+        ).alias("twap_value"),
+    )
+
+
 def balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic ranks — percent_rank + cume_dist of customer balance
     within each nation (distribution-position functions the reference
@@ -616,6 +646,7 @@ QUERIES = {
     "session_windows": session_windows,
     "session_overlap_counts": session_overlap_counts,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
+    "user_time_weighted_value": user_time_weighted_value,
     "balance_percentiles": balance_percentiles,
     "purchase_attribution": purchase_attribution,
     "user_daily_gapfill": user_daily_gapfill,
@@ -780,6 +811,25 @@ ORACLE = {
           ON d.day <= s.window_day
          AND d.day >= s.window_day - INTERVAL 6 DAY
         GROUP BY s.window_day
+    """,
+    "user_time_weighted_value": f"""
+        WITH base AS (
+            SELECT user_id, value, event_id, epoch_us(ts) AS t
+            FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ), gaps AS (
+            SELECT user_id, value,
+                   lead(t) OVER (PARTITION BY user_id
+                       ORDER BY t, event_id) - t AS dt_us
+            FROM base
+        )
+        SELECT user_id,
+               CAST(sum(dt_us) AS BIGINT) AS observed_us,
+               {X.pround_sql(
+                   "CAST(sum(CAST(value * dt_us AS " + X.DEC_SQL + "))"
+                   " AS DOUBLE) / sum(dt_us)", 6)} AS twap_value
+        FROM gaps WHERE dt_us IS NOT NULL
+        GROUP BY user_id
     """,
     "balance_percentiles": f"""
         SELECT c_custkey, c_nationkey, c_acctbal,
