@@ -296,3 +296,71 @@ def k_core(
             f"rounds ({prev_n} directed edges remain); raise max_iter"
         )
     return cur.select(F.col("a").alias("node")).distinct()
+
+
+def local_clustering(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    2·T_v / (deg_v·(deg_v−1)) for every node of degree ≥ 2 (degree-1
+    nodes have no defined coefficient and are omitted). Same
+    degree-oriented wedge generation as :func:`triangle_count` — the
+    skew bound carries over — but the closing-edge probe is an INNER
+    join (the triple is needed, not just its existence), and each found
+    triangle (u, x, y) credits all three corners via one explode."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    key_a = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    key_b = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = ed.select(
+        F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(key_a < key_b, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedge_pairs = o1.join(o2, "u").where(
+        F.struct(F.col("dx").alias("d"), F.col("x").alias("n"))
+        < F.struct(F.col("dy").alias("d"), F.col("y").alias("n"))
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    triangles = wedge_pairs.join(closing, ["x", "y"])  # inner: keep triples
+    corners = (
+        triangles.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                F.floor(
+                    (
+                        2.0
+                        * F.coalesce("n_triangles", F.lit(0))
+                        / (F.col("deg") * (F.col("deg") - 1))
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("local_cc"),
+        )
+    )

@@ -32,7 +32,7 @@ _DRIVER_PRIORITY = (
     "gk_grouped_quantile_gate", "price_quantity_corr", "doc_top_terms",
     "neardup_k_core", "doc_char_entropy", "doc_compression_ratio",
     "rolling_7d_distinct_users", "value_winsorized",
-    "user_time_weighted_value",
+    "user_time_weighted_value", "neardup_local_clustering",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

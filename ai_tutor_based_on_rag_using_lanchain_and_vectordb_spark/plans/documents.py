@@ -778,8 +778,26 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document local clustering coefficient on the 0.02-threshold
+    similarity graph — the node-granular upgrade of
+    :func:`neardup_triangles` (2·T_v / deg_v(deg_v−1) flags documents
+    whose neighborhoods are tight cliques: template families, mirrored
+    boilerplate). Runs the same degree-oriented wedge machinery
+    (operators/components.py:local_clustering), so the celebrity-node
+    skew bound carries over."""
+    from ..operators.components import local_clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_df(docs, threshold=0.02).select("doc_a", "doc_b")
+    return local_clustering(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles", "local_cc"
+    )
+
+
 QUERIES = {
     "doc_top_terms": doc_top_terms,
+    "neardup_local_clustering": neardup_local_clustering,
     "doc_char_entropy": doc_char_entropy,
     "doc_compression_ratio": doc_compression_ratio,
     "neardup_k_core": neardup_k_core,
@@ -1175,6 +1193,35 @@ def _kcore_rounds_sql(k: int, rounds: int) -> str:
 ORACLE["neardup_k_core"] = (
     "WITH " + _JACCARD_CTES_SQL + ", " + _kcore_rounds_sql(2, 16)
     + " SELECT DISTINCT a AS doc_id FROM e16"
+).replace(">= 0.05", ">= 0.02")
+
+ORACLE["neardup_local_clustering"] = (
+    "WITH " + _JACCARD_CTES_SQL + r""", e AS MATERIALIZED (
+        SELECT DISTINCT doc_a AS a, doc_b AS b FROM all_pairs
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+        ) GROUP BY node
+    ), tri AS MATERIALIZED (
+        SELECT e1.a AS u, e1.b AS x, e2.b AS y
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS doc_id, d.deg AS degree,
+           coalesce(c.n_triangles, 0) AS n_triangles,
+           """ + X.pround_sql(
+        "2.0 * coalesce(c.n_triangles, 0) / (d.deg * (d.deg - 1))", 6
+    ) + r""" AS local_cc
+    FROM deg d LEFT JOIN corners c ON c.node = d.node
+    WHERE d.deg >= 2
+"""
 ).replace(">= 0.05", ">= 0.02")
 # keep-best nests the (oracle-green) quality scorer as its ranking key,
 # so the two definitions can't drift

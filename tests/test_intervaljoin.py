@@ -248,3 +248,32 @@ def test_pathological_interval_raises_clear_error(spark):
         max_cells_per_interval=1000,
     )
     assert [(x["id_a0"], x["id_b0"]) for x in ok.collect()] == [(0, 0)]
+
+
+def test_local_clustering_vs_naive(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.components import (
+        local_clustering,
+    )
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(15), rng.randrange(15)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["local_cc"])
+        for r in local_clustering(df).collect()
+    }
+
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n, nb in adj.items():
+        if len(nb) < 2:
+            assert n not in got
+            continue
+        t = sum(1 for u in nb for v in nb if u < v and v in adj[u])
+        cc = 2.0 * t / (len(nb) * (len(nb) - 1))
+        assert got[n][0] == len(nb) and got[n][1] == t, n
+        assert abs(got[n][2] - cc) < 1e-6, n
