@@ -33,6 +33,7 @@ _DRIVER_PRIORITY = (
     "neardup_k_core", "doc_char_entropy", "doc_compression_ratio",
     "rolling_7d_distinct_users", "value_winsorized",
     "user_time_weighted_value", "neardup_local_clustering",
+    "audience_overlap_matrix",
     "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
     "event_heavy_hitters",
     "bm25_index_search", "bm25_search_topk",

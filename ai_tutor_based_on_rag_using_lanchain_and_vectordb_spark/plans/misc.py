@@ -513,9 +513,55 @@ def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |A∩B|, Jaccard,
+    and containment for every unordered type pair — the exact
+    ground-truth the KMV overlap estimator (kmv_overlap_gate)
+    approximates at corpus scale. Plan shape: ONE distinct
+    (user, type) pass, a per-user self-join whose fan-out is bounded
+    by types-per-user² (single digits — never a user×user join), then
+    a count per type pair; |A∪B| = |A|+|B|−|A∩B| from the same
+    distinct pass, so nothing scans raw events twice."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ut = events.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "n_both",
+            X.pround(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            X.pround(
+                F.col("n_both") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+
+
 QUERIES = {
     "zorder_order_keys": zorder_order_keys,
     "value_winsorized": value_winsorized,
+    "audience_overlap_matrix": audience_overlap_matrix,
     "kmv_distinct_users": kmv_distinct_users,
     "cms_user_counts": cms_user_counts,
     "kmv_overlap_gate": kmv_overlap_gate,
@@ -545,6 +591,29 @@ QUERIES = {
 
 ORACLE = {
     "zorder_order_keys": None,  # filled below (generated bit-arith SQL)
+    "audience_overlap_matrix": f"""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ), sizes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM ut GROUP BY event_type
+        ), inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+               {X.pround_sql("i.n_both * 1.0 / (sa.n + sb.n - i.n_both)", 6)}
+                   AS jaccard,
+               {X.pround_sql("i.n_both * 1.0 / least(sa.n, sb.n)", 6)}
+                   AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
     "value_winsorized": f"""
         WITH cuts AS (
             SELECT quantile_cont(value, 0.01) AS lo,
