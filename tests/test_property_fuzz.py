@@ -112,3 +112,78 @@ def test_cmyk_jpeg_roundtrip_fuzz(seed, ycck, progressive):
     out = MD.decode_jpeg_pixels(encode_jpeg(img, ycck=ycck, progressive=progressive))
     assert out is not None and out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+# -- interval-join grid math: the responsibility rule must emit every
+# -- overlapping pair exactly once for ANY integer bounds and width
+# -- (pure replica of operators/intervaljoin._buckets + owner rule)
+
+_iv_bound = st.integers(min_value=0, max_value=5_000)
+
+
+@given(
+    left=st.lists(st.tuples(_iv_bound, st.integers(0, 400)), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_iv_bound, st.integers(0, 400)), min_size=1, max_size=25),
+    width=st.integers(min_value=1, max_value=700),
+)
+@settings(max_examples=200, deadline=None)
+def test_interval_grid_responsibility_exactly_once(left, right, width):
+    left = [(s, s + d) for s, d in left]
+    right = [(s, s + d) for s, d in right]
+
+    def cells(s, e):
+        return range(s // width, e // width + 1)
+
+    emitted = {}
+    for i, (ls, le) in enumerate(left):
+        for j, (rs, re) in enumerate(right):
+            owner = max(ls, rs) // width
+            for c in cells(ls, le):
+                if c in cells(rs, re) and ls <= re and rs <= le and c == owner:
+                    emitted[(i, j)] = emitted.get((i, j), 0) + 1
+    want = {
+        (i, j)
+        for i, (ls, le) in enumerate(left)
+        for j, (rs, re) in enumerate(right)
+        if ls <= re and rs <= le
+    }
+    assert set(emitted) == want
+    assert all(v == 1 for v in emitted.values())
+
+
+# -- GK summaries: ε rank bound must hold for any data shape, chunking
+# -- and epsilon (pure-python pipeline; the Spark fold reuses it verbatim)
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators import gk as _gk
+
+
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=3000,
+    ),
+    chunk=st.integers(min_value=1, max_value=900),
+    eps_pct=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_gk_pipeline_eps_bound_fuzz(data, chunk, eps_pct):
+    import numpy as np
+
+    eps = eps_pct / 100.0
+    acc = []
+    for i in range(0, len(data), chunk):
+        block = np.sort(np.asarray(data[i : i + chunk], dtype=float))
+        acc = _gk.compress(
+            _gk.merge_two(acc, _gk.summarize_sorted(block, eps / 2)), eps / 2
+        )
+    n = len(data)
+    assert _gk.total_count(acc) == n
+    data_sorted = np.sort(np.asarray(data))
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        target = max(1, int(-(-q * n // 1)))  # ceil
+        ans = _gk.query(acc, q)
+        lo = int(np.searchsorted(data_sorted, ans, side="left")) + 1
+        hi = int(np.searchsorted(data_sorted, ans, side="right"))
+        err = max(lo - target, target - hi, 0)
+        assert err <= eps * n + 1, (q, ans, err)
