@@ -93,6 +93,8 @@ def cms_build(
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Element-wise sum of same-shape sketches (counter addition)."""
+    if not sketches:
+        raise ValueError("cms_merge requires at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

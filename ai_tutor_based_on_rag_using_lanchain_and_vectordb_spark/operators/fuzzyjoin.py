@@ -48,13 +48,20 @@ def deletion_neighborhood(s: Column, k: int) -> Column:
                     out,
                     lambda v: F.array_union(
                         F.array(v),
-                        F.transform(
-                            F.sequence(F.lit(1), F.length(v)),
-                            lambda i: F.concat(
-                                v.substr(F.lit(1), i - 1),
-                                v.substr(i + 1, F.length(v)),
+                        # guard: sequence(1, 0) counts DOWN for the
+                        # empty string (same pitfall as
+                        # dedup.shingle_starts) — make "" map to no
+                        # deletion variants explicitly
+                        F.when(
+                            F.length(v) > 0,
+                            F.transform(
+                                F.sequence(F.lit(1), F.length(v)),
+                                lambda i: F.concat(
+                                    v.substr(F.lit(1), i - 1),
+                                    v.substr(i + 1, F.length(v)),
+                                ),
                             ),
-                        ),
+                        ).otherwise(F.array().cast("array<string>")),
                     ),
                 )
             )

@@ -110,9 +110,12 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
 
 
 def morton_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
-    """:func:`morton_key` as portable ANSI SQL (divide/modulo/multiply
-    only — no dialect bit builtins), term-for-term the same function;
-    used by the DuckDB oracle of Q(zorder_order_keys)."""
+    """:func:`morton_key` as DuckDB SQL (divide/modulo/multiply only —
+    no dialect bit builtins; ``//`` is DuckDB integer division),
+    term-for-term the same function; used by the DuckDB oracle of
+    Q(zorder_order_keys). Inputs must be NON-NEGATIVE, the same domain
+    :func:`morton_key` documents: SQL ``%`` is sign-of-dividend, so a
+    negative input would diverge from Spark's ``bitwiseAND`` mask."""
     mask = (1 << bits) - 1
     xs = f"(CAST({x_expr} AS BIGINT) % {mask + 1})"
     ys = f"(CAST({y_expr} AS BIGINT) % {mask + 1})"

@@ -76,3 +76,5 @@ def test_validation(spark):
         cms_build(df, "k", width=0)
     with pytest.raises(ValueError):
         cms_build(df, "k", depth=0)
+    with pytest.raises(ValueError, match="at least one sketch"):
+        cms_merge()

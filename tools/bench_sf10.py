@@ -1,0 +1,131 @@
+"""100x distinct-content scale probe: one command, one artifact.
+
+The per-round sf1 probe (tools/bench_sf1.py) measures growth at 10x;
+the 100 TB design claims deserve a second decade. This builds (once,
+cached) a genuine 100x directory from sf0.1 with the same --distinct
+semantics — payloads and join keys vary per replica, so DISTINCT
+cardinality grows 100x too — and times the ~12 most expensive headline
+queries at sf0.1 and at 100x (1 run each; this is a growth-factor
+probe, not a latency gate). Writes ``BENCH_SF10_r{N}.json`` with
+per-query growth factors and the superlinear list (growth > K).
+
+    python tools/bench_sf10.py            # round auto-detected
+    python tools/bench_sf10.py --round 10
+    python tools/bench_sf10.py --rebuild  # force re-scale of the data
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED_DIR = os.path.join(REPO, ".bench", "sf10d")
+K = 100
+
+# the heaviest headline queries — one per expensive operator family
+# (pair fan-outs, iterative convergence, distributed selection, index
+# probe, wide agg); the cheap scans add probe time without adding
+# scale information
+PROBE_QUERIES = (
+    "pricing_summary",
+    "brand_supplier_counts",
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "copurchase_pairs",
+    "session_overlap_counts",
+    "hybrid_rrf_fusion",
+    "knn_ivfpq_search",
+    "exact_price_quantiles",
+    "sequence_packing",
+    "event_heavy_hitters",
+    "gk_quantile_gate",
+)
+
+
+def detect_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def ensure_scaled(rebuild: bool) -> None:
+    marker = os.path.join(SCALED_DIR, "_SCALE_OK")
+    if os.path.exists(marker) and not rebuild:
+        return
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_scaled_sf.py"),
+         SRC_SF, SCALED_DIR, str(K), "--distinct"],
+        check=True, cwd=REPO,
+    )
+    with open(marker, "w") as f:
+        f.write(f"src={SRC_SF} k={K} distinct=1\n")
+
+
+def run_bench(sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_ONLY=",".join(PROBE_QUERIES),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        check=True, cwd=REPO, env=env, capture_output=True, text=True,
+    ).stdout
+    return json.loads([l for l in out.splitlines() if l.strip()][-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, default=None)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+    rnd = args.round if args.round is not None else detect_round()
+
+    ensure_scaled(args.rebuild)
+    base = run_bench(SRC_SF)
+    scaled = run_bench(SCALED_DIR)
+
+    growth = {
+        q: (round(scaled["queries"][q] / base["queries"][q], 2)
+            if base["queries"].get(q) else None)
+        for q in scaled["queries"]
+    }
+    artifact = {
+        "metric": "sf10_distinct_growth",
+        "round": rnd,
+        "k": K,
+        "src": SRC_SF,
+        "queries": list(PROBE_QUERIES),
+        "sf0_1_total_s": base["value"],
+        "sf10_total_s": scaled["value"],
+        "total_growth_x": round(scaled["value"] / base["value"], 2),
+        "sf0_1_queries": base["queries"],
+        "sf10_queries": scaled["queries"],
+        "growth_x": growth,
+        "superlinear": sorted(
+            [q for q, g in growth.items() if g is not None and g > K],
+            key=lambda q: -growth[q],
+        ),
+    }
+    path = os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: artifact[k] for k in
+                      ("round", "k", "sf0_1_total_s", "sf10_total_s",
+                       "total_growth_x", "superlinear")}))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
