@@ -1,0 +1,192 @@
+"""SemDeDup-style semantic deduplication: cluster-bucketed embedding
+near-dup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540).
+
+The modern layer above the pairwise dedup stack: instead of scoring
+pairs across the whole corpus (quadratic) or within a metadata block
+(plans/vectors.py blocks on ``label``), vectors are first assigned to
+IVF cells — the same coarse-quantizer assignment the persistent ANN
+index uses (operators/ann_index.py) — and cosine pairs are generated
+STRICTLY within a cell. At 100 TB the pair space is Σ|cell|² instead
+of N², each cell's pair generation is salt-spread across tasks by the
+proven near-dup machinery (plans/vectors.py), and no cross-cell pair
+exists anywhere in the plan by construction.
+
+Prune rule — the paper's upper-triangular max rule, which is
+deliberately NON-recursive (a vector's fate does not depend on whether
+its witness itself survives): order the cell's vectors by a priority
+key; a vector is PRUNED iff some strictly-earlier vector in the SAME
+cell has cosine ≥ threshold with it. Supported orders:
+
+- ``"id"`` (default): priority = vec_id ascending — the smallest id in
+  every duplicate neighborhood survives. Deterministic and exactly
+  SQL-expressible (``NOT EXISTS`` earlier witness), which is what the
+  exhaustive-configuration oracle checks.
+- ``"centroid"``: priority = distance to the cell centroid DESCENDING
+  (ties by id) — keeps the example LEAST similar to its cluster
+  centroid, the paper's reported-best keep heuristic (§4.3 of the
+  paper: low-similarity examples carry the most marginal information).
+
+Exhaustive configuration (``n_cells=1``) reduces to all-pairs semantic
+dedup over the whole table — the oracle-checkable case. The reference
+anchor is the exact-hash ingest dedup gate at backend/db_utils.py:173,
+221-225; this operator is its semantic-scale descendant (equal bytes →
+equal meaning).
+
+Zero-norm / NULL embeddings have no cosine direction and are OUTSIDE
+the operator's domain (same contract as every cosine path in this
+repo): they appear in neither the kept nor the pruned set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+DEFAULT_THRESHOLD = 0.3
+
+
+def assign_cells(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = V.EMBEDDING_DIM,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, embedding, cell, centroid_dist) with the IVF coarse-quantizer
+    assignment of operators/ann_index.py — KMeans centroids fit once
+    (on the corpus; at 100 TB on a sample, exactly as build_ivf_index
+    amortizes it), assignment itself a pure codegen argmin expression.
+    Rows outside the cosine domain (NULL / zero-norm) are dropped."""
+    from .ann_index import _nearest_cell_expr
+    from .knn import fit_ivf_centroids
+
+    base = vectors.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & (V.norm_fixed(F.col(vec_col), dim) > 0)
+    )
+    if n_cells == 1:
+        # no quantizer needed: one cell, distance measured to the mean
+        # direction only when an order key asks for it (semdedup passes
+        # centroids explicitly for order="centroid")
+        return base.select(
+            id_col,
+            vec_col,
+            F.lit(0).alias("cell"),
+            F.lit(None).cast("double").alias("centroid_dist"),
+        )
+    _, centroids = fit_ivf_centroids(base, n_cells, vec_col, seed=seed)
+    cell_col, dist_col = _nearest_cell_expr(
+        F.col(vec_col), centroids, list(range(len(centroids))), dim
+    )
+    return base.select(
+        id_col, vec_col, cell_col.alias("cell"), dist_col.alias("centroid_dist")
+    )
+
+
+def _mean_direction_dist(
+    vectors: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """centroid_dist for the 1-cell case: unit-sphere distance to the
+    corpus mean direction, via the same argmin expression machinery as
+    the multi-cell path (one centroid ⇒ the argmin is just that
+    centroid's distance)."""
+    from .ann_index import _nearest_cell_expr
+
+    sums = (
+        vectors.select(F.posexplode(V.as_double(F.col(vec_col))).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("dim")
+        .collect()
+    )  # bounded: one row per embedding dimension
+    centroid = np.asarray([r["m"] for r in sums], dtype=np.float64)
+    _, dist_col = _nearest_cell_expr(F.col(vec_col), centroid[None, :], [0], dim)
+    return vectors.withColumn("centroid_dist", dist_col)
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_cells: int = 1,
+    threshold: float = DEFAULT_THRESHOLD,
+    order: str = "id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = V.EMBEDDING_DIM,
+    engine: str = "numpy",
+    collapse: bool | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic dedup decision per vector: (vec_id, cell, kept).
+
+    ``kept = false`` ⇔ some same-cell vector with strictly higher
+    priority scores cosine ≥ ``threshold`` against it. Pair generation
+    reuses plans/vectors.embedding_neardup_pairs_df with the cell as
+    the blocking key — salted self-join / cogrouped Arrow kernel,
+    duplicate-collapse rewrite, zero-norm contract and all — so the
+    plan is cell-local and skew-spread end to end; this function adds
+    only the (cheap, pair-bounded) prune bookkeeping on top.
+
+    ``engine`` forwards to the pair scorer ("numpy" = cogrouped Arrow
+    kernel, anything else = the codegen expression join); the two are
+    bit-parity-tested, which the pruned-configuration gate exploits as
+    a cross-engine check.
+    """
+    if order not in ("id", "centroid"):
+        raise ValueError(f"order must be 'id' or 'centroid', got {order!r}")
+    # plans.vectors imports operators lazily, never this module — the
+    # late import here keeps the module graph acyclic
+    from ..plans.vectors import embedding_neardup_pairs_df
+
+    assigned = assign_cells(vectors, n_cells, id_col, vec_col, dim, seed)
+    if order == "centroid" and n_cells == 1:
+        assigned = _mean_direction_dist(
+            assigned.drop("centroid_dist"), id_col, vec_col, dim
+        )
+
+    labeled = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col("cell").alias("label"),
+    )
+    pairs = embedding_neardup_pairs_df(
+        labeled, threshold=threshold, engine=engine, collapse=collapse
+    )
+
+    if order == "id":
+        # priority = ascending id and pairs are emitted vec_a < vec_b:
+        # every pair prunes exactly its b side
+        pruned = pairs.select(F.col("vec_b").alias("_pid")).distinct()
+    else:
+        # priority = (centroid_dist DESC, id ASC): the pair member with
+        # the SMALLER distance (more centroid-typical) is pruned; ties
+        # fall back to pruning the larger id
+        keys = assigned.select(
+            F.col(id_col).alias("_kid"), F.col("centroid_dist").alias("_kd")
+        )
+        ka = keys.select(F.col("_kid").alias("vec_a"), F.col("_kd").alias("_da"))
+        kb = keys.select(F.col("_kid").alias("vec_b"), F.col("_kd").alias("_db"))
+        pruned = (
+            pairs.join(ka.hint("shuffle_hash"), "vec_a")
+            .join(kb.hint("shuffle_hash"), "vec_b")
+            .select(
+                F.when(F.col("_db") < F.col("_da"), F.col("vec_b"))
+                .when(F.col("_da") < F.col("_db"), F.col("vec_a"))
+                .otherwise(F.col("vec_b"))  # tie: larger id (a < b)
+                .alias("_pid")
+            )
+            .distinct()
+        )
+
+    return (
+        assigned.select(F.col(id_col).alias("vec_id"), "cell")
+        .join(
+            pruned.withColumn("_hit", F.lit(1)).hint("shuffle_hash"),
+            F.col("vec_id") == F.col("_pid"),
+            "left",
+        )
+        .select("vec_id", "cell", F.col("_hit").isNull().alias("kept"))
+    )

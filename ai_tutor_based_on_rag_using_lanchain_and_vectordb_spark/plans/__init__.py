@@ -17,66 +17,74 @@ ALL_MODULES = (
     trainprep, streamgate,
 )
 
-# Round-9 driver-sample priority (the driver checks a ~50-query prefix
-# of this registry each round). Order: (1) the ten operators NEW in
-# round 9 (interval join, triangle census, basket mining + rules,
-# skyline, GK gates, AUC, calibration, z-order) — these need their
-# first official rows; then the round-8/9-changed queries; (2) the
-# remaining queries with the stalest official rows; (3) everything
-# else. The order is otherwise semantically irrelevant.
+# Round-10 driver-sample priority (the driver checks a ~50-query prefix
+# of this registry each round). Order: (1) the four operators NEW in
+# round 10 (SemDeDup, domain curation, corpus shuffle) — these need
+# their first official rows; (2) every other query ordered by the
+# round of its LAST green driver check, oldest first (computed from
+# CORRECTNESS_r01..r09), so the stalest rows — r5/r6 vintage, predating
+# the round-8/9 shared-module edits — are re-sampled this round; (3)
+# the r8/r9-checked remainder. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
-    # (1) new/changed this round — need fresh official rows first
-    "neardup_triangles", "copurchase_pairs", "session_overlap_counts",
-    "pareto_parts_skyline", "gk_quantile_gate", "event_value_auc",
-    "zorder_order_keys", "association_rules", "value_calibration_curve",
-    "gk_grouped_quantile_gate", "price_quantity_corr", "doc_top_terms",
-    "neardup_k_core", "doc_char_entropy", "doc_compression_ratio",
-    "rolling_7d_distinct_users", "value_winsorized",
-    "user_time_weighted_value", "neardup_local_clustering",
-    "audience_overlap_matrix",
-    "simhash_verified_pairs", "fuzzy_part_names", "cms_user_counts",
-    "event_heavy_hitters",
-    "bm25_index_search", "bm25_search_topk",
-    "exact_price_quantiles", "lang_length_quantiles",
-    "kmv_distinct_users", "kmv_overlap_gate", "audio_spectral_gate",
-    "neardup_pagerank", "leakage_safe_splits", "image_phash_gate",
-    "bm25_search_topk", "bm25_index_search",
-    "hybrid_rrf_fusion",
-    "media_metadata", "media_decode_gate",
-    "multimodal_gate",
-    "warc_roundtrip_docs", "event_heavy_hitters",
-    "streaming_equivalence_gate", "promo_revenue_share",
-    "disjunctive_predicate_revenue", "shipping_priority",
-    "sequence_packing",
-    "catalog_merge_upsert", "scd2_catalog_history",
-    "customer_spend_quartiles", "duplicate_spans",
-    "brand_supplier_counts", "knn_ivf_exhaustive", "knn_pq_exhaustive",
-    "knn_ivfpq_exhaustive",
-    # (2) stale official rows (last green row r4)
-    "cheapest_supplier_per_part", "deterministic_doc_sample",
-    "event_gaps", "midnight_pt_countdown", "purchase_asof_signup",
-    "quality_above_lang_median", "segment_share",
-    "signup_purchase_funnel", "user_event_journeys", "validation_flags",
-    "hll_rollup_gate", "knn_ivf_approx", "neardup_verified_pairs",
-    "rag_chat_answers", "recursive_chunks", "simhash_neardup",
-    "splitter_invariants",
-    # (3) not drawn in r6's sample (latest row r5)
-    "session_previews", "daily_activity", "session_windows",
-    "balance_percentiles", "purchase_attribution", "user_daily_gapfill",
-    "value_histogram", "pricing_summary", "shipping_priority",
-    "local_supplier_volume", "top_customers", "recent_buyers_semi",
-    "lapsed_customers_anti", "segment_rollup", "order_priority_check",
-    "running_customer_spend", "nation_region_dim", "big_spenders_except",
-    "engaged_rich_intersect", "doc_dedup_exact", "minhash_recall",
-    "doc_pii_scrub", "doc_normalized", "doc_previews",
-    "doc_token_stats", "doc_quality", "doc_lang_id", "doc_fixed_chunks",
-    "doc_fingerprints", "knn_exact", "knn_label_filtered",
-    "embedding_neardup_pairs", "embedding_lsh_recall", "label_centroids",
-    "disjunctive_predicate_revenue", "doc_text_search",
-    "moving_avg_daily_revenue", "user_event_pivot", "health_status",
-    "priority_shipmode_counts", "promo_revenue_share", "iso_timestamps",
-    "media_decode_gate", "media_metadata", "multimodal_gate",
-    "doc_embeddings", "embedding_gate", "knn_ivf_recall",
+    "semdedup_exhaustive", "semdedup_prune_gate", "domain_curation",
+    "corpus_shuffle", "doc_embeddings", "doc_fingerprints",
+    "doc_fixed_chunks", "doc_lang_id", "doc_quality", "doc_text_search",
+    "doc_token_stats", "embedding_gate", "embedding_lsh_recall",
+    "embedding_neardup_pairs", "health_status", "iso_timestamps",
+    "knn_exact", "knn_ivf_recall", "knn_label_filtered",
+    "label_centroids", "moving_avg_daily_revenue",
+    "priority_shipmode_counts", "user_event_pivot",
+    "active_sessions_24h", "api_call_savings", "bigram_lm_score",
+    "bpe_train_gate", "chat_history_topk", "cohort_retention",
+    "constraint_audit", "contamination_overlap", "corpus_boilerplate",
+    "cube_order_stats", "customer_order_distribution",
+    "customer_revenue_q10", "doc_catalog_list", "event_type_counts",
+    "expired_session_purge", "forecast_revenue_change",
+    "gopher_repetition", "idle_rich_customers", "important_parts_value",
+    "json_props_stats", "knn_ivfpq_approx", "knn_ivfpq_recall",
+    "knn_numpy_topk", "knn_pq_approx", "knn_pq_recall",
+    "lang_temperature_sample", "large_volume_orders",
+    "median_value_by_type", "nation_market_share", "neardup_components",
+    "neardup_keep_best", "ngram_jaccard_pairs", "product_type_profit",
+    "promotable_part_suppliers", "props_variant_stats",
+    "quality_classifier_filter", "quantile_rollup", "rate_limit_windows",
+    "retention_survivors", "session_stats", "small_qty_avg_revenue",
+    "stratified_exact_sample", "top_revenue_supplier", "unique_sessions",
+    "unpivot_event_fields", "volume_shipping_pairs", "waiting_suppliers",
+    "big_spenders_except", "doc_dedup_exact", "doc_normalized",
+    "doc_pii_scrub", "doc_previews", "engaged_rich_intersect",
+    "lapsed_customers_anti", "local_supplier_volume", "minhash_recall",
+    "nation_region_dim", "order_priority_check", "pricing_summary",
+    "purchase_attribution", "recent_buyers_semi",
+    "running_customer_spend", "segment_rollup", "top_customers",
+    "user_daily_gapfill", "value_histogram", "balance_percentiles",
+    "cheapest_supplier_per_part", "daily_activity",
+    "deterministic_doc_sample", "event_gaps", "hll_rollup_gate",
+    "knn_ivf_approx", "knn_ivfpq_exhaustive", "knn_pq_exhaustive",
+    "midnight_pt_countdown", "neardup_verified_pairs",
+    "purchase_asof_signup", "quality_above_lang_median",
+    "rag_chat_answers", "recursive_chunks", "segment_share",
+    "session_previews", "session_windows", "signup_purchase_funnel",
+    "simhash_neardup", "splitter_invariants", "user_event_journeys",
+    "validation_flags", "association_rules", "audience_overlap_matrix",
+    "audio_spectral_gate", "bm25_index_search", "bm25_search_topk",
+    "brand_supplier_counts", "catalog_merge_upsert", "cms_user_counts",
+    "copurchase_pairs", "customer_spend_quartiles",
+    "disjunctive_predicate_revenue", "doc_char_entropy",
+    "doc_compression_ratio", "doc_top_terms", "duplicate_spans",
+    "event_heavy_hitters", "event_value_auc", "exact_price_quantiles",
+    "fuzzy_part_names", "gk_grouped_quantile_gate", "gk_quantile_gate",
+    "hybrid_rrf_fusion", "image_phash_gate", "kmv_distinct_users",
+    "kmv_overlap_gate", "knn_ivf_exhaustive", "lang_length_quantiles",
+    "leakage_safe_splits", "media_decode_gate", "media_metadata",
+    "multimodal_gate", "neardup_k_core", "neardup_local_clustering",
+    "neardup_pagerank", "neardup_triangles", "pareto_parts_skyline",
+    "price_quantity_corr", "promo_revenue_share",
+    "rolling_7d_distinct_users", "scd2_catalog_history",
+    "sequence_packing", "session_overlap_counts", "shipping_priority",
+    "simhash_verified_pairs", "streaming_equivalence_gate",
+    "user_time_weighted_value", "value_calibration_curve",
+    "value_winsorized", "warc_roundtrip_docs", "zorder_order_keys",
 )
 
 

@@ -1433,6 +1433,95 @@ def warc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.wet_documents(spark, out_dir).select("doc_id", "lang", "text")
 
 
+# --- domain-level corpus curation over WARC -------------------------------
+
+#: deterministic crawl-origin synthesis: doc_id % 8 picks the host
+#: (mixed single- and multi-label public suffixes), doc_id % 10 == 0
+#: adds a port, doc_id % 13 == 0 adds userinfo — the URI shapes the
+#: host parser must strip.
+CURATION_HOSTS = (
+    "news.example.com",
+    "blog.example.co.uk",
+    "cdn.tracker-net.com",
+    "docs.example.org",
+    "media.example.co.uk",
+    "example.net",
+    "www.spamfarm.biz",
+    "archive.example.com",
+)
+CURATION_BLOCKLIST = ("tracker-net.com", "spamfarm.biz")
+DOMAIN_CAP = 25  # max documents kept per registrable domain
+
+
+def _curation_url_col():
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in CURATION_HOSTS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("crawler@")).otherwise(F.lit("")),
+        host,
+        F.when(F.col("doc_id") % 10 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus curation — the first pass of a Common Crawl
+    pipeline — composed WITH the WARC source/sink: documents get a
+    deterministic crawl-origin URI, are re-sharded into real WET
+    segment files (sources/warc.py, url_col provenance), read back
+    through the `warc` DataSource, and then curated by origin:
+
+    - host extraction from the survived WARC-Target-URI (functions/
+      url.py — codegen regexp; strips scheme, userinfo, port),
+    - registrable-domain (eTLD+1) rollup with multi-label public
+      suffixes (``blog.example.co.uk`` → ``example.co.uk``),
+    - blocklist ANTI-JOIN on the registrable domain (broadcast — a
+      blocklist is a bounded policy table),
+    - per-domain document cap via row_number ≤ N (WindowGroupLimit:
+      partial top-N per map task before the exchange, so a domain with
+      10⁹ pages ships N rows, not 10⁹, to the reducer).
+
+    The oracle recomputes host/domain/cap from the ORIGINAL parquet +
+    the same URI synthesis in pure SQL — so the WARC round-trip, the
+    URI plumbing, and the curation expressions are all under test."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..functions.url import registrable_domain, url_host
+    from ..sources import warc as W
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", _curation_url_col()
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_cur_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    W.write_warc_shards(docs, out_dir, n_shards=4, shard_key="doc_id",
+                        url_col="url")
+    landed = W.wet_documents(spark, out_dir, with_uri=True)
+
+    parsed = landed.select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+    ).withColumn("domain", registrable_domain(F.col("host")))
+    blocklist = spark.createDataFrame(
+        [(d,) for d in CURATION_BLOCKLIST], "domain string"
+    )
+    allowed = parsed.join(F.broadcast(blocklist), "domain", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        allowed.withColumn("dom_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("dom_rank") <= DOMAIN_CAP)
+        .select("doc_id", "host", "domain", "dom_rank")
+    )
+
+
 QUERIES = {
     "recursive_chunks": recursive_chunks,
     "splitter_invariants": splitter_invariants,
@@ -1463,6 +1552,7 @@ QUERIES = {
     "knn_numpy_topk": knn_numpy_topk,
     "rag_chat_answers": rag_chat_answers,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "domain_curation": domain_curation,
 }
 
 # Rows-only for the non-SQL-expressible operators; media_metadata is the
@@ -1475,6 +1565,44 @@ ORACLE: dict[str, str] = {"media_metadata": MEDIA_METADATA_ORACLE}
 ORACLE["warc_roundtrip_docs"] = (
     "SELECT doc_id, lang, text FROM documents"
 )
+
+
+def _domain_curation_oracle() -> str:
+    """Recompute URI synthesis + host parse + eTLD+1 + blocklist + cap
+    from the ORIGINAL parquet in pure SQL (the Spark side reads the
+    URIs back out of real WARC bytes)."""
+    from ..functions.url import registrable_domain_sql, url_host_sql
+
+    hosts = ", ".join(f"'{h}'" for h in CURATION_HOSTS)
+    blocked = ", ".join(f"'{d}'" for d in CURATION_BLOCKLIST)
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://'
+                   || CASE WHEN doc_id % 13 = 0 THEN 'crawler@' ELSE '' END
+                   || ([{hosts}])[CAST(doc_id % 8 AS INT) + 1]
+                   || CASE WHEN doc_id % 10 = 0 THEN ':8443' ELSE '' END
+                   || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), parsed AS (
+            SELECT doc_id, {url_host_sql("url")} AS host FROM u
+        ), dom AS (
+            SELECT doc_id, host, {registrable_domain_sql("host")} AS domain
+            FROM parsed
+        ), allowed AS (
+            SELECT * FROM dom WHERE domain NOT IN ({blocked})
+        )
+        SELECT doc_id, host, domain, dom_rank FROM (
+            SELECT doc_id, host, domain,
+                   CAST(row_number() OVER (
+                       PARTITION BY domain ORDER BY doc_id
+                   ) AS BIGINT) AS dom_rank
+            FROM allowed
+        ) WHERE dom_rank <= {DOMAIN_CAP}
+    """
+
+
+ORACLE["domain_curation"] = _domain_curation_oracle()
 
 # The exhaustive exact-Jaccard verify half of the minhash pipeline:
 # shingle sets, per-pair intersection via a shingle self-join, size

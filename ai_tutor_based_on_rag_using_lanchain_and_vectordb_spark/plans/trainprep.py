@@ -450,7 +450,30 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = 1
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic corpus shuffle (operators/shuffle.py): every
+    document gets a seeded multiplicative-mix permutation key, a
+    fixed-key-range shard, and its replay position within the shard —
+    the training-order randomization a 100 TB corpus needs WITHOUT a
+    global sort (no sampling pass, no single-task exchange; the only
+    wide op is one hash exchange on ``shard`` — plan-asserted in
+    tests/test_shuffle.py). Reading shards 0..n-1 in (pos) order
+    replays the full permutation. Composes with Q(sequence_packing):
+    shuffle its seq ids the same way to randomize packed batches."""
+    from ..operators.shuffle import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_shards(
+        docs.select("doc_id"), "doc_id", SHUFFLE_SHARDS, SHUFFLE_SEED
+    ).select("doc_id", "skey", "shard", "pos")
+
+
 QUERIES = {
+    "corpus_shuffle": corpus_shuffle,
     "sequence_packing": sequence_packing,
     "bigram_lm_score": bigram_lm_score,
     "duplicate_spans": duplicate_spans,
@@ -711,3 +734,14 @@ ORACLE = {
         rate=X.pround_sql("r.rate", 4), a=_MIX_A, m=_MIX_M, r=_MIX_R
     ),
 }
+
+
+def _corpus_shuffle_oracle() -> str:
+    from ..operators.shuffle import assign_shards_sql
+
+    return assign_shards_sql(
+        "SELECT doc_id FROM documents", "doc_id", SHUFFLE_SHARDS, SHUFFLE_SEED
+    )
+
+
+ORACLE["corpus_shuffle"] = _corpus_shuffle_oracle()

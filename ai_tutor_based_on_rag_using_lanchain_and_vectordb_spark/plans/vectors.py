@@ -527,8 +527,80 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.3
+SEMDEDUP_GATE_CELLS = 4
+
+
+def semdedup_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py) in its EXHAUSTIVE configuration:
+    one cell ⇒ all-pairs semantic dedup over the whole embeddings table,
+    priority = ascending vec_id. Output is the full per-vector decision
+    (vec_id, kept); kept ⇔ no earlier vector anywhere scores cosine ≥
+    τ against it — exactly the oracle's NOT EXISTS. The semantic-scale
+    descendant of the exact-hash ingest dedup gate
+    (backend/db_utils.py:173,221-225)."""
+    from ..operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_cells=1, threshold=SEMDEDUP_TAU).select(
+        "vec_id", "kept"
+    )
+
+
+def semdedup_prune_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its PRUNED (production) configuration — 4 IVF cells,
+    so pair generation is strictly cell-local — self-checked by a
+    cross-engine replay: the cogrouped-Arrow decisions are recomputed
+    with the codegen expression pair join (independent physical path,
+    bit-parity-engineered) and the two kept sets must agree row for
+    row. One row; pytest asserts ``passed``. Rows-only: the KMeans
+    cell assignment is not SQL-expressible."""
+    from ..operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(n_cells=SEMDEDUP_GATE_CELLS, threshold=SEMDEDUP_TAU)
+    a = semdedup(emb, engine="numpy", **kw)
+    b = semdedup(emb, engine="expr", **kw).select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("kept").alias("b_kept"),
+    )
+    j = a.join(b, F.col("vec_id") == F.col("b_vec_id"), "full_outer")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("cell").cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("vec_id").isNull()
+                | F.col("b_vec_id").isNull()
+                | (F.col("kept") != F.col("b_kept"))
+                | (F.col("cell") != F.col("b_cell")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_disagree"),
+    )
+    return agg.select(
+        F.lit("semdedup_cells4").alias("config"),
+        "n_vectors",
+        "n_cells",
+        "n_kept",
+        (F.col("n_vectors") - F.col("n_kept")).alias("n_pruned"),
+        "n_disagree",
+        (
+            (F.col("n_disagree") == 0)
+            & (F.col("n_kept") >= 1)
+            # KMeans may leave a cell empty; ≥2 proves real bucketing
+            & (F.col("n_cells") >= 2)
+            & (F.col("n_cells") <= SEMDEDUP_GATE_CELLS)
+        ).alias("passed"),
+    )
+
+
 QUERIES = {
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
+    "semdedup_exhaustive": semdedup_exhaustive,
+    "semdedup_prune_gate": semdedup_prune_gate,
     "neardup_pagerank": neardup_pagerank,
     "knn_exact": knn_exact,
     "knn_label_filtered": knn_label_filtered,
@@ -682,6 +754,22 @@ ORACLE = {
     """.format(pr_norm=X.pround_sql(
         "sqrt(CAST(sum(CAST(mean_x * mean_x AS DECIMAL(38,20))) AS DOUBLE))", 4)),
 }
+
+ORACLE["semdedup_exhaustive"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0)
+    SELECT a.vec_id,
+           NOT EXISTS (
+               SELECT 1 FROM e b
+               WHERE b.vec_id < a.vec_id
+                 AND list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))) >= {SEMDEDUP_TAU}
+           ) AS kept
+    FROM e a
+"""
 
 ORACLE["hybrid_rrf_fusion"] = _rrf_oracle_sql()
 

@@ -365,6 +365,7 @@ def write_warc_shards(
     shard_key: str,
     *,
     gzip_per_record: bool = True,
+    url_col: str | None = None,
 ) -> None:
     """Distributed corpus re-sharder: hash-repartition on ``shard_key``
     into ``n_shards`` WET segment files, one per partition, written BY
@@ -372,7 +373,12 @@ def write_warc_shards(
     streams its shard straight to storage). Input columns: doc_id,
     text, lang. Output is deterministic per shard: rows are sorted by
     doc_id inside the partition and gzip mtime is pinned, so task
-    retries produce byte-identical files."""
+    retries produce byte-identical files.
+
+    ``url_col`` names a column carrying each document's own
+    WARC-Target-URI (crawl provenance); without it a synthetic
+    ``corpus.example`` URI encodes the doc_id. Either way the URI path
+    ends in ``/doc/{doc_id}`` so :func:`wet_documents` recovers ids."""
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     os.makedirs(out_dir, exist_ok=True)
@@ -396,7 +402,11 @@ def write_warc_shards(
                 "record_type": "conversion",
                 "record_id": f"<urn:doc:{r.doc_id}>",
                 "date": "2026-01-01T00:00:00Z",
-                "target_uri": f"https://corpus.example/doc/{r.doc_id}",
+                "target_uri": (
+                    getattr(r, "url")
+                    if url_col is not None
+                    else f"https://corpus.example/doc/{r.doc_id}"
+                ),
                 "content_type": "text/plain",
                 # a NULL lang column must not crash the executor task:
                 # omit the (optional per WARC/1.1) language header then
@@ -415,31 +425,36 @@ def write_warc_shards(
 
     from pyspark.sql import functions as F
 
+    cols = ["doc_id", "text", "lang"]
+    if url_col is not None:
+        df = df.withColumn("url", F.col(url_col).cast("string"))
+        cols.append("url")
     (
-        df.select("doc_id", "text", "lang")
+        df.select(*cols)
         .repartition(n_shards, F.col("doc_id"))
         .mapInPandas(_write, "path string, n long")
         .collect()  # bounded: n_shards rows (one manifest row per file)
     )
 
 
-def wet_documents(spark, path: str):
+def wet_documents(spark, path: str, with_uri: bool = False):
     """WET conversion records → the canonical document frame
     (textformats.DOCUMENT_SCHEMA shape): doc_id parsed from the target
     URI, language from the identified-content-language field the
     re-sharder writes. The record_type filter pushes into the scan and
-    seeks past non-conversion records."""
+    seeks past non-conversion records. ``with_uri`` appends the raw
+    WARC-Target-URI as ``url`` (crawl provenance for domain curation)."""
     from pyspark.sql import functions as F
 
     register(spark)
     raw = spark.read.format("warc").option("path", path).load()
-    return (
-        raw.where(F.col("record_type") == "conversion")
-        .select(
-            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
-            .cast("long")
-            .alias("doc_id"),
-            F.col("content_language").alias("lang"),
-            F.col("text"),
-        )
-    )
+    cols = [
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content_language").alias("lang"),
+        F.col("text"),
+    ]
+    if with_uri:
+        cols.append(F.col("target_uri").alias("url"))
+    return raw.where(F.col("record_type") == "conversion").select(*cols)
