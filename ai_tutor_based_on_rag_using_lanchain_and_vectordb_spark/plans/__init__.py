@@ -27,7 +27,8 @@ ALL_MODULES = (
 # the r8/r9-checked remainder. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
     "semdedup_exhaustive", "semdedup_prune_gate", "domain_curation",
-    "corpus_shuffle", "doc_embeddings", "doc_fingerprints",
+    "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",
+    "doc_embeddings", "doc_fingerprints",
     "doc_fixed_chunks", "doc_lang_id", "doc_quality", "doc_text_search",
     "doc_token_stats", "embedding_gate", "embedding_lsh_recall",
     "embedding_neardup_pairs", "health_status", "iso_timestamps",

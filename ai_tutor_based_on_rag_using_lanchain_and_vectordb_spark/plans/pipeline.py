@@ -1522,8 +1522,96 @@ def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bloom-filter incremental dedup ----------------------------------------
+
+BLOOM_FPP = 0.03  # small enough to bound verify work, big enough that
+# the false-positive → exact-verify path actually fires at driver SF
+
+
+def bloom_novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup via the bloom membership gate
+    (operators/bloom.py): even doc_ids model the HISTORICAL corpus
+    (summarized once into a bit-OR-mergeable bloom bitmap), odd doc_ids
+    the incoming crawl batch; output = the batch rows whose text does
+    not occur in history. Bloom misses pass without touching history;
+    only the ε-bounded false-positive candidates pay the exact verify
+    anti-join — yet the result is row-identical to the plain anti-join,
+    which is exactly what the oracle runs. The scale point: per
+    incoming batch, history is NEVER re-scanned for the miss majority
+    (the reference's per-row UNIQUE probe, backend/db_utils.py:221-225,
+    restated as batch-over-summary)."""
+    from ..operators.bloom import bloom_incremental_dedup, bloom_params
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    # sizing preflight: one bounded scalar (the history cardinality),
+    # the standard cost of constructing any bloom filter
+    m, k = bloom_params(max(history.count(), 1), fpp=BLOOM_FPP)
+    out = bloom_incremental_dedup(
+        new, history, F.col("text"), F.col("text"), m, k
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def bloom_fpp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter quality gate, one row: (a) NO false negatives —
+    probing the summarized set itself hits on every key (the property
+    the dedup correctness rests on); (b) the measured false-positive
+    rate on guaranteed-absent keys stays ≤ 3× the design target; (c)
+    merge(build(A), build(B)) ≡ build(A ∪ B) bit for bit (the rollup
+    mergeability contract). Rows-only: bitmap internals aren't SQL."""
+    from ..operators.bloom import bloom_build, bloom_merge, bloom_params, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = max(docs.count(), 1)
+    m, k = bloom_params(n, fpp=BLOOM_FPP)
+    key = F.col("text")
+    sk = bloom_build(docs, key, m, k)
+
+    self_probe = bloom_probe(docs, key, sk, m, k)
+    fn = self_probe.where(~F.col("bloom_hit")).count()
+
+    absent = spark.range(n * 4).select(
+        F.concat(F.lit("::absent-key::"), F.col("id").cast("string")).alias("text")
+    )
+    fp = bloom_probe(absent, F.col("text"), sk, m, k).where(
+        F.col("bloom_hit")
+    ).count()
+    fpp = fp / (n * 4)
+
+    halves = [docs.where(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    merged = bloom_merge(
+        bloom_build(halves[0], key, m, k), bloom_build(halves[1], key, m, k)
+    )
+    merge_diff = (
+        merged.unionByName(sk)
+        .groupBy("word", "bits")
+        .count()
+        .where(F.col("count") != 2)
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(m),
+                int(k),
+                int(fn),
+                float(round(fpp, 5)),
+                int(merge_diff),
+                bool(fn == 0 and fpp <= 3 * BLOOM_FPP and merge_diff == 0),
+            )
+        ],
+        "n_keys long, m_bits long, k_hashes long, false_negatives long, "
+        "measured_fpp double, merge_mismatch_words long, passed boolean",
+    )
+
+
 QUERIES = {
     "recursive_chunks": recursive_chunks,
+    "bloom_novel_docs": bloom_novel_docs,
+    "bloom_fpp_gate": bloom_fpp_gate,
     "splitter_invariants": splitter_invariants,
     "media_decode_gate": media_decode_gate,
     "media_metadata": media_metadata,
@@ -1603,6 +1691,17 @@ def _domain_curation_oracle() -> str:
 
 
 ORACLE["domain_curation"] = _domain_curation_oracle()
+
+# Bloom gate ≡ exact anti-join (no false negatives; false positives
+# are pruned by the verify join) — the oracle IS the exact anti-join.
+ORACLE["bloom_novel_docs"] = """
+    SELECT n.doc_id FROM documents n
+    WHERE n.doc_id % 2 = 1
+      AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % 2 = 0 AND h.text = n.text
+      )
+"""
 
 # The exhaustive exact-Jaccard verify half of the minhash pipeline:
 # shingle sets, per-pair intersection via a shingle self-join, size

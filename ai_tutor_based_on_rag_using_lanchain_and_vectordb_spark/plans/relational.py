@@ -215,26 +215,69 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-user session concurrency: for every 60-minute-gap session
-    (same sessionization as :func:`session_windows`), how many OTHER
-    users' sessions overlap it in time. An interval-overlap SELF-join
-    with no equi-key — the oracle writes it as a non-equi join, which
-    Spark could only execute as a broadcast nested loop (O(n²)
-    comparisons, one task at corpus scale). The engine instead runs the
-    time-grid bucket join in operators/intervaljoin.py: explode each
-    session onto a 1-hour epoch grid, equi-join on the cell id,
-    dedupe by the responsibility rule, then re-aggregate per session.
-    Zero-overlap sessions are restored by a left join against the
-    (user_id, session_start)-keyed counts."""
-    from ..operators.intervaljoin import interval_overlap_join
-
+def _sessions_60m(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    sess = (
+    return (
         events.groupBy("user_id", F.session_window("ts", "60 minutes"))
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
         .select("user_id", "s_start", "s_end")
     )
+
+
+def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency: for every 60-minute-gap session
+    (same sessionization as :func:`session_windows`), how many OTHER
+    users' sessions overlap it in time. The oracle writes it as a
+    non-equi self-join, which Spark could only execute as a broadcast
+    nested loop (O(n²) comparisons, one task at corpus scale).
+
+    REWRITTEN in round 10 after the 100× distinct-content probe: the
+    grid pair-join (operators/intervaljoin.py, still this query's plan
+    when the PAIRS are the answer — see the grid variant below) touches
+    Θ(density²) candidate pairs, and with 100× sessions in a fixed
+    time span it grew 566×. A pure COUNT needs only order statistics
+    (operators/sweep.py):
+
+        #overlaps(a) = #(starts ≤ a.end) − #(ends < a.start) − 1
+
+    — the subtracted sets partition the non-overlaps (end < a.start
+    implies start ≤ a.end), and the −1 removes the session itself; no
+    other own-user session can overlap because 60-minute-gap sessions
+    of one user are separated by > 60 minutes BY CONSTRUCTION. Keys
+    are exact long microseconds (a double cast could merge adjacent
+    µs and flip the strict boundary). Two bucketed sweep ranks →
+    O(n log n), growth ~K at any density (BENCH_SF10)."""
+    from ..operators.sweep import count_le_values
+
+    sess = _sessions_60m(spark, sf_dir)
+    starts = sess.select(F.unix_micros("s_start").alias("k"))
+    ends = sess.select(F.unix_micros("s_end").alias("k"))
+    step1 = count_le_values(
+        sess, F.unix_micros(F.col("s_end")), starts, F.col("k"), "_n_start_le"
+    )
+    step2 = count_le_values(
+        step1, F.unix_micros(F.col("s_start")), ends, F.col("k"),
+        "_n_end_lt", strict=True,
+    )
+    return step2.select(
+        "user_id",
+        F.col("s_start").alias("session_start"),
+        (F.col("_n_start_le") - F.col("_n_end_lt") - 1)
+        .cast("long")
+        .alias("n_concurrent"),
+    )
+
+
+def session_overlap_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-enumerating form of :func:`session_overlap_counts`
+    (time-grid bucket join + responsibility-rule dedupe + re-aggregate)
+    — kept as the reference plan for the sweep rewrite (equivalence
+    pinned in tests/test_intervaljoin.py) and as the template for
+    queries that need the overlapping PAIRS themselves, where pair
+    enumeration is the answer and the grid join is the right tool."""
+    from ..operators.intervaljoin import interval_overlap_join
+
+    sess = _sessions_60m(spark, sf_dir)
     left = sess.select(
         F.col("user_id").alias("u"),
         F.col("s_start").alias("a0"),

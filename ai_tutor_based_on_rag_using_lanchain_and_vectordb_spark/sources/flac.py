@@ -22,9 +22,13 @@ are implemented so every decoder path is exercised by in-repo streams:
 Lossless means round trips are SAMPLE-EXACT (`decode(encode(x)) == x`)
 for any int input within bits_per_sample — the property the tests pin.
 Like the other in-container codecs, no external FLAC implementation
-exists here to cross-validate against; the golden byte-pin test guards
-the encoder against silent drift, and every VLC-free structural field
-is spec-transcribed with the table values asserted in tests.
+exists here to cross-validate against (verified each round:
+``find / -name 'libFLAC*'`` and ``which flac ffmpeg`` come up empty);
+the golden byte-pin tests — one pinned stream PER SUBFRAME TYPE
+(constant / verbatim / fixed / lpc) plus a combined stereo+wasted-bits
+stream — guard the encoder against silent drift, and every VLC-free
+structural field is spec-transcribed with the table values asserted
+in tests.
 """
 
 from __future__ import annotations

@@ -18,6 +18,8 @@ gives clustered row groups (min/max skipping) without a metastore.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,12 +71,34 @@ def write_vectors_clustered(
     )
 
 
+def append_epoch(batch_df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent landing of ONE micro-batch: the batch gets its own
+    ``ingest_epoch={id}`` subtree, OVERWRITTEN in place — a replayed
+    epoch (foreachBatch is at-least-once: the batch can complete and
+    the offset commit still be lost) or a half-written crash rewrites
+    the same directory instead of appending a duplicate. Readers
+    discover ``ingest_epoch`` as an ordinary partition column
+    (ingest provenance) above the event_date layout, so date pruning
+    is unchanged."""
+    (
+        batch_df.withColumn("event_date", F.to_date("ts"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(os.path.join(path, f"ingest_epoch={int(batch_id)}"))
+    )
+
+
 def append_stream_foreachbatch(stream_df: DataFrame, path: str, checkpoint: str):
-    """ST5 — continuous ingest: the same partitioned append, driven by a
-    stream (upload-per-request becomes a file stream at scale)."""
+    """ST5 — continuous ingest: the partitioned landing zone, driven by
+    a stream (upload-per-request becomes a file stream at scale).
+    Exactly-once: each epoch is an idempotent overwrite of its own
+    subtree (:func:`append_epoch`; replay-tested in
+    tests/test_stream_exactly_once.py) — a plain ``mode("append")``
+    here would double rows on every redelivered batch."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_events_partitioned(batch_df, path, mode="append")
+        append_epoch(batch_df, path, batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -63,6 +63,10 @@ HEADLINE = [
     "copurchase_pairs",       # market-basket pair mining (map-side A-Priori)
     "pareto_parts_skyline",   # 2-D skyline sweep (vs quadratic NOT EXISTS)
     "gk_quantile_gate",       # mergeable GK quantile summary + certificate
+    "semdedup_exhaustive",    # cluster-bucketed semantic dedup (1-cell oracle cfg)
+    "bloom_novel_docs",       # bloom membership gate + exact verify
+    "corpus_shuffle",         # deterministic permutation + fixed-range shards
+    "domain_curation",        # WARC roundtrip + host parse + cap + blocklist
 ]
 
 

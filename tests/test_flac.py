@@ -282,3 +282,47 @@ def test_golden_byte_pin():
     assert hashlib.sha256(data).hexdigest() == (
         "9501e54ddda04dfa3827f5bd90cb29e38b73168ea67ae839277108d5a270a0d1"
     )
+
+
+# One pinned stream PER SUBFRAME TYPE (constant / verbatim / fixed /
+# lpc): no external FLAC decoder exists in this container to
+# cross-validate against (documented in sources/flac.py), so each
+# encoder path gets its own drift tripwire — a layout change in any
+# one subframe encoder flips exactly its pin.
+_SUBFRAME_PINS = {
+    "constant": "068042da1cb88ed8991a6aef8ee51a25b4f7791230df5c6d5101985f85272a83",
+    "verbatim": "e940802387b4ba91dae39a1bfdf18211cf5dde4e809a1d3c29920e18f591d3b0",
+    "fixed": "58b51056da0ad3098f54eece436ab0e3d4cf66f1b9ae0c35e1e7cec6d558fa1e",
+    "lpc": "099ba0b459c30a04589b1eff841a8c5713af8c8abbbbcaf5cc3e9b13734b3c45",
+}
+
+
+def _subframe_case(name):
+    t = np.arange(1200)
+    smooth = np.stack(
+        [
+            (1500 * np.sin(t / 17)).astype(np.int64),
+            (1100 * np.sin(t / 23 + 2)).astype(np.int64),
+        ],
+        axis=1,
+    )
+    rng = np.random.default_rng(11)
+    if name == "constant":
+        return np.full((1200, 2), 37, dtype=np.int64), dict(block_size=512)
+    if name == "verbatim":
+        noise = rng.integers(-2000, 2000, size=(1200, 2))
+        return noise, dict(block_size=512, force_subframe="verbatim")
+    if name == "fixed":
+        return smooth, dict(block_size=512, lpc_order=0, partition_order=2)
+    return smooth, dict(
+        block_size=512, lpc_order=6, partition_order=2, force_subframe="lpc"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_SUBFRAME_PINS))
+def test_golden_pin_per_subframe_type(name):
+    sig, kw = _subframe_case(name)
+    data = FL.encode_flac(sig, **kw)
+    info, dec = FL.decode_flac(data, strict=True)
+    assert np.array_equal(dec, sig)
+    assert hashlib.sha256(data).hexdigest() == _SUBFRAME_PINS[name]
