@@ -12,6 +12,7 @@ Modeled on plans/pipeline.multimodal_gate (the media analog).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -364,6 +365,50 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("st12_incremental_components", len(cc_got), len(cc_want),
          cc_got == cc_want)
     )
+
+    # st13: history-gated bloom dedup — the streamed novel-document set
+    # must equal the batch first-occurrence dedup (smallest doc_id per
+    # text), whatever the arrival batching. State is the versioned
+    # bloom sketch + per-epoch key log (streaming/bloomdedup.py).
+    import shutil
+    import tempfile
+
+    from ..operators.bloom import bloom_params
+    from ..streaming.bloomdedup import stream_bloom_dedup
+
+    docs_batch = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bd_dir = tempfile.mkdtemp(prefix="st13_bloom_")
+    try:
+        src = os.path.join(bd_dir, "src")
+        docs_batch.repartition(4).write.parquet(src)
+        doc_stream = (
+            spark.readStream.schema(docs_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        m_bits, k_hashes = bloom_params(max(docs_batch.count(), 1), 0.03)
+        novel_acc: list = []
+
+        def bd_sink(novel: DataFrame, _epoch: int) -> None:
+            novel_acc.extend((r.text, r.doc_id) for r in novel.collect())
+
+        qbd = stream_bloom_dedup(
+            doc_stream, "text", os.path.join(bd_dir, "state"),
+            os.path.join(bd_dir, "ckpt"), m_bits, k_hashes, bd_sink,
+        )
+        qbd.awaitTermination(300)
+        # batch truth compares TEXT SETS: within one micro-batch the
+        # surviving doc_id per duplicate text is arbitrary (matches
+        # dropDuplicates semantics), across batches first-epoch wins
+        bd_got = sorted(t for t, _ in novel_acc)
+        bd_want = sorted(
+            r.text for r in docs_batch.dropDuplicates(["text"]).collect()
+        )
+        results.append(
+            ("st13_bloom_dedup", len(bd_got), len(bd_want), bd_got == bd_want)
+        )
+    finally:
+        shutil.rmtree(bd_dir, ignore_errors=True)
 
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"

@@ -19,7 +19,7 @@ def test_streaming_equivalence_gate_all_green(spark):
         "st4_retention_eviction", "st5_ingest_dedup", "join_attribution",
         "st7_heavy_hitters", "st8_bm25_index", "st9_kmv_sketch",
         "st10_cms_sketch", "st11_gk_quantiles",
-        "st12_incremental_components",
+        "st12_incremental_components", "st13_bloom_dedup",
     }
     for name, r in ops.items():
         assert r["matched"], (name, r["n_stream"], r["n_batch"])
