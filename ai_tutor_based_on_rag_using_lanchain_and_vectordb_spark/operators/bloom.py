@@ -95,14 +95,26 @@ def bloom_probe(
     m_bits: int,
     k_hashes: int,
     hit_col: str = "bloom_hit",
+    pin_input: bool = True,
 ) -> DataFrame:
     """``df`` + a boolean ``hit_col``: true ⇔ every one of the key's k
     bits is set (possible member), false ⇔ DEFINITELY not in the
     summarized set. One explode (k rows/input row), one join on the
     word id, one all-bits aggregate back to row grain; the word join
     broadcasts when the bitmap is small and shuffles on ``word`` when
-    it is not — never on the probe keys themselves."""
+    it is not — never on the probe keys themselves.
+
+    Row identity across the explode/regroup round trip is a synthetic
+    ``monotonically_increasing_id``, which is only stable if the input
+    evaluates to the same row order on both sides of the re-join —
+    true for scan-rooted plans, NOT guaranteed after a shuffle. So the
+    tagged frame is pinned (``localCheckpoint``) by default; the probe
+    side of a bloom gate is the incoming batch (small by design), so
+    the pin is cheap. Callers that already pinned (the streaming gate)
+    can pass ``pin_input=False``."""
     tagged = df.withColumn("_bid", F.monotonically_increasing_id())
+    if pin_input:
+        tagged = tagged.localCheckpoint(eager=True)
     pos = tagged.select(
         "_bid", F.explode(_positions(key, m_bits, k_hashes)).alias("pos")
     ).select(

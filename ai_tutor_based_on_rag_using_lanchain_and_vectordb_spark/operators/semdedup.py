@@ -56,19 +56,23 @@ def assign_cells(
     vec_col: str = "embedding",
     dim: int = V.EMBEDDING_DIM,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, embedding, cell, centroid_dist) with the IVF coarse-quantizer
     assignment of operators/ann_index.py — KMeans centroids fit once
     (on the corpus; at 100 TB on a sample, exactly as build_ivf_index
     amortizes it), assignment itself a pure codegen argmin expression.
-    Rows outside the cosine domain (NULL / zero-norm) are dropped."""
+    ``centroids`` short-circuits the fit entirely — the production
+    shape: the quantizer is amortized infrastructure shared with the
+    ANN index and refit on drift, not refit per dedup pass. Rows
+    outside the cosine domain (NULL / zero-norm) are dropped."""
     from .ann_index import _nearest_cell_expr
     from .knn import fit_ivf_centroids
 
     base = vectors.select(id_col, vec_col).where(
         F.col(vec_col).isNotNull() & (V.norm_fixed(F.col(vec_col), dim) > 0)
     )
-    if n_cells == 1:
+    if n_cells == 1 and centroids is None:
         # no quantizer needed: one cell, distance measured to the mean
         # direction only when an order key asks for it (semdedup passes
         # centroids explicitly for order="centroid")
@@ -78,7 +82,8 @@ def assign_cells(
             F.lit(0).alias("cell"),
             F.lit(None).cast("double").alias("centroid_dist"),
         )
-    _, centroids = fit_ivf_centroids(base, n_cells, vec_col, seed=seed)
+    if centroids is None:
+        _, centroids = fit_ivf_centroids(base, n_cells, vec_col, seed=seed)
     cell_col, dist_col = _nearest_cell_expr(
         F.col(vec_col), centroids, list(range(len(centroids))), dim
     )
@@ -119,6 +124,7 @@ def semdedup(
     engine: str = "numpy",
     collapse: bool | None = None,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Semantic dedup decision per vector: (vec_id, cell, kept).
 
@@ -141,8 +147,16 @@ def semdedup(
     # late import here keeps the module graph acyclic
     from ..plans.vectors import embedding_neardup_pairs_df
 
-    assigned = assign_cells(vectors, n_cells, id_col, vec_col, dim, seed)
-    if order == "centroid" and n_cells == 1:
+    assigned = assign_cells(
+        vectors, n_cells, id_col, vec_col, dim, seed, centroids=centroids
+    )
+    # pin the assignment: it feeds the pair generator, both prune-key
+    # branches and the final flag join — without the pin each branch
+    # re-runs the scan + argmin and the DAG deepens by the whole pair
+    # machinery per branch. The assignment is (id, vec, cell, dist) —
+    # the operator's working set, same bound as the index build.
+    assigned = assigned.localCheckpoint(eager=True)
+    if order == "centroid" and n_cells == 1 and centroids is None:
         assigned = _mean_direction_dist(
             assigned.drop("centroid_dist"), id_col, vec_col, dim
         )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..session import default_parallelism
 
-__all__ = ["count_le_values"]
+__all__ = ["count_le_values", "interval_overlap_counts"]
 
 
 def count_le_values(
@@ -112,3 +112,104 @@ def count_le_values(
         .drop("_sk", "_cnt", "_bkt", "_rsum", "_boff")
     )
     return out
+
+
+def interval_overlap_counts(
+    df: DataFrame,
+    start_key: Column,
+    end_key: Column,
+    out_col: str = "n_overlaps",
+    n_buckets: int | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """``df`` + ``out_col`` = for each interval row, the number of rows
+    of ``df`` (INCLUDING itself) whose closed interval [start, end]
+    overlaps it — both sweeps of the identity
+
+        #overlaps(a) = #(starts ≤ a.end) − #(ends < a.start)
+
+    fused into ONE union + ONE cut-point preflight + ONE per-bucket
+    window (the two-call :func:`count_le_values` form costs twice the
+    job overhead; on short queries scheduling dominates). Keys must be
+    integral; rows must be unique across ``df.columns`` (interval
+    tables keyed by owner/start are). NULL keys are outside the domain.
+
+    Union rows, merged in one (key, side-rank) order:
+    - counters: every start (c_start=1, rank 0 — before equal-key ≤
+      probes) and every end (c_end=1, rank 3 — after equal-key <
+      probes);
+    - probes: one ≤-probe at a.end reading the running start count
+      (rank 2, after equal starts), one <-probe at a.start reading the
+      running end count (rank 1, before equal ends).
+    A groupBy over the original columns (unique by contract) stitches
+    each row's two probe readings back together — no self-join, no
+    synthetic row id."""
+    n_buckets = n_buckets or 4 * default_parallelism()
+    cols = list(df.columns)
+
+    base = df.withColumn("_ks", start_key.cast("long")).withColumn(
+        "_ke", end_key.cast("long")
+    )
+    nulls = [F.lit(None).alias(c) for c in cols]
+    starts = base.select(
+        F.col("_ks").alias("_sk"), F.lit(0).alias("_rank"),
+        F.lit(1).alias("_cs"), F.lit(0).alias("_ce"), *nulls,
+    ).where(F.col("_sk").isNotNull())
+    ends = base.select(
+        F.col("_ke").alias("_sk"), F.lit(3).alias("_rank"),
+        F.lit(0).alias("_cs"), F.lit(1).alias("_ce"), *nulls,
+    ).where(F.col("_sk").isNotNull())
+    probe_le = base.select(
+        F.col("_ke").alias("_sk"), F.lit(2).alias("_rank"),
+        F.lit(0).alias("_cs"), F.lit(0).alias("_ce"), *cols,
+    )
+    probe_lt = base.select(
+        F.col("_ks").alias("_sk"), F.lit(1).alias("_rank"),
+        F.lit(0).alias("_cs"), F.lit(0).alias("_ce"), *cols,
+    )
+    u = starts.unionByName(ends).unionByName(probe_le).unionByName(probe_lt)
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = u.select(
+        F.percentile_approx(F.col("_sk").cast("double"), probs, accuracy).alias("c")
+    ).first()
+    raw_cuts = (cuts_row["c"] if cuts_row else None) or []
+    cuts = sorted({float(c) for c in raw_cuts if c is not None})
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: c < F.col("_sk").cast("double")))
+    else:
+        bucket = F.lit(0)
+    u = u.withColumn("_bkt", F.when(F.col("_sk").isNull(), F.lit(-1)).otherwise(bucket))
+
+    partials = u.groupBy("_bkt").agg(
+        F.sum("_cs").alias("_bs"), F.sum("_ce").alias("_be")
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "_bkt",
+        F.coalesce(F.sum("_bs").over(w_off), F.lit(0)).alias("_offs"),
+        F.coalesce(F.sum("_be").over(w_off), F.lit(0)).alias("_offe"),
+    )
+    w_run = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_sk").asc(), F.col("_rank").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = u.withColumn("_rs", F.sum("_cs").over(w_run)).withColumn(
+        "_re", F.sum("_ce").over(w_run)
+    )
+    probes = ranked.where(F.col("_rank").isin(1, 2)).join(
+        F.broadcast(offsets), "_bkt", "left"
+    )
+    n_le = F.max(
+        F.when(F.col("_rank") == 2,
+               F.coalesce(F.col("_offs"), F.lit(0)) + F.col("_rs"))
+    )
+    n_lt = F.max(
+        F.when(F.col("_rank") == 1,
+               F.coalesce(F.col("_offe"), F.lit(0)) + F.col("_re"))
+    )
+    return probes.groupBy(*cols).agg(
+        (n_le - n_lt).cast("long").alias(out_col)
+    )

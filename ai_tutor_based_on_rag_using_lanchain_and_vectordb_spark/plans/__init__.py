@@ -26,7 +26,8 @@ ALL_MODULES = (
 # the round-8/9 shared-module edits — are re-sampled this round; (3)
 # the r8/r9-checked remainder. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
-    "semdedup_exhaustive", "semdedup_prune_gate", "domain_curation",
+    "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
+    "domain_curation",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",
     "doc_embeddings", "doc_fingerprints",
     "doc_fixed_chunks", "doc_lang_id", "doc_quality", "doc_text_search",

@@ -247,24 +247,21 @@ def session_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact long microseconds (a double cast could merge adjacent
     µs and flip the strict boundary). Two bucketed sweep ranks →
     O(n log n), growth ~K at any density (BENCH_SF10)."""
-    from ..operators.sweep import count_le_values
+    from ..operators.sweep import interval_overlap_counts
 
-    sess = _sessions_60m(spark, sf_dir)
-    starts = sess.select(F.unix_micros("s_start").alias("k"))
-    ends = sess.select(F.unix_micros("s_end").alias("k"))
-    step1 = count_le_values(
-        sess, F.unix_micros(F.col("s_end")), starts, F.col("k"), "_n_start_le"
+    # pin the sessionized frame: the fused sweep's cut-point preflight
+    # and its main pass would otherwise re-run the events scan +
+    # session agg — the session table is the operator's working set
+    # (orders of magnitude below the event log it condenses)
+    sess = _sessions_60m(spark, sf_dir).localCheckpoint(eager=True)
+    counted = interval_overlap_counts(
+        sess, F.unix_micros(F.col("s_start")), F.unix_micros(F.col("s_end")),
+        out_col="_n_all",
     )
-    step2 = count_le_values(
-        step1, F.unix_micros(F.col("s_start")), ends, F.col("k"),
-        "_n_end_lt", strict=True,
-    )
-    return step2.select(
+    return counted.select(
         "user_id",
         F.col("s_start").alias("session_start"),
-        (F.col("_n_start_le") - F.col("_n_end_lt") - 1)
-        .cast("long")
-        .alias("n_concurrent"),
+        (F.col("_n_all") - 1).cast("long").alias("n_concurrent"),
     )
 
 

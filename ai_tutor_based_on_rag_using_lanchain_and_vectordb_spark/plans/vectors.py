@@ -597,10 +597,34 @@ def semdedup_prune_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_CELL_TARGET = 512  # production config: ~this many vectors/cell
+
+
+def semdedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its PRODUCTION configuration — the paper's shape:
+    cell count scales with the corpus (≈ SEMDEDUP_CELL_TARGET vectors
+    per cell, so intra-cell pair work stays N × cell_size = LINEAR as
+    the corpus grows; the exhaustive 1-cell and fixed-4-cell variants
+    above are the oracle hooks, not the scale path), priority =
+    least-centroid-typical survives (order="centroid"). Rows-only
+    (KMeans assignment isn't SQL); the headline/scale probes time THIS
+    configuration. Returns per-vector decisions + the kept count
+    sanity columns used by pytest."""
+    from ..operators.semdedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded sizing preflight, as in the ANN builders
+    n_cells = max(1, n // SEMDEDUP_CELL_TARGET)
+    return semdedup(
+        emb, n_cells=n_cells, threshold=SEMDEDUP_TAU, order="centroid"
+    )
+
+
 QUERIES = {
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "semdedup_exhaustive": semdedup_exhaustive,
     "semdedup_prune_gate": semdedup_prune_gate,
+    "semdedup_production": semdedup_production,
     "neardup_pagerank": neardup_pagerank,
     "knn_exact": knn_exact,
     "knn_label_filtered": knn_label_filtered,

@@ -113,7 +113,8 @@ class BloomDedupState:
             novel = batch
         else:
             probed = bloom_probe(
-                batch, F.col(key_col), sk, self.m_bits, self.k_hashes
+                batch, F.col(key_col), sk, self.m_bits, self.k_hashes,
+                pin_input=False,  # batch is already localCheckpointed
             )
             misses = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
             cands = probed.where(F.col("bloom_hit")).drop("bloom_hit")

@@ -150,6 +150,7 @@ def test_order_validation(spark, corpus):
 def test_registered_queries(spark, sf_dir):
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
         semdedup_exhaustive,
+        semdedup_production,
         semdedup_prune_gate,
     )
 
@@ -160,3 +161,7 @@ def test_registered_queries(spark, sf_dir):
     gate = semdedup_prune_gate(spark, sf_dir).collect()
     assert len(gate) == 1
     assert gate[0].passed, gate[0]
+    prod = semdedup_production(spark, sf_dir).collect()
+    assert len(prod) == n  # same domain: every non-null vector decided
+    kept = sum(1 for r in prod if r.kept)
+    assert 0 < kept <= n

@@ -68,6 +68,30 @@ def test_plan_has_no_single_partition_data_exchange(spark):
     assert plan.count("SinglePartition") <= 1
 
 
+def test_interval_overlap_counts_brute_force(spark):
+    import random
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.sweep import (
+        interval_overlap_counts,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        s = rng.randrange(0, 1000)
+        rows.append((i, s, s + rng.randrange(0, 80)))
+    df = spark.createDataFrame(rows, "rid long, s long, e long")
+    got = {
+        r.rid: r.n
+        for r in interval_overlap_counts(
+            df, F.col("s"), F.col("e"), out_col="n", n_buckets=16
+        ).collect()
+    }
+    for rid, s, e in rows:
+        want = sum(1 for _, bs, be in rows if bs <= e and be >= s)
+        assert got[rid] == want, (rid, got[rid], want)
+
+
 def test_session_overlap_sweep_equals_grid(spark, sf_dir):
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.relational import (
         session_overlap_counts,
