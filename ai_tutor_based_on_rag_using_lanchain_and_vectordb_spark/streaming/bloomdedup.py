@@ -104,9 +104,21 @@ class BloomDedupState:
         if epoch_id <= last:
             return False
 
-        batch = batch_df.where(F.col(key_col).isNotNull()).dropDuplicates(
-            [key_col]
-        ).localCheckpoint(eager=True)  # pin rows: sink + state writes
+        # within-batch dedup must pick DETERMINISTICALLY (dropDuplicates
+        # keeps an arbitrary row — a replayed epoch could then sink a
+        # different row for the same key, breaking byte-identical
+        # redelivery): keep the row with the smallest whole-row hash
+        from pyspark.sql import Window
+
+        all_cols = F.struct(*[F.col(c) for c in batch_df.columns])
+        w = Window.partitionBy(key_col).orderBy(F.xxhash64(all_cols))
+        batch = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)  # pin rows: sink + state writes
+        )
         sk = self.sketch(spark, last)
         hist_keys = self.keys(spark, last)
         if sk is None:

@@ -86,6 +86,24 @@ def test_crash_before_commit_replays_identically(spark, tmp_path):
     assert sorted(r.key for r in st.keys(spark, 1).collect()) == keys_after
 
 
+def test_within_batch_duplicates_pick_deterministically(spark, tmp_path):
+    m, k = bloom_params(100, 0.02)
+    # two rows per key with different doc_ids: the survivor must be the
+    # same row on every (re)delivery
+    dup = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t-"), (F.col("id") % 20).cast("string")).alias("text"),
+    )
+    picks = []
+    for trial in range(2):
+        st = BloomDedupState(str(tmp_path / f"s{trial}"), m, k)
+        sink = _Collector()
+        st.apply_batch(dup, 0, "text", sink)
+        picks.append(sink.calls[0][1])
+        assert len(picks[-1]) == 20
+    assert picks[0] == picks[1]
+
+
 def test_stream_end_to_end_equals_batch_first_occurrence(spark, tmp_path):
     import pandas as pd
 
