@@ -92,6 +92,24 @@ def test_interval_overlap_counts_brute_force(spark):
         assert got[rid] == want, (rid, got[rid], want)
 
 
+def test_interval_overlap_counts_degenerate_density(spark):
+    # the adversarial shape that kills pair-based plans: every interval
+    # identical, so the true pair multiplicity is n² — the sweep must
+    # still answer (n per row) in linear work
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.sweep import (
+        interval_overlap_counts,
+    )
+
+    n = 5000
+    df = spark.range(0, n).select(
+        F.col("id").alias("rid"), F.lit(100).alias("s"), F.lit(200).alias("e")
+    )
+    out = interval_overlap_counts(df, F.col("s"), F.col("e"), out_col="n")
+    bad = out.where(F.col("n") != n).count()
+    assert bad == 0
+    assert out.count() == n
+
+
 def test_session_overlap_sweep_equals_grid(spark, sf_dir):
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.relational import (
         session_overlap_counts,
