@@ -27,7 +27,7 @@ ALL_MODULES = (
 # the r8/r9-checked remainder. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
-    "domain_curation",
+    "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",
     "doc_embeddings", "doc_fingerprints",
     "doc_fixed_chunks", "doc_lang_id", "doc_quality", "doc_text_search",

@@ -303,6 +303,34 @@ def session_overlap_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_concurrency_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global concurrency step function: for every distinct session
+    start instant, how many sessions (any user) are active — the
+    capacity-planning readout over the same 60-minute-gap sessions.
+    The peak always occurs at some session start, so the start set IS
+    the timeline's support. Same sweep identity as
+    :func:`session_overlap_counts` (active at t ⟺ start ≤ t AND
+    end ≥ t ⟹ n = #(starts ≤ t) − #(ends < t)), two bucketed
+    order-statistic sweeps (operators/sweep.py), no pair enumeration —
+    the oracle's non-equi join touches Θ(boundaries × density) pairs
+    for this linear-size answer."""
+    from ..operators.sweep import count_le_values
+
+    sess = _sessions_60m(spark, sf_dir).localCheckpoint(eager=True)
+    probes = sess.select(F.col("s_start").alias("at_ts")).distinct()
+    starts = sess.select(F.unix_micros("s_start").alias("k"))
+    ends = sess.select(F.unix_micros("s_end").alias("k"))
+    s1 = count_le_values(
+        probes, F.unix_micros(F.col("at_ts")), starts, F.col("k"), "_le"
+    )
+    s2 = count_le_values(
+        s1, F.unix_micros(F.col("at_ts")), ends, F.col("k"), "_lt", strict=True
+    )
+    return s2.select(
+        "at_ts", (F.col("_le") - F.col("_lt")).cast("long").alias("n_active")
+    )
+
+
 def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day — the sliding-window
     distinct that plain rollups cannot answer (distincts don't add).
@@ -685,6 +713,7 @@ QUERIES = {
     "daily_activity": daily_activity,
     "session_windows": session_windows,
     "session_overlap_counts": session_overlap_counts,
+    "session_concurrency_timeline": session_concurrency_timeline,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
     "user_time_weighted_value": user_time_weighted_value,
     "balance_percentiles": balance_percentiles,
@@ -836,6 +865,28 @@ ORACLE = {
           ON x.user_id <> y.user_id
          AND x.s_start <= y.s_end AND y.s_start <= x.s_end
         GROUP BY x.user_id, x.s_start
+    """,
+    "session_concurrency_timeline": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts >= lag(ts) OVER w + INTERVAL 60 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), islands AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+            FROM islands GROUP BY user_id, island
+        ), b AS (
+            SELECT DISTINCT s_start AS at_ts FROM sess
+        )
+        SELECT b.at_ts, CAST(count(*) AS BIGINT) AS n_active
+        FROM b JOIN sess s
+          ON s.s_start <= b.at_ts AND s.s_end >= b.at_ts
+        GROUP BY b.at_ts
     """,
     "rolling_7d_distinct_users": """
         WITH daily AS (
