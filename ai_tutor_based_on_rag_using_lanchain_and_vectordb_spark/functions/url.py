@@ -9,7 +9,12 @@ them stay oracle-checkable.
 built-in set of multi-label suffixes (the full Mozilla PSL is a data
 file a deployment would load into the same expression via a join or a
 generated literal map; the ALGORITHM — longest matching suffix plus
-one label — is what is implemented here)."""
+one label — is what is implemented here).
+
+No reference-repo counterpart: the reference ingests only uploaded
+files (backend/main.py:305); URL provenance enters with the WARC/WET
+crawl surface (sources/warc.py), where per-origin curation is the
+first pipeline stage."""
 
 from __future__ import annotations
 

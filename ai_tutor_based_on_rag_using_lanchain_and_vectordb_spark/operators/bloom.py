@@ -18,6 +18,11 @@ have NO false negatives by construction, so
 the plain SQL anti-join, while the plan only ever joins history
 against the candidate slice.
 
+Reference anchor: the exact-hash ingest gate at
+backend/db_utils.py:173,221-225 (UNIQUE(file_hash) → HTTP 409) is the
+per-row ancestor; this is its batch-over-summary restatement for
+corpus scale.
+
 Representation: a DataFrame of set 64-bit words ``(word long, bits
 long)`` — ≤ m/64 rows, sparse where the filter is sparse. All hashing
 is JVM-side xxhash64 with the hash index as a second argument (k

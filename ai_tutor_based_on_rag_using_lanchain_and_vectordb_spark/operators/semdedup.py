@@ -84,12 +84,73 @@ def assign_cells(
         )
     if centroids is None:
         _, centroids = fit_ivf_centroids(base, n_cells, vec_col, seed=seed)
+    if len(centroids) > _EXPR_ASSIGN_MAX_CELLS:
+        return _assign_cells_numpy(base, centroids, id_col, vec_col)
     cell_col, dist_col = _nearest_cell_expr(
         F.col(vec_col), centroids, list(range(len(centroids))), dim
     )
     return base.select(
         id_col, vec_col, cell_col.alias("cell"), dist_col.alias("centroid_dist")
     )
+
+
+#: above this cell count the flat-literal argmin expression (one dot
+#: product PER CENTROID inlined into the plan — O(cells·dim) terms)
+#: stops being a codegen win and becomes the bottleneck: the round-10
+#: 100× probe measured the 390-cell assignment at ~145× growth. The
+#: Arrow kernel below does the same argmin as one numpy matrix product
+#: per batch — O(1) plan size, vectorized math, linear in rows.
+_EXPR_ASSIGN_MAX_CELLS = 32
+
+
+def _assign_cells_numpy(
+    base: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """mapInPandas assignment against a broadcast centroid matrix —
+    bit-compatible SEMANTICS with _nearest_cell_expr (same unit-sphere
+    proxy |c|²/2 − u·c, ties to the lowest cell id via argmin's
+    first-minimum rule); float accumulation order differs (matrix
+    product vs flat expression), which only matters for exact-boundary
+    ties between two centroids — each configuration uses ONE path
+    consistently, so decisions are reproducible run to run."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    half = 0.5 * (C * C).sum(axis=1)
+    fields = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    schema = (
+        f"{id_col} {fields[id_col]}, {vec_col} {fields[vec_col]}, "
+        "cell int, centroid_dist double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((V_ * V_).sum(axis=1))
+            # zero-norm/null rows were filtered upstream; guard anyway
+            ok = norms > 0.0
+            if not ok.all():
+                pdf = pdf[ok].reset_index(drop=True)
+                V_, norms = V_[ok], norms[ok]
+            if len(pdf) == 0:
+                continue
+            U = V_ / norms[:, None]
+            proxy = half[None, :] - U @ C.T
+            cell = proxy.argmin(axis=1)
+            best = proxy[np.arange(len(cell)), cell]
+            dist = np.sqrt(np.maximum(0.0, 1.0 + 2.0 * best))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "centroid_dist": dist,
+                }
+            )
+
+    return base.mapInPandas(run, schema)
 
 
 def _mean_direction_dist(

@@ -24,6 +24,10 @@ cannot be ``rand()`` (task retries would re-deal the order). Instead:
 Composes with sequence packing (plans/trainprep.py sequence_packing):
 shuffle the packed sequences by ``seq_id`` so training shards are both
 length-packed and order-randomized.
+
+No reference-repo counterpart: the reference (FastAPI+LangChain RAG
+app) never exports a corpus; this is part of the engine's
+training-pipeline surface (BASELINE.json north star).
 """
 
 from __future__ import annotations

@@ -84,6 +84,29 @@ def test_multi_cell_decisions_are_cell_local(spark, corpus):
     assert got == want
 
 
+def test_numpy_assignment_path_matches_brute_force(spark, corpus):
+    # > _EXPR_ASSIGN_MAX_CELLS routes assignment through the Arrow
+    # matrix kernel (the 100x-probe fix); decisions must still match
+    # the triu rule under the kernel's own assignment
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((40, 64))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    assigned = assign_cells(corpus, 40, centroids=cents).collect()
+    ids = [r.vec_id for r in assigned]
+    vecs = [r.embedding for r in assigned]
+    cells = [r.cell for r in assigned]
+    want = _brute_kept(ids, vecs, cells, TAU)
+    got = {
+        r.vec_id: r.kept
+        for r in semdedup(
+            corpus, n_cells=40, threshold=TAU, centroids=cents
+        ).collect()
+    }
+    assert got == want
+
+
 def test_engines_agree(spark, corpus):
     a = {
         (r.vec_id, r.cell, r.kept)

@@ -46,6 +46,12 @@ PROBE_QUERIES = (
     "sequence_packing",
     "event_heavy_hitters",
     "gk_quantile_gate",
+    # round-10 operators: their 100x growth is evidence the new
+    # surface scales, not just the inherited one
+    "semdedup_production",
+    "bloom_novel_docs",
+    "corpus_shuffle",
+    "domain_curation",
 )
 
 
