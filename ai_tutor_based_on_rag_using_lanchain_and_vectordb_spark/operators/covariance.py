@@ -1,0 +1,199 @@
+"""Exact distributed covariance (second-moment) matrix over an
+embedding column, and a PCA layer on top of it.
+
+Why this exists: embedding post-processing — whitening, PCA truncation,
+ABTT-style common-component removal — is a standard stage of a modern
+retrieval / SemDeDup pipeline (the reference embeds every chunk via
+GoogleGenerativeAIEmbeddings, backend/chroma_utils.py:25-28; anything
+beyond raw cosine needs the corpus covariance first). At 100 TB the
+only viable plan is the classic one-pass moments sweep: each partition
+reduces its rows to a single d×d partial (an O(b·d²) numpy outer
+product per Arrow batch), and the shuffle moves ONLY those d²-sized
+partials — never the vectors.
+
+Exactness contract (the oracle-parity trick): components are first
+quantized to ``QUANT_DIGITS`` decimal places with the engine-portable
+``floor(x·10^q + 0.5)`` formula (functions/exact.pround), making every
+subsequent sum an INTEGER sum — accumulated per-batch in int64 (safe
+for the documented |x| ≤ 2 input domain: per-product ≤ 4e14, Arrow
+batches ≤ 10k rows ⇒ ≤ 4e18 < 2^63; a loud guard enforces the domain)
+and merged in DECIMAL(38,0) Spark-side, HUGEINT oracle-side. The final covariance is
+one double expression over those exact integers, mirrored
+token-for-token in the DuckDB oracle, so the doubles are bit-equal.
+
+Inputs must be finite (the embeddings table's zero-norm contract in
+plans/vectors.py already excludes NaN/Inf); nulls are filtered.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_DIGITS = 7
+_SCALE = 10 ** QUANT_DIGITS
+# cov = (sxy - sx·sy/n)/n, all in quantized units → descale by 10^(2q)
+_DESCALE = float(10 ** (2 * QUANT_DIGITS))
+
+_PARTIAL_SCHEMA = "i int, j int, s long, cnt long"
+
+
+def _moments_fold(vec_col: str):
+    """mapInPandas fold: batches of vectors → one partial frame per
+    batch with rows (i, j, s=Σqᵢqⱼ, cnt) for i ≤ j plus mean rows
+    (i, -1, s=Σqᵢ, cnt). Every row carries the batch count so the
+    downstream per-(i,j) SUM(cnt) reconstructs n without a second
+    aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            if not np.isfinite(x).all() or np.abs(x).max() > 2.0:
+                raise ValueError(
+                    "covariance_matrix input domain is finite |x| <= 2 "
+                    "(int64 overflow headroom for the exact integer sums); "
+                    f"got max |x| = {np.abs(x).max()!r}"
+                )
+            q = np.floor(x * _SCALE + 0.5).astype(np.int64)
+            b, d = q.shape
+            sxy = q.T @ q  # int64 (d, d); |entry| ≤ b·(10·SCALE)² < 2^63
+            sx = q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(d)]).astype(np.int32),
+                    "j": np.concatenate([ju, np.full(d, -1)]).astype(np.int32),
+                    "s": np.concatenate([sxy[iu, ju], sx]),
+                    "cnt": np.full(len(iu) + d, b, dtype=np.int64),
+                }
+            )
+
+    return run
+
+
+def second_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact integer second moments of the quantized vectors: rows
+    (i, j, s, n_rows) where j ≥ 0 rows hold Σqᵢqⱼ (upper triangle,
+    i ≤ j) and j = -1 rows hold Σqᵢ. One narrow shuffle of d²-sized
+    partials; the vectors themselves never move."""
+    partials = df.select(F.col(vec_col).alias(vec_col)).where(
+        F.col(vec_col).isNotNull()
+    ).mapInPandas(_moments_fold(vec_col), _PARTIAL_SCHEMA)
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle covariance rows (i, j, n_rows, sxy, cov).
+
+    ``sxy`` is the exact integer cross-moment (quantized units);
+    ``cov`` is the double expression
+    ``((sxy - sx·sy/n)/n)/10^(2q)`` mirrored verbatim in the oracle.
+    """
+    m = second_moments(df, vec_col)
+    means = m.where(F.col("j") == -1).select(
+        F.col("i"), F.col("s").cast("double").alias("_mean_s")
+    )
+    pairs = m.where(F.col("j") >= 0)
+    # means is d rows by construction (one per dimension) — broadcast
+    joined = (
+        pairs.join(F.broadcast(means.withColumnRenamed("_mean_s", "_sx")), "i")
+        .join(
+            F.broadcast(
+                means.select(F.col("i").alias("j"), F.col("_mean_s").alias("_sy"))
+            ),
+            "j",
+        )
+    )
+    n = F.col("n_rows")
+    cov = (
+        (F.col("s").cast("double") - F.col("_sx") * F.col("_sy") / n) / n
+    ) / F.lit(_DESCALE)
+    return joined.select(
+        "i",
+        "j",
+        "n_rows",
+        F.col("s").cast("long").alias("sxy"),
+        cov.alias("cov"),
+    )
+
+
+def covariance_oracle_sql(table: str = "embeddings", vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`covariance_matrix` — same quantization
+    formula, exact HUGEINT sums, same final double expression."""
+    return f"""
+        WITH x AS (
+            SELECT vec_id,
+                   CAST(unnest(generate_series(1, len({vec_col}))) - 1 AS INT) AS i,
+                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {_SCALE} + 0.5)
+                        AS BIGINT) AS q
+            FROM {table}
+            WHERE {vec_col} IS NOT NULL
+        ), means AS (
+            SELECT i, CAST(sum(q) AS DOUBLE) AS ms FROM x GROUP BY i
+        ), pairs AS (
+            SELECT a.i AS i, b.i AS j, count(*) AS n_rows,
+                   CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        )
+        SELECT p.i AS i, p.j AS j, p.n_rows AS n_rows, p.sxy AS sxy,
+               ((CAST(p.sxy AS DOUBLE) - ma.ms * mb.ms / p.n_rows)
+                / p.n_rows) / {_DESCALE!r} AS cov
+        FROM pairs p
+        JOIN means ma ON ma.i = p.i
+        JOIN means mb ON mb.i = p.j
+    """
+
+
+def pca_components(cov_rows, dim: int):
+    """Driver-side eigendecomposition of the collected covariance rows
+    (bounded O(d²) input by construction — this is the sketch-merge
+    pattern: the distributed pass reduced 100 TB to d² numbers).
+    Returns (eigvals desc, components[dim, dim] rows = eigvecs)."""
+    import numpy as np
+
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1]
+    return w[order], v[:, order].T
+
+
+def project(df: DataFrame, components, vec_col: str = "embedding",
+            out_col: str = "pca", n_components: int | None = None) -> DataFrame:
+    """Map-only PCA projection: broadcast the (q, d) component matrix
+    inside the Arrow fold; emits the input's non-vector columns plus the
+    projected array<double>."""
+    import numpy as np
+
+    comp = np.asarray(components, dtype=np.float64)
+    if n_components is not None:
+        comp = comp[:n_components]
+    keep = [f for f in df.schema.fields if f.name != vec_col]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+    schema = (schema + ", " if schema else "") + f"{out_col} array<double>"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ) if len(pdf) else np.zeros((0, comp.shape[1]))
+            out = pdf.drop(columns=[vec_col])
+            out[out_col] = list(x @ comp.T)
+            yield out
+
+    return df.where(F.col(vec_col).isNotNull()).mapInPandas(run, schema)

@@ -620,7 +620,100 @@ def semdedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance matrix of the embedding space — the input every
+    whitening / PCA-truncation / ABTT post-processing stage needs
+    (operators/covariance.py). One pass: each partition reduces its rows
+    to a d×d integer partial via a numpy outer product; the shuffle
+    moves only d²-sized partials, never vectors — the 100 TB plan. The
+    quantize-to-integer contract makes the sums exact, so the oracle
+    matches bit-for-bit (see the module docstring)."""
+    from ..operators.covariance import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding")
+
+
+PCA_COMPONENTS = 8
+
+
+def pca_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA end-to-end self-check (rows-only — eigenvectors are
+    driver-side numpy over the COLLECTED d² covariance rows, the
+    bounded sketch-merge pattern): project every embedding onto the
+    top-q components, then verify in-plan that (a) the per-component
+    variance of the projections equals the corresponding eigenvalue
+    (that IS what an eigendecomposition promises — a strong
+    independent check, since the variances are recomputed from the
+    projected data by the engine) and (b) the variances are
+    non-increasing. Emits one row per component."""
+    from ..operators.covariance import (
+        QUANT_DIGITS,
+        covariance_matrix,
+        pca_components,
+        project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov_rows = [r.asDict() for r in covariance_matrix(emb, "embedding").collect()]
+    dim = max(r["j"] for r in cov_rows) + 1
+    eigvals, comps = pca_components(cov_rows, dim)
+    # project the same quantized values the covariance summed, so the
+    # variance↔eigenvalue identity holds to float precision, not merely
+    # to quantization precision
+    scale = float(10 ** QUANT_DIGITS)
+    quant = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)) / scale,
+        ),
+    )
+    proj = project(quant, comps, "embedding", n_components=PCA_COMPONENTS)
+    x = F.col("x")
+    per_comp = (
+        proj.select(
+            F.posexplode("pca").alias("component", "x")
+        )
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(x).alias("mean"),
+            (F.sum(x * x) / F.count("*")).alias("ex2"),
+        )
+        .select(
+            "component",
+            "n",
+            (F.col("ex2") - F.col("mean") * F.col("mean")).alias("proj_variance"),
+        )
+    )
+    ev = spark.createDataFrame(
+        [(int(i), float(eigvals[i])) for i in range(PCA_COMPONENTS)],
+        "component int, eigenvalue double",
+    )
+    w = Window.orderBy("component").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_comp.join(F.broadcast(ev), "component")  # q rows by construction
+        .withColumn(
+            "ok_matches_eigenvalue",
+            F.abs(F.col("proj_variance") - F.col("eigenvalue"))
+            <= 1e-6 + F.lit(1e-6) * F.abs(F.col("eigenvalue")),
+        )
+        .withColumn(
+            "ok_nonincreasing",
+            F.coalesce(
+                F.col("proj_variance")
+                <= F.min("proj_variance").over(w) + F.lit(1e-9),
+                F.lit(True),
+            ),
+        )
+        .orderBy("component")
+    )
+
+
 QUERIES = {
+    "embedding_covariance": embedding_covariance,
+    "pca_projection_gate": pca_projection_gate,
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "semdedup_exhaustive": semdedup_exhaustive,
     "semdedup_prune_gate": semdedup_prune_gate,
@@ -796,6 +889,15 @@ ORACLE["semdedup_exhaustive"] = f"""
 """
 
 ORACLE["hybrid_rrf_fusion"] = _rrf_oracle_sql()
+
+
+def _covariance_oracle() -> str:
+    from ..operators.covariance import covariance_oracle_sql
+
+    return covariance_oracle_sql("embeddings", "embedding")
+
+
+ORACLE["embedding_covariance"] = _covariance_oracle()
 
 
 def _pagerank_oracle() -> str:

@@ -1,0 +1,98 @@
+"""operators/covariance.py — exact distributed covariance + PCA.
+
+Cross-validated against numpy's own np.cov on the identically quantized
+data (an independent implementation of the same math), plus contract
+guards (input domain, null handling) and the projection kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.covariance import (
+    QUANT_DIGITS,
+    covariance_matrix,
+    pca_components,
+    project,
+    second_moments,
+)
+
+SCALE = 10 ** QUANT_DIGITS
+
+
+def _df(spark, mat, extra_null=False):
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(mat)]
+    if extra_null:
+        rows.append((len(rows), None))
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def _np_cov(mat):
+    q = np.floor(np.asarray(mat, dtype=np.float64) * SCALE + 0.5) / SCALE
+    return np.cov(q, rowvar=False, bias=True)  # population (divide by n)
+
+
+def test_matches_numpy_cov(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(scale=0.3, size=(40, 5))
+    got = covariance_matrix(_df(spark, mat)).collect()
+    want = _np_cov(mat)
+    assert len(got) == 5 * 6 // 2
+    for r in got:
+        assert r["n_rows"] == 40
+        assert r["cov"] == pytest.approx(want[r["i"], r["j"]], abs=1e-12)
+
+
+def test_nulls_filtered_and_counted_out(spark):
+    mat = np.eye(3) * 0.5
+    got = covariance_matrix(_df(spark, mat, extra_null=True)).collect()
+    assert all(r["n_rows"] == 3 for r in got)
+
+
+def test_moments_exact_integers(spark):
+    mat = [[0.1, -0.2], [0.3, 0.4]]
+    m = {(r["i"], r["j"]): int(r["s"]) for r in second_moments(_df(spark, mat)).collect()}
+    q = np.floor(np.asarray(mat) * SCALE + 0.5).astype(np.int64)
+    assert m[(0, -1)] == q[:, 0].sum()
+    assert m[(1, -1)] == q[:, 1].sum()
+    assert m[(0, 1)] == int((q[:, 0] * q[:, 1]).sum())
+    assert m[(0, 0)] == int((q[:, 0] ** 2).sum())
+
+
+def test_input_domain_guard_is_loud(spark):
+    bad = _df(spark, [[3.5, 0.0]])
+    with pytest.raises(Exception, match="input domain"):
+        covariance_matrix(bad).collect()
+
+
+def test_pca_components_orthonormal_and_sorted(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.normal(scale=0.2, size=(60, 4))
+    rows = [r.asDict() for r in covariance_matrix(_df(spark, mat)).collect()]
+    w, v = pca_components(rows, 4)
+    assert all(w[i] >= w[i + 1] - 1e-12 for i in range(3))
+    assert np.allclose(v @ v.T, np.eye(4), atol=1e-9)
+
+
+def test_project_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    mat = rng.normal(scale=0.2, size=(10, 4))
+    comps = np.linalg.qr(rng.normal(size=(4, 4)))[0]
+    out = (
+        project(_df(spark, mat), comps, n_components=2)
+        .orderBy("id")
+        .collect()
+    )
+    want = np.asarray(mat) @ comps[:2].T
+    got = np.array([r["pca"] for r in out])
+    assert np.allclose(got, want, atol=1e-12)
+    assert [r["id"] for r in out] == list(range(10))
+
+
+def test_plan_is_arrow_not_row_python(spark):
+    mat = np.eye(3) * 0.1
+    plan = covariance_matrix(_df(spark, mat))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
