@@ -1,0 +1,122 @@
+"""Multi-source breadth-first hop distance over a pair graph.
+
+Curation use (why an analytics engine ships BFS): "trust propagation" —
+given a seed set of known-good documents (human-audited, high quality
+score), every document within h hops in the near-duplicate /
+similarity graph inherits a provenance signal; conversely for
+known-bad seeds (spam clusters). The output (node, hops) is the raw
+material for distance-weighted sampling or quarantine rules.
+
+Algorithm: classic frontier iteration. dist holds settled nodes; each
+round expands the frontier one hop through the symmetrized edge list,
+anti-joins what's already settled, and stops early when the frontier
+empties. Each round is two hash shuffles (frontier⋈edges + distinct /
+anti-join) on the node key; no driver-side graph state — only the
+frontier-empty count crosses the driver — so the loop runs unchanged
+on a 1000-executor cluster. Rounds are bounded by ``max_hops`` (the
+semantic contract: nodes further than max_hops are NOT emitted), so
+unlike connected components there is no convergence risk: the
+fixed-depth recursive-CTE oracle computes the identical level sets.
+
+Per-round ``localCheckpoint`` truncates the growing lineage (the
+components.py rationale); cluster runs pass ``checkpoint_dir`` for
+reliable HDFS/S3 checkpointing instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Hop distance from the nearest seed, over undirected ``edges``.
+
+    Returns ``(node, hops)`` for every node reachable within
+    ``max_hops`` of any seed — seeds themselves at hops 0 (including
+    isolated seeds that appear in no edge). Deterministic: BFS level
+    sets don't depend on execution order.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    # materialize the symmetrized edge list once: it is re-joined every
+    # round, and the upstream pair pipeline may be expensive
+    sym = _materialize(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    dist = _materialize(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        nxt = _materialize(nxt)
+        if nxt.isEmpty():
+            break
+        dist = _materialize(dist.unionByName(nxt))
+        frontier = nxt.select("node")
+    return dist
+
+
+def bfs_oracle_sql(
+    pairs_sql_alias: str,
+    seeds_sql: str,
+    max_hops: int,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> str:
+    """Recursive-CTE mirror of :func:`bfs_hops`, for splicing into a
+    WITH RECURSIVE chain. ``pairs_sql_alias`` names a CTE or derived
+    table with pair columns (src_col, dst_col); ``seeds_sql`` selects
+    one column ``node``. Emits CTEs ending in ``bfs(node, hops)`` =
+    min hop distance ≤ max_hops.
+
+    The recursion enumerates (node, depth) pairs with depth < max_hops
+    fan-out and UNION dedup, then takes min(depth) per node — the
+    fixed-depth bound makes it terminate on cyclic graphs.
+    """
+    return f"""bfs_edges AS (
+            SELECT {src_col} AS a, {dst_col} AS b FROM {pairs_sql_alias}
+            UNION ALL
+            SELECT {dst_col} AS a, {src_col} AS b FROM {pairs_sql_alias}
+        ), bfs_seeds AS ({seeds_sql}
+        ), bfs_reach(node, d) AS (
+            SELECT node, 0 FROM bfs_seeds
+            UNION
+            SELECT e.b, r.d + 1
+            FROM bfs_reach r JOIN bfs_edges e ON e.a = r.node
+            WHERE r.d < {max_hops}
+        ), bfs AS (
+            SELECT node, CAST(min(d) AS INT) AS hops
+            FROM bfs_reach GROUP BY node
+        )"""

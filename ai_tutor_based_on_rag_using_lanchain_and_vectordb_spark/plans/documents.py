@@ -470,6 +470,37 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_SEED_TAU = 0.8  # "known-good" seed bar: top ~5-8% of quality
+BFS_MAX_HOPS = 4
+
+
+def quality_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust propagation through the near-dup graph (operators/bfs.py):
+    hop distance from the nearest high-quality seed (quality ≥
+    QUALITY_SEED_TAU) within BFS_MAX_HOPS hops — hops 0 = the seeds
+    themselves, including isolated ones; documents further than
+    max_hops are not emitted (that is the contract, and what makes the
+    fixed-depth recursive-CTE oracle exact). Downstream: distance-
+    weighted sampling / quarantine rules keyed on graph proximity to
+    audited documents."""
+    from ..operators.bfs import bfs_hops
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    seeds = (
+        doc_quality(spark, sf_dir)
+        .where(F.col("quality") >= QUALITY_SEED_TAU)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return bfs_hops(
+        pairs,
+        seeds,
+        BFS_MAX_HOPS,
+        src="doc_a",
+        dst="doc_b",
+        checkpoint_dir=_components_checkpoint_dir(),
+    ).select(F.col("node").alias("doc_id"), "hops")
+
+
 def _components_checkpoint_dir() -> str | None:
     """Cluster runs export ``SPARK_GRAFT_CHECKPOINT_DIR`` (an HDFS/S3
     path) to get RELIABLE per-round checkpointing in the iterative
@@ -807,6 +838,7 @@ QUERIES = {
     "leakage_safe_splits": leakage_safe_splits,
     "doc_dedup_exact": doc_dedup_exact,
     "neardup_components": neardup_components,
+    "quality_bfs_hops": quality_bfs_hops,
     "neardup_keep_best": neardup_keep_best,
     "minhash_recall": minhash_recall,
     "doc_pii_scrub": doc_pii_scrub,
@@ -1228,6 +1260,25 @@ ORACLE["neardup_local_clustering"] = (
 ORACLE["neardup_keep_best"] = ORACLE["neardup_keep_best"].replace(
     "_DOC_QUALITY_SQL", ORACLE["doc_quality"]
 )
+
+
+def _bfs_oracle_sql() -> str:
+    # nests the (oracle-green) quality scorer as the seed predicate and
+    # the shared Jaccard CTE chain as the edge set, so neither can drift
+    from ..operators.bfs import bfs_oracle_sql
+
+    seeds = (
+        f"SELECT doc_id AS node FROM ({ORACLE['doc_quality']}) "
+        f"WHERE quality >= {QUALITY_SEED_TAU}"
+    )
+    return (
+        "WITH RECURSIVE " + _JACCARD_CTES_SQL + ", "
+        + bfs_oracle_sql("all_pairs", seeds, BFS_MAX_HOPS)
+        + " SELECT node AS doc_id, hops FROM bfs"
+    )
+
+
+ORACLE["quality_bfs_hops"] = _bfs_oracle_sql()
 
 
 def _pii_oracle_sql() -> str:

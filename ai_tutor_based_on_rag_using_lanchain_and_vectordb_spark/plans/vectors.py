@@ -620,6 +620,29 @@ def semdedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMANTIC_BFS_HOPS = 4
+
+
+def semantic_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop semantic neighborhood of the query-vector set
+    (operators/bfs.py): hop distance from the nearest designated query
+    vector (vec_id < N_QUERIES) through the embedding near-dup graph —
+    the "related via a chain of similar items" expansion a retrieval
+    UI offers beyond direct k-NN. Hops 0 = the query vectors
+    themselves; nodes beyond SEMANTIC_BFS_HOPS are not emitted (the
+    fixed-depth contract that makes the recursive-CTE oracle exact)."""
+    from ..operators.bfs import bfs_hops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    seeds = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("node")
+    )
+    return bfs_hops(
+        edges, seeds, SEMANTIC_BFS_HOPS, src="vec_a", dst="vec_b"
+    ).select(F.col("node").alias("vec_id"), "hops")
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus covariance matrix of the embedding space — the input every
     whitening / PCA-truncation / ABTT post-processing stage needs
@@ -712,6 +735,7 @@ def pca_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "semantic_bfs_hops": semantic_bfs_hops,
     "embedding_covariance": embedding_covariance,
     "pca_projection_gate": pca_projection_gate,
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
@@ -898,6 +922,28 @@ def _covariance_oracle() -> str:
 
 
 ORACLE["embedding_covariance"] = _covariance_oracle()
+
+
+def _semantic_bfs_oracle() -> str:
+    # nests the (oracle-green) pair definition so edges can't drift
+    from ..operators.bfs import bfs_oracle_sql
+
+    return (
+        "WITH RECURSIVE p AS (SELECT * FROM ("
+        + ORACLE["embedding_neardup_pairs"]
+        + ")), "
+        + bfs_oracle_sql(
+            "p",
+            f"SELECT vec_id AS node FROM embeddings WHERE vec_id < {N_QUERIES}",
+            SEMANTIC_BFS_HOPS,
+            src_col="vec_a",
+            dst_col="vec_b",
+        )
+        + " SELECT node AS vec_id, hops FROM bfs"
+    )
+
+
+ORACLE["semantic_bfs_hops"] = _semantic_bfs_oracle()
 
 
 def _pagerank_oracle() -> str:

@@ -1,0 +1,58 @@
+"""operators/bfs.py — multi-source BFS hop distance."""
+
+from __future__ import annotations
+
+from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bfs import bfs_hops
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "node long")
+
+
+def _run(spark, pairs, seeds, max_hops):
+    rows = bfs_hops(_edges(spark, pairs), _seeds(spark, seeds), max_hops).collect()
+    return {r["node"]: r["hops"] for r in rows}
+
+
+def test_chain_levels_and_cutoff(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    got = _run(spark, pairs, [1], max_hops=3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5, 6 beyond max_hops: absent
+
+
+def test_multi_seed_takes_nearest(spark):
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    got = _run(spark, pairs, [1, 4], max_hops=4)
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_isolated_seed_is_emitted_at_zero(spark):
+    got = _run(spark, [(1, 2)], [1, 99], max_hops=2)
+    assert got == {1: 0, 2: 1, 99: 0}
+
+
+def test_cycle_terminates_with_level_sets(spark):
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    got = _run(spark, pairs, [1], max_hops=5)
+    assert got == {1: 0, 2: 1, 3: 1}
+
+
+def test_undirected_both_ways(spark):
+    # edge stored only as (5, 4): BFS from 4 must still reach 5
+    got = _run(spark, [(5, 4)], [4], max_hops=1)
+    assert got == {4: 0, 5: 1}
+
+
+def test_self_loops_ignored(spark):
+    got = _run(spark, [(1, 1), (1, 2)], [1], max_hops=2)
+    assert got == {1: 0, 2: 1}
+
+
+def test_early_exit_before_max_hops(spark):
+    # component exhausts after 1 hop; loop must stop, not run 50 rounds
+    got = _run(spark, [(1, 2)], [1], max_hops=50)
+    assert got == {1: 0, 2: 1}
