@@ -27,7 +27,7 @@ ALL_MODULES = (
 # the r8/r9-checked remainder. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
     "embedding_covariance", "pca_projection_gate", "semantic_bfs_hops",
-    "quality_bfs_hops",
+    "quality_bfs_hops", "value_mad_outliers", "term_pmi_pairs",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

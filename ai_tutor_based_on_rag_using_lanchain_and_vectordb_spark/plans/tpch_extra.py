@@ -421,6 +421,49 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+MAD_K = 3.0  # the classic "3 MADs from the median" outlier rule
+
+
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on events.value: median / MAD instead
+    of mean / stddev, so the flagged tail can't poison its own
+    threshold (one 10¹⁰ outlier shifts a z-score cut; it moves a
+    median by one rank). Emits the rows with |value − median| >
+    MAD_K·MAD plus their robust score (value − med)/MAD.
+
+    Scale shape: both the median and the MAD come from
+    operators/quantiles.py's pivot-count-bracket selection — counters
+    + a bounded bracket cross the wire, never a global sort; the
+    deviation scan is map-only against two broadcast scalar literals.
+    The two driver-side values are bounded by construction (each is
+    one quantile). Oracle recomputes both medians by exact integer
+    rank over row_number, then the identical double expressions."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return mad_outliers(ev, "event_id", "value", MAD_K)
+
+
+def mad_outliers(
+    df: DataFrame, id_col: str, value_col: str, k: float = MAD_K
+) -> DataFrame:
+    """Rows with |value − median| > k·MAD plus their robust score
+    (see :func:`value_mad_outliers` for the scale rationale)."""
+    from ..operators.quantiles import exact_quantiles
+
+    vals = df.select(
+        F.col(id_col).alias("event_id"), F.col(value_col).alias("value")
+    ).where(F.col(value_col).isNotNull())
+    med = exact_quantiles(vals, "value", [("p50", 1, 2)])[0][4]
+    dev = vals.withColumn("dev", F.col("value") - F.lit(med))
+    ad = dev.withColumn("_ad", F.abs(F.col("dev")))
+    mad = exact_quantiles(ad, "_ad", [("p50", 1, 2)])[0][4]
+    robust_z = F.when(
+        F.lit(mad) > 0, F.col("dev") / F.lit(mad)
+    )  # degenerate MAD=0 corpus: score undefined → null (both engines)
+    return ad.where(F.col("_ad") > F.lit(k) * F.lit(mad)).select(
+        "event_id", "value", "dev", robust_z.alias("robust_z")
+    )
+
+
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: part pairs bought together in ≥ 2
     orders, with support counts (the A-Priori L2 step).
@@ -592,6 +635,7 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
+    "value_mad_outliers": value_mad_outliers,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -614,7 +658,34 @@ QUERIES = {
 
 _PR_REV = X.pround_sql(f"CAST(sum({X.DISC_PRICE_SQL}) AS DOUBLE)")
 
+_MAD_ORACLE = f"""
+    WITH v AS (
+        SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ), s AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS rn,
+               count(*) OVER () AS n
+        FROM v
+    ), med AS (
+        SELECT value AS m FROM s WHERE rn = GREATEST(1, (n + 1) // 2)
+    ), d AS (
+        SELECT event_id, v.value, (v.value - med.m) AS dev,
+               abs(v.value - med.m) AS ad
+        FROM v, med
+    ), s2 AS (
+        SELECT ad, row_number() OVER (ORDER BY ad) AS rn,
+               count(*) OVER () AS n
+        FROM d
+    ), mad AS (
+        SELECT ad AS m2 FROM s2 WHERE rn = GREATEST(1, (n + 1) // 2)
+    )
+    SELECT event_id, value, dev,
+           CASE WHEN mad.m2 > 0 THEN dev / mad.m2 END AS robust_z
+    FROM d, mad
+    WHERE ad > {MAD_K} * mad.m2
+"""
+
 ORACLE = {
+    "value_mad_outliers": _MAD_ORACLE,
     "exact_price_quantiles": """
         WITH v AS (
             SELECT l_extendedprice AS value FROM lineitem

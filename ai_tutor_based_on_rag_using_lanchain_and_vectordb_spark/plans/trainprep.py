@@ -472,7 +472,72 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "skey", "shard", "pos")
 
 
+PMI_VOCAB = 64  # bounded candidate vocabulary: top-T terms by doc freq
+PMI_MIN_CO = 2
+
+
+def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information over document
+    co-occurrence, PMI(a,b) = ln(N·c_ab / (df_a·df_b)), for pairs of
+    the top-``PMI_VOCAB`` document-frequency terms co-occurring in ≥
+    ``PMI_MIN_CO`` documents. The standard corpus-statistics signal for
+    multi-word-expression detection and tokenizer-merge candidates.
+
+    Scale shape: the candidate vocabulary is hard-bounded (top-T via
+    orderBy+limit = distributed TakeOrdered, then a T-row broadcast
+    semi-join), so per-document pair fan-out is ≤ C(T,2) regardless of
+    document length, and pair generation is MAP-SIDE over per-doc
+    sorted term sets (the copurchase_pairs basket pattern) — no
+    presence-table self-join. ln() parity: contributions pre-rounded
+    to 6 dp (the operators/bm25.py argument)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one exact integer crosses the driver
+    pres = (
+        _tokenized(spark, sf_dir)
+        .select("doc_id", F.explode("ws").alias("term"))
+        .distinct()
+    )
+    dfreq = pres.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(PMI_VOCAB)
+    vp = pres.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+    baskets = (
+        vp.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("term")).alias("ts"))
+        .where(F.size("ts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) -> "
+                "transform(slice(ts, i + 2, size(ts)), "
+                "y -> struct(x AS term_a, y AS term_b))))"
+            )
+        ).alias("p")
+    )
+    co = (
+        pairs.groupBy(
+            F.col("p.term_a").alias("term_a"), F.col("p.term_b").alias("term_b")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_CO)
+    )
+    va = vocab.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    ratio = (F.col("c_ab").cast("double") * F.lit(float(n_docs))) / (
+        F.col("df_a").cast("double") * F.col("df_b").cast("double")
+    )
+    return (
+        co.join(F.broadcast(va), "term_a")  # ≤ PMI_VOCAB rows each
+        .join(F.broadcast(vb), "term_b")
+        .select(
+            "term_a", "term_b", "df_a", "df_b", "c_ab",
+            X.pround(F.log(ratio), 6).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
+    "term_pmi_pairs": term_pmi_pairs,
     "corpus_shuffle": corpus_shuffle,
     "sequence_packing": sequence_packing,
     "bigram_lm_score": bigram_lm_score,
@@ -745,3 +810,32 @@ def _corpus_shuffle_oracle() -> str:
 
 
 ORACLE["corpus_shuffle"] = _corpus_shuffle_oracle()
+
+ORACLE["term_pmi_pairs"] = f"""
+    WITH {_TOKS_SQL}, pres AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(ws) AS term FROM toks
+        )
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM pres GROUP BY term
+    ), vocab AS (
+        SELECT term, df FROM dfreq ORDER BY df DESC, term ASC LIMIT {PMI_VOCAB}
+    ), vp AS (
+        SELECT p.doc_id, p.term FROM pres p SEMI JOIN vocab v ON p.term = v.term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), co AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM vp a JOIN vp b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_CO}
+    )
+    SELECT term_a, term_b, va.df AS df_a, vb.df AS df_b, c_ab,
+           {X.pround_sql(
+               "ln((CAST(c_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE)) / "
+               "(CAST(va.df AS DOUBLE) * CAST(vb.df AS DOUBLE)))", 6)} AS pmi
+    FROM co
+    JOIN vocab va ON va.term = co.term_a
+    JOIN vocab vb ON vb.term = co.term_b, n
+"""

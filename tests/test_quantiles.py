@@ -153,3 +153,30 @@ def test_open_ended_bracket_resolves(spark):
         for lbl, num, den, k, val in got:
             wk = max(1, (num * len(xs) + den - 1) // den)
             assert (k, val) == (wk, srt[wk - 1]), (shift, lbl)
+
+
+# ------------------------------------------------- MAD robust outliers
+
+
+def test_mad_outliers_flags_the_tail(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.tpch_extra import mad_outliers
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 100.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    got = mad_outliers(df, "event_id", "value", k=3.0).collect()
+    # median = 10.0, |dev| = [0,1,1,.5,.5,0,90], MAD = .5 → only 100.0
+    assert [(r["event_id"], r["value"]) for r in got] == [(6, 100.0)]
+    assert got[0]["robust_z"] == 180.0
+
+
+def test_mad_outliers_degenerate_mad_zero(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.tpch_extra import mad_outliers
+
+    # >half identical → MAD = 0: every deviating row flagged, score null
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(5)] + [(9, 7.0)], "event_id long, value double"
+    )
+    got = mad_outliers(df, "event_id", "value", k=3.0).collect()
+    assert [(r["event_id"], r["robust_z"]) for r in got] == [(9, None)]
