@@ -287,6 +287,10 @@ def test_no_global_window_over_scaled_input_in_sources():
         # neardup_pagerank's rank ordinals: the window input is the
         # 20-row output of a TakeOrdered limit, not a scaled table
         ("plans/vectors.py", "pagerank top-20 over limit(20)"),
+        # pca_projection_gate's non-increasing check: the window input
+        # is the PCA_COMPONENTS-row (=8) per-component aggregate, a
+        # constant bound independent of corpus size
+        ("plans/vectors.py", "pca gate over <=8 component rows"),
     }
     hits = []
     for f in glob.glob(os.path.join(pkg, "plans", "*.py")):
@@ -294,7 +298,7 @@ def test_no_global_window_over_scaled_input_in_sources():
             if re.search(r"Window\.orderBy\(", line):
                 hits.append((os.path.relpath(f, pkg), i))
     assert {h[0] for h in hits} <= {a[0] for a in allowed}, hits
-    assert len(hits) <= 3, hits
+    assert len(hits) <= 4, hits
 
 
 def test_brand_supplier_counts_dedupes_pairs_before_joins(spark, sf_dir):
