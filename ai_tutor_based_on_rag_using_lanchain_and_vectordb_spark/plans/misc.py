@@ -293,6 +293,49 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_SPAN = 30  # trailing calendar-day horizon of the decay kernel
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with a
+    DYADIC half-life-1-day kernel truncated at EWMA_SPAN days: weight
+    2^(span−1−lag), normalized over the days actually present (calendar
+    gaps contribute nothing). Dyadic integer weights make the weighted
+    numerator an EXACT integer (cents × power-of-two, accumulated in
+    decimal/hugeint), so the only float op is the final division —
+    mirrored verbatim in the oracle.
+
+    Scale shape: no global window (contrast moving_avg_daily_revenue's
+    whitelisted bounded window) — each daily row map-side EXPLODES into
+    its ≤ span target days and the kernel sum is one hash aggregation
+    on the day key, the pattern that holds when "daily" becomes
+    "per-key-per-day" at 100 TB. The final join is day-keyed equi."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(X.money("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    span = EWMA_SPAN
+    contrib = daily.select(
+        "day", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(span - 1))).alias("k"),
+    ).select(
+        F.date_add("day", F.col("k")).alias("day"),
+        "cents",
+        F.pow(F.lit(2.0), F.lit(span - 1) - F.col("k")).cast("long").alias("w"),
+    )
+    agg = contrib.groupBy("day").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("w")).alias("num"),
+        F.sum("w").alias("den"),
+    )
+    return daily.join(agg, "day").select(
+        "day",
+        (F.col("cents") / 100.0).alias("daily_revenue"),
+        (
+            F.col("num").cast("double") / F.col("den").cast("double") / 100.0
+        ).alias("ewma_revenue"),
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention matrix: users grouped by first-activity
     week, activity tracked as distinct (user, week) pairs, retention =
@@ -571,6 +614,7 @@ QUERIES = {
     "disjunctive_predicate_revenue": disjunctive_predicate_revenue,
     "doc_text_search": doc_text_search,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
+    "ewma_daily_revenue": ewma_daily_revenue,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -739,6 +783,29 @@ ORACLE = {
         FROM documents
         WHERE text LIKE '%spark%' AND lang = 'en'
         GROUP BY source
+    """,
+    "ewma_daily_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), contrib AS (
+            SELECT day + CAST(k AS INT) AS day2, cents,
+                   CAST(power(2.0, {EWMA_SPAN - 1} - k) AS BIGINT) AS w
+            FROM (SELECT day, cents,
+                         unnest(generate_series(0, {EWMA_SPAN - 1})) AS k
+                  FROM daily)
+        ), agg AS (
+            SELECT day2 AS day,
+                   sum(CAST(cents AS HUGEINT) * w) AS num,
+                   CAST(sum(w) AS BIGINT) AS den
+            FROM contrib GROUP BY 1
+        )
+        SELECT d.day AS day, d.cents / 100.0 AS daily_revenue,
+               CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100.0
+                   AS ewma_revenue
+        FROM daily d JOIN agg a ON a.day = d.day
     """,
     "moving_avg_daily_revenue": """
         WITH daily AS (

@@ -410,6 +410,62 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(bd_dir, ignore_errors=True)
 
+    # st14: streaming covariance maintenance — per-micro-batch integer
+    # second-moment partials (operators/covariance.py) merged by plain
+    # addition. Integer sums are associative and the quantization is
+    # per-row, so the stream-folded moments must equal the one-shot
+    # batch moments EXACTLY, entry for entry — the strongest possible
+    # stream≡batch criterion (same class as st9/st10).
+    from ..operators.covariance import second_moments
+
+    emb_batch = load_table(spark, sf_dir, "embeddings").select("embedding")
+    cov_dir = tempfile.mkdtemp(prefix="st14_cov_")
+    try:
+        # split the source into 4 files + maxFilesPerTrigger=1 so the
+        # fold really merges across micro-batches (the st13 pattern);
+        # one availableNow batch would make stream ≡ batch a tautology
+        cov_src = os.path.join(cov_dir, "src")
+        emb_batch.repartition(4).write.parquet(cov_src)
+        emb_stream = (
+            spark.readStream.schema(emb_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cov_src)
+        )
+        cov_state: dict = {"m": None, "batches": 0}
+
+        def feed_cov(batch_df: DataFrame, _epoch: int) -> None:
+            if batch_df.isEmpty():
+                return
+            part = second_moments(batch_df, "embedding")
+            merged = (
+                part
+                if cov_state["m"] is None
+                else cov_state["m"]
+                .unionByName(part)
+                .groupBy("i", "j")
+                .agg(F.sum("s").alias("s"), F.sum("n_rows").alias("n_rows"))
+            )
+            cov_state["m"] = merged.localCheckpoint(eager=True)
+            cov_state["batches"] += 1
+
+        q = (
+            emb_stream.writeStream.foreachBatch(feed_cov)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        cov_cols = ["i", "j", "s", "n_rows"]
+        cov_got = (
+            _rows(cov_state["m"], cov_cols) if cov_state["m"] is not None else []
+        )
+        cov_want = _rows(second_moments(emb_batch, "embedding"), cov_cols)
+        results.append(
+            ("st14_covariance_moments", len(cov_got), len(cov_want),
+             cov_got == cov_want and cov_state["batches"] >= 2)
+        )
+    finally:
+        shutil.rmtree(cov_dir, ignore_errors=True)
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")

@@ -620,6 +620,54 @@ def semdedup_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (the FAISS "SQ8" storage layout): each
+    vector is stored as d int8 codes + one per-vector scale = max|xᵢ|
+    (4× smaller than float32 — the compression a 100 TB vector store
+    takes before IVF/PQ even enters). Emits, per vector, the scale, the
+    exact max reconstruction error, the integer code mass (an exact
+    checksum of the whole code array — one flipped code flips the
+    hash), and the theoretical half-step error-bound flag.
+
+    Map-only, expression-only (whole-stage codegen; no Python); every
+    output is either an exact integer or a deterministic double
+    expression mirrored in the oracle, so no rounding is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = V.as_double(F.col("embedding"))
+    df = emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        xd.alias("v"),
+        F.array_max(F.transform(xd, F.abs)).alias("scale"),
+    )
+    zero = F.transform(F.col("v"), lambda a: F.lit(0.0))
+    codes = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("v"),
+            lambda a: F.floor(a / F.col("scale") * 127.0 + F.lit(0.5)),
+        ),
+    ).otherwise(zero)
+    df = df.withColumn("code", codes)
+    err = F.zip_with(
+        F.col("v"),
+        F.col("code"),
+        lambda a, c: F.abs(a - c / 127.0 * F.col("scale")),
+    )
+    mass = F.aggregate(
+        F.col("code"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + F.abs(c).cast("long"),
+    )
+    max_err = F.when(F.col("scale") > 0, F.array_max(err)).otherwise(F.lit(0.0))
+    return df.select(
+        "vec_id",
+        "scale",
+        max_err.alias("max_abs_err"),
+        mass.alias("code_mass"),
+        (max_err <= F.col("scale") / 254.0 + F.lit(1e-12)).alias("within_bound"),
+    )
+
+
 SEMANTIC_BFS_HOPS = 4
 
 
@@ -735,6 +783,7 @@ def pca_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "embedding_sq8_error": embedding_sq8_error,
     "semantic_bfs_hops": semantic_bfs_hops,
     "embedding_covariance": embedding_covariance,
     "pca_projection_gate": pca_projection_gate,
@@ -944,6 +993,37 @@ def _semantic_bfs_oracle() -> str:
 
 
 ORACLE["semantic_bfs_hops"] = _semantic_bfs_oracle()
+
+ORACLE["embedding_sq8_error"] = """
+    WITH x AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, a -> abs(a))) AS scale
+        FROM x
+    ), c AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale > 0
+                    THEN list_transform(v, a -> floor(a / scale * 127.0 + 0.5))
+                    ELSE list_transform(v, a -> 0.0)
+               END AS code
+        FROM s
+    ), e AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale > 0
+                    THEN list_max(list_transform(v, (a, i) ->
+                         abs(a - code[i] / 127.0 * scale)))
+                    ELSE 0.0
+               END AS max_abs_err,
+               CAST(list_sum(list_transform(code,
+                    cd -> CAST(abs(cd) AS BIGINT))) AS BIGINT) AS code_mass
+        FROM c
+    )
+    SELECT vec_id, scale, max_abs_err, code_mass,
+           (max_abs_err <= scale / 254.0 + 1e-12) AS within_bound
+    FROM e
+"""
 
 
 def _pagerank_oracle() -> str:
