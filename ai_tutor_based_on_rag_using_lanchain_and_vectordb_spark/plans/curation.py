@@ -96,6 +96,45 @@ def user_event_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities of event_type →
+    next event_type (the next-event-prediction / anomalous-flow
+    baseline that pairs with user_event_journeys' sequence strings).
+
+    Scale shape: the lead() window is USER-partitioned (never global);
+    the transition matrix is bounded by |event types|² regardless of
+    corpus size, so the totals side of the normalizing join is a
+    fixed-cardinality broadcast. Probability = exact integer count /
+    exact integer row total, rounded with pround on both sides."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    counts = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        X.pround(
+            F.col("n_transitions").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("prob"),
+    )
+
+
 def quality_above_lang_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantile gate: keep documents whose quality score is
     strictly above their language's median — the classifier-threshold
@@ -357,6 +396,7 @@ QUERIES = {
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "signup_purchase_funnel": signup_purchase_funnel,
     "user_event_journeys": user_event_journeys,
+    "event_markov_transitions": event_markov_transitions,
     "quality_above_lang_median": quality_above_lang_median,
     "deterministic_doc_sample": deterministic_doc_sample,
 }
@@ -443,6 +483,26 @@ ORACLE = {
         UNION ALL
         SELECT -1, 'en', 'reingest', 13,
                DATE '2024-02-01', DATE '9999-12-31', true
+    """,
+    "event_markov_transitions": f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ), c AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ), t AS (
+            SELECT from_type, sum(n_transitions) AS tot FROM c GROUP BY 1
+        )
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               {X.pround_sql(
+                   "CAST(c.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE)",
+                   6)} AS prob
+        FROM c JOIN t ON t.from_type = c.from_type
     """,
     "user_event_journeys": """
         WITH ranked AS (

@@ -472,6 +472,40 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "skey", "shard", "pos")
 
 
+WSAMPLE_K = 100
+WSAMPLE_SEED = 7
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, size-proportional
+    (Efraimidis–Spirakis A-Res): each document draws a deterministic
+    pseudo-uniform u from the multiplicative-mix hash (never rand() —
+    the corpus-sampling decision must replay identically across
+    runs/engines) and is ranked by the exponential race key
+    −ln(u)/w with w = max(n_chars, 1); the K smallest keys are the
+    sample. Selecting proportional-to-length approximates a fixed
+    TOKEN budget rather than a fixed document count — the mixture-
+    subsampling primitive behind data-recipe experiments.
+
+    Scale shape: the rank is a TakeOrdered orderBy+limit (per-partition
+    top-K then a K-row merge), never a global sort. ln() parity: the
+    key is pround-ed to 6 dp (the operators/bm25.py argument) and ties
+    break on doc_id, so the ordering is ulp-stable cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    mix = (
+        (F.pmod(F.col("doc_id") + F.lit(WSAMPLE_SEED), F.lit(_MIX_R)))
+        * F.lit(_MIX_A)
+    ) % F.lit(_MIX_M)
+    u = (mix.cast("double") + 1.0) / float(_MIX_M + 1)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    skey = X.pround(-F.log(u) / w, 6)
+    return (
+        docs.select("doc_id", "n_chars", skey.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
 PMI_VOCAB = 64  # bounded candidate vocabulary: top-T terms by doc freq
 PMI_MIN_CO = 2
 
@@ -537,6 +571,7 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "weighted_doc_sample": weighted_doc_sample,
     "term_pmi_pairs": term_pmi_pairs,
     "corpus_shuffle": corpus_shuffle,
     "sequence_packing": sequence_packing,
@@ -810,6 +845,20 @@ def _corpus_shuffle_oracle() -> str:
 
 
 ORACLE["corpus_shuffle"] = _corpus_shuffle_oracle()
+
+ORACLE["weighted_doc_sample"] = f"""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               {X.pround_sql(
+                   f"-ln((CAST((((doc_id + {WSAMPLE_SEED}) % {_MIX_R})"
+                   f" * {_MIX_A}) % {_MIX_M} AS DOUBLE) + 1.0)"
+                   f" / {float(_MIX_M + 1)!r})"
+                   f" / CAST(GREATEST(n_chars, 1) AS DOUBLE)", 6)} AS skey
+        FROM documents
+    )
+    SELECT doc_id, n_chars, skey FROM k
+    ORDER BY skey, doc_id LIMIT {WSAMPLE_K}
+"""
 
 ORACLE["term_pmi_pairs"] = f"""
     WITH {_TOKS_SQL}, pres AS (
