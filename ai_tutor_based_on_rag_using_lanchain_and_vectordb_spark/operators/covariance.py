@@ -40,78 +40,115 @@ _DESCALE = float(10 ** (2 * QUANT_DIGITS))
 _PARTIAL_SCHEMA = "i int, j int, s long, cnt long"
 
 
-def _moments_fold(vec_col: str):
+def _one_moment_frame(np, pd, vecs):
+    """(i, j, s, cnt) partial frame for one stack of vectors."""
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    if not np.isfinite(x).all() or np.abs(x).max() > 2.0:
+        raise ValueError(
+            "covariance_matrix input domain is finite |x| <= 2 "
+            "(int64 overflow headroom for the exact integer sums); "
+            f"got max |x| = {np.abs(x).max()!r}"
+        )
+    q = np.floor(x * _SCALE + 0.5).astype(np.int64)
+    b, d = q.shape
+    sxy = q.T @ q  # int64 (d, d); |entry| ≤ b·(2·SCALE)² < 2^63
+    sx = q.sum(axis=0)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame(
+        {
+            "i": np.concatenate([iu, np.arange(d)]).astype(np.int32),
+            "j": np.concatenate([ju, np.full(d, -1)]).astype(np.int32),
+            "s": np.concatenate([sxy[iu, ju], sx]),
+            "cnt": np.full(len(iu) + d, b, dtype=np.int64),
+        }
+    )
+
+
+def _moments_fold(vec_col: str, key_col: str | None = None):
     """mapInPandas fold: batches of vectors → one partial frame per
-    batch with rows (i, j, s=Σqᵢqⱼ, cnt) for i ≤ j plus mean rows
-    (i, -1, s=Σqᵢ, cnt). Every row carries the batch count so the
-    downstream per-(i,j) SUM(cnt) reconstructs n without a second
-    aggregate."""
+    batch (per key when ``key_col`` is set) with rows
+    (i, j, s=Σqᵢqⱼ, cnt) for i ≤ j plus mean rows (i, -1, s=Σqᵢ, cnt).
+    Every row carries the batch count so the downstream per-(i,j)
+    SUM(cnt) reconstructs n without a second aggregate."""
     import numpy as np
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            vecs = pdf[vec_col].dropna()
-            if not len(vecs):
+            if key_col is None:
+                vecs = pdf[vec_col].dropna()
+                if len(vecs):
+                    yield _one_moment_frame(np, pd, vecs)
                 continue
-            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            if not np.isfinite(x).all() or np.abs(x).max() > 2.0:
-                raise ValueError(
-                    "covariance_matrix input domain is finite |x| <= 2 "
-                    "(int64 overflow headroom for the exact integer sums); "
-                    f"got max |x| = {np.abs(x).max()!r}"
-                )
-            q = np.floor(x * _SCALE + 0.5).astype(np.int64)
-            b, d = q.shape
-            sxy = q.T @ q  # int64 (d, d); |entry| ≤ b·(10·SCALE)² < 2^63
-            sx = q.sum(axis=0)
-            iu, ju = np.triu_indices(d)
-            yield pd.DataFrame(
-                {
-                    "i": np.concatenate([iu, np.arange(d)]).astype(np.int32),
-                    "j": np.concatenate([ju, np.full(d, -1)]).astype(np.int32),
-                    "s": np.concatenate([sxy[iu, ju], sx]),
-                    "cnt": np.full(len(iu) + d, b, dtype=np.int64),
-                }
-            )
+            sub = pdf[[key_col, vec_col]].dropna(subset=[key_col, vec_col])
+            for key, grp in sub.groupby(key_col, sort=True):
+                frame = _one_moment_frame(np, pd, grp[vec_col])
+                frame.insert(0, key_col, key)
+                yield frame
 
     return run
 
 
-def second_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def second_moments(
+    df: DataFrame, vec_col: str = "embedding", key_col: str | None = None
+) -> DataFrame:
     """Exact integer second moments of the quantized vectors: rows
     (i, j, s, n_rows) where j ≥ 0 rows hold Σqᵢqⱼ (upper triangle,
     i ≤ j) and j = -1 rows hold Σqᵢ. One narrow shuffle of d²-sized
-    partials; the vectors themselves never move."""
-    partials = df.select(F.col(vec_col).alias(vec_col)).where(
-        F.col(vec_col).isNotNull()
-    ).mapInPandas(_moments_fold(vec_col), _PARTIAL_SCHEMA)
-    return partials.groupBy("i", "j").agg(
+    partials; the vectors themselves never move. With ``key_col``,
+    per-group moments (rows gain the key; partials are per-(batch,key),
+    so a group spread over P partitions still ships only P·d² rows)."""
+    keys = [key_col] if key_col is not None else []
+    cols = keys + [vec_col]
+    cond = F.col(vec_col).isNotNull()
+    if key_col is not None:
+        cond = cond & F.col(key_col).isNotNull()
+    schema = _PARTIAL_SCHEMA
+    if key_col is not None:
+        ktype = dict(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        )[key_col]
+        schema = f"{key_col} {ktype}, " + _PARTIAL_SCHEMA
+    partials = df.select(*cols).where(cond).mapInPandas(
+        _moments_fold(vec_col, key_col), schema
+    )
+    return partials.groupBy(*keys, "i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
         F.sum("cnt").alias("n_rows"),
     )
 
 
-def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Upper-triangle covariance rows (i, j, n_rows, sxy, cov).
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", key_col: str | None = None
+) -> DataFrame:
+    """Upper-triangle covariance rows (i, j, n_rows, sxy, cov) — per
+    group when ``key_col`` is set (the per-class second-order statistic
+    behind LDA / Mahalanobis scoring).
 
     ``sxy`` is the exact integer cross-moment (quantized units);
     ``cov`` is the double expression
     ``((sxy - sx·sy/n)/n)/10^(2q)`` mirrored verbatim in the oracle.
     """
-    m = second_moments(df, vec_col)
+    keys = [key_col] if key_col is not None else []
+    m = second_moments(df, vec_col, key_col)
     means = m.where(F.col("j") == -1).select(
-        F.col("i"), F.col("s").cast("double").alias("_mean_s")
+        *keys, F.col("i"), F.col("s").cast("double").alias("_mean_s")
     )
     pairs = m.where(F.col("j") >= 0)
-    # means is d rows by construction (one per dimension) — broadcast
+    # means is |keys|·d rows — bounded for a bounded-cardinality key
+    # (class labels), one row per dimension otherwise — broadcast
     joined = (
-        pairs.join(F.broadcast(means.withColumnRenamed("_mean_s", "_sx")), "i")
+        pairs.join(
+            F.broadcast(means.withColumnRenamed("_mean_s", "_sx")),
+            keys + ["i"],
+        )
         .join(
             F.broadcast(
-                means.select(F.col("i").alias("j"), F.col("_mean_s").alias("_sy"))
+                means.select(
+                    *keys, F.col("i").alias("j"), F.col("_mean_s").alias("_sy")
+                )
             ),
-            "j",
+            keys + ["j"],
         )
     )
     n = F.col("n_rows")
@@ -119,6 +156,7 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         (F.col("s").cast("double") - F.col("_sx") * F.col("_sy") / n) / n
     ) / F.lit(_DESCALE)
     return joined.select(
+        *keys,
         "i",
         "j",
         "n_rows",
@@ -127,31 +165,43 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def covariance_oracle_sql(table: str = "embeddings", vec_col: str = "embedding") -> str:
+def covariance_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key_col: str | None = None,
+) -> str:
     """DuckDB mirror of :func:`covariance_matrix` — same quantization
     formula, exact HUGEINT sums, same final double expression."""
+    k = f"{key_col}, " if key_col else ""
+    ka = f"a.{key_col} AS {key_col}, " if key_col else ""
+    kga = f"a.{key_col}, " if key_col else ""
+    kp = f"p.{key_col} AS {key_col}, " if key_col else ""
+    keq_a = f"AND a.{key_col} = b.{key_col} " if key_col else ""
+    keq_ma = f"AND ma.{key_col} = p.{key_col} " if key_col else ""
+    keq_mb = f"AND mb.{key_col} = p.{key_col} " if key_col else ""
+    knull = f"AND {key_col} IS NOT NULL " if key_col else ""
     return f"""
         WITH x AS (
-            SELECT vec_id,
+            SELECT {k}vec_id,
                    CAST(unnest(generate_series(1, len({vec_col}))) - 1 AS INT) AS i,
                    CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {_SCALE} + 0.5)
                         AS BIGINT) AS q
             FROM {table}
-            WHERE {vec_col} IS NOT NULL
+            WHERE {vec_col} IS NOT NULL {knull}
         ), means AS (
-            SELECT i, CAST(sum(q) AS DOUBLE) AS ms FROM x GROUP BY i
+            SELECT {k}i, CAST(sum(q) AS DOUBLE) AS ms FROM x GROUP BY {k}i
         ), pairs AS (
-            SELECT a.i AS i, b.i AS j, count(*) AS n_rows,
+            SELECT {ka}a.i AS i, b.i AS j, count(*) AS n_rows,
                    CAST(sum(a.q * b.q) AS BIGINT) AS sxy
-            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-            GROUP BY a.i, b.i
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i {keq_a}
+            GROUP BY {kga}a.i, b.i
         )
-        SELECT p.i AS i, p.j AS j, p.n_rows AS n_rows, p.sxy AS sxy,
+        SELECT {kp}p.i AS i, p.j AS j, p.n_rows AS n_rows, p.sxy AS sxy,
                ((CAST(p.sxy AS DOUBLE) - ma.ms * mb.ms / p.n_rows)
                 / p.n_rows) / {_DESCALE!r} AS cov
         FROM pairs p
-        JOIN means ma ON ma.i = p.i
-        JOIN means mb ON mb.i = p.j
+        JOIN means ma ON ma.i = p.i {keq_ma}
+        JOIN means mb ON mb.i = p.j {keq_mb}
     """
 
 

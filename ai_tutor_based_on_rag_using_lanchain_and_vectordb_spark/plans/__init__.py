@@ -29,7 +29,7 @@ _DRIVER_PRIORITY = (
     "embedding_covariance", "pca_projection_gate", "semantic_bfs_hops",
     "quality_bfs_hops", "value_mad_outliers", "term_pmi_pairs",
     "embedding_sq8_error", "ewma_daily_revenue",
-    "event_markov_transitions", "weighted_doc_sample",
+    "event_markov_transitions", "weighted_doc_sample", "label_covariance",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

@@ -705,6 +705,19 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, "embedding")
 
 
+def label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class covariance matrices (operators/covariance.py with a
+    group key) — the within-class scatter LDA / Mahalanobis outlier
+    scoring needs. Same one-pass integer-moments plan; a class spread
+    over P partitions ships only P·d² partial rows. The label key is
+    bounded-cardinality by contract (class labels), so the means side
+    of the assembly join stays a |labels|·d-row broadcast."""
+    from ..operators.covariance import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", key_col="label")
+
+
 PCA_COMPONENTS = 8
 
 
@@ -786,6 +799,7 @@ QUERIES = {
     "embedding_sq8_error": embedding_sq8_error,
     "semantic_bfs_hops": semantic_bfs_hops,
     "embedding_covariance": embedding_covariance,
+    "label_covariance": label_covariance,
     "pca_projection_gate": pca_projection_gate,
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "semdedup_exhaustive": semdedup_exhaustive,
@@ -971,6 +985,15 @@ def _covariance_oracle() -> str:
 
 
 ORACLE["embedding_covariance"] = _covariance_oracle()
+
+
+def _label_covariance_oracle() -> str:
+    from ..operators.covariance import covariance_oracle_sql
+
+    return covariance_oracle_sql("embeddings", "embedding", key_col="label")
+
+
+ORACLE["label_covariance"] = _label_covariance_oracle()
 
 
 def _semantic_bfs_oracle() -> str:

@@ -96,3 +96,30 @@ def test_plan_is_arrow_not_row_python(spark):
     plan = covariance_matrix(_df(spark, mat))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan
+
+
+def test_grouped_matches_per_group_numpy(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    mats = {}
+    for g in ("a", "b"):
+        m = rng.normal(scale=0.25, size=(30, 3))
+        mats[g] = m
+        rows += [(g, [float(v) for v in r]) for r in m]
+    df = spark.createDataFrame(rows, "grp string, embedding array<double>")
+    got = covariance_matrix(df, key_col="grp").collect()
+    assert len(got) == 2 * 3 * 4 // 2
+    for r in got:
+        want = _np_cov(mats[r["grp"]])
+        assert r["n_rows"] == 30
+        assert r["cov"] == pytest.approx(want[r["i"], r["j"]], abs=1e-12)
+
+
+def test_grouped_null_keys_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", [0.1, 0.2]), (None, [0.3, 0.4]), ("a", [0.5, 0.6])],
+        "grp string, embedding array<double>",
+    )
+    got = covariance_matrix(df, key_col="grp").collect()
+    assert {r["grp"] for r in got} == {"a"}
+    assert all(r["n_rows"] == 2 for r in got)
