@@ -293,6 +293,84 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_HORIZON_US = 6 * 3_600_000_000  # censor users active in the final 6 h
+_KM_UNIT_US = 3_600_000_000  # lifetime measured in whole hours
+_LN_SCALE = 100_000_000  # ln terms quantized to 1e-8 for exact prefix sums
+
+
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival estimate of user lifetime (HOURS between a
+    user's first and last event), right-censoring users still active in
+    the final KM_HORIZON window (the events fixture is a ~30-day pulse
+    of continuously-active users, so the churn signal lives at hour
+    granularity) — the churn/retention curve read off
+    correctly in the presence of users who simply haven't churned YET
+    (naive "avg lifetime" undercounts exactly those).
+
+    S(t) = Π_{s ≤ t} (1 − d_s / n_s) over event times s with deaths;
+    n_s (at-risk) counts every user with lifetime ≥ s (censored users
+    leave the risk set after their censoring time, per the standard
+    estimator). All in epoch-microsecond integer arithmetic (timezone-
+    free); the cumulative ln-product runs over terms quantized to 1e-8
+    (exact integer prefix sums via operators/prefix.py — no global
+    window over the corpus; the per-t table is calendar-bounded), with
+    the one ln/exp libm-ulp residual the repo accepts (operators/
+    bm25.py argument). A day where everyone at risk dies yields exact
+    survival 0.0 (the ln(0) row is excluded from the product)."""
+    from ..operators.prefix import grouped_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("_max_us"))  # 1-row scalar
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("_first_us"),
+            F.max(F.unix_micros("ts")).alias("_last_us"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.expr(f"(_last_us - _first_us) DIV {_KM_UNIT_US}").alias("t"),
+            (F.col("_last_us") > F.col("_max_us") - F.lit(KM_HORIZON_US)).alias(
+                "_censored"
+            ),
+        )
+    )
+    n_users = u.count()  # one exact integer crosses the driver
+    per_t = u.groupBy("t").agg(
+        F.sum(F.when(~F.col("_censored"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("_leaving"),
+    ).withColumn("_g", F.lit(0))
+    cum = grouped_prefix_sum(per_t, ["_g"], "t", F.col("_leaving"), out_col="_before")
+    r = cum.select(
+        "t", "d",
+        (F.lit(n_users) - F.col("_before").cast("long")).alias("n_at_risk"),
+    )
+    ln_term = F.log(
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    )
+    term = r.withColumn(
+        "_ti",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.floor(ln_term * _LN_SCALE + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn("_g", F.lit(0))
+    cum2 = grouped_prefix_sum(term, ["_g"], "t", F.col("_ti"), out_col="_lnb")
+    surv = F.when(F.col("d") == F.col("n_at_risk"), F.lit(0.0)).otherwise(
+        X.pround(
+            F.exp(
+                (F.col("_lnb").cast("long") + F.col("_ti")).cast("double")
+                / F.lit(float(_LN_SCALE))
+            ),
+            6,
+        )
+    )
+    return (
+        cum2.where(F.col("d") > 0)
+        .select("t", "d", "n_at_risk", surv.alias("survival"))
+    )
+
+
 EWMA_SPAN = 30  # trailing calendar-day horizon of the decay kernel
 
 
@@ -615,6 +693,7 @@ QUERIES = {
     "doc_text_search": doc_text_search,
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "ewma_daily_revenue": ewma_daily_revenue,
+    "user_survival_curve": user_survival_curve,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -783,6 +862,53 @@ ORACLE = {
         FROM documents
         WHERE text LIKE '%spark%' AND lang = 'en'
         GROUP BY source
+    """,
+    "user_survival_curve": f"""
+        WITH u AS (
+            SELECT user_id,
+                   (max(epoch_us(ts)) - min(epoch_us(ts))) // {_KM_UNIT_US} AS t,
+                   max(epoch_us(ts)) AS last_us
+            FROM events GROUP BY user_id
+        ), a AS (
+            SELECT max(epoch_us(ts)) AS max_us FROM events
+        ), u2 AS (
+            SELECT t, (last_us > max_us - {KM_HORIZON_US}) AS censored
+            FROM u, a
+        ), per_t AS (
+            SELECT t,
+                   CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS leaving
+            FROM u2 GROUP BY t
+        ), tot AS (
+            SELECT count(*) AS n_users FROM u2
+        ), r AS (
+            SELECT t, d,
+                   CAST(tot.n_users - coalesce(sum(leaving) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS n_at_risk
+            FROM per_t, tot
+        ), term AS (
+            SELECT t, d, n_at_risk,
+                   CASE WHEN d < n_at_risk
+                        THEN CAST(floor(
+                            ln(1.0 - CAST(d AS DOUBLE)
+                               / CAST(n_at_risk AS DOUBLE))
+                            * {_LN_SCALE} + 0.5) AS BIGINT)
+                        ELSE 0 END AS ti
+            FROM r
+        ), s AS (
+            SELECT t, d, n_at_risk,
+                   CAST(sum(ti) OVER (ORDER BY t) AS BIGINT) AS cum
+            FROM term
+        )
+        SELECT t, d, n_at_risk,
+               CASE WHEN d = n_at_risk THEN 0.0
+                    ELSE {X.pround_sql(
+                        f"exp(CAST(cum AS DOUBLE) / {float(_LN_SCALE)!r})", 6)}
+               END AS survival
+        FROM s WHERE d > 0
     """,
     "ewma_daily_revenue": f"""
         WITH daily AS (

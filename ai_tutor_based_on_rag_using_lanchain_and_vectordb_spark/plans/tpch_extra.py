@@ -421,6 +421,42 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+EQUIDEPTH_BUCKETS = 10
+
+
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of events.value (contrast value_histogram's
+    equi-width buckets): decile boundaries from the exact distributed
+    selection operator (operators/quantiles.py — counters + bounded
+    brackets, no global sort), then a map-only CASE-chain bucket
+    assignment and one narrow groupBy. Equi-depth histograms are the
+    optimizer statistic (selectivity estimation) and the skew report a
+    100 TB profiler actually wants — equal-width tells you nothing when
+    the mass is log-normal. Boundary semantics: bucket = number of
+    boundaries strictly below the value (duplicated boundary values
+    collapse their bucket to empty, deterministically on both sides)."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select("value").where(
+        F.col("value").isNotNull()
+    )
+    b = EQUIDEPTH_BUCKETS
+    probs = [(f"d{i}", i, b) for i in range(1, b)]
+    cuts = [c[4] for c in exact_quantiles(ev, "value", probs)]  # bounded: b-1
+    bucket = sum(
+        (F.col("value") > F.lit(c)).cast("int") for c in cuts
+    )
+    return (
+        ev.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 MAD_K = 3.0  # the classic "3 MADs from the median" outlier rule
 
 
@@ -636,6 +672,7 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "value_mad_outliers": value_mad_outliers,
+    "value_equidepth_histogram": value_equidepth_histogram,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -684,8 +721,33 @@ _MAD_ORACLE = f"""
     WHERE ad > {MAD_K} * mad.m2
 """
 
+_EQUIDEPTH_ORACLE = f"""
+    WITH v AS (
+        SELECT value FROM events WHERE value IS NOT NULL
+    ), s AS (
+        SELECT value, row_number() OVER (ORDER BY value) AS rn,
+               count(*) OVER () AS n
+        FROM v
+    ), p(num) AS (
+        VALUES {", ".join(f"({i})" for i in range(1, EQUIDEPTH_BUCKETS))}
+    ), cuts AS (
+        SELECT s.value AS cut
+        FROM p JOIN s ON s.rn = GREATEST(
+            1, (p.num * s.n + {EQUIDEPTH_BUCKETS - 1}) // {EQUIDEPTH_BUCKETS})
+    ), b AS (
+        SELECT v.value,
+               CAST((SELECT count(*) FROM cuts c WHERE v.value > c.cut)
+                    AS INT) AS bucket
+        FROM v
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM b GROUP BY bucket
+"""
+
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
+    "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
     "exact_price_quantiles": """
         WITH v AS (
             SELECT l_extendedprice AS value FROM lineitem

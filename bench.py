@@ -67,6 +67,13 @@ HEADLINE = [
     "bloom_novel_docs",       # bloom membership gate + exact verify
     "corpus_shuffle",         # deterministic permutation + fixed-range shards
     "domain_curation",        # WARC roundtrip + host parse + cap + blocklist
+    "embedding_covariance",   # one-pass d^2 integer moments (partials only)
+    "semantic_bfs_hops",      # iterative multi-source BFS over pair graph
+    "value_mad_outliers",     # robust median/MAD outliers (exact selection)
+    "term_pmi_pairs",         # bounded-vocab collocation mining (map-side)
+    "embedding_sq8_error",    # int8 scalar quantization (expression-only)
+    "ewma_daily_revenue",     # dyadic decay kernel via explode + hash agg
+    "weighted_doc_sample",    # E-S weighted reservoir (TakeOrdered top-K)
 ]
 
 
