@@ -31,6 +31,7 @@ _DRIVER_PRIORITY = (
     "embedding_sq8_error", "ewma_daily_revenue",
     "event_markov_transitions", "weighted_doc_sample", "label_covariance",
     "value_equidepth_histogram", "user_survival_curve",
+    "customer_spend_gini", "revenue_cusum",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

@@ -293,6 +293,60 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over daily revenue: Sₜ = Σ_{s≤t}(rₛ − μ)
+    with μ the full-period daily mean — the classic change-point
+    statistic (the day of max |S| is the most likely shift point,
+    flagged as is_peak). Exact arithmetic: the rational mean never
+    materializes — Sₜ is reported from the integer identity
+    n·Sₜ = n·cumsumₜ − t_idx·total (cents × n in DECIMAL/HUGEINT),
+    divided back out in one mirrored double expression.
+
+    Scale shape: both running sums (revenue and day index) come from
+    operators/prefix.py's bucketed prefix sums — no global window even
+    though the daily table is calendar-bounded (the same plan then
+    serves per-key CUSUM at 100 TB); the peak flag is one 1-row
+    aggregate broadcast."""
+    from ..operators.prefix import grouped_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg((F.sum(X.money("o_totalprice")) * 100).cast("long").alias("cents"))
+        .withColumn("_g", F.lit(0))
+        # numeric surrogate of the date for the bucketed prefix key
+        .withColumn("_dn", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    )
+    totals = daily.agg(
+        F.count("*").alias("_n"), F.sum("cents").alias("_tot")
+    ).collect()[0]  # two bounded scalars (day count, grand total)
+    n_days, total = int(totals["_n"]), int(totals["_tot"])
+    c1 = grouped_prefix_sum(daily, ["_g"], "_dn", F.col("cents"), out_col="_rb")
+    c2 = grouped_prefix_sum(c1, ["_g"], "_dn", F.lit(1), out_col="_ib")
+    s = c2.select(
+        "day",
+        (F.col("cents") / 100.0).alias("daily_revenue"),
+        (
+            F.lit(n_days).cast("decimal(38,0)")
+            * (F.col("_rb").cast("long") + F.col("cents")).cast("decimal(38,0)")
+            - (F.col("_ib").cast("long") + F.lit(1)).cast("decimal(38,0)")
+            * F.lit(total).cast("decimal(38,0)")
+        ).alias("_ns"),
+    )
+    cusum = F.col("_ns").cast("double") / F.lit(float(n_days)) / 100.0
+    scored = s.select("day", "daily_revenue", cusum.alias("cusum"), "_ns")
+    peak = scored.agg(F.max(F.abs(F.col("_ns"))).alias("_peak"))  # 1 row
+    return (
+        scored.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "daily_revenue",
+            "cusum",
+            (F.abs(F.col("_ns")) == F.col("_peak")).alias("is_peak"),
+        )
+    )
+
+
 KM_HORIZON_US = 6 * 3_600_000_000  # censor users active in the final 6 h
 _KM_UNIT_US = 3_600_000_000  # lifetime measured in whole hours
 _LN_SCALE = 100_000_000  # ln terms quantized to 1e-8 for exact prefix sums
@@ -694,6 +748,7 @@ QUERIES = {
     "moving_avg_daily_revenue": moving_avg_daily_revenue,
     "ewma_daily_revenue": ewma_daily_revenue,
     "user_survival_curve": user_survival_curve,
+    "revenue_cusum": revenue_cusum,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -862,6 +917,34 @@ ORACLE = {
         FROM documents
         WHERE text LIKE '%spark%' AND lang = 'en'
         GROUP BY source
+    """,
+    "revenue_cusum": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(cents) AS BIGINT) AS total FROM daily
+        ), c AS (
+            SELECT day, cents,
+                   CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum,
+                   CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+            FROM daily
+        ), s AS (
+            SELECT day, cents,
+                   CAST(tot.n_days AS HUGEINT) * cum
+                       - CAST(idx AS HUGEINT) * tot.total AS ns,
+                   tot.n_days AS n_days
+            FROM c, tot
+        ), p AS (
+            SELECT max(abs(ns)) AS peak FROM s
+        )
+        SELECT day, cents / 100.0 AS daily_revenue,
+               CAST(ns AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS cusum,
+               (abs(ns) = p.peak) AS is_peak
+        FROM s, p
     """,
     "user_survival_curve": f"""
         WITH u AS (

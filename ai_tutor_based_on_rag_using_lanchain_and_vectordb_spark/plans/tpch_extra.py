@@ -421,6 +421,57 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (the inequality /
+    concentration KPI): G = Σ(2i − n − 1)·xᵢ / (n·Σx) over spend
+    sorted ascending. Zero-order customers count with x = 0 — a
+    concentration measure that ignores the inactive base overstates
+    equality.
+
+    Scale shape: the global sort rank comes from operators/ranks.py's
+    two-phase bucketed row_number (quantile cuts + per-bucket windows —
+    never a single-task global window); everything else is exact
+    integer cents accumulated in DECIMAL(38,0), one final mirrored
+    double division. Ties share the same x, so any tiebreak yields the
+    identical sum — custkey makes it deterministic anyway."""
+    from ..operators.ranks import global_row_number
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg((F.sum(X.money("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    x = cust.join(
+        spend, cust["c_custkey"] == spend["o_custkey"], "left"
+    ).select(
+        "c_custkey", F.coalesce(F.col("cents"), F.lit(0)).alias("cents")
+    )
+    ranked, n = global_row_number(x, "cents", ["c_custkey"])
+    agg = ranked.agg(
+        F.sum(
+            (
+                (F.lit(2) * F.col("rn") - F.lit(n + 1)).cast("decimal(38,0)")
+                * F.col("cents")
+            )
+        ).alias("num"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("tot"),
+    )
+    gini = F.when(
+        F.col("tot") > 0,
+        X.pround(
+            F.col("num").cast("double")
+            / (F.lit(float(n)) * F.col("tot").cast("double")),
+            6,
+        ),
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.col("tot").cast("long").alias("total_cents"),
+        gini.alias("gini"),
+    )
+
+
 EQUIDEPTH_BUCKETS = 10
 
 
@@ -673,6 +724,7 @@ QUERIES = {
     "exact_price_quantiles": exact_price_quantiles,
     "value_mad_outliers": value_mad_outliers,
     "value_equidepth_histogram": value_equidepth_histogram,
+    "customer_spend_gini": customer_spend_gini,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -748,6 +800,32 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "customer_spend_gini": f"""
+        WITH spend AS (
+            SELECT c.c_custkey,
+                   CAST(coalesce(
+                       sum(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100, 0
+                   ) AS BIGINT) AS cents
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        ), r AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents, c_custkey) AS rn,
+                   count(*) OVER () AS n
+            FROM spend
+        ), agg AS (
+            SELECT CAST(max(n) AS BIGINT) AS n_customers,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   sum(CAST(2 * rn - max_n - 1 AS HUGEINT) * cents) AS num
+            FROM (SELECT cents, rn, n, max(n) OVER () AS max_n FROM r)
+        )
+        SELECT n_customers, total_cents,
+               CASE WHEN total_cents > 0 THEN {X.pround_sql(
+                   "CAST(num AS DOUBLE) / (CAST(n_customers AS DOUBLE)"
+                   " * CAST(total_cents AS DOUBLE))", 6)}
+               END AS gini
+        FROM agg
+    """,
     "exact_price_quantiles": """
         WITH v AS (
             SELECT l_extendedprice AS value FROM lineitem
