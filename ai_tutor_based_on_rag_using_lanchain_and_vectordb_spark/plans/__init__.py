@@ -31,7 +31,8 @@ _DRIVER_PRIORITY = (
     "embedding_sq8_error", "ewma_daily_revenue",
     "event_markov_transitions", "weighted_doc_sample", "label_covariance",
     "value_equidepth_histogram", "user_survival_curve",
-    "customer_spend_gini", "revenue_cusum",
+    "customer_spend_gini", "revenue_cusum", "user_value_ewma",
+    "value_percentile_rank", "benford_order_totals",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

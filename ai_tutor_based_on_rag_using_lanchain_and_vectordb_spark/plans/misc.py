@@ -468,6 +468,55 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+USER_EWMA_SPAN = 7  # weekly per-user decay kernel
+_VAL_SCALE = 1_000_000  # event values quantized to 1e-6 for exact sums
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY exponential smoothing — ewma_daily_revenue's kernel
+    applied per user (the per-entity engagement trend a personalization
+    pipeline recomputes daily over billions of keys). This is the query
+    shape that PROVES the explode+hash-agg EWMA plan scales: the
+    grouping key rides the same shuffle, so a hot user never pins a
+    window task (there is no window). Values are quantized to 1e-6
+    (the covariance trick) so the dyadic-weighted numerator stays an
+    exact integer."""
+    events = load_table(spark, sf_dir, "events")
+    span = USER_EWMA_SPAN
+    daily = events.where(F.col("value").isNotNull()).groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * _VAL_SCALE + F.lit(0.5)).cast("long")
+        ).alias("units")
+    )
+    contrib = daily.select(
+        "user_id", "day", "units",
+        F.explode(F.sequence(F.lit(0), F.lit(span - 1))).alias("k"),
+    ).select(
+        "user_id",
+        F.date_add("day", F.col("k")).alias("day"),
+        "units",
+        F.pow(F.lit(2.0), F.lit(span - 1) - F.col("k")).cast("long").alias("w"),
+    )
+    agg = contrib.groupBy("user_id", "day").agg(
+        F.sum(F.col("units").cast("decimal(38,0)") * F.col("w")).alias("num"),
+        F.sum("w").alias("den"),
+    )
+    return daily.join(agg, ["user_id", "day"]).select(
+        "user_id",
+        "day",
+        (F.col("units").cast("double") / F.lit(float(_VAL_SCALE))).alias(
+            "daily_value"
+        ),
+        (
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(float(_VAL_SCALE))
+        ).alias("ewma_value"),
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort-retention matrix: users grouped by first-activity
     week, activity tracked as distinct (user, week) pairs, retention =
@@ -749,6 +798,7 @@ QUERIES = {
     "ewma_daily_revenue": ewma_daily_revenue,
     "user_survival_curve": user_survival_curve,
     "revenue_cusum": revenue_cusum,
+    "user_value_ewma": user_value_ewma,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -917,6 +967,30 @@ ORACLE = {
         FROM documents
         WHERE text LIKE '%spark%' AND lang = 'en'
         GROUP BY source
+    """,
+    "user_value_ewma": f"""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(floor(value * {_VAL_SCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS units
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ), contrib AS (
+            SELECT user_id, day + CAST(k AS INT) AS day2, units,
+                   CAST(power(2.0, {USER_EWMA_SPAN - 1} - k) AS BIGINT) AS w
+            FROM (SELECT user_id, day, units,
+                         unnest(generate_series(0, {USER_EWMA_SPAN - 1})) AS k
+                  FROM daily)
+        ), agg AS (
+            SELECT user_id, day2 AS day,
+                   sum(CAST(units AS HUGEINT) * w) AS num,
+                   CAST(sum(w) AS BIGINT) AS den
+            FROM contrib GROUP BY 1, 2
+        )
+        SELECT d.user_id, d.day AS day,
+               CAST(d.units AS DOUBLE) / {float(_VAL_SCALE)!r} AS daily_value,
+               CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)
+                   / {float(_VAL_SCALE)!r} AS ewma_value
+        FROM daily d JOIN agg a ON a.user_id = d.user_id AND a.day = d.day
     """,
     "revenue_cusum": """
         WITH daily AS (

@@ -421,6 +421,66 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+def value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) transform of events.value — the monotone
+    normalization that makes heavy-tailed features comparable across
+    segments: pct = (rank − 1)/(n − 1) ∈ [0, 1]. Rank ties break on
+    event_id (documented: a rank transform, not an average-rank
+    transform). Scale shape: operators/ranks.py two-phase bucketed
+    global row_number — quantile cuts + per-bucket windows, never a
+    single-task global window. The pct expression is exact-integer /
+    exact-integer in double, mirrored — no rounding needed."""
+    from ..operators.ranks import global_row_number
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").where(
+        F.col("value").isNotNull()
+    )
+    ranked, n = global_row_number(ev, "value", ["event_id"])
+    den = max(n - 1, 1)
+    return ranked.select(
+        "event_id",
+        "value",
+        (
+            (F.col("rn") - F.lit(1)).cast("double") / F.lit(float(den))
+        ).alias("pct"),
+    )
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the forensic data-quality
+    check for fabricated or truncated money columns: observed
+    first-significant-digit shares vs log10(1 + 1/d). The digit comes
+    from the INTEGER cents value rendered as a string (×100 preserves
+    the leading significant digit; integer formatting is engine-exact,
+    unlike float→string or floor(log10(x)) at exact powers of ten)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = (X.money("o_totalprice") * 100).cast("long")
+    per_digit = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    total = per_digit.agg(F.sum("n_obs").alias("_n"))  # 1-row scalar
+    ln10 = F.log(F.lit(10.0))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            X.pround(
+                F.col("n_obs").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("share"),
+            X.pround(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+                / ln10,
+                6,
+            ).alias("benford_p"),
+        )
+    )
+
+
 def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend (the inequality /
     concentration KPI): G = Σ(2i − n − 1)·xᵢ / (n·Σx) over spend
@@ -725,6 +785,8 @@ QUERIES = {
     "value_mad_outliers": value_mad_outliers,
     "value_equidepth_histogram": value_equidepth_histogram,
     "customer_spend_gini": customer_spend_gini,
+    "value_percentile_rank": value_percentile_rank,
+    "benford_order_totals": benford_order_totals,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -800,6 +862,39 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "value_percentile_rank": """
+        WITH v AS (
+            SELECT event_id, value FROM events WHERE value IS NOT NULL
+        ), r AS (
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn,
+                   count(*) OVER () AS n
+            FROM v
+        )
+        SELECT event_id, value,
+               CAST(rn - 1 AS DOUBLE) / CAST(GREATEST(n - 1, 1) AS DOUBLE)
+                   AS pct
+        FROM r
+    """,
+    "benford_order_totals": f"""
+        WITH d AS (
+            SELECT CAST(substring(CAST(
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ), c AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+        ), t AS (
+            SELECT sum(n_obs) AS n FROM c
+        )
+        SELECT digit, n_obs,
+               {X.pround_sql(
+                   "CAST(n_obs AS DOUBLE) / CAST(t.n AS DOUBLE)", 6)} AS share,
+               {X.pround_sql(
+                   "ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)",
+                   6)} AS benford_p
+        FROM c, t
+    """,
     "customer_spend_gini": f"""
         WITH spend AS (
             SELECT c.c_custkey,
