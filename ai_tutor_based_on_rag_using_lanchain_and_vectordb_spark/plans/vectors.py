@@ -718,6 +718,91 @@ def label_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, "embedding", key_col="label")
 
 
+def mahalanobis_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class Mahalanobis scoring end-to-end self-check (rows-only:
+    the matrix pseudo-inverse is driver-side numpy over the COLLECTED
+    |labels|·d² moments — the bounded sketch-merge pattern; scoring is
+    one Arrow map stage with the (μ, Σ⁺) table broadcast in the
+    closure). The in-plan check is an EXACT identity: evaluated on the
+    fitting sample with population statistics, the mean Mahalanobis²
+    per class equals rank(Σ) = trace(Σ⁺Σ) — so a wrong inverse, a
+    drifted mean, or a quantization slip all break the gate. Emits one
+    row per label with the class's top outlier."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.covariance import QUANT_DIGITS, second_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = second_moments(emb, "embedding", key_col="label").collect()
+    scale = float(10 ** QUANT_DIGITS)
+    by_label: dict = {}
+    for r in rows:
+        d_ = by_label.setdefault(r["label"], {"sx": {}, "sxy": {}, "n": 0})
+        if r["j"] == -1:
+            d_["sx"][r["i"]] = int(r["s"])
+            d_["n"] = int(r["n_rows"])
+        else:
+            d_["sxy"][(r["i"], r["j"])] = int(r["s"])
+    stats = {}
+    for lbl, d_ in by_label.items():
+        dim = max(d_["sx"]) + 1
+        n = d_["n"]
+        mu = np.array([d_["sx"][i] for i in range(dim)]) / scale / n
+        c = np.zeros((dim, dim))
+        for (i, j), s in d_["sxy"].items():
+            cov = (s / (scale * scale) - d_["sx"][i] * d_["sx"][j] / (scale * scale) / n) / n
+            c[i, j] = c[j, i] = cov
+        w, v = np.linalg.eigh(c)
+        tol = 1e-10 * max(w.max(), 1e-30)
+        rank = int((w > tol).sum())
+        pinv = (v[:, w > tol] / w[w > tol]) @ v[:, w > tol].T
+        stats[lbl] = (mu, pinv, rank)
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for lbl, grp in pdf.groupby("label", sort=True):
+                mu, pinv, rank = stats[lbl]
+                x = np.stack([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+                xq = np.floor(x * scale + 0.5) / scale - mu
+                md2 = np.einsum("bi,ij,bj->b", xq, pinv, xq)
+                out.append(pd.DataFrame({
+                    "label": lbl, "vec_id": grp["vec_id"].values,
+                    "md2": md2, "rank": rank,
+                }))
+            if out:
+                yield pd.concat(out)
+
+    scored = emb.where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).mapInPandas(score, "label int, vec_id long, md2 double, rank int")
+    w_top = Window.partitionBy("label").orderBy(F.desc("md2"), F.asc("vec_id"))
+    top = (
+        scored.withColumn("_rn", F.row_number().over(w_top))
+        .where(F.col("_rn") == 1)
+        .select("label", F.col("vec_id").alias("top_outlier_id"))
+    )
+    agg = scored.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.avg("md2").alias("avg_md2"),
+        F.first("rank").alias("rank"),
+    )
+    return (
+        agg.join(top, "label")  # both sides |labels| rows
+        .select(
+            "label", "n", "rank",
+            F.round("avg_md2", 6).alias("avg_md2"),
+            "top_outlier_id",
+            (
+                F.abs(F.col("avg_md2") - F.col("rank"))
+                <= 1e-6 * (F.col("rank") + 1)
+            ).alias("ok_trace_identity"),
+        )
+        .orderBy("label")
+    )
+
+
 PCA_COMPONENTS = 8
 
 
@@ -800,6 +885,7 @@ QUERIES = {
     "semantic_bfs_hops": semantic_bfs_hops,
     "embedding_covariance": embedding_covariance,
     "label_covariance": label_covariance,
+    "mahalanobis_outlier_gate": mahalanobis_outlier_gate,
     "pca_projection_gate": pca_projection_gate,
     "hybrid_rrf_fusion": hybrid_rrf_fusion,
     "semdedup_exhaustive": semdedup_exhaustive,

@@ -123,3 +123,15 @@ def test_grouped_null_keys_dropped(spark):
     got = covariance_matrix(df, key_col="grp").collect()
     assert {r["grp"] for r in got} == {"a"}
     assert all(r["n_rows"] == 2 for r in got)
+
+
+def test_mahalanobis_gate_green_at_sf0001(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
+        mahalanobis_outlier_gate,
+    )
+
+    rows = mahalanobis_outlier_gate(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "gate emitted no labels"
+    for r in rows:
+        assert r["ok_trace_identity"], (r["label"], r["avg_md2"], r["rank"])
+        assert 0 < r["rank"] < r["n"] + 1
