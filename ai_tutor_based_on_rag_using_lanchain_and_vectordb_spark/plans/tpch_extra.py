@@ -421,6 +421,48 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+_TREND_VAL_SCALE = 1_000_000
+
+
+def value_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend: the least-squares slope of value over
+    time (drift detection: is this event type's value rising?) by the
+    EXACT-MOMENTS recipe of price_quantity_corr — x = whole seconds
+    since the global first event (integer), y = value in 1e-6 units
+    (integer), per-row products in int64, sums in DECIMAL(38,0), one
+    final double expression per GROUP mirrored token-for-token. Slope
+    reported in value-units/day. One scan + one narrow groupBy; the
+    time anchor is a 1-row broadcast."""
+    events = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    anchor = events.agg(F.min(F.unix_micros("ts")).alias("_min_us"))
+    dec = X.DEC
+    based = events.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.expr("(unix_micros(ts) - _min_us) DIV 1000000").alias("x"),
+        F.floor(F.col("value") * _TREND_VAL_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    m = based.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 86400.0
+        / float(_TREND_VAL_SCALE)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        X.pround(slope, 8).alias("slope_per_day"),
+    )
+
+
 def value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile (rank) transform of events.value — the monotone
     normalization that makes heavy-tailed features comparable across
@@ -787,6 +829,7 @@ QUERIES = {
     "customer_spend_gini": customer_spend_gini,
     "value_percentile_rank": value_percentile_rank,
     "benford_order_totals": benford_order_totals,
+    "value_time_trend": value_time_trend,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -862,6 +905,31 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "value_time_trend": f"""
+        WITH a AS (
+            SELECT min(epoch_us(ts)) AS min_us FROM events
+            WHERE value IS NOT NULL
+        ), b AS (
+            SELECT event_type,
+                   (epoch_us(ts) - a.min_us) // 1000000 AS x,
+                   CAST(floor(value * {_TREND_VAL_SCALE} + 0.5) AS BIGINT) AS y
+            FROM events, a WHERE value IS NOT NULL
+        ), m AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(x AS {X.DEC_SQL})) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS {X.DEC_SQL})) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x * y AS {X.DEC_SQL})) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(x * x AS {X.DEC_SQL})) AS DOUBLE) AS sxx
+            FROM b GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               {X.pround_sql(
+                   "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+                   f" * 86400.0 / {float(_TREND_VAL_SCALE)!r}", 8)}
+                   AS slope_per_day
+        FROM m
+    """,
     "value_percentile_rank": """
         WITH v AS (
             SELECT event_id, value FROM events WHERE value IS NOT NULL
