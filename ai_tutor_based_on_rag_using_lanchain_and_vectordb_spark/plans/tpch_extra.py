@@ -421,6 +421,44 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate_us")
+
+
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders numeric columns —
+    count / nulls / exact NDV / min / max per column, the statistics a
+    cost-based optimizer (or a data-quality monitor) collects. One scan:
+    all per-column aggregates ride a single groupBy-less agg (Spark's
+    multi-distinct Expand), then unpivot to one row per column. Exact
+    NDV is the oracle-able spec; at 100 TB the same query swaps in the
+    HLL sketch family (operators/rollup.py) — documented trade, same
+    output shape."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_us", F.unix_micros("o_orderdate")
+    )
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__ndv"),
+            F.min(col.cast("double")).alias(f"{c}__min"),
+            F.max(col.cast("double")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+            "(column_name, n, n_null, n_distinct, min_v, max_v)"
+        )
+    )
+
+
 _TREND_VAL_SCALE = 1_000_000
 
 
@@ -830,6 +868,7 @@ QUERIES = {
     "value_percentile_rank": value_percentile_rank,
     "benford_order_totals": benford_order_totals,
     "value_time_trend": value_time_trend,
+    "orders_column_profile": orders_column_profile,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -905,6 +944,19 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "orders_column_profile": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_v,
+               CAST(max({c}) AS DOUBLE) AS max_v
+        FROM (SELECT *, epoch_us(o_orderdate) AS o_orderdate_us FROM orders)
+        """
+        for c in _PROFILE_COLS
+    ),
     "value_time_trend": f"""
         WITH a AS (
             SELECT min(epoch_us(ts)) AS min_us FROM events

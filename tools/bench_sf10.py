@@ -52,6 +52,13 @@ PROBE_QUERIES = (
     "bloom_novel_docs",
     "corpus_shuffle",
     "domain_curation",
+    # round-10 second wave: moments sweep, bounded-vocab pair mining,
+    # iterative BFS, distributed selection, per-key kernel smoothing
+    "embedding_covariance",
+    "term_pmi_pairs",
+    "semantic_bfs_hops",
+    "value_mad_outliers",
+    "user_value_ewma",
 )
 
 
