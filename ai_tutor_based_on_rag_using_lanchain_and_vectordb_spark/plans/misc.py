@@ -293,6 +293,50 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 7
+
+
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..ACF_MAX_LAG
+    — the weekly-seasonality / momentum readout (a lag-7 spike = weekly
+    cycle). Pearson correlation of (rₜ₋ℓ, rₜ) per lag by the exact-
+    moments recipe: pairs form by the map-side explode of each day to
+    its ℓ-shifted targets (one day-keyed equi join, no window, no
+    self-join fan-out); per-row products in DECIMAL(18,0)² (exact up to
+    10¹⁸ daily cents), sums in DECIMAL(38,0), one mirrored double
+    expression per lag."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(X.money("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    shifted = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+        F.col("day"),
+        F.col("cents").alias("x"),
+    ).select("lag", F.date_add("day", F.col("lag")).alias("day"), "x")
+    pairs = shifted.join(
+        daily.select("day", F.col("cents").alias("y")), "day"
+    )
+    d18 = "decimal(18,0)"
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(X.DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(X.DEC)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d18) * F.col("y").cast(d18)).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(d18) * F.col("x").cast(d18)).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(d18) * F.col("y").cast(d18)).cast("double").alias("syy"),
+    )
+    acf = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        X.pround(acf, 6).alias("acf"),
+    )
+
+
 def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM drift detection over daily revenue: Sₜ = Σ_{s≤t}(rₛ − μ)
     with μ the full-period daily mean — the classic change-point
@@ -799,6 +843,7 @@ QUERIES = {
     "user_survival_curve": user_survival_curve,
     "revenue_cusum": revenue_cusum,
     "user_value_ewma": user_value_ewma,
+    "revenue_autocorrelation": revenue_autocorrelation,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -967,6 +1012,36 @@ ORACLE = {
         FROM documents
         WHERE text LIKE '%spark%' AND lang = 'en'
         GROUP BY source
+    """,
+    "revenue_autocorrelation": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), shifted AS (
+            SELECT lag, day + CAST(lag AS INT) AS day2, cents AS x
+            FROM (SELECT day, cents,
+                         unnest(generate_series(1, {ACF_MAX_LAG})) AS lag
+                  FROM daily)
+        ), pairs AS (
+            SELECT s.lag, s.x, d.cents AS y
+            FROM shifted s JOIN daily d ON d.day = s.day2
+        ), m AS (
+            SELECT lag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(x AS {X.DEC_SQL})) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(y AS {X.DEC_SQL})) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               {X.pround_sql(
+                   "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx)"
+                   " * (n * syy - sy * sy))", 6)} AS acf
+        FROM m
     """,
     "user_value_ewma": f"""
         WITH daily AS (

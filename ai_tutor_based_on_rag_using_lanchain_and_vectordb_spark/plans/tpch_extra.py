@@ -421,6 +421,60 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+KS_TYPE_A, KS_TYPE_B = "purchase", "view"
+
+
+def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event types — the standard distribution-drift
+    test (pairs with Q(event_value_auc): AUC measures ranking
+    separation, KS measures worst-case CDF gap). D = max |F_A − F_B|
+    over the pooled distinct values, reported with the location where
+    the max is attained (min such value on ties).
+
+    Scale shape: one groupBy collapses rows to distinct values with
+    per-class counts; both CDFs come from operators/prefix.py bucketed
+    prefix sums (no global window); the maximum is one 1-row aggregate
+    joined back broadcast. All counts exact integers; the CDF gap is
+    an integer/integer double expression mirrored in the oracle."""
+    from ..operators.prefix import grouped_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    per_v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
+    ).withColumn("_g", F.lit(0))
+    c1 = grouped_prefix_sum(per_v, ["_g"], "value", F.col("ca"), out_col="_ba")
+    c2 = grouped_prefix_sum(c1, ["_g"], "value", F.col("cb"), out_col="_bb")
+    tot = c2.agg(
+        F.sum("ca").alias("_na"), F.sum("cb").alias("_nb")
+    )  # 1-row scalar
+    gap = F.abs(
+        (F.col("_ba").cast("long") + F.col("ca")).cast("double")
+        / F.col("_na").cast("double")
+        - (F.col("_bb").cast("long") + F.col("cb")).cast("double")
+        / F.col("_nb").cast("double")
+    )
+    gaps = c2.crossJoin(F.broadcast(tot)).select(
+        "value", "_na", "_nb", gap.alias("_gap")
+    )
+    peak = gaps.agg(F.max("_gap").alias("_ks"))  # 1-row scalar
+    return (
+        gaps.crossJoin(F.broadcast(peak))
+        .where(F.col("_gap") == F.col("_ks"))
+        .groupBy()
+        .agg(
+            F.first("_na").alias("n_a"),
+            F.first("_nb").alias("n_b"),
+            F.first("_ks").alias("ks_stat"),
+            F.min("value").alias("at_value"),
+        )
+    )
+
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate_us")
 
 
@@ -869,6 +923,7 @@ QUERIES = {
     "benford_order_totals": benford_order_totals,
     "value_time_trend": value_time_trend,
     "orders_column_profile": orders_column_profile,
+    "value_ks_test": value_ks_test,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -944,6 +999,38 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "value_ks_test": f"""
+        WITH v AS (
+            SELECT value, event_type FROM events
+            WHERE value IS NOT NULL
+              AND event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        ), per_v AS (
+            SELECT value,
+                   sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1
+                       ELSE 0 END) AS ca,
+                   sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1
+                       ELSE 0 END) AS cb
+            FROM v GROUP BY value
+        ), t AS (
+            SELECT sum(ca) AS na, sum(cb) AS nb FROM per_v
+        ), c AS (
+            SELECT value,
+                   CAST(sum(ca) OVER (ORDER BY value) AS BIGINT) AS cuma,
+                   CAST(sum(cb) OVER (ORDER BY value) AS BIGINT) AS cumb
+            FROM per_v
+        ), g AS (
+            SELECT value,
+                   abs(CAST(cuma AS DOUBLE) / CAST(t.na AS DOUBLE)
+                       - CAST(cumb AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS gap,
+                   t.na AS na, t.nb AS nb
+            FROM c, t
+        ), p AS (
+            SELECT max(gap) AS ks FROM g
+        )
+        SELECT CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+               min(p.ks) AS ks_stat, min(value) AS at_value
+        FROM g, p WHERE g.gap = p.ks
+    """,
     "orders_column_profile": " UNION ALL ".join(
         f"""
         SELECT '{c}' AS column_name,
