@@ -34,7 +34,7 @@ _DRIVER_PRIORITY = (
     "customer_spend_gini", "revenue_cusum", "user_value_ewma",
     "value_percentile_rank", "benford_order_totals",
     "mahalanobis_outlier_gate", "value_time_trend", "orders_column_profile",
-    "value_ks_test", "revenue_autocorrelation",
+    "value_ks_test", "revenue_autocorrelation", "revenue_seasonality",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

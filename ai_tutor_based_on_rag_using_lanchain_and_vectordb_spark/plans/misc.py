@@ -293,6 +293,39 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal index of daily revenue
+    (index > 1 = that weekday runs hot) — the decomposition step that
+    pairs with Q(revenue_autocorrelation)'s lag-7 readout. Weekday is
+    computed PORTABLY as days-since-a-known-Monday mod 7 (0 = Monday)
+    — never the engines' dayofweek(), whose origin conventions differ.
+    Exact decimal cents throughout; index = (dow mean)/(global mean)
+    as one mirrored double expression (the global side is a 1-row
+    broadcast)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(X.money("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    dow = F.pmod(
+        F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), F.lit(7)
+    )
+    per_dow = daily.groupBy(dow.alias("dow")).agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("_c"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_days").alias("_tn"), F.sum("_c").alias("_tc")
+    )  # 1-row scalar
+    mean_dow = F.col("_c").cast("double") / F.col("n_days").cast("double")
+    mean_all = F.col("_tc").cast("double") / F.col("_tn").cast("double")
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        X.pround(mean_dow / 100.0, 2).alias("avg_revenue"),
+        X.pround(mean_dow / mean_all, 6).alias("seasonal_index"),
+    )
+
+
 ACF_MAX_LAG = 7
 
 
@@ -844,6 +877,7 @@ QUERIES = {
     "revenue_cusum": revenue_cusum,
     "user_value_ewma": user_value_ewma,
     "revenue_autocorrelation": revenue_autocorrelation,
+    "revenue_seasonality": revenue_seasonality,
     "user_event_pivot": user_event_pivot,
     "health_status": health_status,
     "priority_shipmode_counts": priority_shipmode_counts,
@@ -1012,6 +1046,30 @@ ORACLE = {
         FROM documents
         WHERE text LIKE '%spark%' AND lang = 'en'
         GROUP BY source
+    """,
+    "revenue_seasonality": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ), per_dow AS (
+            SELECT (day - DATE '1970-01-05') % 7 AS dow,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   sum(CAST(cents AS HUGEINT)) AS c
+            FROM daily GROUP BY 1
+        ), t AS (
+            SELECT sum(n_days) AS tn, sum(c) AS tc FROM per_dow
+        )
+        SELECT CAST(dow AS INT) AS dow, n_days,
+               {X.pround_sql(
+                   "CAST(c AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0", 2)}
+                   AS avg_revenue,
+               {X.pround_sql(
+                   "(CAST(c AS DOUBLE) / CAST(n_days AS DOUBLE))"
+                   " / (CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE))", 6)}
+                   AS seasonal_index
+        FROM per_dow, t
     """,
     "revenue_autocorrelation": f"""
         WITH daily AS (
