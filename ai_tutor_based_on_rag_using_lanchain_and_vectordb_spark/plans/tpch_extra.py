@@ -421,6 +421,43 @@ def exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles_df(spark, li, "l_extendedprice", probs)
 
 
+def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for lineitem.l_orderkey — the diagnostic a
+    100 TB engine runs BEFORE picking a join strategy (operators/
+    skew.py salts what this report flags): key count, row count, the
+    hottest key and its share, and the p50/p99 key-frequency ratio.
+    The frequency table is one groupBy; its quantiles come from the
+    exact selection operator (bounded driver values); the top key is a
+    TakeOrdered limit(1) broadcast. One mirrored double per ratio."""
+    from ..operators.quantiles import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    qs = exact_quantiles(freq, "c", [("p50", 1, 2), ("p99", 99, 100)])
+    p50, p99 = float(qs[0][4]), float(qs[1][4])
+    top = freq.orderBy(F.desc("c"), F.asc("k")).limit(1).select(
+        F.col("k").alias("top_key"), F.col("c").alias("top_count")
+    )
+    t = freq.agg(
+        F.count("*").alias("n_keys"), F.sum("c").alias("n_rows")
+    )
+    return t.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "top_key",
+        "top_count",
+        X.pround(
+            F.col("top_count").cast("double") / F.col("n_rows").cast("double"),
+            8,
+        ).alias("top_share"),
+        F.lit(p50).alias("p50_freq"),
+        F.lit(p99).alias("p99_freq"),
+        X.pround(F.lit(p99) / F.lit(p50), 6).alias("skew_ratio"),
+    )
+
+
 KS_TYPE_A, KS_TYPE_B = "purchase", "view"
 
 
@@ -924,6 +961,7 @@ QUERIES = {
     "value_time_trend": value_time_trend,
     "orders_column_profile": orders_column_profile,
     "value_ks_test": value_ks_test,
+    "lineitem_key_skew_report": lineitem_key_skew_report,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -999,6 +1037,36 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "lineitem_key_skew_report": f"""
+        WITH freq AS (
+            SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ), s AS (
+            SELECT c, row_number() OVER (ORDER BY c) AS rn,
+                   count(*) OVER () AS n
+            FROM freq
+        ), med AS (
+            SELECT CAST(c AS DOUBLE) AS v FROM s
+            WHERE rn = GREATEST(1, (n + 1) // 2)
+        ), p99 AS (
+            SELECT CAST(c AS DOUBLE) AS v FROM s
+            WHERE rn = GREATEST(1, (99 * n + 99) // 100)
+        ), top AS (
+            SELECT k AS top_key, c AS top_count FROM freq
+            ORDER BY c DESC, k LIMIT 1
+        ), t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(c) AS BIGINT) AS n_rows
+            FROM freq
+        )
+        SELECT t.n_keys, t.n_rows, top.top_key, top.top_count,
+               {X.pround_sql(
+                   "CAST(top.top_count AS DOUBLE)"
+                   " / CAST(t.n_rows AS DOUBLE)", 8)} AS top_share,
+               med.v AS p50_freq, p99.v AS p99_freq,
+               {X.pround_sql("p99.v / med.v", 6)} AS skew_ratio
+        FROM t, top, med, p99
+    """,
     "value_ks_test": f"""
         WITH v AS (
             SELECT value, event_type FROM events
