@@ -96,6 +96,20 @@ def user_event_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_part_names_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 fuzzy match: every distinct part-name pair within
+    Levenshtein distance 2 (operators/fuzzyjoin.py with k=2 —
+    double-deletion FastSS signatures, fan-out O(|s|²) per DISTINCT
+    name, still never an all-pairs join; the oracle IS the quadratic
+    all-pairs plan, so the hash check proves the blocked plan loses
+    nothing at the wider radius). Same ASCII domain note as
+    fuzzy_part_names."""
+    from ..operators.fuzzyjoin import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", k=2)
+
+
 def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: counts and row-normalized probabilities of event_type →
@@ -397,6 +411,7 @@ QUERIES = {
     "signup_purchase_funnel": signup_purchase_funnel,
     "user_event_journeys": user_event_journeys,
     "event_markov_transitions": event_markov_transitions,
+    "fuzzy_part_names_k2": fuzzy_part_names_k2,
     "quality_above_lang_median": quality_above_lang_median,
     "deterministic_doc_sample": deterministic_doc_sample,
 }
@@ -454,6 +469,17 @@ ORACLE = {
                    "sum(p * (2 * cnb + neg)) / (2.0 * sum(p) * sum(neg))", 6
                )} AS auc
         FROM c
+    """,
+    "fuzzy_part_names_k2": """
+        WITH names AS (
+            SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n
+            FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+               a.n AS n_a, b.n AS n_b
+        FROM names a JOIN names b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
     """,
     "fuzzy_part_names": """
         WITH names AS (
