@@ -466,6 +466,70 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(cov_dir, ignore_errors=True)
 
+    # st15: incremental aggregate-VIEW maintenance — the materialized
+    # per-user spend view folded by per-micro-batch delta aggregation
+    # (union + re-aggregate, the insert-only IVM rule). Decimal sums
+    # are exact and associative, so the maintained view must equal the
+    # one-shot batch aggregate EXACTLY, row for row.
+    view_state: dict = {"v": None, "batches": 0}
+
+    def _view_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col("value").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(28,6)")).alias("total"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def feed_view(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = _view_agg(batch_df)
+        merged = (
+            delta
+            if view_state["v"] is None
+            else view_state["v"]
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.sum("total").alias("total"), F.sum("n").alias("n"))
+        )
+        view_state["v"] = merged.localCheckpoint(eager=True)
+        view_state["batches"] += 1
+
+    ev_src_batch = batch_events.select("user_id", "value")
+    view_dir = tempfile.mkdtemp(prefix="st15_view_")
+    try:
+        # multi-file source + maxFilesPerTrigger=1: the delta merge must
+        # actually run across micro-batches (the st13/st14 pattern)
+        view_src = os.path.join(view_dir, "src")
+        ev_src_batch.repartition(4).write.parquet(view_src)
+        ev_stream = (
+            spark.readStream.schema(ev_src_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(view_src)
+        )
+        q = (
+            ev_stream.writeStream.foreachBatch(feed_view)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        view_cols = ["user_id", "total", "n"]
+        view_got = (
+            _rows(view_state["v"], view_cols)
+            if view_state["v"] is not None
+            else []
+        )
+        view_want = _rows(_view_agg(ev_src_batch), view_cols)
+        results.append(
+            ("st15_incremental_agg_view", len(view_got), len(view_want),
+             view_got == view_want and view_state["batches"] >= 2)
+        )
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")
