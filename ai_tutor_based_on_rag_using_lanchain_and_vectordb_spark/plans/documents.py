@@ -744,6 +744,44 @@ def neardup_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    signal alongside the quality/entropy/repetition stack: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with sentences =
+    max(1, count of [.!?]+ runs) and syllables approximated by vowel
+    GROUPS ([aeiouy]+) — the standard heuristic. All three counts are
+    exact integers from mirrored regex expressions (map-only, codegen);
+    the score is one mirrored double, pround-ed. Zero-word documents
+    score null (readability undefined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+"))).cast("long")
+    n_sent = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")).cast("long"), F.lit(1)
+    )
+    n_syl = F.expr(
+        "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    ).cast("long")
+    w, s, y = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    flesch = F.when(
+        w > 0,
+        X.pround(
+            F.lit(206.835)
+            - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+            - F.lit(84.6) * (y.cast("double") / w.cast("double")),
+            4,
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    ).select("doc_id", "n_words", "n_sentences", "n_syllables",
+             flesch.alias("flesch"))
+
+
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document — the classic
     gibberish/boilerplate quality signal (low entropy = repeated
@@ -830,6 +868,7 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "neardup_local_clustering": neardup_local_clustering,
     "doc_char_entropy": doc_char_entropy,
+    "doc_readability": doc_readability,
     "doc_compression_ratio": doc_compression_ratio,
     "neardup_k_core": neardup_k_core,
     "bm25_search_topk": bm25_search_topk,
@@ -964,6 +1003,29 @@ ORACLE = {
     "ngram_jaccard_pairs": r"""
         WITH """ + "_JACCARD_CTES" + r"""
         SELECT doc_a, doc_b, jaccard FROM all_pairs
+    """,
+    "doc_readability": r"""
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS n_words,
+                   GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                 AS BIGINT), 1) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                   (floor((206.835
+                        - 1.015 * (CAST(n_words AS DOUBLE)
+                                   / CAST(n_sentences AS DOUBLE))
+                        - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                  / CAST(n_words AS DOUBLE)))
+                       * 10000 + 0.5) / 10000)
+               END AS flesch
+        FROM c
     """,
     "doc_char_entropy": r"""
         WITH ch AS (
