@@ -458,6 +458,77 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BUCKETS = 10
+
+
+def value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of events.value between the first
+    and second half of the event stream (split at the median
+    timestamp) — THE model-monitoring drift metric (rule of thumb:
+    PSI < 0.1 stable, > 0.25 shifted), complementing Q(value_ks_test)
+    (KS = worst-case CDF gap; PSI = distribution-wide weighted shift).
+
+    Buckets are the FIRST half's deciles (exact selection operator);
+    both halves' bucket shares use +1 Laplace smoothing so an empty
+    bucket stays finite. Per-bucket terms (q−p)·ln(q/p) are pround-ed
+    to 8 dp and summed exactly as 1e-8 integers (the ln-parity
+    pattern); emits one row per bucket plus the summed PSI on each
+    row's psi_total column (the driver hash then pins both the
+    decomposition and the total)."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(F.unix_micros("ts").alias("ts_us"), "value")
+    med_ts = exact_quantiles(ev, "ts_us", [("p50", 1, 2)])[0][4]
+    first = ev.where(F.col("ts_us") <= F.lit(med_ts))
+    b = PSI_BUCKETS
+    cuts = [
+        c[4]
+        for c in exact_quantiles(
+            first, "value", [(f"d{i}", i, b) for i in range(1, b)]
+        )
+    ]
+    bucket = sum((F.col("value") > F.lit(c)).cast("int") for c in cuts)
+    counts = (
+        ev.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") <= F.lit(med_ts), 1).otherwise(0)
+            ).alias("c_first"),
+            F.sum(
+                F.when(F.col("ts_us") > F.lit(med_ts), 1).otherwise(0)
+            ).alias("c_second"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_first").alias("_nf"), F.sum("c_second").alias("_ns")
+    )  # 1-row scalar
+    p = (F.col("c_first").cast("double") + 1.0) / (
+        F.col("_nf").cast("double") + F.lit(float(b))
+    )
+    q = (F.col("c_second").cast("double") + 1.0) / (
+        F.col("_ns").cast("double") + F.lit(float(b))
+    )
+    term = X.pround((q - p) * F.log(q / p), 8)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", "c_first", "c_second", term.alias("psi_term")
+    )
+    total = terms.agg(
+        F.sum(
+            F.floor(F.col("psi_term") * 1e8 + F.lit(0.5)).cast("long")
+        ).alias("_t")
+    )  # exact integer sum of the 8-dp terms
+    return terms.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "c_first",
+        "c_second",
+        "psi_term",
+        X.pround(F.col("_t").cast("double") / 1e8, 6).alias("psi_total"),
+    )
+
+
 KS_TYPE_A, KS_TYPE_B = "purchase", "view"
 
 
@@ -962,6 +1033,7 @@ QUERIES = {
     "orders_column_profile": orders_column_profile,
     "value_ks_test": value_ks_test,
     "lineitem_key_skew_report": lineitem_key_skew_report,
+    "value_psi_drift": value_psi_drift,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -1037,6 +1109,62 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "value_psi_drift": f"""
+        WITH ev AS (
+            SELECT epoch_us(ts) AS ts_us, value FROM events
+            WHERE value IS NOT NULL
+        ), st AS (
+            SELECT ts_us, row_number() OVER (ORDER BY ts_us) AS rn,
+                   count(*) OVER () AS n
+            FROM ev
+        ), med AS (
+            SELECT ts_us AS m FROM st WHERE rn = GREATEST(1, (n + 1) // 2)
+        ), fh AS (
+            SELECT value FROM ev, med WHERE ts_us <= med.m
+        ), s AS (
+            SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS n
+            FROM fh
+        ), p(num) AS (
+            VALUES {", ".join(f"({i})" for i in range(1, PSI_BUCKETS))}
+        ), cuts AS (
+            SELECT s.value AS cut
+            FROM p JOIN s ON s.rn = GREATEST(
+                1, (p.num * s.n + {PSI_BUCKETS - 1}) // {PSI_BUCKETS})
+        ), bkt AS (
+            SELECT CAST((SELECT count(*) FROM cuts c WHERE ev.value > c.cut)
+                        AS INT) AS bucket,
+                   CASE WHEN ev.ts_us <= med.m THEN 1 ELSE 0 END AS is_first
+            FROM ev, med
+        ), counts AS (
+            SELECT bucket,
+                   CAST(sum(is_first) AS BIGINT) AS c_first,
+                   CAST(sum(1 - is_first) AS BIGINT) AS c_second
+            FROM bkt GROUP BY bucket
+        ), t AS (
+            SELECT sum(c_first) AS nf, sum(c_second) AS ns FROM counts
+        ), terms AS (
+            SELECT bucket, c_first, c_second,
+                   {X.pround_sql(
+                       "((CAST(c_second AS DOUBLE) + 1.0)"
+                       f" / (CAST(t.ns AS DOUBLE) + {float(PSI_BUCKETS)!r})"
+                       " - (CAST(c_first AS DOUBLE) + 1.0)"
+                       f" / (CAST(t.nf AS DOUBLE) + {float(PSI_BUCKETS)!r}))"
+                       " * ln(((CAST(c_second AS DOUBLE) + 1.0)"
+                       f" / (CAST(t.ns AS DOUBLE) + {float(PSI_BUCKETS)!r}))"
+                       " / ((CAST(c_first AS DOUBLE) + 1.0)"
+                       f" / (CAST(t.nf AS DOUBLE) + {float(PSI_BUCKETS)!r})))",
+                       8)} AS psi_term
+            FROM counts, t
+        ), tt AS (
+            SELECT CAST(sum(CAST(floor(psi_term * 1e8 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM terms
+        )
+        SELECT bucket, c_first, c_second, psi_term,
+               {X.pround_sql("CAST(tt.s AS DOUBLE) / 1e8", 6)} AS psi_total
+        FROM terms, tt
+    """,
     "lineitem_key_skew_report": f"""
         WITH freq AS (
             SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
