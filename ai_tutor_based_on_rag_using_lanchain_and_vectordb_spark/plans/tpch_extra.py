@@ -458,6 +458,50 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILSON_Z = 1.96  # 95% two-sided
+
+
+def segment_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment conversion rate (share of active users with
+    ≥1 purchase event) WITH a Wilson 95% confidence interval — the
+    experimentation-analytics readout where a naive ±z·√(p(1−p)/n)
+    interval misbehaves at small n or extreme p. Counts are exact
+    integers (one per-user flag aggregate, one segment-keyed equi
+    join); the Wilson center/half-width is a single mirrored double
+    expression (sqrt is IEEE-deterministic), pround-ed."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    seg = per_user.join(cust, "user_id").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    z2 = WILSON_Z * WILSON_Z
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    denom = 1.0 + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2.0 * n)) / denom
+    half = (
+        F.lit(WILSON_Z)
+        * F.sqrt(p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n))
+        / denom
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_users",
+        "n_converted",
+        X.pround(p, 6).alias("rate"),
+        X.pround(center - half, 6).alias("ci_lo"),
+        X.pround(center + half, 6).alias("ci_hi"),
+    )
+
+
 PSI_BUCKETS = 10
 
 
@@ -1034,6 +1078,7 @@ QUERIES = {
     "value_ks_test": value_ks_test,
     "lineitem_key_skew_report": lineitem_key_skew_report,
     "value_psi_drift": value_psi_drift,
+    "segment_conversion_ci": segment_conversion_ci,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -1109,6 +1154,49 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "segment_conversion_ci": f"""
+        WITH pu AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id
+        ), seg AS (
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(pu.converted) AS BIGINT) AS n_converted
+            FROM pu JOIN customer c ON c.c_custkey = pu.user_id
+            GROUP BY c.c_mktsegment
+        )
+        SELECT c_mktsegment, n_users, n_converted,
+               {X.pround_sql(
+                   "CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)",
+                   6)} AS rate,
+               {X.pround_sql(
+                   "(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)"
+                   f" + {WILSON_Z * WILSON_Z!r} / (2.0 * CAST(n_users AS DOUBLE)))"
+                   f" / (1.0 + {WILSON_Z * WILSON_Z!r} / CAST(n_users AS DOUBLE))"
+                   f" - {WILSON_Z!r} * sqrt("
+                   "CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)"
+                   " * (1.0 - CAST(n_converted AS DOUBLE)"
+                   " / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)"
+                   f" + {WILSON_Z * WILSON_Z!r} / (4.0 * CAST(n_users AS DOUBLE)"
+                   " * CAST(n_users AS DOUBLE)))"
+                   f" / (1.0 + {WILSON_Z * WILSON_Z!r} / CAST(n_users AS DOUBLE))",
+                   6)} AS ci_lo,
+               {X.pround_sql(
+                   "(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)"
+                   f" + {WILSON_Z * WILSON_Z!r} / (2.0 * CAST(n_users AS DOUBLE)))"
+                   f" / (1.0 + {WILSON_Z * WILSON_Z!r} / CAST(n_users AS DOUBLE))"
+                   f" + {WILSON_Z!r} * sqrt("
+                   "CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)"
+                   " * (1.0 - CAST(n_converted AS DOUBLE)"
+                   " / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)"
+                   f" + {WILSON_Z * WILSON_Z!r} / (4.0 * CAST(n_users AS DOUBLE)"
+                   " * CAST(n_users AS DOUBLE)))"
+                   f" / (1.0 + {WILSON_Z * WILSON_Z!r} / CAST(n_users AS DOUBLE))",
+                   6)} AS ci_hi
+        FROM seg
+    """,
     "value_psi_drift": f"""
         WITH ev AS (
             SELECT epoch_us(ts) AS ts_us, value FROM events
