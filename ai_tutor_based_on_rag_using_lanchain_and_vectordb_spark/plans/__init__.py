@@ -36,7 +36,7 @@ _DRIVER_PRIORITY = (
     "mahalanobis_outlier_gate", "value_time_trend", "orders_column_profile",
     "value_ks_test", "revenue_autocorrelation", "revenue_seasonality",
     "lineitem_key_skew_report", "fuzzy_part_names_k2", "doc_readability",
-    "value_psi_drift", "segment_conversion_ci",
+    "value_psi_drift", "segment_conversion_ci", "nation_revenue_hhi",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

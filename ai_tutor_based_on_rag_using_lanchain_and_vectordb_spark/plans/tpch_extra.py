@@ -458,6 +458,41 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of revenue across
+    nations (the antitrust-style market-concentration KPI that pairs
+    with Q(customer_spend_gini)'s inequality view): HHI = Σ rᵢ²/(Σ rᵢ)²
+    computed ENTIRELY on exact integer cents — Σ rᵢ² accumulates in
+    DECIMAL(38,0) (25 nations × (10¹³ cents)² fits), and the one
+    division happens in double, mirrored — so no order-sensitive float
+    sum ever occurs. One fact scan + a bounded-dim broadcast join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    per_nation = (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(X.money("o_totalprice")) * 100).cast("decimal(18,0)").alias("r"))
+    )
+    agg = per_nation.agg(
+        F.count("*").alias("n_nations"),
+        F.sum(F.col("r") * F.col("r")).alias("_sq"),
+        F.sum(F.col("r")).alias("_tot"),
+    )
+    return agg.select(
+        "n_nations",
+        F.col("_tot").cast("long").alias("total_cents"),
+        X.pround(
+            F.col("_sq").cast("double")
+            / (F.col("_tot").cast("double") * F.col("_tot").cast("double")),
+            8,
+        ).alias("hhi"),
+    )
+
+
 WILSON_Z = 1.96  # 95% two-sided
 
 
@@ -1079,6 +1114,7 @@ QUERIES = {
     "lineitem_key_skew_report": lineitem_key_skew_report,
     "value_psi_drift": value_psi_drift,
     "segment_conversion_ci": segment_conversion_ci,
+    "nation_revenue_hhi": nation_revenue_hhi,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -1154,6 +1190,24 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "nation_revenue_hhi": f"""
+        WITH per_nation AS (
+            SELECT n.n_name,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100
+                        AS HUGEINT) AS r
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum(r) AS BIGINT) AS total_cents,
+               {X.pround_sql(
+                   "CAST(sum(r * r) AS DOUBLE)"
+                   " / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE))",
+                   8)} AS hhi
+        FROM per_nation
+    """,
     "segment_conversion_ci": f"""
         WITH pu AS (
             SELECT user_id,

@@ -73,6 +73,7 @@ HEADLINE = [
     "term_pmi_pairs",         # bounded-vocab collocation mining (map-side)
     "embedding_sq8_error",    # int8 scalar quantization (expression-only)
     "ewma_daily_revenue",     # dyadic decay kernel via explode + hash agg
+    "user_value_ewma",        # the same kernel PER KEY (hot users safe)
     "weighted_doc_sample",    # E-S weighted reservoir (TakeOrdered top-K)
 ]
 

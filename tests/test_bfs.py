@@ -56,3 +56,37 @@ def test_early_exit_before_max_hops(spark):
     # component exhausts after 1 hop; loop must stop, not run 50 rounds
     got = _run(spark, [(1, 2)], [1], max_hops=50)
     assert got == {1: 0, 2: 1}
+
+
+def test_random_graphs_match_pure_python_bfs(spark):
+    """Property check: the distributed BFS equals a reference
+    pure-Python BFS on random graphs (seeded, deterministic)."""
+    import random
+    from collections import deque
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        seeds = sorted(rng.sample(range(n), 3))
+        max_hops = 3
+        # reference BFS
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        want = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if want[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        got = _run(spark, [(a, b) for a, b in pairs], seeds, max_hops)
+        assert got == want, (trial, got, want)
