@@ -27,6 +27,7 @@ ALL_MODULES = (
 # the r8/r9-checked remainder. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
     "embedding_covariance", "pca_projection_gate", "semantic_bfs_hops",
+    "semantic_bfs_production",
     "quality_bfs_hops", "value_mad_outliers", "term_pmi_pairs",
     "embedding_sq8_error", "ewma_daily_revenue",
     "event_markov_transitions", "weighted_doc_sample", "label_covariance",

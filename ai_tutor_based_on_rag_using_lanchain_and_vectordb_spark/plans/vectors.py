@@ -691,6 +691,38 @@ def semantic_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("vec_id"), "hops")
 
 
+def semantic_bfs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for semantic neighborhood expansion: BFS over
+    CELL-LOCAL edges (SemDeDup blocking — IVF cell assignment, pairs
+    only within a cell, cell size ≈ SEMDEDUP_CELL_TARGET so pair work
+    stays N × cell_size = LINEAR as the corpus grows). The exact-edge
+    variant Q(semantic_bfs_hops) is the oracle hook — its same-label
+    all-pairs edge set is quadratic per block by DEFINITION, which the
+    100× probe demonstrates (this production form is what the probe
+    times). Blocking trades recall for linearity exactly like
+    semdedup_production vs semdedup_exhaustive; with n_cells=1 the
+    edge sets coincide and this reduces to the exact BFS
+    (pinned in tests/test_bfs.py). Rows-only: KMeans cells aren't
+    SQL-expressible."""
+    from ..operators.bfs import bfs_hops
+    from ..operators.semdedup import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded sizing preflight, as in the ANN builders
+    n_cells = max(1, n // SEMDEDUP_CELL_TARGET)
+    assigned = assign_cells(emb, n_cells).localCheckpoint(eager=True)
+    labeled = assigned.select(
+        "vec_id", "embedding", F.col("cell").alias("label")
+    )
+    edges = embedding_neardup_pairs_df(labeled).select("vec_a", "vec_b")
+    seeds = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("node")
+    )
+    return bfs_hops(
+        edges, seeds, SEMANTIC_BFS_HOPS, src="vec_a", dst="vec_b"
+    ).select(F.col("node").alias("vec_id"), "hops")
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus covariance matrix of the embedding space — the input every
     whitening / PCA-truncation / ABTT post-processing stage needs
@@ -883,6 +915,7 @@ def pca_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_sq8_error": embedding_sq8_error,
     "semantic_bfs_hops": semantic_bfs_hops,
+    "semantic_bfs_production": semantic_bfs_production,
     "embedding_covariance": embedding_covariance,
     "label_covariance": label_covariance,
     "mahalanobis_outlier_gate": mahalanobis_outlier_gate,

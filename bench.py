@@ -69,6 +69,7 @@ HEADLINE = [
     "domain_curation",        # WARC roundtrip + host parse + cap + blocklist
     "embedding_covariance",   # one-pass d^2 integer moments (partials only)
     "semantic_bfs_hops",      # iterative multi-source BFS over pair graph
+    "semantic_bfs_production",  # BFS over cell-blocked edges (linear)
     "value_mad_outliers",     # robust median/MAD outliers (exact selection)
     "term_pmi_pairs",         # bounded-vocab collocation mining (map-side)
     "embedding_sq8_error",    # int8 scalar quantization (expression-only)

@@ -90,3 +90,36 @@ def test_random_graphs_match_pure_python_bfs(spark):
                     dq.append(v)
         got = _run(spark, [(a, b) for a, b in pairs], seeds, max_hops)
         assert got == want, (trial, got, want)
+
+
+def test_production_bfs_reduces_to_exact_with_one_cell(spark, monkeypatch):
+    """n_cells=1 makes the cell-blocked edge set identical to the exact
+    same-label pair set restricted to one block — the production BFS
+    must then equal the exact BFS on the same seeds."""
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans import vectors as V
+
+    monkeypatch.setattr(V, "SEMDEDUP_CELL_TARGET", 10**9)  # forces 1 cell
+    sf = "/root/testdata/sf0.001"
+    prod = {
+        (r["vec_id"], r["hops"])
+        for r in V.semantic_bfs_production(spark, sf).collect()
+    }
+    # exact BFS but with label ignored (one global block), matching the
+    # 1-cell blocking: rebuild via the same pair generator on one label
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import load_table
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.bfs import bfs_hops
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf, "embeddings")
+    labeled = emb.select("vec_id", "embedding", F.lit(0).alias("label"))
+    edges = V.embedding_neardup_pairs_df(labeled).select("vec_a", "vec_b")
+    seeds = emb.where(F.col("vec_id") < V.N_QUERIES).select(
+        F.col("vec_id").alias("node")
+    )
+    want = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(
+            edges, seeds, V.SEMANTIC_BFS_HOPS, src="vec_a", dst="vec_b"
+        ).collect()
+    }
+    assert prod == want

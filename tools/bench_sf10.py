@@ -56,7 +56,11 @@ PROBE_QUERIES = (
     # iterative BFS, distributed selection, per-key kernel smoothing
     "embedding_covariance",
     "term_pmi_pairs",
-    "semantic_bfs_hops",
+    # the PRODUCTION (cell-blocked, linear) BFS form — the exact-edge
+    # semantic_bfs_hops is the oracle hook whose same-label all-pairs
+    # edge definition is quadratic per block by construction, which
+    # this probe demonstrated at 100x before the swap
+    "semantic_bfs_production",
     "value_mad_outliers",
     "user_value_ewma",
 )
