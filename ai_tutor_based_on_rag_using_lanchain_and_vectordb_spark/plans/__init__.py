@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = (
     "value_ks_test", "revenue_autocorrelation", "revenue_seasonality",
     "lineitem_key_skew_report", "fuzzy_part_names_k2", "doc_readability",
     "value_psi_drift", "segment_conversion_ci", "nation_revenue_hhi",
+    "value_cvar",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

@@ -458,6 +458,40 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CVAR_Q = (95, 100)  # tail = values at or above the exact p95
+
+
+def value_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) of events.value: the mean of the worst
+    (upper-tail) 5% — the risk metric that, unlike the bare p95,
+    reacts to HOW BAD the tail is. Threshold = the exact rank-selected
+    p95 (operators/quantiles.py, no global sort); the tail mean uses
+    1e-6-quantized integer sums (exact) with one mirrored division.
+    One row: threshold, tail count, CVaR."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select("value").where(
+        F.col("value").isNotNull()
+    )
+    thr = exact_quantiles(ev, "value", [("p95", *CVAR_Q)])[0][4]
+    tail = ev.where(F.col("value") >= F.lit(thr))
+    units = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    agg = tail.agg(
+        F.count("*").alias("n_tail"),
+        F.sum(units.cast("decimal(38,0)")).alias("_u"),
+    )
+    return agg.select(
+        F.lit(float(thr)).alias("threshold"),
+        "n_tail",
+        X.pround(
+            F.col("_u").cast("double")
+            / F.col("n_tail").cast("double")
+            / 1_000_000.0,
+            6,
+        ).alias("cvar"),
+    )
+
+
 def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl–Hirschman concentration index of revenue across
     nations (the antitrust-style market-concentration KPI that pairs
@@ -1115,6 +1149,7 @@ QUERIES = {
     "value_psi_drift": value_psi_drift,
     "segment_conversion_ci": segment_conversion_ci,
     "nation_revenue_hhi": nation_revenue_hhi,
+    "value_cvar": value_cvar,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -1190,6 +1225,29 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "value_cvar": f"""
+        WITH v AS (
+            SELECT value FROM events WHERE value IS NOT NULL
+        ), s AS (
+            SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS n
+            FROM v
+        ), thr AS (
+            SELECT value AS t FROM s
+            WHERE rn = GREATEST(1, ({CVAR_Q[0]} * n + {CVAR_Q[1] - 1})
+                                    // {CVAR_Q[1]})
+        ), tail AS (
+            SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS u,
+                   thr.t AS t
+            FROM v, thr WHERE value >= thr.t
+        )
+        SELECT min(t) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_tail,
+               {X.pround_sql(
+                   "CAST(sum(u) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+                   " / 1000000.0", 6)} AS cvar
+        FROM tail
+    """,
     "nation_revenue_hhi": f"""
         WITH per_nation AS (
             SELECT n.n_name,
