@@ -36,7 +36,8 @@ _DRIVER_PRIORITY = (
     "value_percentile_rank", "benford_order_totals",
     "mahalanobis_outlier_gate", "value_time_trend", "orders_column_profile",
     "value_ks_test", "revenue_autocorrelation", "revenue_seasonality",
-    "lineitem_key_skew_report", "fuzzy_part_names_k2", "doc_readability",
+    "lineitem_key_skew_report", "fuzzy_part_names_k2",
+    "part_name_entity_groups", "doc_readability",
     "value_psi_drift", "segment_conversion_ci", "nation_revenue_hhi",
     "value_cvar",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",

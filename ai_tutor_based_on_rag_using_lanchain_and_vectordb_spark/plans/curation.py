@@ -110,6 +110,40 @@ def fuzzy_part_names_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(part, "p_name", k=2)
 
 
+def part_name_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names — the full
+    catalog-merge composition: FastSS-blocked Levenshtein-2 pairs
+    (operators/fuzzyjoin.py) → connected components (transitive
+    closure, operators/components.py) → one canonical name per group
+    (the lexicographically smallest — deterministic and
+    engine-independent), singletons canonicalized to themselves.
+    Output: (name, canonical, group_size). Oracle: the quadratic
+    all-pairs lev join + a recursive-CTE closure — the blocked
+    iterative plan must lose nothing end-to-end."""
+    from ..operators.components import connected_components
+    from ..operators.fuzzyjoin import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.where(F.col("p_name").isNotNull())
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pairs = edit_distance_pairs(part, "p_name", k=2).select("name_a", "name_b")
+    comp = connected_components(pairs, src="name_a", dst="name_b").select(
+        F.col("node").alias("name"), F.col("component").alias("canonical")
+    )
+    labeled = names.join(comp, "name", "left").select(
+        "name", F.coalesce("canonical", "name").alias("canonical")
+    )
+    sizes = labeled.groupBy("canonical").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return labeled.join(sizes, "canonical").select(
+        "name", "canonical", "group_size"
+    )
+
+
 def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: counts and row-normalized probabilities of event_type →
@@ -412,6 +446,7 @@ QUERIES = {
     "user_event_journeys": user_event_journeys,
     "event_markov_transitions": event_markov_transitions,
     "fuzzy_part_names_k2": fuzzy_part_names_k2,
+    "part_name_entity_groups": part_name_entity_groups,
     "quality_above_lang_median": quality_above_lang_median,
     "deterministic_doc_sample": deterministic_doc_sample,
 }
@@ -469,6 +504,33 @@ ORACLE = {
                    "sum(p * (2 * cnb + neg)) / (2.0 * sum(p) * sum(neg))", 6
                )} AS auc
         FROM c
+    """,
+    "part_name_entity_groups": """
+        WITH RECURSIVE names AS (
+            SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        ), pairs AS (
+            SELECT a.name AS na, b.name AS nb
+            FROM names a JOIN names b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 2
+        ), edges AS (
+            SELECT na AS a, nb AS b FROM pairs
+            UNION ALL
+            SELECT nb AS a, na AS b FROM pairs
+        ), reach(node, label) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+        ), comp AS (
+            SELECT node, min(label) AS canonical FROM reach GROUP BY node
+        ), labeled AS (
+            SELECT n.name, coalesce(c.canonical, n.name) AS canonical
+            FROM names n LEFT JOIN comp c ON c.node = n.name
+        ), sizes AS (
+            SELECT canonical, CAST(count(*) AS BIGINT) AS group_size
+            FROM labeled GROUP BY canonical
+        )
+        SELECT l.name, l.canonical, s.group_size
+        FROM labeled l JOIN sizes s ON s.canonical = l.canonical
     """,
     "fuzzy_part_names_k2": """
         WITH names AS (
