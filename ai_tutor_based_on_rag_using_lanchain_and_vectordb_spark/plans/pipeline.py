@@ -20,6 +20,96 @@ from ..operators import splitter as SPL
 from . import chat
 
 
+PIPE_QUALITY_TAU = 0.5
+
+
+def curation_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition — the nightly training-data pipeline
+    run end-to-end as ONE plan, with an in-plan invariant row per
+    stage: exact dedup (min doc_id per normalized hash) → near-dup
+    survivorship (connected components + quality keep-best, from
+    Q(neardup_keep_best)) → quality floor (≥ PIPE_QUALITY_TAU) →
+    token counting + per-language packing offsets (bucketed prefix
+    sums). Every stage is individually oracle-checked elsewhere; this
+    gate pins that the COMPOSITION holds: no duplicate normalized
+    hashes survive, no two survivors share a near-dup cluster, no
+    survivor is below the quality floor, and each language's final
+    packing offset + its last doc's tokens equals its total token
+    count exactly. Rows-only (the stages are, together, far beyond one
+    SQL statement); emits (check, observed, expected, passed)."""
+    from ..functions import textstats as TS
+    from ..operators.prefix import grouped_prefix_sum
+    from .documents import doc_normalized, neardup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = doc_normalized(spark, sf_dir).select("doc_id", "norm_hash")
+    keep1 = (
+        norm.groupBy("norm_hash").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "norm_hash")
+    )
+    kb = neardup_keep_best(spark, sf_dir)  # (doc_id, component, quality)
+    survivors = (
+        keep1.join(kb, "doc_id")
+        .where(F.col("quality") >= PIPE_QUALITY_TAU)
+        .select("doc_id", "norm_hash", "component", "quality")
+    )
+    packed = grouped_prefix_sum(
+        survivors.join(docs.select("doc_id", "lang", "text"), "doc_id")
+        .select(
+            "doc_id", "lang", "component", "norm_hash", "quality",
+            TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ),
+        ["lang"],
+        "doc_id",
+        F.col("n_tokens"),
+        out_col="_cum",
+    ).localCheckpoint(eager=True)  # consumed by three check aggregates
+
+    c_hash = packed.agg(
+        F.count("*").alias("obs"), F.countDistinct("norm_hash").alias("exp")
+    ).select(
+        F.lit("unique_norm_hash").alias("check"),
+        F.col("obs").cast("long").alias("observed"),
+        F.col("exp").cast("long").alias("expected"),
+        (F.col("obs") == F.col("exp")).alias("passed"),
+    )
+    c_comp = packed.agg(
+        F.count("*").alias("obs"), F.countDistinct("component").alias("exp")
+    ).select(
+        F.lit("one_survivor_per_cluster").alias("check"),
+        F.col("obs").cast("long").alias("observed"),
+        F.col("exp").cast("long").alias("expected"),
+        (F.col("obs") == F.col("exp")).alias("passed"),
+    )
+    c_quality = packed.agg(
+        F.sum(
+            F.when(F.col("quality") < PIPE_QUALITY_TAU, 1).otherwise(0)
+        ).alias("obs"),
+        F.count("*").alias("n"),
+    ).select(
+        F.lit("quality_floor").alias("check"),
+        F.col("obs").cast("long").alias("observed"),
+        F.lit(0).cast("long").alias("expected"),
+        (F.col("obs") == 0).alias("passed"),
+    )
+    per_lang = packed.groupBy("lang").agg(
+        F.max(F.col("_cum").cast("long") + F.col("n_tokens")).alias("final_off"),
+        F.sum("n_tokens").alias("total"),
+    )
+    c_pack = per_lang.agg(
+        F.sum(
+            F.when(F.col("final_off") != F.col("total"), 1).otherwise(0)
+        ).alias("obs"),
+        F.count("*").alias("n_langs"),
+    ).select(
+        F.lit("packing_offsets_consistent").alias("check"),
+        F.col("obs").cast("long").alias("observed"),
+        F.lit(0).cast("long").alias("expected"),
+        (F.col("obs") == 0).alias("passed"),
+    )
+    return c_hash.unionByName(c_comp).unionByName(c_quality).unionByName(c_pack)
+
+
 def recursive_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F18 — recursive character splitter with ordinals (size 300 /
     overlap 60 over the fixture corpus; production defaults are the
@@ -1609,6 +1699,7 @@ def bloom_fpp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "curation_pipeline_gate": curation_pipeline_gate,
     "recursive_chunks": recursive_chunks,
     "bloom_novel_docs": bloom_novel_docs,
     "bloom_fpp_gate": bloom_fpp_gate,

@@ -93,3 +93,17 @@ def test_splitter_invariants_gate_passes(spark, sf_dir):
     row = splitter_invariants(spark, sf_dir).first()
     assert row["passed"] is True, row.asDict()
     assert row["n_chunks"] > 0
+
+
+def test_curation_pipeline_gate_all_green(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.pipeline import (
+        curation_pipeline_gate,
+    )
+
+    rows = curation_pipeline_gate(spark, "/root/testdata/sf0.001").collect()
+    assert {r["check"] for r in rows} == {
+        "unique_norm_hash", "one_survivor_per_cluster",
+        "quality_floor", "packing_offsets_consistent",
+    }
+    for r in rows:
+        assert r["passed"], (r["check"], r["observed"], r["expected"])
