@@ -704,13 +704,23 @@ def semantic_bfs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge sets coincide and this reduces to the exact BFS
     (pinned in tests/test_bfs.py). Rows-only: KMeans cells aren't
     SQL-expressible."""
-    from ..operators.bfs import bfs_hops
-    from ..operators.semdedup import assign_cells
-
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # bounded sizing preflight, as in the ANN builders
     n_cells = max(1, n // SEMDEDUP_CELL_TARGET)
-    assigned = assign_cells(emb, n_cells).localCheckpoint(eager=True)
+    return semantic_bfs_production_df(emb, n_cells)
+
+
+def semantic_bfs_production_df(
+    emb: DataFrame, n_cells: int, centroids=None
+) -> DataFrame:
+    """Cell-blocked BFS core; ``centroids`` lets callers amortize the
+    quantizer fit exactly like semdedup (fit once, refit on drift)."""
+    from ..operators.bfs import bfs_hops
+    from ..operators.semdedup import assign_cells
+
+    assigned = assign_cells(
+        emb, n_cells, centroids=centroids
+    ).localCheckpoint(eager=True)
     labeled = assigned.select(
         "vec_id", "embedding", F.col("cell").alias("label")
     )

@@ -157,6 +157,18 @@ def main() -> None:
 
     all_queries["semdedup_production"] = semdedup_production
 
+    # the production BFS shares the SAME amortized quantizer: the cell
+    # assignment is the identical build-once artifact
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.vectors import (
+        semantic_bfs_production_df,
+    )
+
+    def semantic_bfs_production(spark, sf_dir):
+        vs = load_table(spark, sf_dir, "embeddings")
+        return semantic_bfs_production_df(vs, sd_cells, centroids=sd_centroids)
+
+    all_queries["semantic_bfs_production"] = semantic_bfs_production
+
     # min-of-5 as the gate metric: on a shared host, per-query medians
     # of 3 runs still spread up to 2.4× (r4), so untouched queries read
     # as 1.4× "regressions". The minimum of N runs is the best estimate
