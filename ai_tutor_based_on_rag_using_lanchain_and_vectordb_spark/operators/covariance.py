@@ -14,10 +14,12 @@ partials — never the vectors.
 Exactness contract (the oracle-parity trick): components are first
 quantized to ``QUANT_DIGITS`` decimal places with the engine-portable
 ``floor(x·10^q + 0.5)`` formula (functions/exact.pround), making every
-subsequent sum an INTEGER sum — accumulated per-batch in int64 (safe
-for the documented |x| ≤ 2 input domain: per-product ≤ 4e14, Arrow
-batches ≤ 10k rows ⇒ ≤ 4e18 < 2^63; a loud guard enforces the domain)
-and merged in DECIMAL(38,0) Spark-side, HUGEINT oracle-side. The final covariance is
+subsequent sum an INTEGER sum — accumulated per ≤ _CHUNK_ROWS chunk in
+int64 (safe for the documented |x| ≤ 2 input domain: per-product
+≤ 4e14, 8192-row chunks ⇒ ≤ 3.3e18 < 2^63; a loud guard enforces the
+domain, and chunking is enforced in the fold rather than assumed from
+Spark's configurable Arrow batch size) and merged in DECIMAL(38,0)
+Spark-side, HUGEINT oracle-side. The final covariance is
 one double expression over those exact integers, mirrored
 token-for-token in the DuckDB oracle, so the doubles are bit-equal.
 
@@ -39,9 +41,16 @@ _DESCALE = float(10 ** (2 * QUANT_DIGITS))
 
 _PARTIAL_SCHEMA = "i int, j int, s long, cnt long"
 
+# int64 headroom bound for per-chunk products: |q| ≤ 2·SCALE,
+# product ≤ 4e14, so chunks of ≤ 8192 rows sum to ≤ 3.3e18 < 2^63 —
+# enforced HERE rather than assumed from Spark's default Arrow batch
+# size (maxRecordsPerBatch is user-configurable)
+_CHUNK_ROWS = 8192
+
 
 def _one_moment_frame(np, pd, vecs):
-    """(i, j, s, cnt) partial frame for one stack of vectors."""
+    """(i, j, s, cnt) partial frame for one stack of ≤ _CHUNK_ROWS
+    vectors."""
     x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
     if not np.isfinite(x).all() or np.abs(x).max() > 2.0:
         raise ValueError(
@@ -77,14 +86,19 @@ def _moments_fold(vec_col: str, key_col: str | None = None):
         for pdf in batches:
             if key_col is None:
                 vecs = pdf[vec_col].dropna()
-                if len(vecs):
-                    yield _one_moment_frame(np, pd, vecs)
+                for lo in range(0, len(vecs), _CHUNK_ROWS):
+                    yield _one_moment_frame(
+                        np, pd, vecs.iloc[lo:lo + _CHUNK_ROWS]
+                    )
                 continue
             sub = pdf[[key_col, vec_col]].dropna(subset=[key_col, vec_col])
             for key, grp in sub.groupby(key_col, sort=True):
-                frame = _one_moment_frame(np, pd, grp[vec_col])
-                frame.insert(0, key_col, key)
-                yield frame
+                for lo in range(0, len(grp), _CHUNK_ROWS):
+                    frame = _one_moment_frame(
+                        np, pd, grp[vec_col].iloc[lo:lo + _CHUNK_ROWS]
+                    )
+                    frame.insert(0, key_col, key)
+                    yield frame
 
     return run
 

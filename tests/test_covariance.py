@@ -135,3 +135,18 @@ def test_mahalanobis_gate_green_at_sf0001(spark):
     for r in rows:
         assert r["ok_trace_identity"], (r["label"], r["avg_md2"], r["rank"])
         assert 0 < r["rank"] < r["n"] + 1
+
+
+def test_chunked_fold_equals_unchunked(spark, monkeypatch):
+    """Tiny _CHUNK_ROWS must not change the merged moments (integer
+    sums are associative; the chunking exists only for int64 headroom)."""
+    import ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.covariance as C
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(scale=0.3, size=(25, 4))
+    want = {(r["i"], r["j"]): (int(r["s"]), r["n_rows"])
+            for r in second_moments(_df(spark, mat)).collect()}
+    monkeypatch.setattr(C, "_CHUNK_ROWS", 3)
+    got = {(r["i"], r["j"]): (int(r["s"]), r["n_rows"])
+           for r in C.second_moments(_df(spark, mat)).collect()}
+    assert got == want
