@@ -458,6 +458,36 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median of l_extendedprice — the
+    unit-economics readout ("the price at which half the UNITS sell")
+    that a row-median misses entirely when order sizes correlate with
+    price. Weighted type-1 selection in exact integers: per distinct
+    price, weight = Σ quantity (exact), cumulative weight via the
+    bucketed prefix operator (no global window), answer = the smallest
+    price whose inclusive cumulative weight reaches ⌈(W+1)/2⌉ — picked
+    by one min-aggregate, not a sort."""
+    from ..operators.prefix import grouped_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    per_v = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    ).withColumn("_g", F.lit(0))
+    total = per_v.agg(F.sum("w").alias("_W")).collect()[0]["_W"]  # scalar
+    thr = (int(total) + 1) // 2
+    cum = grouped_prefix_sum(per_v, ["_g"], "v", F.col("w"), out_col="_b")
+    hit = cum.where(
+        (F.col("_b").cast("long") + F.col("w")) >= F.lit(thr)
+    ).agg(F.min("v").alias("wmedian"))
+    return hit.select(
+        F.lit(int(total)).alias("total_weight"),
+        F.lit(thr).alias("threshold"),
+        "wmedian",
+    )
+
+
 CVAR_Q = (95, 100)  # tail = values at or above the exact p95
 
 
@@ -1150,6 +1180,7 @@ QUERIES = {
     "segment_conversion_ci": segment_conversion_ci,
     "nation_revenue_hhi": nation_revenue_hhi,
     "value_cvar": value_cvar,
+    "weighted_median_price": weighted_median_price,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -1225,6 +1256,26 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "weighted_median_price": """
+        WITH per_v AS (
+            SELECT l_extendedprice AS v,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            GROUP BY 1
+        ), t AS (
+            SELECT CAST(sum(w) AS BIGINT) AS W,
+                   CAST((sum(w) + 1) // 2 AS BIGINT) AS thr
+            FROM per_v
+        ), c AS (
+            SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cw
+            FROM per_v
+        )
+        SELECT t.W AS total_weight, t.thr AS threshold,
+               min(c.v) AS wmedian
+        FROM c, t WHERE c.cw >= t.thr
+        GROUP BY t.W, t.thr
+    """,
     "value_cvar": f"""
         WITH v AS (
             SELECT value FROM events WHERE value IS NOT NULL
