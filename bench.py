@@ -209,9 +209,12 @@ def main() -> None:
     print(line)
     # the driver captures only a 2000-char tail of stdout, which
     # truncates the per-query map; persist the full record verbatim
-    # so the complete measurement survives as a repo artifact (full
-    # headline runs only — subset probes have their own artifacts)
-    if not only:
+    # so the complete measurement survives as a repo artifact — full
+    # headline runs at the CANONICAL sf only (subset probes and the
+    # scaled-directory growth probes have their own artifacts; without
+    # this guard tools/bench_sf1.py's 10x run clobbers the sf0.1
+    # record)
+    if not only and sf_dir.rstrip("/") == "/root/testdata/sf0.1":
         with open(os.path.join(_REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
 
