@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = (
     "part_name_entity_groups", "doc_readability",
     "value_psi_drift", "segment_conversion_ci", "nation_revenue_hhi",
     "value_cvar", "curation_pipeline_gate", "weighted_median_price",
+    "value_cumulative_gains",
     "semdedup_exhaustive", "semdedup_prune_gate", "semdedup_production",
     "domain_curation", "session_concurrency_timeline",
     "corpus_shuffle", "bloom_novel_docs", "bloom_fpp_gate",

@@ -458,6 +458,63 @@ def lineitem_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift chart for "does value rank purchases?" —
+    the third leg of the classifier-eval triad next to
+    Q(event_value_auc) (ranking) and Q(value_calibration_curve)
+    (probability calibration): take the top-k value deciles, what
+    fraction of all purchases do they capture, and at what lift over
+    random? Decile boundaries come from the exact selection operator;
+    the cumulative roll-up EXPLODES each decile's counts into the
+    top-k prefixes it belongs to (a 10-row table — the dyadic-EWMA
+    fan-out trick, window-free) and re-aggregates. Counts exact;
+    capture/lift are mirrored pround doubles."""
+    from ..operators.quantiles import exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    ).where(F.col("value").isNotNull())
+    b = EQUIDEPTH_BUCKETS
+    cuts = [
+        c[4]
+        for c in exact_quantiles(ev, "value", [(f"d{i}", i, b) for i in range(1, b)])
+    ]
+    bucket = sum((F.col("value") > F.lit(c)).cast("int") for c in cuts)
+    per_b = (
+        ev.withColumn("_b", bucket.cast("int"))
+        .groupBy("_b")
+        .agg(F.count("*").alias("n"), F.sum("is_p").alias("p"))
+    )
+    # top-rank of bucket β (values DESC) = b-1-β; it belongs to every
+    # top-k prefix with k ≥ its rank+1 → explode into those prefixes
+    fan = per_b.select(
+        F.explode(
+            F.sequence(F.lit(b) - 1 - F.col("_b"), F.lit(b - 1))
+        ).alias("_d"),
+        "n",
+        "p",
+    )
+    cum = fan.groupBy("_d").agg(
+        F.sum("n").alias("n_cum"), F.sum("p").alias("p_cum")
+    )
+    tot = per_b.agg(
+        F.sum("n").alias("_tn"), F.sum("p").alias("_tp")
+    )  # 1-row scalar
+    share = F.col("n_cum").cast("double") / F.col("_tn").cast("double")
+    capture = F.col("p_cum").cast("double") / F.col("_tp").cast("double")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("_d") + 1).alias("top_deciles"),
+            F.col("n_cum").cast("long").alias("n_rows"),
+            F.col("p_cum").cast("long").alias("n_purchases"),
+            X.pround(capture, 6).alias("capture_rate"),
+            X.pround(capture / share, 6).alias("lift"),
+        )
+    )
+
+
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTITY-weighted median of l_extendedprice — the
     unit-economics readout ("the price at which half the UNITS sell")
@@ -1181,6 +1238,7 @@ QUERIES = {
     "nation_revenue_hhi": nation_revenue_hhi,
     "value_cvar": value_cvar,
     "weighted_median_price": weighted_median_price,
+    "value_cumulative_gains": value_cumulative_gains,
     "volume_shipping_pairs": volume_shipping_pairs,
     "nation_market_share": nation_market_share,
     "product_type_profit": product_type_profit,
@@ -1256,6 +1314,51 @@ _EQUIDEPTH_ORACLE = f"""
 ORACLE = {
     "value_mad_outliers": _MAD_ORACLE,
     "value_equidepth_histogram": _EQUIDEPTH_ORACLE,
+    "value_cumulative_gains": f"""
+        WITH v AS (
+            SELECT value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+            FROM events WHERE value IS NOT NULL
+        ), s AS (
+            SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS n
+            FROM v
+        ), p(num) AS (
+            VALUES {", ".join(f"({i})" for i in range(1, EQUIDEPTH_BUCKETS))}
+        ), cuts AS (
+            SELECT s.value AS cut
+            FROM p JOIN s ON s.rn = GREATEST(
+                1, (p.num * s.n + {EQUIDEPTH_BUCKETS - 1})
+                   // {EQUIDEPTH_BUCKETS})
+        ), bkt AS (
+            SELECT (SELECT count(*) FROM cuts c WHERE v.value > c.cut) AS b,
+                   is_p
+            FROM v
+        ), per_b AS (
+            SELECT b, count(*) AS n, sum(is_p) AS p FROM bkt GROUP BY b
+        ), t AS (
+            SELECT sum(n) AS tn, sum(p) AS tp FROM per_b
+        ), fan AS (
+            SELECT unnest(generate_series(
+                       {EQUIDEPTH_BUCKETS} - 1 - b,
+                       {EQUIDEPTH_BUCKETS - 1})) AS d, n, p
+            FROM per_b
+        ), cum AS (
+            SELECT d, CAST(sum(n) AS BIGINT) AS n_cum,
+                   CAST(sum(p) AS BIGINT) AS p_cum
+            FROM fan GROUP BY d
+        )
+        SELECT CAST(d + 1 AS BIGINT) AS top_deciles,
+               n_cum AS n_rows, p_cum AS n_purchases,
+               {X.pround_sql(
+                   "CAST(p_cum AS DOUBLE) / CAST(t.tp AS DOUBLE)", 6)}
+                   AS capture_rate,
+               {X.pround_sql(
+                   "(CAST(p_cum AS DOUBLE) / CAST(t.tp AS DOUBLE))"
+                   " / (CAST(n_cum AS DOUBLE) / CAST(t.tn AS DOUBLE))",
+                   6)} AS lift
+        FROM cum, t
+    """,
     "weighted_median_price": """
         WITH per_v AS (
             SELECT l_extendedprice AS v,
