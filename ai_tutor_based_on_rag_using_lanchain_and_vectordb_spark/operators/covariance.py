@@ -139,7 +139,8 @@ def covariance_matrix(
     group when ``key_col`` is set (the per-class second-order statistic
     behind LDA / Mahalanobis scoring).
 
-    ``sxy`` is the exact integer cross-moment (quantized units);
+    ``sxy`` is the exact integer cross-moment (quantized units),
+    reported as its digit string — see the projection comment below;
     ``cov`` is the double expression
     ``((sxy - sx·sy/n)/n)/10^(2q)`` mirrored verbatim in the oracle.
     """
@@ -169,12 +170,19 @@ def covariance_matrix(
     cov = (
         (F.col("s").cast("double") - F.col("_sx") * F.col("_sy") / n) / n
     ) / F.lit(_DESCALE)
+    # sxy is reported as the DIGIT STRING of the exact DECIMAL(38,0)
+    # (oracle: HUGEINT → VARCHAR): a long would silently null once
+    # |Σqᵢqⱼ| exceeds int64 (~1e8+ rows at the |x| ≤ 2 domain) under
+    # Spark's non-ANSI cast while the oracle's overflow RAISES — a
+    # divergence, not a bound; and a raw decimal column loses parity
+    # in the comparator (DuckDB renders decimals as float64). The
+    # string is exact at any magnitude on both engines.
     return joined.select(
         *keys,
         "i",
         "j",
         "n_rows",
-        F.col("s").cast("long").alias("sxy"),
+        F.col("s").cast("string").alias("sxy"),
         cov.alias("cov"),
     )
 
@@ -206,11 +214,12 @@ def covariance_oracle_sql(
             SELECT {k}i, CAST(sum(q) AS DOUBLE) AS ms FROM x GROUP BY {k}i
         ), pairs AS (
             SELECT {ka}a.i AS i, b.i AS j, count(*) AS n_rows,
-                   CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+                   sum(a.q * b.q) AS sxy
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i {keq_a}
             GROUP BY {kga}a.i, b.i
         )
-        SELECT {kp}p.i AS i, p.j AS j, p.n_rows AS n_rows, p.sxy AS sxy,
+        SELECT {kp}p.i AS i, p.j AS j, p.n_rows AS n_rows,
+               CAST(p.sxy AS VARCHAR) AS sxy,
                ((CAST(p.sxy AS DOUBLE) - ma.ms * mb.ms / p.n_rows)
                 / p.n_rows) / {_DESCALE!r} AS cov
         FROM pairs p

@@ -41,6 +41,7 @@ def grouped_prefix_sum(
     out_col: str = "cum_before",
     n_buckets: int | None = None,
     accuracy: int = 10_000,
+    exact: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = the EXCLUSIVE running sum of ``value`` over
     rows strictly before this one in ``order_col`` order within the
@@ -50,6 +51,14 @@ def grouped_prefix_sum(
     — the usual case); ``value`` is any numeric expression computable
     from the row. One bounded driver collect (the quantile cuts);
     everything else is distributed.
+
+    ``exact=True`` accumulates in DECIMAL(38,0) instead of double —
+    required for INTEGER values whose running totals can exceed 2⁵³
+    (corpus-scale counts/cents), where a double sum silently drifts
+    from an integer-exact oracle. ``out_col`` is then decimal(38,0);
+    callers cast it back (``.cast("long")``) as needed. The default
+    double mode remains for genuinely-float values (their sums carry
+    the usual fp semantics either way).
     """
     n_buckets = n_buckets or 4 * default_parallelism()
     ocol = bucket_key_expr(df, order_col)
@@ -67,7 +76,9 @@ def grouped_prefix_sum(
         bucket = F.lit(0)
 
     g = list(group_cols)
-    tagged = df.withColumn("_pv", value.cast("double")).withColumn(
+    acc_type = "decimal(38,0)" if exact else "double"
+    zero = F.lit(0).cast(acc_type)
+    tagged = df.withColumn("_pv", value.cast(acc_type)).withColumn(
         "_pbkt", bucket
     )
 
@@ -82,7 +93,7 @@ def grouped_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = partials.select(
-        *g, "_pbkt", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0.0)).alias("_boff")
+        *g, "_pbkt", F.coalesce(F.sum("_bsum").over(w_off), zero).alias("_boff")
     )
 
     # running sum inside one (group, bucket) slice + the bucket offset
@@ -105,7 +116,7 @@ def grouped_prefix_sum(
         tagged.join(off, cond)
         .withColumn(
             out_col,
-            F.col("_boff") + F.coalesce(F.sum("_pv").over(w_run), F.lit(0.0)),
+            F.col("_boff") + F.coalesce(F.sum("_pv").over(w_run), zero),
         )
         # restore the caller's column order, plus the running-sum column
         .select(*df.columns, out_col)

@@ -378,7 +378,7 @@ def event_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pre = grouped_prefix_sum(
-        per_v, ["_g"], "value", F.col("neg"), out_col="cnb"
+        per_v, ["_g"], "value", F.col("neg"), out_col="cnb", exact=True
     )
     cnb = F.col("cnb").cast("long")
     term = F.col("p").cast("decimal(19,0)") * (

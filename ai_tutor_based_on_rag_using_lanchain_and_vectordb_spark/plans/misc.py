@@ -398,8 +398,8 @@ def revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("_n"), F.sum("cents").alias("_tot")
     ).collect()[0]  # two bounded scalars (day count, grand total)
     n_days, total = int(totals["_n"]), int(totals["_tot"])
-    c1 = grouped_prefix_sum(daily, ["_g"], "_dn", F.col("cents"), out_col="_rb")
-    c2 = grouped_prefix_sum(c1, ["_g"], "_dn", F.lit(1), out_col="_ib")
+    c1 = grouped_prefix_sum(daily, ["_g"], "_dn", F.col("cents"), out_col="_rb", exact=True)
+    c2 = grouped_prefix_sum(c1, ["_g"], "_dn", F.lit(1), out_col="_ib", exact=True)
     s = c2.select(
         "day",
         (F.col("cents") / 100.0).alias("daily_revenue"),
@@ -471,7 +471,7 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("_censored"), 1).otherwise(0)).alias("d"),
         F.count("*").alias("_leaving"),
     ).withColumn("_g", F.lit(0))
-    cum = grouped_prefix_sum(per_t, ["_g"], "t", F.col("_leaving"), out_col="_before")
+    cum = grouped_prefix_sum(per_t, ["_g"], "t", F.col("_leaving"), out_col="_before", exact=True)
     r = cum.select(
         "t", "d",
         (F.lit(n_users) - F.col("_before").cast("long")).alias("n_at_risk"),
@@ -486,7 +486,7 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(ln_term * _LN_SCALE + F.lit(0.5)).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     ).withColumn("_g", F.lit(0))
-    cum2 = grouped_prefix_sum(term, ["_g"], "t", F.col("_ti"), out_col="_lnb")
+    cum2 = grouped_prefix_sum(term, ["_g"], "t", F.col("_ti"), out_col="_lnb", exact=True)
     surv = F.when(F.col("d") == F.col("n_at_risk"), F.lit(0.0)).otherwise(
         X.pround(
             F.exp(

@@ -63,6 +63,7 @@ def curation_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens"),
         out_col="_cum",
+        exact=True,
     ).localCheckpoint(eager=True)  # consumed by three check aggregates
 
     c_hash = packed.agg(

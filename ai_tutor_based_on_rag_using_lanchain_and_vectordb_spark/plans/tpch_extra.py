@@ -534,7 +534,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("_g", F.lit(0))
     total = per_v.agg(F.sum("w").alias("_W")).collect()[0]["_W"]  # scalar
     thr = (int(total) + 1) // 2
-    cum = grouped_prefix_sum(per_v, ["_g"], "v", F.col("w"), out_col="_b")
+    cum = grouped_prefix_sum(per_v, ["_g"], "v", F.col("w"), out_col="_b", exact=True)
     hit = cum.where(
         (F.col("_b").cast("long") + F.col("w")) >= F.lit(thr)
     ).agg(F.min("v").alias("wmedian"))
@@ -755,8 +755,8 @@ def value_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("cb"),
     ).withColumn("_g", F.lit(0))
-    c1 = grouped_prefix_sum(per_v, ["_g"], "value", F.col("ca"), out_col="_ba")
-    c2 = grouped_prefix_sum(c1, ["_g"], "value", F.col("cb"), out_col="_bb")
+    c1 = grouped_prefix_sum(per_v, ["_g"], "value", F.col("ca"), out_col="_ba", exact=True)
+    c2 = grouped_prefix_sum(c1, ["_g"], "value", F.col("cb"), out_col="_bb", exact=True)
     tot = c2.agg(
         F.sum("ca").alias("_na"), F.sum("cb").alias("_nb")
     )  # 1-row scalar

@@ -435,7 +435,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     cum = grouped_prefix_sum(
-        toks, ["lang"], "doc_id", F.col("n_tokens"), out_col="_cum"
+        toks, ["lang"], "doc_id", F.col("n_tokens"), out_col="_cum", exact=True
     ).withColumn("cum_before", F.col("_cum").cast("long")).drop("_cum")
     L = F.lit(SEQ_LEN).cast("long")
     last_tok = F.col("cum_before") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1

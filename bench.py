@@ -24,6 +24,25 @@ from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.session import (  #
     get_spark,
 )
 
+CANONICAL_SF_DIR = "/root/testdata/sf0.1"
+
+# The FROZEN round-1 core: the 27 queries BENCH_r01 measured. Reported
+# as core27_total every round so cross-round comparability survives
+# headline growth (the headline set grew 27 → 50+; totals are not
+# comparable across rounds, the core27 subtotal is).
+CORE27 = [
+    "brand_supplier_counts", "chat_history_topk",
+    "customer_order_distribution", "doc_dedup_exact", "doc_fixed_chunks",
+    "doc_lang_id", "embedding_neardup_pairs", "knn_exact",
+    "large_volume_orders", "local_supplier_volume", "neardup_components",
+    "ngram_jaccard_pairs", "pricing_summary", "promo_revenue_share",
+    "purchase_asof_signup", "purchase_attribution", "rate_limit_windows",
+    "running_customer_spend", "session_windows", "shipping_priority",
+    "signup_purchase_funnel", "top_customers", "user_daily_gapfill",
+    "user_event_pivot", "value_histogram", "volume_shipping_pairs",
+    "waiting_suppliers",
+]
+
 # Headline set: one per major operator family (SURVEY.md §2).
 HEADLINE = [
     "pricing_summary",        # wide aggregate over the big fact table
@@ -84,7 +103,7 @@ def materialize(df) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", CANONICAL_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
@@ -205,6 +224,10 @@ def main() -> None:
         "runs": runs,
         "sf": sf_num,
     }
+    core = [q for q in CORE27 if q in timings]
+    if core:
+        record["core27_total"] = round(sum(timings[q] for q in core), 3)
+        record["core27_n"] = len(core)
     line = json.dumps(record)
     print(line)
     # the driver captures only a 2000-char tail of stdout, which
@@ -214,7 +237,9 @@ def main() -> None:
     # scaled-directory growth probes have their own artifacts; without
     # this guard tools/bench_sf1.py's 10x run clobbers the sf0.1
     # record)
-    if not only and sf_dir.rstrip("/") == "/root/testdata/sf0.1":
+    # realpath on both sides: a symlink / relative / trailing-slash
+    # spelling of the canonical dir must still persist the artifact
+    if not only and os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR):
         with open(os.path.join(_REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
 

@@ -150,3 +150,14 @@ def test_chunked_fold_equals_unchunked(spark, monkeypatch):
     got = {(r["i"], r["j"]): (int(r["s"]), r["n_rows"])
            for r in C.second_moments(_df(spark, mat)).collect()}
     assert got == want
+
+
+def test_sxy_is_exact_digit_string(spark):
+    # sxy is reported as the digit string of the exact decimal so the
+    # column stays integer-exact past int64 AND renders identically on
+    # both comparator engines (DuckDB decimals come back float64)
+    mat = [[0.1, -0.2], [0.3, 0.4]]
+    rows = {(r["i"], r["j"]): r["sxy"] for r in covariance_matrix(_df(spark, mat)).collect()}
+    q = np.floor(np.asarray(mat) * SCALE + 0.5).astype(np.int64)
+    assert rows[(0, 1)] == str(int((q[:, 0] * q[:, 1]).sum()))
+    assert isinstance(rows[(0, 0)], str)

@@ -106,3 +106,36 @@ def test_null_group_rows_survive(spark):
     assert got.count() == 4
     by_id = {r["id"]: r["cum_before"] for r in got.collect()}
     assert by_id == {1: 0.0, 2: 0.0, 3: 3.0, 4: 2.0}
+
+def test_exact_mode_beyond_double_precision(spark):
+    # values whose running total exceeds 2^53: the default double
+    # accumulator rounds 2^53+1 → 2^53, the exact decimal(38,0) mode
+    # must carry every unit (the ADVICE-r10 drift scenario)
+    big = 2**53 + 1
+    rows = [(i, "g", big) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = grouped_prefix_sum(
+        df, ["g"], "id", F.col("v"), n_buckets=2, exact=True
+    )
+    by_id = {r["id"]: int(r["cum_before"]) for r in got.collect()}
+    assert by_id == {i: (i - 1) * big for i in range(1, 5)}
+    # and the dtype is the exact decimal, not a float
+    dt = dict(got.dtypes)["cum_before"]
+    assert dt == "decimal(38,0)"
+
+
+def test_exact_mode_matches_plain_window_on_integers(spark):
+    rows = [(i, f"g{i % 3}", (i * 7) % 23) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = grouped_prefix_sum(df, ["g"], "id", F.col("v"), n_buckets=8, exact=True)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "cum_before", F.coalesce(F.sum("v").over(w), F.lit(0))
+    )
+    g = {r["id"]: int(r["cum_before"]) for r in got.collect()}
+    x = {r["id"]: int(r["cum_before"]) for r in want.collect()}
+    assert g == x
