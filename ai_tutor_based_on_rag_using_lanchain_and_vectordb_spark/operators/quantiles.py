@@ -13,27 +13,34 @@ two-phase shape as operators/freq.py):
 1. **Pivot pass** — a deterministic hash-sample of the column (bounded
    collect: ``8·sample_target`` values hard-capped by ``limit``) plus
    the exact total count. Sampling only steers bracketing; exactness
-   never depends on it.
+   never depends on it. The thinning modulus comes from the APPROX
+   DISTINCT count (riding the same stats scan), not the row count:
+   the hash thins VALUES, so a duplicate-heavy column (replica-scaled
+   prices, key frequencies) sampled at rows/target yields ndv/mod ≪
+   target pivots and mile-wide brackets — the r10 100× probe measured
+   exactly this (209 pivots on 60 M rows, a 5.7 M-row bracket).
 2. **Count pass** — for every candidate pivot, one map-side-combined
    conditional-sum aggregate computes count(col <= pivot). All pivots
    ride ONE aggregate row: a scan with no shuffle wider than a single
    combine row. The rank-k value is bracketed in (lo, hi] where lo is
    the widest pivot with count < k and hi the narrowest with
    count >= k.
-3. **Bracket collect** — values in the union of brackets cross the
-   wire (expected size n/sample per rank; re-bracketed with fresh
-   in-bracket pivots while any bracket exceeds ``max_bracket``, so the
-   collect is bounded by construction), then the answer is read off a
-   local sort at offset k − count(<= lo).
+3. **Bracket collect** — the union of brackets crosses the wire as
+   (value, count) pairs from one map-side-combined groupBy — duplicate
+   mass stays on the executors (expected ndv(bracket) pairs per rank;
+   re-bracketed with fresh in-bracket pivots while any bracket exceeds
+   ``max_bracket`` ROWS, so even the pair count is bounded by
+   construction), then the answer is read off the cumulative counts at
+   offset k − count(<= lo).
 
-Total cost: 2-3 full scans with only counters and a bounded bracket
+Total cost: 2-3 full scans with only counters and a bounded pair list
 leaving the executors — at 1000 executors the network carries a few
 hundred KB where orderBy would carry the table.
 """
 
 from __future__ import annotations
 
-from bisect import bisect_right
+from bisect import bisect_left, bisect_right
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,17 +75,28 @@ def exact_quantiles(
     (re-bracketing rounds shrink any over-wide bracket before
     collecting it)."""
     vals = df.select(F.col(col).alias("_v")).where(F.col("_v").isNotNull())
-    n = vals.count()
+    stats = vals.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("_v").alias("ndv"),
+    ).collect()[0]
+    n, ndv = int(stats["n"]), max(1, int(stats["ndv"]))
     if n == 0:
         return [(lbl, num, den, 0, None) for lbl, num, den in probs]
     ranks = {lbl: _rank(num, den, n) for lbl, num, den in probs}
+    # rows per distinct value — duplicate-heavy columns need their
+    # in-bracket thinning moduli scaled down by this factor too
+    dup = max(1, n // ndv)
 
     # pivot sample: deterministic value-hash thinning (duplicate-heavy
     # values collapse onto one pivot, which is exactly what a pivot
-    # wants); bounded by limit() — pivot quality only affects speed
-    mod = max(1, n // sample_target)
+    # wants — hence the modulus targets ndv/mod ≈ sample_target VALUES,
+    # and distinct() keeps duplicate rows of a sampled value from
+    # crowding the limit); bounded by limit() — pivot quality only
+    # affects speed
+    mod = max(1, ndv // sample_target)
     sample_rows = (
         vals.where(F.pmod(F.xxhash64("_v"), F.lit(mod)) == 0)
+        .distinct()
         .limit(8 * sample_target)
         .collect()
     )
@@ -145,10 +163,13 @@ def exact_quantiles(
         pivots = set()
         for lbl in still:
             b = br[lbl]
-            mod = max(1, (b["c_hi"] - b["c_lo"]) // sample_target)
+            # bracket width is in ROWS; divide the duplicate factor
+            # back out so the modulus targets VALUES like the hash does
+            mod = max(1, (b["c_hi"] - b["c_lo"]) // dup // sample_target)
             sub = (
                 vals.where(_range_cond(b))
                 .where(F.pmod(F.xxhash64("_v", F.lit(rnd)), F.lit(mod)) == 0)
+                .distinct()
                 .limit(4 * sample_target)
                 .collect()
             )
@@ -168,20 +189,32 @@ def exact_quantiles(
             f"in {max_rounds} rounds"
         )
 
-    # one filter pass collects the union of the unresolved brackets (a
-    # multiset — overlapping brackets read each row once, which is what
-    # the per-bracket offset arithmetic needs)
+    # one filter pass collects the union of the unresolved brackets as
+    # (value, count) pairs — one map-side-combined groupBy, so the
+    # duplicate mass of a replica-scaled column never crosses the wire
+    # (the r10 100× probe's 5.7 M-row raw collect becomes ~60 k pairs);
+    # inside any one bracket the pairs reconstruct the exact multiset
     union_cond = None
     for b in br.values():
         if b["val"] is not None:
             continue
         cond = _range_cond(b)
         union_cond = cond if union_cond is None else (union_cond | cond)
-    pool = (
-        sorted(r["_v"] for r in vals.where(union_cond).collect())
-        if union_cond is not None
-        else []
-    )
+    pool_vals: list = []
+    pool_cums: list = []
+    if union_cond is not None:
+        pairs = sorted(
+            (r["_v"], r["_c"])
+            for r in vals.where(union_cond)
+            .groupBy("_v")
+            .agg(F.count("*").alias("_c"))
+            .collect()
+        )
+        run = 0
+        for v, c in pairs:
+            run += c
+            pool_vals.append(v)
+            pool_cums.append(run)
 
     out = []
     for lbl, num, den in probs:
@@ -190,8 +223,13 @@ def exact_quantiles(
         if b["val"] is not None:
             out.append((lbl, num, den, k, b["val"]))
             continue
-        start = 0 if b["lo"] is None else bisect_right(pool, b["lo"])
-        value = pool[start + (k - b["c_lo"]) - 1]
+        # rows with value <= lo that sit inside the pool's value range
+        base = 0
+        if b["lo"] is not None:
+            j = bisect_right(pool_vals, b["lo"])
+            base = pool_cums[j - 1] if j else 0
+        target = base + (k - b["c_lo"])
+        value = pool_vals[bisect_left(pool_cums, target)]
         out.append((lbl, num, den, k, value))
     return out
 
@@ -268,11 +306,20 @@ def exact_group_quantiles(
     vals = df.select(
         F.col(group_col).alias("_g"), F.col(col).alias("_v")
     ).where(F.col("_v").isNotNull() & F.col("_g").isNotNull())
-    # group sizes: bounded by group cardinality
-    sizes = {
-        r["_g"]: r["n"]
-        for r in vals.groupBy("_g").agg(F.count("*").alias("n")).collect()
+    # group sizes + approx distinct counts: bounded by group
+    # cardinality; the hash-thinning moduli target VALUES (duplicate
+    # rows collapse onto one pivot), so they derive from ndv, not rows
+    stats = {
+        r["_g"]: (int(r["n"]), max(1, int(r["ndv"])))
+        for r in vals.groupBy("_g")
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("_v").alias("ndv"),
+        )
+        .collect()
     }
+    sizes = {g: n for g, (n, _) in stats.items()}
+    dups = {g: max(1, n // ndv) for g, (n, ndv) in stats.items()}
     if not sizes:
         return []
     ranks = {
@@ -282,12 +329,16 @@ def exact_group_quantiles(
     }
 
     # per-group pivot sample in ONE pass: hash-thin at each group's own
-    # rate (big groups thin harder), bounded by limit
-    mod_rows = [(g, max(1, n // sample_target)) for g, n in sizes.items()]
+    # rate (big groups thin harder), bounded by limit; distinct() keeps
+    # duplicate rows of a sampled value from crowding the limit
+    mod_rows = [
+        (g, max(1, ndv // sample_target)) for g, (_, ndv) in stats.items()
+    ]
     mods = spark.createDataFrame(mod_rows, ["_g", "_mod"])
     sample_rows = (
         vals.join(F.broadcast(mods), "_g")
         .where(F.pmod(F.xxhash64("_v"), F.col("_mod")) == 0)
+        .distinct()
         .limit(16 * sample_target * max(1, len(sizes)))
         .collect()
     )
@@ -354,10 +405,13 @@ def exact_group_quantiles(
         pivots = set()
         for g, lbl in still:
             b = br[(g, lbl)]
-            mod = max(1, (b["c_hi"] - b["c_lo"]) // sample_target)
+            # bracket width is in ROWS; divide the group's duplicate
+            # factor back out so the modulus targets VALUES
+            mod = max(1, (b["c_hi"] - b["c_lo"]) // dups[g] // sample_target)
             sub = (
                 vals.where((F.col("_g") == g) & _range_cond(b))
                 .where(F.pmod(F.xxhash64("_v", F.lit(rnd)), F.lit(mod)) == 0)
+                .distinct()
                 .limit(4 * sample_target)
                 .collect()
             )
@@ -377,6 +431,8 @@ def exact_group_quantiles(
             f"rows in {max_rounds} rounds"
         )
 
+    # union of unresolved brackets as per-group (value, count) pairs —
+    # one map-side-combined groupBy; duplicate mass stays distributed
     union_cond = None
     for (g, lbl), b in br.items():
         if b["val"] is not None:
@@ -385,10 +441,24 @@ def exact_group_quantiles(
         union_cond = cond if union_cond is None else (union_cond | cond)
     pools: dict = {g: [] for g in sizes}
     if union_cond is not None:
-        for r in vals.where(union_cond).collect():
-            pools[r["_g"]].append(r["_v"])
-        for g in pools:
-            pools[g].sort()
+        for r in (
+            vals.where(union_cond)
+            .groupBy("_g", "_v")
+            .agg(F.count("*").alias("_c"))
+            .collect()
+        ):
+            pools[r["_g"]].append((r["_v"], r["_c"]))
+    pool_vals: dict = {}
+    pool_cums: dict = {}
+    for g, pairs in pools.items():
+        pairs.sort()
+        run = 0
+        pool_vals[g] = [v for v, _ in pairs]
+        cums = []
+        for _, c in pairs:
+            run += c
+            cums.append(run)
+        pool_cums[g] = cums
 
     out = []
     for g in sorted(sizes, key=str):
@@ -398,9 +468,13 @@ def exact_group_quantiles(
             if b["val"] is not None:
                 out.append((g, lbl, k, b["val"]))
                 continue
-            pool = pools[g]
-            start = 0 if b["lo"] is None else bisect_right(pool, b["lo"])
-            out.append((g, lbl, k, pool[start + (k - b["c_lo"]) - 1]))
+            pv, pc = pool_vals[g], pool_cums[g]
+            base = 0
+            if b["lo"] is not None:
+                j = bisect_right(pv, b["lo"])
+                base = pc[j - 1] if j else 0
+            target = base + (k - b["c_lo"])
+            out.append((g, lbl, k, pv[bisect_left(pc, target)]))
     return out
 
 
