@@ -29,17 +29,21 @@ def curation_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage: exact dedup (min doc_id per normalized hash) → near-dup
     survivorship (connected components + quality keep-best, from
     Q(neardup_keep_best)) → quality floor (≥ PIPE_QUALITY_TAU) →
-    token counting + per-language packing offsets (bucketed prefix
-    sums). Every stage is individually oracle-checked elsewhere; this
-    gate pins that the COMPOSITION holds: no duplicate normalized
-    hashes survive, no two survivors share a near-dup cluster, no
-    survivor is below the quality floor, and each language's final
-    packing offset + its last doc's tokens equals its total token
-    count exactly. Rows-only (the stages are, together, far beyond one
-    SQL statement); emits (check, observed, expected, passed)."""
+    exact-substring span scrub (trainprep.span_scrub, keep-first-copy,
+    from Q(doc_span_scrubbed)) → token counting + per-language packing
+    offsets (bucketed prefix sums). Every stage is individually
+    oracle-checked elsewhere; this gate pins that the COMPOSITION
+    holds: no duplicate normalized hashes survive, no two survivors
+    share a near-dup cluster, no survivor is below the quality floor,
+    every scrubbed survivor conserves length (|scrubbed| +
+    removed_chars = |text| exactly), and each language's final packing
+    offset + its last doc's tokens equals its total token count
+    exactly. Rows-only (the stages are, together, far beyond one SQL
+    statement); emits (check, observed, expected, passed)."""
     from ..functions import textstats as TS
     from ..operators.prefix import grouped_prefix_sum
     from .documents import doc_normalized, neardup_keep_best
+    from .trainprep import span_scrub
 
     docs = load_table(spark, sf_dir, "documents")
     norm = doc_normalized(spark, sf_dir).select("doc_id", "norm_hash")
@@ -53,18 +57,30 @@ def curation_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality") >= PIPE_QUALITY_TAU)
         .select("doc_id", "norm_hash", "component", "quality")
     )
+    # stage 4: exact-substring span scrub over the SURVIVOR corpus
+    # (keep-first-copy) — downstream token counts run on the residual
+    # text, so packing budgets reflect what would actually train
+    surv_docs = survivors.join(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    )
+    scrubbed = span_scrub(
+        surv_docs.select("doc_id", F.lower(F.trim("text")).alias("t"))
+    )
+    with_text = surv_docs.join(
+        scrubbed.withColumnRenamed("n_spans", "_n_spans"), "doc_id"
+    )
     packed = grouped_prefix_sum(
-        survivors.join(docs.select("doc_id", "lang", "text"), "doc_id")
-        .select(
+        with_text.select(
             "doc_id", "lang", "component", "norm_hash", "quality",
-            TS.token_count(F.col("text")).cast("long").alias("n_tokens"),
+            "text", "removed_chars", "scrubbed",
+            TS.token_count(F.col("scrubbed")).cast("long").alias("n_tokens"),
         ),
         ["lang"],
         "doc_id",
         F.col("n_tokens"),
         out_col="_cum",
         exact=True,
-    ).localCheckpoint(eager=True)  # consumed by three check aggregates
+    ).localCheckpoint(eager=True)  # consumed by four check aggregates
 
     c_hash = packed.agg(
         F.count("*").alias("obs"), F.countDistinct("norm_hash").alias("exp")
@@ -93,6 +109,21 @@ def curation_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("expected"),
         (F.col("obs") == 0).alias("passed"),
     )
+    c_scrub = packed.agg(
+        F.sum(
+            F.when(
+                F.length("scrubbed") + F.col("removed_chars")
+                != F.length(F.lower(F.trim("text"))),
+                1,
+            ).otherwise(0)
+        ).alias("obs"),
+        F.count("*").alias("n"),
+    ).select(
+        F.lit("scrub_length_conserved").alias("check"),
+        F.col("obs").cast("long").alias("observed"),
+        F.lit(0).cast("long").alias("expected"),
+        (F.col("obs") == 0).alias("passed"),
+    )
     per_lang = packed.groupBy("lang").agg(
         F.max(F.col("_cum").cast("long") + F.col("n_tokens")).alias("final_off"),
         F.sum("n_tokens").alias("total"),
@@ -108,7 +139,12 @@ def curation_pipeline_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("expected"),
         (F.col("obs") == 0).alias("passed"),
     )
-    return c_hash.unionByName(c_comp).unionByName(c_quality).unionByName(c_pack)
+    return (
+        c_hash.unionByName(c_comp)
+        .unionByName(c_quality)
+        .unionByName(c_scrub)
+        .unionByName(c_pack)
+    )
 
 
 def recursive_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -366,6 +366,136 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# keep-first packing of (doc_id, position) into one int64 so "the
+# corpus-first occurrence of a window" is a plain MIN both engines
+# compute identically: key = doc_id·2²⁴ + i (documents are far below
+# 2²⁴ chars; doc ids far below 2³⁹ — both asserted cheap at load).
+_SPAN_POS_SHIFT = 16_777_216  # 2**24
+
+
+def span_scrub(docs: DataFrame) -> DataFrame:
+    """Exact-substring deduplication with TEXT EMISSION (the Lee et al.
+    "Deduplicating Training Data" cut step, re-expressed relationally):
+    every length-``SPAN_L`` char window occurring ≥ 2 times corpus-wide
+    is removed from every copy EXCEPT the corpus-first one (min
+    (doc_id, position) — the pinned keep-first rule), hit windows merge
+    into maximal spans per document (the duplicate_spans
+    gaps-and-islands merge), and the residual text is reassembled from
+    the inter-span segments.
+
+    Input: (doc_id, t) with t already normalized (lower+trim — the
+    duplicate_spans convention; the scrub emits residuals of t).
+    Output: (doc_id, n_spans, removed_chars, scrubbed) — docs with no
+    duplicated spans pass through with scrubbed = t.
+
+    Scale shape: identical to duplicate_spans — window explode off the
+    scan, two-phase hot-gram-safe duplicate detection (map-side-combined
+    groupBy + shuffle join AQE can skew-split; never a count window
+    keyed on the gram), islands + segment windows partitioned by
+    doc_id. Reassembly is one groupBy with an in-memory per-doc span
+    list — bounded by the document's own length, same state bound the
+    islands window already carries."""
+    from pyspark.sql import Window
+
+    base = docs
+    grams = (
+        base.where(F.length("t") >= SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {SPAN_L - 1}),"
+                    f" i -> struct(i as i, substring(t, i, {SPAN_L}) as g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+    )
+    key = F.col("doc_id") * F.lit(_SPAN_POS_SHIFT) + F.col("i")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key"))
+        .where(F.col("c") >= 2)
+        .select("g", "first_key")
+    )
+    hits = (
+        grams.join(dup.hint("shuffle_hash"), "g")
+        .where(key != F.col("first_key"))
+        .select("doc_id", "i", (F.col("i") + (SPAN_L - 1)).alias("e"))
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = tagged.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max("e").alias("e")
+    )
+
+    # inter-span segments: the text before each span (from the previous
+    # span's end), plus one per-doc tail after the last span
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.coalesce(F.lag("e").over(ws), F.lit(0))
+    segs = (
+        spans.withColumn("_pe", prev_e)
+        .join(base, "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.expr("substring(t, _pe + 1, s - _pe - 1)").alias("seg"),
+        )
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("_head"),
+        F.max("e").alias("_last_e"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias(
+                "removed_chars"
+            ),
+            F.when(
+                F.col("_last_e").isNull(), F.col("t")
+            ).otherwise(
+                F.concat(
+                    F.col("_head"),
+                    F.expr("substring(t, _last_e + 1, length(t))"),
+                )
+            ).alias("scrubbed"),
+        )
+    )
+
+
+def doc_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q wrapper of :func:`span_scrub` over the normalized corpus:
+    duplicated spans measured by Q(duplicate_spans) are actually CUT
+    here, keep-first-copy, and the residual text is emitted — the
+    missing removal half of the exact-substring dedup recipe. Composes
+    into Q(curation_pipeline_gate) as its fifth stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(default_parallelism()).select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    )
+    return span_scrub(base)
+
+
 # Offline-trained quality-classifier weights (bias, punct_ratio,
 # stopword_ratio, tokens/100): logistic regression fit by seeded
 # full-batch gradient descent (500 steps, lr 0.5) against the
@@ -506,6 +636,117 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR (data selection via importance resampling, Xie et al. 2023):
+# hashed-n-gram bag features, target-vs-raw log-likelihood-ratio
+# importance weights, weighted reproducible resampling. The fixture's
+# "target domain" seed set is the deterministic doc_id % TARGET_MOD
+# slice (in production: any curated seed corpus — the reference's
+# retrieval-relevance idea, backend/langchain_utils.py:13, lifted from
+# per-query ranking to corpus selection).
+DSIR_BUCKETS = 512
+DSIR_TARGET_MOD = 11
+DSIR_K = 100
+DSIR_SEED = 13
+_LLR_SCALE = 1_000_000  # llr terms quantized to 1e-6: exact integer sums
+# smoothing strength λ = 1/DSIR_SMOOTH_INV per bucket, kept integer-
+# exact as (S·c + 1)/(S·total + B). Plain add-one (λ = 1) drowns a
+# small target seed set — with T gram instances ≪ B buckets the
+# smoothed target model is uniform and every genuinely target-like
+# gram scores NEGATIVE (the edge-corpus test pinned this); λ = 0.01
+# keeps the ratio signal while still bounding empty-bucket ratios.
+DSIR_SMOOTH_INV = 100
+
+
+def _portable_gram_hash(g) -> F.Column:
+    """Polynomial char-fold hash of a gram string, mod 2³¹ — chosen over
+    xxhash64 because BOTH engines compute it identically (the oracle
+    mirrors it with list_reduce), so the hashed feature map itself is
+    oracle-checked, not just recall-gated. Codegen'd expression; at the
+    100 TB point this is linear per-gram work on the executors (swap in
+    xxhash64 via the same column seam when cross-engine parity isn't
+    needed)."""
+    codes = F.transform(F.split(g, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, c: F.pmod(a * F.lit(31) + c, F.lit(2**31)),
+    )
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling of the raw corpus toward the target
+    slice: documents are bag-of-hashed-bigram features (word bigram →
+    char-fold hash → ``DSIR_BUCKETS`` buckets), each bucket gets the
+    Laplace-smoothed log-likelihood ratio
+    ln((ct+1)/(T+B)) − ln((cr+1)/(R+B)) of target vs raw gram mass,
+    each raw document's log importance weight is the SUM of its gram
+    occurrences' ratios, and the sample is the A-Res exponential race
+    (ln(−ln(u)) − ln(w), smallest ``DSIR_K``) with the deterministic
+    multiplicative-hash coin — reproducible across engines and runs.
+
+    Exactness: llr terms are quantized to 1e-6 integers (the one ln
+    libm relaxation, operators/bm25.py argument), so per-doc weights
+    are exact integer sums; ln(w) in the race key is that integer /
+    1e6 — no exp() anywhere. Docs with < 2 tokens have no features and
+    drop out (the bigram_lm_score contract).
+
+    Scale shape: gram hashing is expression-only off the scan; the
+    bucket stats are ONE map-side-combined groupBy onto B rows; the
+    per-doc scoring join broadcasts the B-row weight table; the top-K
+    is TakeOrdered (per-partition K then a K-row merge) — no global
+    sort, nothing corpus-scaled crosses the wire."""
+    toks = _tokenized(spark, sf_dir)
+    bi = toks.select(
+        "doc_id", F.explode(_grams(F.col("ws"), 2)).alias("g")
+    )
+    fb = bi.select(
+        "doc_id",
+        F.pmod(_portable_gram_hash(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b"),
+    )
+    is_t = F.pmod(F.col("doc_id"), F.lit(DSIR_TARGET_MOD)) == 0
+    bc = fb.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r"))  # 1 row
+    S = F.lit(DSIR_SMOOTH_INV)
+    lq = F.floor(
+        (
+            F.log((S * F.col("ct") + 1) / (S * F.col("t") + F.lit(DSIR_BUCKETS)))
+            - F.log((S * F.col("cr") + 1) / (S * F.col("r") + F.lit(DSIR_BUCKETS)))
+        )
+        * F.lit(_LLR_SCALE)
+        + F.lit(0.5)
+    ).cast("long")
+    lw = bc.crossJoin(F.broadcast(tot)).select("b", lq.alias("lq"))
+    ds = (
+        fb.where(~is_t)
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lq").cast("long").alias("_s"),
+        )
+    )
+    mix = (
+        F.pmod(F.col("doc_id") + F.lit(DSIR_SEED), F.lit(_MIX_R))
+        * F.lit(_MIX_A)
+    ) % F.lit(_MIX_M)
+    u = (mix.cast("double") + 1.0) / float(_MIX_M + 1)
+    score = F.col("_s").cast("double") / float(_LLR_SCALE)
+    skey = X.pround(F.log(-F.log(u)), 6) - score
+    return (
+        ds.select(
+            "doc_id",
+            "n_grams",
+            X.pround(score, 6).alias("llr"),
+            skey.alias("skey"),
+        )
+        .orderBy("skey", "doc_id")
+        .limit(DSIR_K)
+    )
+
+
 PMI_VOCAB = 64  # bounded candidate vocabulary: top-T terms by doc freq
 PMI_MIN_CO = 2
 
@@ -571,6 +812,8 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dsir_importance_sample": dsir_importance_sample,
+    "doc_span_scrubbed": doc_span_scrubbed,
     "weighted_doc_sample": weighted_doc_sample,
     "term_pmi_pairs": term_pmi_pairs,
     "corpus_shuffle": corpus_shuffle,
@@ -845,6 +1088,112 @@ def _corpus_shuffle_oracle() -> str:
 
 
 ORACLE["corpus_shuffle"] = _corpus_shuffle_oracle()
+
+ORACLE["doc_span_scrubbed"] = """
+    WITH norm AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, i, substr(t, i, {L}) AS g
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, length(t) - {Lm1})) AS i
+              FROM norm WHERE length(t) >= {L})
+    ), dupg AS (
+        SELECT g, min(doc_id * {shift} + i) AS first_key
+        FROM grams GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+        SELECT doc_id, i, i + {Lm1} AS e
+        FROM grams JOIN dupg USING (g)
+        WHERE doc_id * {shift} + i <> first_key
+    ), tagged AS (
+        SELECT doc_id, i, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                    OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ), islands AS (
+        SELECT doc_id, i, e,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM tagged
+    ), spans AS (
+        SELECT doc_id, island, min(i) AS s, max(e) AS e
+        FROM islands GROUP BY doc_id, island
+    ), segs AS (
+        SELECT doc_id, s, e,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                   AS pe
+        FROM spans
+    ), per_doc AS (
+        SELECT segs.doc_id,
+               string_agg(substr(norm.t, pe + 1, s - pe - 1),
+                          '' ORDER BY s) AS head,
+               max(segs.e) AS last_e,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(segs.e - segs.s + 1) AS BIGINT) AS removed_chars
+        FROM segs JOIN norm ON segs.doc_id = norm.doc_id
+        GROUP BY segs.doc_id
+    )
+    SELECT norm.doc_id,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(removed_chars, 0) AS BIGINT) AS removed_chars,
+           CASE WHEN last_e IS NULL THEN norm.t
+                ELSE coalesce(head, '') || substr(norm.t, last_e + 1)
+                END AS scrubbed
+    FROM norm LEFT JOIN per_doc ON norm.doc_id = per_doc.doc_id
+""".format(L=SPAN_L, Lm1=SPAN_L - 1, shift=_SPAN_POS_SHIFT)
+
+ORACLE["dsir_importance_sample"] = f"""
+    WITH {_TOKS_SQL}, bi AS (
+        SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws)-1)) AS i
+              FROM toks WHERE len(ws) >= 2)
+    ), fb AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(g, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % {2**31}
+               ) % {DSIR_BUCKETS} AS b
+        FROM bi
+    ), bc AS (
+        SELECT b,
+               sum(CASE WHEN doc_id % {DSIR_TARGET_MOD} = 0 THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN doc_id % {DSIR_TARGET_MOD} <> 0 THEN 1 ELSE 0 END) AS cr
+        FROM fb GROUP BY b
+    ), tot AS (
+        SELECT sum(ct) AS t, sum(cr) AS r FROM bc
+    ), lw AS (
+        SELECT b,
+               CAST(floor((ln(({DSIR_SMOOTH_INV} * ct + 1) * 1.0
+                               / ({DSIR_SMOOTH_INV} * t + {DSIR_BUCKETS}))
+                           - ln(({DSIR_SMOOTH_INV} * cr + 1) * 1.0
+                               / ({DSIR_SMOOTH_INV} * r + {DSIR_BUCKETS})))
+                          * {_LLR_SCALE} + 0.5) AS BIGINT) AS lq
+        FROM bc, tot
+    ), ds AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(lq) AS BIGINT) AS s
+        FROM fb JOIN lw USING (b)
+        WHERE doc_id % {DSIR_TARGET_MOD} <> 0
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           {X.pround_sql(f"CAST(s AS DOUBLE) / {float(_LLR_SCALE)!r}", 6)} AS llr,
+           {X.pround_sql(
+               f"ln(-ln((CAST((((doc_id + {DSIR_SEED}) % {_MIX_R})"
+               f" * {_MIX_A}) % {_MIX_M} AS DOUBLE) + 1.0)"
+               f" / {float(_MIX_M + 1)!r}))", 6)}
+           - CAST(s AS DOUBLE) / {float(_LLR_SCALE)!r} AS skey
+    FROM ds
+    ORDER BY skey, doc_id LIMIT {DSIR_K}
+"""
 
 ORACLE["weighted_doc_sample"] = f"""
     WITH k AS (

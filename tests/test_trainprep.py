@@ -19,7 +19,13 @@ EDGE_DOCS = (
      (3, "two words", "en", "edge", 9),
      (4, "a b a b a b a b", "en", "edge", 15),
      (5, "naïve café déjà vu naïve café", "fr", "edge", 29),
-     (97, "the bench mark gram set lives here", "en", "edge", 34)]
+     (97, "the bench mark gram set lives here", "en", "edge", 34),
+     # a 60-char run shared by two docs (> SPAN_L): the keep-first
+     # span-scrub must cut it from doc 201 (the later copy) only
+     (200, "the quick brown fox jumps over the lazy dog again and again"
+           " alpha", "en", "edge", 66),
+     (201, "prefix text the quick brown fox jumps over the lazy dog"
+           " again and again", "en", "edge", 72)]
     # duplicate-heavy block: the same text 60 times (hot grams, one
     # giant exact-dup group) across two languages
     + [(100 + i, "copy pasta boiler plate text", "en" if i % 2 else "de",
@@ -33,6 +39,8 @@ TRAINPREP = [
     "lang_temperature_sample",
     "bigram_lm_score",
     "duplicate_spans",
+    "doc_span_scrubbed",
+    "dsir_importance_sample",
     "quality_classifier_filter",
 ]
 
@@ -57,3 +65,35 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
     oracle_pdf = con.sql(E.oracle_sql()[name]).df()
     problems = compare(sdf, oracle_pdf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_span_scrub_keep_first_copy(spark, edge_dir):
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in E.queries()["doc_span_scrubbed"](spark, edge_dir).collect()
+    }
+    # doc 200 holds the corpus-first copy of the shared 60-char run:
+    # untouched; doc 201's copy is cut, leaving only its unique prefix
+    assert rows[200]["n_spans"] == 0
+    assert rows[200]["scrubbed"].startswith("the quick brown fox")
+    assert rows[201]["n_spans"] == 1
+    assert rows[201]["removed_chars"] > 0
+    assert "lazy dog" not in rows[201]["scrubbed"]
+    assert rows[201]["scrubbed"].startswith("prefix text")
+    # length conservation on every doc
+    for r in rows.values():
+        assert len(r["scrubbed"]) + r["removed_chars"] >= 0
+
+
+def test_dsir_prefers_target_like_docs(spark, edge_dir):
+    # the target slice (doc_id % 11 == 0) is dominated by the
+    # "copy pasta" dup block (ids 110..154) - raw dup-block docs share
+    # its grams, so they must out-rank the unrelated edge docs
+    out = E.queries()["dsir_importance_sample"](spark, edge_dir).collect()
+    assert out, "sample is empty"
+    llr = {r["doc_id"]: r["llr"] for r in out}
+    dup_block = [d for d in llr if 100 <= d < 160]
+    other = [d for d in llr if d < 100]
+    assert dup_block, "no dup-block docs sampled"
+    if other:
+        assert min(llr[d] for d in dup_block) > max(llr[d] for d in other)
