@@ -530,6 +530,58 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(view_dir, ignore_errors=True)
 
+    # st16: streaming SemDeDup — per-epoch kept/pruned maintenance on a
+    # FROZEN quantizer (streaming/semdedup.py). The prune rule is
+    # non-recursive and monotone in arrival order, so the N-batch fold
+    # must equal the one-shot batch semdedup on the union EXACTLY,
+    # (vec_id, cell, kept) for row — the dedup family's incremental
+    # member alongside st5 (watermark dedup) and st13 (bloom).
+    from ..operators.knn import fit_ivf_centroids
+    from ..operators.semdedup import semdedup
+    from ..streaming.semdedup import SemDedupState, stream_semdedup
+    from .vectors import SEMDEDUP_TAU
+
+    emb_all = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    _, sd_cents = fit_ivf_centroids(emb_all, 4, "embedding")
+    sd_dir = tempfile.mkdtemp(prefix="st16_semdedup_")
+    try:
+        sd_src = os.path.join(sd_dir, "src")
+        emb_all.repartition(4).write.parquet(sd_src)
+        sd_stream = (
+            spark.readStream.schema(emb_all.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sd_src)
+        )
+        qsd = stream_semdedup(
+            sd_stream,
+            os.path.join(sd_dir, "state"),
+            os.path.join(sd_dir, "ckpt"),
+            sd_cents,
+            SEMDEDUP_TAU,
+        )
+        qsd.awaitTermination(300)
+        sd_state = SemDedupState(
+            os.path.join(sd_dir, "state"), sd_cents, SEMDEDUP_TAU
+        )
+        sd_cols = ["vec_id", "cell", "kept"]
+        sd_dec = sd_state.decisions(spark)
+        sd_got = _rows(sd_dec, sd_cols) if sd_dec is not None else []
+        sd_want = _rows(
+            semdedup(
+                emb_all, n_cells=4, threshold=SEMDEDUP_TAU, order="id",
+                centroids=sd_cents,
+            ),
+            sd_cols,
+        )
+        results.append(
+            ("st16_semdedup", len(sd_got), len(sd_want),
+             sd_got == sd_want and sd_state.last_epoch() >= 1)
+        )
+    finally:
+        shutil.rmtree(sd_dir, ignore_errors=True)
+
     return spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")

@@ -154,3 +154,54 @@ def test_append_stream_end_to_end_still_lands_all_rows(spark, sf_dir, tmp_path):
     assert "ingest_epoch" in written.columns
     # date pruning still works above the epoch layer
     assert "event_date" in written.columns
+
+
+def test_semdedup_state_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.knn import (
+        fit_ivf_centroids,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.semdedup import (
+        semdedup,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.streaming.semdedup import (
+        SemDedupState,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _, cents = fit_ivf_centroids(emb, 4, "embedding")
+    b1 = emb.where("vec_id < 250").localCheckpoint(eager=True)
+    b2 = emb.where("vec_id >= 250").localCheckpoint(eager=True)
+
+    st = SemDedupState(str(tmp_path / "sd"), cents, 0.3)
+    assert st.apply_batch(b1, 0) is True
+    assert st.apply_batch(b2, 1) is True
+    dec1 = sorted(
+        (r.vec_id, r.cell, r.kept) for r in st.decisions(spark).collect()
+    )
+    state_files = sorted(os.listdir(str(tmp_path / "sd")))
+
+    # redeliver the COMPLETED epoch 1 (lost offset commit): pure skip,
+    # bit-identical state and decisions
+    assert st.apply_batch(b2, 1) is False
+    assert sorted(os.listdir(str(tmp_path / "sd"))) == state_files
+    dec2 = sorted(
+        (r.vec_id, r.cell, r.kept) for r in st.decisions(spark).collect()
+    )
+    assert dec2 == dec1
+
+    # crash-before-commit shape: a NEW epoch whose rows were all seen
+    # before (replace-by-id upsert) adds no vectors and flips nothing
+    assert st.apply_batch(b1, 2) is True
+    dec3 = sorted(
+        (r.vec_id, r.cell, r.kept) for r in st.decisions(spark).collect()
+    )
+    assert dec3 == dec1
+
+    # and the maintained decisions equal the one-shot batch operator
+    want = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semdedup(
+            emb, n_cells=4, threshold=0.3, order="id", centroids=cents
+        ).collect()
+    )
+    assert dec1 == want
