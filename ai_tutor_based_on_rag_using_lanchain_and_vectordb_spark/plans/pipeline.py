@@ -1619,7 +1619,7 @@ def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..functions.url import registrable_domain, url_host
+    from ..functions.url import registrable_domain_join, url_host
     from ..sources import warc as W
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -1631,10 +1631,13 @@ def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         url_col="url")
     landed = W.wet_documents(spark, out_dir, with_uri=True)
 
-    parsed = landed.select(
-        "doc_id",
-        url_host(F.col("url")).alias("host"),
-    ).withColumn("domain", registrable_domain(F.col("host")))
+    # table-driven eTLD+1: the suffix set is the checked-in PSL
+    # snapshot broadcast as a bounded policy table (functions/url.py)
+    parsed = registrable_domain_join(
+        landed.select("doc_id", url_host(F.col("url")).alias("host")),
+        "host",
+        "domain",
+    )
     blocklist = spark.createDataFrame(
         [(d,) for d in CURATION_BLOCKLIST], "domain string"
     )

@@ -102,3 +102,86 @@ def test_domain_curation_invariants(spark, sf_dir):
         assert r.host.endswith(r.domain)
     # the multi-label suffix path is actually exercised
     assert "example.co.uk" in domains
+
+
+def test_psl_snapshot_private_domains_group_per_site(spark):
+    # the *.github.io class: with the table-driven snapshot each user
+    # site is its own registrable domain instead of one giant
+    # pseudo-domain "github.io"
+    hosts = [
+        ("alice.github.io",),
+        ("bob.github.io",),
+        ("www.docs.alice.github.io",),
+        ("myapp.herokuapp.com",),
+        ("en.blog.wordpress.com",),
+        ("act-school.act.edu.au",),        # 3-label ICANN rule
+        ("deep.sub.act.edu.au",),
+        ("github.io",),                    # the bare suffix itself
+    ]
+    df = spark.createDataFrame(hosts, "host string")
+    got = {
+        r.host: r.domain
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("domain")
+        ).collect()
+    }
+    assert got["alice.github.io"] == "alice.github.io"
+    assert got["bob.github.io"] == "bob.github.io"
+    assert got["www.docs.alice.github.io"] == "alice.github.io"
+    assert got["myapp.herokuapp.com"] == "myapp.herokuapp.com"
+    assert got["en.blog.wordpress.com"] == "blog.wordpress.com"
+    assert got["act-school.act.edu.au"] == "act-school.act.edu.au"
+    assert got["deep.sub.act.edu.au"] == "sub.act.edu.au"
+    # a host equal to the suffix has no +1 label: passes through
+    assert got["github.io"] == "github.io"
+
+
+def test_join_form_equals_expression_form(spark):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions.url import (
+        MULTI_LABEL_SUFFIXES,
+        registrable_domain_join,
+    )
+
+    hosts = (
+        [(f"sub{i}.example{i % 7}.com",) for i in range(40)]
+        + [(f"u{i}.github.io",) for i in range(10)]
+        + [("x.y.z.act.edu.au",), ("single",), ("a.co.uk",), ("co.uk",),
+           ("127.0.0.1",), ("",)]
+        + [(s,) for s in MULTI_LABEL_SUFFIXES[:20]]
+    )
+    df = spark.createDataFrame(hosts, "host string")
+    expr = {
+        r.host: r.d
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    join = {
+        r.host: r.domain
+        for r in registrable_domain_join(df, "host").collect()
+    }
+    assert expr == join
+
+
+def test_psl_loader_rejects_unsupported_rules(tmp_path):
+    import pytest
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions.url import (
+        _load_psl_snapshot,
+    )
+
+    good = tmp_path / "ok.dat"
+    good.write_text("// c\nco.uk\ngithub.io\n")
+    assert _load_psl_snapshot(str(good)) == ("co.uk", "github.io")
+    wild = tmp_path / "wild.dat"
+    wild.write_text("*.ck\n")
+    with pytest.raises(ValueError, match="unsupported PSL rule"):
+        _load_psl_snapshot(str(wild))
+    exc = tmp_path / "exc.dat"
+    exc.write_text("!www.ck\n")
+    with pytest.raises(ValueError, match="unsupported PSL rule"):
+        _load_psl_snapshot(str(exc))
+    long = tmp_path / "long.dat"
+    long.write_text("pvt.k12.ma.us\n")
+    with pytest.raises(ValueError, match="labels"):
+        _load_psl_snapshot(str(long))
