@@ -95,11 +95,68 @@ HEADLINE = [
     "ewma_daily_revenue",     # dyadic decay kernel via explode + hash agg
     "user_value_ewma",        # the same kernel PER KEY (hot users safe)
     "weighted_doc_sample",    # E-S weighted reservoir (TakeOrdered top-K)
+    "dsir_importance_sample", # hashed-gram LLR weights + A-Res resample
+    "doc_span_scrubbed",      # exact-substring cut + residual reassembly
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+class _HeapPeak:
+    """Per-query JVM heap peak (local mode: driver and executors share
+    the one JVM, so this IS the executor peak too), measured by a
+    50 ms sampling thread over MemoryMXBean.getHeapMemoryUsage().used —
+    a true SIMULTANEOUS high-water mark directly comparable to the
+    heap cap. (Summing per-pool MemoryPoolMXBean peaks was tried first
+    and over-reports: Eden's peak and Old's peak occur at different
+    instants, so their sum can exceed the cap by ~1.6×.) The python
+    driver's RSS is reported alongside (monotone — collect()-spike
+    evidence, not per-query)."""
+
+    def __init__(self, spark) -> None:
+        import threading
+
+        self._bean = (
+            spark._jvm.java.lang.management.ManagementFactory.getMemoryMXBean()
+        )
+        self._heap_cap = int(self._bean.getHeapMemoryUsage().getMax())
+        self._cur: str | None = None
+        self._peaks: dict[str, int] = {}
+        self._stop = False
+        self._thread = threading.Thread(target=self._sample, daemon=True)
+        self._thread.start()
+
+    def _sample(self) -> None:
+        while not self._stop:
+            name = self._cur
+            if name is not None:
+                try:
+                    used = int(self._bean.getHeapMemoryUsage().getUsed())
+                except Exception:
+                    used = 0
+                if used > self._peaks.get(name, 0):
+                    self._peaks[name] = used
+            time.sleep(0.05)
+
+    def cap_mb(self) -> int:
+        return self._heap_cap // (1024 * 1024)
+
+    def reset(self, name: str) -> None:
+        self._peaks.setdefault(name, 0)
+        self._cur = name
+
+    def peak_mb(self, name: str) -> int:
+        self._cur = None
+        return self._peaks.get(name, 0) // (1024 * 1024)
+
+
+def _python_rss_mb() -> int:
+    import resource
+
+    # ru_maxrss is KiB on Linux
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
 
 def main() -> None:
@@ -197,15 +254,23 @@ def main() -> None:
     # min-of-N; the median and full spread are reported alongside for
     # transparency.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    track_mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "") == "1"
+    heap = _HeapPeak(spark) if track_mem else None
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    peak_heap: dict[str, int] = {}
     for name in headline:
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         samples = []
+        if heap is not None:
+            heap.reset(name)
         for _ in range(runs):
             t0 = time.perf_counter()
             materialize(all_queries[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+        if heap is not None:
+            peak_heap[name] = heap.peak_mb(name)
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
@@ -228,6 +293,10 @@ def main() -> None:
     if core:
         record["core27_total"] = round(sum(timings[q] for q in core), 3)
         record["core27_n"] = len(core)
+    if heap is not None:
+        record["peak_heap_mb"] = peak_heap
+        record["heap_cap_mb"] = heap.cap_mb()
+        record["python_driver_rss_mb"] = _python_rss_mb()
     line = json.dumps(record)
     print(line)
     # the driver captures only a 2000-char tail of stdout, which

@@ -58,12 +58,15 @@ def ensure_scaled(rebuild: bool) -> None:
 def run_bench(sf_dir: str, runs: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_BENCH_RUNS=str(runs))
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        check=True, cwd=REPO, env=env, capture_output=True, text=True,
-    ).stdout
+        cwd=REPO, env=env, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"bench.py failed (rc={proc.returncode}) at {sf_dir}")
     # bench.py prints ONE JSON line (last non-empty line of stdout)
-    return json.loads([l for l in out.splitlines() if l.strip()][-1])
+    return json.loads([l for l in proc.stdout.splitlines() if l.strip()][-1])
 
 
 SKEW_QUERIES = ("sequence_packing", "balance_percentiles")
