@@ -103,7 +103,8 @@ def test_curation_pipeline_gate_all_green(spark):
     rows = curation_pipeline_gate(spark, "/root/testdata/sf0.001").collect()
     assert {r["check"] for r in rows} == {
         "unique_norm_hash", "one_survivor_per_cluster",
-        "quality_floor", "packing_offsets_consistent",
+        "quality_floor", "scrub_length_conserved",
+        "packing_offsets_consistent",
     }
     for r in rows:
         assert r["passed"], (r["check"], r["observed"], r["expected"])
