@@ -699,10 +699,16 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = toks.select(
         "doc_id", F.explode(_grams(F.col("ws"), 2)).alias("g")
     )
+    # pin the hashed feature stream: it feeds BOTH the bucket-stats
+    # aggregate and the per-doc scoring join, and the char-fold hash is
+    # an interpreted (CodegenFallback) higher-order expression — the
+    # single most expensive map work in the plan. Without the pin the
+    # explode + fold runs twice; the pinned stream is 2 small ints per
+    # gram occurrence (the 100× probe measured the re-compute at ~2×).
     fb = bi.select(
         "doc_id",
         F.pmod(_portable_gram_hash(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     is_t = F.pmod(F.col("doc_id"), F.lit(DSIR_TARGET_MOD)) == 0
     bc = fb.groupBy("b").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),

@@ -63,6 +63,14 @@ PROBE_QUERIES = (
     "semantic_bfs_production",
     "value_mad_outliers",
     "user_value_ewma",
+    # round-11 operators. NOTE on reading their ratios: both queries'
+    # sf0.1 runtimes (~1 s) are job-scheduling-overhead-dominated, so
+    # the 100x ratio overstates the asymptotic slope — the informative
+    # check is the 10x→100x slope (~linear) and the absolute 100x wall
+    # (tens of seconds for 100x corpora on one box). The probe exists
+    # to catch SUPERLINEAR shapes, which would show as ratios > K.
+    "dsir_importance_sample",
+    "doc_span_scrubbed",
 )
 
 
