@@ -5,13 +5,16 @@ inside whole-stage codegen: no UDF, no Python in the per-row path, and
 each helper has an exact DuckDB-SQL mirror so curation plans built on
 them stay oracle-checkable.
 
-``registrable_domain`` implements the public-suffix rule (longest
-matching suffix plus one label) against a CHECKED-IN snapshot of the
-public suffix list (public_suffix_snapshot.dat, parsed once at import):
-2- and 3-label normal rules are supported, so ``*.github.io``-class
-private-domain origins group per site instead of collapsing into one
-giant pseudo-domain. Deployments refresh the snapshot file; the loader
-rejects wildcard/exception rules loudly rather than mis-applying them.
+``registrable_domain`` implements the public-suffix ALGORITHM
+(exception rules beat all; otherwise longest matching rule; registrable
+= suffix + one label) against a CHECKED-IN snapshot of the public
+suffix list (public_suffix_snapshot.dat, parsed once at import). All
+three rule kinds of the list's grammar are supported: normal 2-3-label
+rules ("co.uk", "act.edu.au", "github.io" — so private-domain origins
+group per site), wildcard rules ("*.ck", "*.kawasaki.jp"), and
+exception rules ("!www.ck", "!city.kawasaki.jp"). Deployments refresh
+the snapshot file; rules outside the supported label bounds raise
+loudly rather than mis-applying.
 Two equivalent consumers: the inline expression (suffix set as a
 literal IN list — fine up to a few hundred rules) and
 :func:`registrable_domain_join`, the broadcast-joined table form a real
@@ -35,41 +38,91 @@ _SNAPSHOT_PATH = os.path.join(
 )
 
 
-def _load_psl_snapshot(path: str = _SNAPSHOT_PATH) -> tuple[str, ...]:
-    """Normal rules from the checked-in PSL snapshot, lowercased.
-    Wildcard ("*.") and exception ("!") rules raise: the expression
-    mirror cannot honor them, and silently dropping a rule would
-    mis-group every origin under it."""
-    out = []
+def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
+    """(normal, wildcard_parents, exceptions) rule sets from the
+    checked-in PSL snapshot, lowercased.
+
+    - normal rules ("co.uk", "github.io"): 2-3 labels;
+    - wildcard rules ("*.ck", "*.kawasaki.jp"): every DIRECT child of
+      the parent is a public suffix — stored as the parent (1-2
+      labels);
+    - exception rules ("!www.ck", "!city.kawasaki.jp"): the named
+      domain is NOT a public suffix despite a matching wildcard, i.e.
+      it IS a registrable domain — stored without the "!" (2-3
+      labels).
+
+    Rules outside those label bounds raise loudly: a silently dropped
+    rule would mis-group every origin under it."""
+    normal, wild, exc = [], [], []
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
-            line = raw.strip()
+            line = raw.strip().lower()
             if not line or line.startswith("//"):
                 continue
-            if line.startswith("!") or "*" in line:
+            if line.startswith("!"):
+                rule = line[1:]
+                n = rule.count(".") + 1
+                if n < 2 or n > 3 or "*" in rule:
+                    raise ValueError(
+                        f"unsupported PSL exception rule {line!r} in {path}"
+                    )
+                exc.append(rule)
+            elif line.startswith("*."):
+                parent = line[2:]
+                n = parent.count(".") + 1
+                if n < 1 or n > 2 or "*" in parent:
+                    raise ValueError(
+                        f"unsupported PSL wildcard rule {line!r} in {path}"
+                    )
+                wild.append(parent)
+            elif "*" in line:
                 raise ValueError(
-                    f"unsupported PSL rule {line!r} in {path}: only normal "
-                    "rules are supported by the expression mirror"
+                    f"unsupported PSL rule {line!r} in {path}: embedded "
+                    "wildcards are not in the public list's grammar"
                 )
-            n = line.count(".") + 1
-            if n < 2 or n > 3:
-                raise ValueError(
-                    f"PSL rule {line!r} has {n} labels; the snapshot layer "
-                    "supports 2- and 3-label rules (single-label TLDs are "
-                    "the default rule)"
-                )
-            out.append(line.lower())
-    return tuple(sorted(set(out)))
+            else:
+                n = line.count(".") + 1
+                if n < 2 or n > 3:
+                    raise ValueError(
+                        f"PSL rule {line!r} has {n} labels; the snapshot "
+                        "layer supports 2- and 3-label normal rules "
+                        "(single-label TLDs are the default rule)"
+                    )
+                normal.append(line)
+    return (
+        tuple(sorted(set(normal))),
+        tuple(sorted(set(wild))),
+        tuple(sorted(set(exc))),
+    )
 
 
-#: All multi-label public suffixes from the snapshot (2- and 3-label).
-MULTI_LABEL_SUFFIXES: tuple[str, ...] = _load_psl_snapshot()
-#: Split by label count — the rule precedence is longest-match-first.
+MULTI_LABEL_SUFFIXES, WILDCARD_PARENTS, EXCEPTION_DOMAINS = (
+    _load_psl_snapshot()
+)
+#: Split by label count — the rule precedence is longest-match-first
+#: (exceptions beat everything, per the public list's algorithm).
 SUFFIXES_2: tuple[str, ...] = tuple(
     s for s in MULTI_LABEL_SUFFIXES if s.count(".") == 1
 )
 SUFFIXES_3: tuple[str, ...] = tuple(
     s for s in MULTI_LABEL_SUFFIXES if s.count(".") == 2
+)
+#: wildcard parents by label count: a 1-label parent ("ck" from
+#: "*.ck") makes every 2-label tail a suffix; a 2-label parent
+#: ("kawasaki.jp") every 3-label tail.
+WILD_1: tuple[str, ...] = tuple(
+    w for w in WILDCARD_PARENTS if "." not in w
+)
+WILD_2: tuple[str, ...] = tuple(
+    w for w in WILDCARD_PARENTS if w.count(".") == 1
+)
+#: exceptions by their own label count: an exception IS the
+#: registrable domain when the host ends with it.
+EXC_2: tuple[str, ...] = tuple(
+    e for e in EXCEPTION_DOMAINS if e.count(".") == 1
+)
+EXC_3: tuple[str, ...] = tuple(
+    e for e in EXCEPTION_DOMAINS if e.count(".") == 2
 )
 
 #: host := authority minus userinfo and port; scheme optional so bare
@@ -100,23 +153,41 @@ def _last_k(parts: Column, k: int) -> Column:
     )
 
 
+def _isin(col: Column, values: tuple[str, ...]) -> Column:
+    return col.isin(*values) if values else F.lit(False)
+
+
 def registrable_domain(host: Column) -> Column:
-    """eTLD+1 against the snapshot: the last two labels of the host, or
-    last three / last four when the trailing two / three labels form a
-    known multi-label public suffix, longest rule first
-    (``bbc.co.uk`` → ``bbc.co.uk``, ``a.b.github.io`` → ``b.github.io``,
-    ``x.pvt.k12.ma.us`` → ``x.pvt.k12.ma.us``). Hosts with fewer labels
-    pass through unchanged (IP literals and single-label hosts have no
+    """eTLD+1 against the snapshot, implementing the public list's
+    algorithm tier by tier:
+
+    1. exception rules beat everything — a host ending in an exception
+       domain has that exception AS its registrable domain
+       (``foo.www.ck`` → ``www.ck``);
+    2. 3-label rules (normal "act.edu.au" or a "*.kawasaki.jp"
+       wildcard's children) → last four labels;
+    3. 2-label rules (normal "co.uk"/"github.io" or a "*.ck"
+       wildcard's children) → last three labels;
+    4. default rule → last two labels.
+
+    Hosts with fewer labels than the matched tier needs pass through
+    unchanged (IP literals, bare suffixes, single-label hosts have no
     registrable domain to extract)."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
+    last1 = F.element_at(parts, -1)
     last2, last3, last4 = _last_k(parts, 2), _last_k(parts, 3), _last_k(parts, 4)
-    hit3 = (
-        (n >= 4) & last3.isin(*SUFFIXES_3) if SUFFIXES_3 else F.lit(False)
-    )
     return (
-        F.when(hit3, last4)
-        .when((n >= 3) & last2.isin(*SUFFIXES_2), last3)
+        F.when((n >= 3) & _isin(last3, EXC_3), last3)
+        .when((n >= 2) & _isin(last2, EXC_2), last2)
+        .when(
+            (n >= 4) & (_isin(last3, SUFFIXES_3) | _isin(last2, WILD_2)),
+            last4,
+        )
+        .when(
+            (n >= 3) & (_isin(last2, SUFFIXES_2) | _isin(last1, WILD_1)),
+            last3,
+        )
         .when(n >= 2, last2)
         .otherwise(host)
     )
@@ -126,25 +197,33 @@ def registrable_domain_sql(expr: str) -> str:
     """DuckDB mirror of :func:`registrable_domain` (negative list
     indexes count from the end in DuckDB, as element_at does in Spark);
     the IN lists are GENERATED from the same checked-in snapshot the
-    Spark side loads, so both engines apply the identical rule set."""
-    s2 = ", ".join(f"'{s}'" for s in SUFFIXES_2)
-    s3 = ", ".join(f"'{s}'" for s in SUFFIXES_3)
+    Spark side loads, so both engines apply the identical rule set —
+    tier order (exceptions → 3-label rules/wildcards → 2-label →
+    default) mirrored branch for branch."""
+
+    def _in(sub: str, values: tuple[str, ...]) -> str:
+        if not values:
+            return "FALSE"
+        lst = ", ".join(f"'{v}'" for v in values)
+        return f"{sub} IN ({lst})"
+
     parts = f"string_split({expr}, '.')"
+    last1 = f"{parts}[-1]"
     last2 = f"({parts}[-2] || '.' || {parts}[-1])"
     last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
     last4 = (
         f"({parts}[-4] || '.' || {parts}[-3] || '.' || {parts}[-2]"
         f" || '.' || {parts}[-1])"
     )
-    three = (
-        f"WHEN len({parts}) >= 4 AND {last3} IN ({s3}) THEN {last4}\n"
-        if s3
-        else ""
-    )
     return f"""
         CASE
-            {three}WHEN len({parts}) >= 3
-                 AND {last2} IN ({s2})
+            WHEN len({parts}) >= 3 AND {_in(last3, EXC_3)} THEN {last3}
+            WHEN len({parts}) >= 2 AND {_in(last2, EXC_2)} THEN {last2}
+            WHEN len({parts}) >= 4
+                 AND ({_in(last3, SUFFIXES_3)} OR {_in(last2, WILD_2)})
+            THEN {last4}
+            WHEN len({parts}) >= 3
+                 AND ({_in(last2, SUFFIXES_2)} OR {_in(last1, WILD_1)})
             THEN {last3}
             WHEN len({parts}) >= 2
             THEN {last2}
@@ -154,45 +233,86 @@ def registrable_domain_sql(expr: str) -> str:
 
 
 def suffix_table(spark) -> DataFrame:
-    """The snapshot as a DataFrame (suffix, n_labels) — the bounded
-    policy table the broadcast-join form consumes."""
-    return spark.createDataFrame(
-        [(s, s.count(".") + 1) for s in MULTI_LABEL_SUFFIXES],
-        "suffix string, n_labels int",
+    """The snapshot as a DataFrame (rule, kind, n_labels) — the bounded
+    policy table the broadcast-join form consumes. kind ∈ {normal,
+    wild, exc}; wildcard rows store the PARENT ("*.ck" → "ck")."""
+    rows = (
+        [(s, "normal", s.count(".") + 1) for s in MULTI_LABEL_SUFFIXES]
+        + [(w, "wild", w.count(".") + 1) for w in WILDCARD_PARENTS]
+        + [(e, "exc", e.count(".") + 1) for e in EXCEPTION_DOMAINS]
     )
+    return spark.createDataFrame(rows, "rule string, kind string, n_labels int")
 
 
 def registrable_domain_join(
     df: DataFrame, host_col: str, out_col: str = "domain"
 ) -> DataFrame:
-    """Table-driven eTLD+1: the same longest-match rule as the inline
-    expression, but the suffix set arrives as a BROADCAST-JOINED table
-    (``suffix_table``) instead of a literal IN list — the form a real
-    crawl uses once the rule set outgrows an expression (the full PSL
-    is ~10k rules). Two left joins (one per supported suffix length,
-    both against the same bounded broadcast side), then the precedence
-    CASE. Semantics are identical to :func:`registrable_domain` by
-    construction — equivalence-tested in tests/test_url.py."""
+    """Table-driven eTLD+1: the same tiered rule precedence as the
+    inline expression, but the rule set arrives as a BROADCAST-JOINED
+    table (``suffix_table``) instead of literal IN lists — the form a
+    real crawl uses once the rule set outgrows an expression (the full
+    PSL is ~10k rules). One small left join per (kind, length) tier,
+    all against slices of the same bounded broadcast side, then the
+    precedence CASE. Semantics are identical to
+    :func:`registrable_domain` by construction — equivalence-tested in
+    tests/test_url.py."""
     spark = df.sparkSession
     suf = suffix_table(spark)
-    s2 = suf.where(F.col("n_labels") == 2).select(
-        F.col("suffix").alias("_s2"), F.lit(1).alias("_h2")
-    )
-    s3 = suf.where(F.col("n_labels") == 3).select(
-        F.col("suffix").alias("_s3"), F.lit(1).alias("_h3")
-    )
+
+    def slice_(kind: str, n_labels: int, key: str, flag: str):
+        return suf.where(
+            (F.col("kind") == kind) & (F.col("n_labels") == n_labels)
+        ).select(F.col("rule").alias(key), F.lit(1).alias(flag))
+
     parts = F.split(F.col(host_col), r"\.")
-    n = F.size(parts)
-    tagged = df.withColumn("_l2", _last_k(parts, 2)).withColumn(
-        "_l3", _last_k(parts, 3)
-    ).withColumn("_l4", _last_k(parts, 4)).withColumn("_n", n)
-    joined = tagged.join(
-        F.broadcast(s2), F.col("_l2") == F.col("_s2"), "left"
-    ).join(F.broadcast(s3), F.col("_l3") == F.col("_s3"), "left")
+    tagged = (
+        df.withColumn("_l1", F.element_at(parts, -1))
+        .withColumn("_l2", _last_k(parts, 2))
+        .withColumn("_l3", _last_k(parts, 3))
+        .withColumn("_l4", _last_k(parts, 4))
+        .withColumn("_n", F.size(parts))
+    )
+    joined = (
+        tagged.join(
+            F.broadcast(slice_("exc", 3, "_e3", "_he3")),
+            F.col("_l3") == F.col("_e3"), "left",
+        )
+        .join(
+            F.broadcast(slice_("exc", 2, "_e2", "_he2")),
+            F.col("_l2") == F.col("_e2"), "left",
+        )
+        .join(
+            F.broadcast(slice_("normal", 3, "_s3", "_h3")),
+            F.col("_l3") == F.col("_s3"), "left",
+        )
+        .join(
+            F.broadcast(slice_("wild", 2, "_w2", "_hw2")),
+            F.col("_l2") == F.col("_w2"), "left",
+        )
+        .join(
+            F.broadcast(slice_("normal", 2, "_s2", "_h2")),
+            F.col("_l2") == F.col("_s2"), "left",
+        )
+        .join(
+            F.broadcast(slice_("wild", 1, "_w1", "_hw1")),
+            F.col("_l1") == F.col("_w1"), "left",
+        )
+    )
+    n = F.col("_n")
     domain = (
-        F.when((F.col("_n") >= 4) & F.col("_h3").isNotNull(), F.col("_l4"))
-        .when((F.col("_n") >= 3) & F.col("_h2").isNotNull(), F.col("_l3"))
-        .when(F.col("_n") >= 2, F.col("_l2"))
+        F.when((n >= 3) & F.col("_he3").isNotNull(), F.col("_l3"))
+        .when((n >= 2) & F.col("_he2").isNotNull(), F.col("_l2"))
+        .when(
+            (n >= 4)
+            & (F.col("_h3").isNotNull() | F.col("_hw2").isNotNull()),
+            F.col("_l4"),
+        )
+        .when(
+            (n >= 3)
+            & (F.col("_h2").isNotNull() | F.col("_hw1").isNotNull()),
+            F.col("_l3"),
+        )
+        .when(n >= 2, F.col("_l2"))
         .otherwise(F.col(host_col))
     )
     return joined.withColumn(out_col, domain).select(

@@ -147,6 +147,9 @@ def test_join_form_equals_expression_form(spark):
         + [(f"u{i}.github.io",) for i in range(10)]
         + [("x.y.z.act.edu.au",), ("single",), ("a.co.uk",), ("co.uk",),
            ("127.0.0.1",), ("",)]
+        + [("www.ck",), ("foo.www.ck",), ("a.b.ck",), ("b.ck",), ("ck",),
+           ("x.city.kawasaki.jp",), ("a.b.kawasaki.jp",),
+           ("svc.a.b.kawasaki.jp",), ("kawasaki.jp",)]
         + [(s,) for s in MULTI_LABEL_SUFFIXES[:20]]
     )
     df = spark.createDataFrame(hosts, "host string")
@@ -163,7 +166,7 @@ def test_join_form_equals_expression_form(spark):
     assert expr == join
 
 
-def test_psl_loader_rejects_unsupported_rules(tmp_path):
+def test_psl_loader_parses_all_rule_kinds_and_rejects_malformed(tmp_path):
     import pytest
 
     from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions.url import (
@@ -171,17 +174,55 @@ def test_psl_loader_rejects_unsupported_rules(tmp_path):
     )
 
     good = tmp_path / "ok.dat"
-    good.write_text("// c\nco.uk\ngithub.io\n")
-    assert _load_psl_snapshot(str(good)) == ("co.uk", "github.io")
-    wild = tmp_path / "wild.dat"
-    wild.write_text("*.ck\n")
-    with pytest.raises(ValueError, match="unsupported PSL rule"):
-        _load_psl_snapshot(str(wild))
-    exc = tmp_path / "exc.dat"
-    exc.write_text("!www.ck\n")
-    with pytest.raises(ValueError, match="unsupported PSL rule"):
-        _load_psl_snapshot(str(exc))
+    good.write_text("// c\nco.uk\ngithub.io\n*.ck\n!www.ck\n")
+    assert _load_psl_snapshot(str(good)) == (
+        ("co.uk", "github.io"), ("ck",), ("www.ck",)
+    )
     long = tmp_path / "long.dat"
     long.write_text("pvt.k12.ma.us\n")
     with pytest.raises(ValueError, match="labels"):
         _load_psl_snapshot(str(long))
+    embedded = tmp_path / "embedded.dat"
+    embedded.write_text("foo.*.bar\n")
+    with pytest.raises(ValueError, match="embedded"):
+        _load_psl_snapshot(str(embedded))
+    deep_wild = tmp_path / "dw.dat"
+    deep_wild.write_text("*.a.b.c\n")
+    with pytest.raises(ValueError, match="wildcard"):
+        _load_psl_snapshot(str(deep_wild))
+    deep_exc = tmp_path / "de.dat"
+    deep_exc.write_text("!a.b.c.d\n")
+    with pytest.raises(ValueError, match="exception"):
+        _load_psl_snapshot(str(deep_exc))
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    # the public list's algorithm: exceptions beat wildcards; wildcard
+    # children are public suffixes
+    hosts = [
+        ("www.ck",),           # exception: IS the registrable domain
+        ("foo.www.ck",),       # ends in the exception -> www.ck
+        ("a.b.ck",),           # wildcard *.ck: suffix b.ck -> a.b.ck
+        ("deep.a.b.ck",),      # suffix b.ck -> a.b.ck
+        ("b.ck",),             # a bare wildcard child: no +1 label
+        ("x.city.kawasaki.jp",),   # 3-label exception -> city.kawasaki.jp
+        ("city.kawasaki.jp",),
+        ("a.b.kawasaki.jp",),  # *.kawasaki.jp -> suffix b.kawasaki.jp
+        ("svc.a.b.kawasaki.jp",),
+    ]
+    df = spark.createDataFrame(hosts, "host string")
+    got = {
+        r.host: r.domain
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("domain")
+        ).collect()
+    }
+    assert got["www.ck"] == "www.ck"
+    assert got["foo.www.ck"] == "www.ck"
+    assert got["a.b.ck"] == "a.b.ck"
+    assert got["deep.a.b.ck"] == "a.b.ck"
+    assert got["b.ck"] == "b.ck"
+    assert got["x.city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert got["city.kawasaki.jp"] == "city.kawasaki.jp"
+    assert got["a.b.kawasaki.jp"] == "a.b.kawasaki.jp"
+    assert got["svc.a.b.kawasaki.jp"] == "a.b.kawasaki.jp"
