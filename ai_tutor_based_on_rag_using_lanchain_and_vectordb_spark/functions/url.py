@@ -62,7 +62,7 @@ def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
             if line.startswith("!"):
                 rule = line[1:]
                 n = rule.count(".") + 1
-                if n < 2 or n > 3 or "*" in rule:
+                if n < 2 or n > 3 or "*" in rule or "" in rule.split("."):
                     raise ValueError(
                         f"unsupported PSL exception rule {line!r} in {path}"
                     )
@@ -70,7 +70,10 @@ def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
             elif line.startswith("*."):
                 parent = line[2:]
                 n = parent.count(".") + 1
-                if n < 1 or n > 2 or "*" in parent:
+                # '' in split catches the degenerate '*.' (empty
+                # parent) and trailing-dot forms — count('.')+1 alone
+                # cannot (it is never < 1)
+                if n > 2 or "*" in parent or "" in parent.split("."):
                     raise ValueError(
                         f"unsupported PSL wildcard rule {line!r} in {path}"
                     )
@@ -82,7 +85,7 @@ def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
                 )
             else:
                 n = line.count(".") + 1
-                if n < 2 or n > 3:
+                if n < 2 or n > 3 or "" in line.split("."):
                     raise ValueError(
                         f"PSL rule {line!r} has {n} labels; the snapshot "
                         "layer supports 2- and 3-label normal rules "
@@ -188,6 +191,17 @@ def registrable_domain(host: Column) -> Column:
             (n >= 3) & (_isin(last2, SUFFIXES_2) | _isin(last1, WILD_1)),
             last3,
         )
+        # a host that IS a 3-label public suffix (a 3-label rule, or a
+        # direct child of a 2-label wildcard parent) has no +1 label:
+        # pass through unchanged rather than truncating to its tail —
+        # the default tier below would wrongly collapse every bare
+        # 's3.amazonaws.com' / 'b.kawasaki.jp'-class origin onto its
+        # parent. (2-label bare suffixes pass through via the default
+        # tier already: last2 == host when n == 2.)
+        .when(
+            (n == 3) & (_isin(last3, SUFFIXES_3) | _isin(last2, WILD_2)),
+            host,
+        )
         .when(n >= 2, last2)
         .otherwise(host)
     )
@@ -225,6 +239,9 @@ def registrable_domain_sql(expr: str) -> str:
             WHEN len({parts}) >= 3
                  AND ({_in(last2, SUFFIXES_2)} OR {_in(last1, WILD_1)})
             THEN {last3}
+            WHEN len({parts}) = 3
+                 AND ({_in(last3, SUFFIXES_3)} OR {_in(last2, WILD_2)})
+            THEN {expr}
             WHEN len({parts}) >= 2
             THEN {last2}
             ELSE {expr}
@@ -311,6 +328,13 @@ def registrable_domain_join(
             (n >= 3)
             & (F.col("_h2").isNotNull() | F.col("_hw1").isNotNull()),
             F.col("_l3"),
+        )
+        # bare 3-label public suffixes pass through (same tier as the
+        # expression form — see registrable_domain)
+        .when(
+            (n == 3)
+            & (F.col("_h3").isNotNull() | F.col("_hw2").isNotNull()),
+            F.col(host_col),
         )
         .when(n >= 2, F.col("_l2"))
         .otherwise(F.col(host_col))

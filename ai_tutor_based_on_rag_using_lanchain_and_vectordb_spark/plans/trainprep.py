@@ -368,9 +368,14 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # keep-first packing of (doc_id, position) into one int64 so "the
 # corpus-first occurrence of a window" is a plain MIN both engines
-# compute identically: key = doc_id·2²⁴ + i (documents are far below
-# 2²⁴ chars; doc ids far below 2³⁹ — both asserted cheap at load).
+# compute identically: key = doc_id·2²⁴ + i. The packing domain
+# (documents below 2²⁴ chars, 0 ≤ doc_id < 2³⁹) is GUARDED IN-PLAN
+# with per-row assert_true riding expressions the plan already
+# consumes — an out-of-domain corpus fails loudly instead of silently
+# corrupting the keep-first order (and the guards add exactly 0 to
+# in-domain values, so oracle parity is untouched).
 _SPAN_POS_SHIFT = 16_777_216  # 2**24
+_SPAN_MAX_DOC_ID = 2**39
 
 
 def span_scrub(docs: DataFrame) -> DataFrame:
@@ -398,20 +403,46 @@ def span_scrub(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     base = docs
+    # domain guards: assert_true yields NULL (coalesced to +0) in
+    # domain and RAISES out of it; adding the 0 into expressions the
+    # plan consumes keeps the guard un-prunable without changing any
+    # in-domain value
+    len_ok = F.coalesce(
+        F.assert_true(
+            F.length("t") < F.lit(_SPAN_POS_SHIFT),
+            F.lit(
+                "span_scrub: document length >= 2^24 chars breaks the "
+                "keep-first key packing (raise _SPAN_POS_SHIFT)"
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
     grams = (
         base.where(F.length("t") >= SPAN_L)
+        .withColumn("_lok", len_ok)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, length(t) - {SPAN_L - 1}),"
+                    f"transform(sequence(1, length(t) - {SPAN_L - 1} + _lok),"
                     f" i -> struct(i as i, substring(t, i, {SPAN_L}) as g))"
                 )
             ).alias("x"),
         )
         .select("doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
     )
-    key = F.col("doc_id") * F.lit(_SPAN_POS_SHIFT) + F.col("i")
+    id_ok = F.coalesce(
+        F.assert_true(
+            (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < F.lit(_SPAN_MAX_DOC_ID)),
+            F.lit(
+                "span_scrub: doc_id outside [0, 2^39) breaks the "
+                "keep-first key packing"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    key = F.col("doc_id") * F.lit(_SPAN_POS_SHIFT) + F.col("i") + id_ok
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key"))

@@ -151,6 +151,9 @@ class _HeapPeak:
         self._cur = None
         return self._peaks.get(name, 0) // (1024 * 1024)
 
+    def stop(self) -> None:
+        self._stop = True
+
 
 def _python_rss_mb() -> int:
     import resource
@@ -276,6 +279,8 @@ def main() -> None:
         medians[name] = round(samples[len(samples) // 2], 3)
         spread[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
+    if heap is not None:
+        heap.stop()  # end the 50 ms JVM polling once measurement is done
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total_wall",

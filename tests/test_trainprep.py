@@ -97,3 +97,27 @@ def test_dsir_prefers_target_like_docs(spark, edge_dir):
     assert dup_block, "no dup-block docs sampled"
     if other:
         assert min(llr[d] for d in dup_block) > max(llr[d] for d in other)
+
+
+def test_span_scrub_domain_guards_are_loud(spark):
+    import pytest
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.trainprep import (
+        _SPAN_MAX_DOC_ID,
+        span_scrub,
+    )
+
+    # doc_id outside the packing domain must raise, not silently
+    # mis-order the keep-first rule. Two docs sharing a 60-char run so
+    # the guarded key expression is actually evaluated.
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(_SPAN_MAX_DOC_ID + 1, shared + " alpha"), (1, "pre " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    # under ANSI (Spark 4 default) the packing multiply itself
+    # overflows loudly before the assert evaluates; under non-ANSI the
+    # multiply wraps and the in-plan assert fires — either way the run
+    # FAILS instead of silently mis-ordering
+    with pytest.raises(
+        Exception, match="keep-first key packing|ARITHMETIC_OVERFLOW"
+    ):
+        span_scrub(df).collect()

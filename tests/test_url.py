@@ -226,3 +226,59 @@ def test_psl_wildcard_and_exception_rules(spark):
     assert got["city.kawasaki.jp"] == "city.kawasaki.jp"
     assert got["a.b.kawasaki.jp"] == "a.b.kawasaki.jp"
     assert got["svc.a.b.kawasaki.jp"] == "a.b.kawasaki.jp"
+
+
+def test_bare_three_label_suffix_passes_through(spark):
+    # a host that IS a 3-label public suffix (normal rule or a child
+    # of a 2-label wildcard parent) has no +1 label: it must pass
+    # through, not truncate onto its parent
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions.url import (
+        registrable_domain_join,
+    )
+
+    hosts = [("s3.amazonaws.com",), ("b.kawasaki.jp",),
+             ("act.edu.au",), ("x.s3.amazonaws.com",)]
+    df = spark.createDataFrame(hosts, "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got["s3.amazonaws.com"] == "s3.amazonaws.com"
+    assert got["b.kawasaki.jp"] == "b.kawasaki.jp"
+    assert got["act.edu.au"] == "act.edu.au"
+    assert got["x.s3.amazonaws.com"] == "x.s3.amazonaws.com"
+    join = {
+        r.host: r.domain
+        for r in registrable_domain_join(df, "host").collect()
+    }
+    assert join == got
+    # and the SQL mirror agrees
+    import duckdb
+
+    sql_got = {
+        h: d
+        for h, d in duckdb.sql(
+            "SELECT host, "
+            + registrable_domain_sql("host")
+            + " AS d FROM (SELECT unnest(['s3.amazonaws.com',"
+            "'b.kawasaki.jp','act.edu.au','x.s3.amazonaws.com']) AS host)"
+        ).fetchall()
+    }
+    assert sql_got == got
+
+
+def test_psl_loader_rejects_empty_labels(tmp_path):
+    import pytest
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions.url import (
+        _load_psl_snapshot,
+    )
+
+    for bad, match in [("*.\n", "wildcard"), ("a..b\n", "labels"),
+                       ("!www..ck\n", "exception"), ("co.uk.\n", "labels")]:
+        f = tmp_path / "bad.dat"
+        f.write_text(bad)
+        with pytest.raises(ValueError, match=match):
+            _load_psl_snapshot(str(f))
