@@ -9,12 +9,26 @@ them stay oracle-checkable.
 (exception rules beat all; otherwise longest matching rule; registrable
 = suffix + one label) against a CHECKED-IN snapshot of the public
 suffix list (public_suffix_snapshot.dat, parsed once at import). All
-three rule kinds of the list's grammar are supported: normal 2-3-label
-rules ("co.uk", "act.edu.au", "github.io" — so private-domain origins
-group per site), wildcard rules ("*.ck", "*.kawasaki.jp"), and
-exception rules ("!www.ck", "!city.kawasaki.jp"). Deployments refresh
-the snapshot file; rules outside the supported label bounds raise
-loudly rather than mis-applying.
+three rule kinds of the list's grammar are supported at ANY label
+count — the tier expressions are GENERATED per rule length, so the
+real list's deep rules ("pvt.k12.ma.us", "*.compute.amazonaws.com")
+work on a snapshot refresh: normal rules ("co.uk", "act.edu.au",
+"github.io" — so private-domain origins group per site), wildcard
+rules ("*.ck", "*.kawasaki.jp"), and exception rules ("!www.ck",
+"!city.kawasaki.jp"). Deployments refresh the snapshot file; malformed
+rules raise loudly rather than mis-applying.
+
+Form choice for Q(domain_curation): measured head-to-head at sf0.1 and
+sf1 on the WARC-derived host stream (tools/bench_psl_forms.py,
+round 12): with the ~100-rule snapshot the inline IN-list expression
+and the broadcast-join form are within noise of each other at both
+scales (expression ≈ join ± 10%), and the expression keeps the whole
+row path inside one WholeStageCodegen span with zero extra plan nodes,
+so Q(domain_curation) stays on the expression. The join form
+(:func:`registrable_domain_join`) is the scale path once a refresh
+brings in the full ~10k-rule list, where literal IN lists would blow
+up codegen; it is equivalence-tested against the expression on every
+rule kind.
 Two equivalent consumers: the inline expression (suffix set as a
 literal IN list — fine up to a few hundred rules) and
 :func:`registrable_domain_join`, the broadcast-joined table form a real
@@ -40,19 +54,27 @@ _SNAPSHOT_PATH = os.path.join(
 
 def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
     """(normal, wildcard_parents, exceptions) rule sets from the
-    checked-in PSL snapshot, lowercased.
+    checked-in PSL snapshot, lowercased. ANY label count is accepted —
+    the real public list carries rules like ``pvt.k12.ma.us`` (4
+    labels) and ``*.compute.amazonaws.com`` (3-label wildcard parent),
+    and the tier expressions below are generated mechanically per
+    label count, so a genuine full-list refresh just works.
 
-    - normal rules ("co.uk", "github.io"): 2-3 labels;
-    - wildcard rules ("*.ck", "*.kawasaki.jp"): every DIRECT child of
-      the parent is a public suffix — stored as the parent (1-2
-      labels);
+    - normal rules ("co.uk", "pvt.k12.ma.us"): ≥ 2 labels.
+      Single-label normal rules ("com") are accepted and DROPPED:
+      they are semantically identical to the default rule (registrable
+      = last two labels), which the expression already applies;
+    - wildcard rules ("*.ck", "*.compute.amazonaws.com"): every DIRECT
+      child of the parent is a public suffix — stored as the parent
+      (≥ 1 label);
     - exception rules ("!www.ck", "!city.kawasaki.jp"): the named
       domain is NOT a public suffix despite a matching wildcard, i.e.
-      it IS a registrable domain — stored without the "!" (2-3
+      it IS a registrable domain — stored without the "!" (≥ 2
       labels).
 
-    Rules outside those label bounds raise loudly: a silently dropped
-    rule would mis-group every origin under it."""
+    Malformed rules (embedded wildcards, empty labels, degenerate
+    '*.', single-label exceptions) still raise loudly: a silently
+    dropped rule would mis-group every origin under it."""
     normal, wild, exc = [], [], []
     with open(path, encoding="utf-8") as fh:
         for raw in fh:
@@ -62,18 +84,17 @@ def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
             if line.startswith("!"):
                 rule = line[1:]
                 n = rule.count(".") + 1
-                if n < 2 or n > 3 or "*" in rule or "" in rule.split("."):
+                if n < 2 or "*" in rule or "" in rule.split("."):
                     raise ValueError(
                         f"unsupported PSL exception rule {line!r} in {path}"
                     )
                 exc.append(rule)
             elif line.startswith("*."):
                 parent = line[2:]
-                n = parent.count(".") + 1
                 # '' in split catches the degenerate '*.' (empty
                 # parent) and trailing-dot forms — count('.')+1 alone
                 # cannot (it is never < 1)
-                if n > 2 or "*" in parent or "" in parent.split("."):
+                if not parent or "*" in parent or "" in parent.split("."):
                     raise ValueError(
                         f"unsupported PSL wildcard rule {line!r} in {path}"
                     )
@@ -84,14 +105,12 @@ def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
                     "wildcards are not in the public list's grammar"
                 )
             else:
-                n = line.count(".") + 1
-                if n < 2 or n > 3 or "" in line.split("."):
+                if "" in line.split("."):
                     raise ValueError(
-                        f"PSL rule {line!r} has {n} labels; the snapshot "
-                        "layer supports 2- and 3-label normal rules "
-                        "(single-label TLDs are the default rule)"
+                        f"PSL rule {line!r} has empty labels in {path}"
                     )
-                normal.append(line)
+                if "." in line:  # single-label == the default rule
+                    normal.append(line)
     return (
         tuple(sorted(set(normal))),
         tuple(sorted(set(wild))),
@@ -102,30 +121,29 @@ def _load_psl_snapshot(path: str = _SNAPSHOT_PATH):
 MULTI_LABEL_SUFFIXES, WILDCARD_PARENTS, EXCEPTION_DOMAINS = (
     _load_psl_snapshot()
 )
-#: Split by label count — the rule precedence is longest-match-first
+
+
+def _by_k(rules: tuple[str, ...]) -> dict[int, tuple[str, ...]]:
+    out: dict[int, list[str]] = {}
+    for r in rules:
+        out.setdefault(r.count(".") + 1, []).append(r)
+    return {k: tuple(v) for k, v in sorted(out.items())}
+
+
+#: Rules split by label count — the precedence is longest-match-first
 #: (exceptions beat everything, per the public list's algorithm).
-SUFFIXES_2: tuple[str, ...] = tuple(
-    s for s in MULTI_LABEL_SUFFIXES if s.count(".") == 1
-)
-SUFFIXES_3: tuple[str, ...] = tuple(
-    s for s in MULTI_LABEL_SUFFIXES if s.count(".") == 2
-)
-#: wildcard parents by label count: a 1-label parent ("ck" from
-#: "*.ck") makes every 2-label tail a suffix; a 2-label parent
-#: ("kawasaki.jp") every 3-label tail.
-WILD_1: tuple[str, ...] = tuple(
-    w for w in WILDCARD_PARENTS if "." not in w
-)
-WILD_2: tuple[str, ...] = tuple(
-    w for w in WILDCARD_PARENTS if w.count(".") == 1
-)
-#: exceptions by their own label count: an exception IS the
-#: registrable domain when the host ends with it.
-EXC_2: tuple[str, ...] = tuple(
-    e for e in EXCEPTION_DOMAINS if e.count(".") == 1
-)
-EXC_3: tuple[str, ...] = tuple(
-    e for e in EXCEPTION_DOMAINS if e.count(".") == 2
+#: A k-label NORMAL rule makes k-label tails suffixes; a k-label
+#: WILDCARD PARENT makes (k+1)-label tails suffixes; a k-label
+#: EXCEPTION is itself the registrable domain of any host ending in it.
+NORMAL_BY_K: dict[int, tuple[str, ...]] = _by_k(MULTI_LABEL_SUFFIXES)
+WILD_BY_K: dict[int, tuple[str, ...]] = _by_k(WILDCARD_PARENTS)
+EXC_BY_K: dict[int, tuple[str, ...]] = _by_k(EXCEPTION_DOMAINS)
+#: longest public-suffix length any rule can produce (≥ 2 so the
+#: default tier always exists even on an empty snapshot)
+_K_SUF_MAX: int = max(
+    [2]
+    + list(NORMAL_BY_K)
+    + [k + 1 for k in WILD_BY_K]
 )
 
 #: host := authority minus userinfo and port; scheme optional so bare
@@ -162,49 +180,48 @@ def _isin(col: Column, values: tuple[str, ...]) -> Column:
 
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 against the snapshot, implementing the public list's
-    algorithm tier by tier:
+    algorithm with tiers GENERATED per rule label count (so any-length
+    rules from a snapshot refresh are honored mechanically):
 
-    1. exception rules beat everything — a host ending in an exception
-       domain has that exception AS its registrable domain
-       (``foo.www.ck`` → ``www.ck``);
-    2. 3-label rules (normal "act.edu.au" or a "*.kawasaki.jp"
-       wildcard's children) → last four labels;
-    3. 2-label rules (normal "co.uk"/"github.io" or a "*.ck"
-       wildcard's children) → last three labels;
-    4. default rule → last two labels.
+    1. exception rules beat everything, longest first — a host ending
+       in an exception domain has that exception AS its registrable
+       domain (``foo.www.ck`` → ``www.ck``);
+    2. for each suffix length k from longest to shortest: hosts with
+       ≥ k+1 labels whose last-k tail is a suffix (a k-label normal
+       rule or a child of a (k-1)-label wildcard parent) → last k+1
+       labels; hosts that ARE a bare k-label suffix (n == k, k ≥ 3)
+       pass through unchanged — the default tier would wrongly
+       collapse every bare 's3.amazonaws.com'-class origin onto its
+       parent. (Bare 2-label suffixes pass through via the default
+       tier already: last2 == host when n == 2.) The bare-k tier must
+       sit ABOVE the shorter full tiers: a bare 4-label suffix whose
+       2-label tail happens to be a rule too must not truncate.
+    3. default rule → last two labels.
 
     Hosts with fewer labels than the matched tier needs pass through
-    unchanged (IP literals, bare suffixes, single-label hosts have no
-    registrable domain to extract)."""
+    unchanged (IP literals, single-label hosts have no registrable
+    domain to extract)."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last1 = F.element_at(parts, -1)
-    last2, last3, last4 = _last_k(parts, 2), _last_k(parts, 3), _last_k(parts, 4)
-    return (
-        F.when((n >= 3) & _isin(last3, EXC_3), last3)
-        .when((n >= 2) & _isin(last2, EXC_2), last2)
-        .when(
-            (n >= 4) & (_isin(last3, SUFFIXES_3) | _isin(last2, WILD_2)),
-            last4,
+    ks = set(range(1, _K_SUF_MAX + 2)) | set(EXC_BY_K)
+    last = {k: _last_k(parts, k) for k in ks}
+    expr = None
+
+    def _when(cond: Column, val: Column) -> None:
+        nonlocal expr
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+
+    for k in sorted(EXC_BY_K, reverse=True):
+        _when((n >= k) & _isin(last[k], EXC_BY_K[k]), last[k])
+    for k in range(_K_SUF_MAX, 1, -1):
+        is_suf_k = _isin(last[k], NORMAL_BY_K.get(k, ())) | _isin(
+            last[k - 1], WILD_BY_K.get(k - 1, ())
         )
-        .when(
-            (n >= 3) & (_isin(last2, SUFFIXES_2) | _isin(last1, WILD_1)),
-            last3,
-        )
-        # a host that IS a 3-label public suffix (a 3-label rule, or a
-        # direct child of a 2-label wildcard parent) has no +1 label:
-        # pass through unchanged rather than truncating to its tail —
-        # the default tier below would wrongly collapse every bare
-        # 's3.amazonaws.com' / 'b.kawasaki.jp'-class origin onto its
-        # parent. (2-label bare suffixes pass through via the default
-        # tier already: last2 == host when n == 2.)
-        .when(
-            (n == 3) & (_isin(last3, SUFFIXES_3) | _isin(last2, WILD_2)),
-            host,
-        )
-        .when(n >= 2, last2)
-        .otherwise(host)
-    )
+        _when((n >= k + 1) & is_suf_k, last[k + 1])
+        if k >= 3:
+            _when((n == k) & is_suf_k, host)
+    _when(n >= 2, last[2])
+    return expr.otherwise(host)
 
 
 def registrable_domain_sql(expr: str) -> str:
@@ -222,28 +239,35 @@ def registrable_domain_sql(expr: str) -> str:
         return f"{sub} IN ({lst})"
 
     parts = f"string_split({expr}, '.')"
-    last1 = f"{parts}[-1]"
-    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
-    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
-    last4 = (
-        f"({parts}[-4] || '.' || {parts}[-3] || '.' || {parts}[-2]"
-        f" || '.' || {parts}[-1])"
-    )
+
+    def _last(k: int) -> str:
+        if k == 1:
+            return f"{parts}[-1]"
+        joined = " || '.' || ".join(f"{parts}[-{k - i}]" for i in range(k))
+        return f"({joined})"
+
+    n = f"len({parts})"
+    branches = []
+    for k in sorted(EXC_BY_K, reverse=True):
+        branches.append(
+            f"WHEN {n} >= {k} AND {_in(_last(k), EXC_BY_K[k])}"
+            f" THEN {_last(k)}"
+        )
+    for k in range(_K_SUF_MAX, 1, -1):
+        is_suf = (
+            f"({_in(_last(k), NORMAL_BY_K.get(k, ()))}"
+            f" OR {_in(_last(k - 1), WILD_BY_K.get(k - 1, ()))})"
+        )
+        branches.append(
+            f"WHEN {n} >= {k + 1} AND {is_suf} THEN {_last(k + 1)}"
+        )
+        if k >= 3:
+            branches.append(f"WHEN {n} = {k} AND {is_suf} THEN {expr}")
+    branches.append(f"WHEN {n} >= 2 THEN {_last(2)}")
+    body = "\n            ".join(branches)
     return f"""
         CASE
-            WHEN len({parts}) >= 3 AND {_in(last3, EXC_3)} THEN {last3}
-            WHEN len({parts}) >= 2 AND {_in(last2, EXC_2)} THEN {last2}
-            WHEN len({parts}) >= 4
-                 AND ({_in(last3, SUFFIXES_3)} OR {_in(last2, WILD_2)})
-            THEN {last4}
-            WHEN len({parts}) >= 3
-                 AND ({_in(last2, SUFFIXES_2)} OR {_in(last1, WILD_1)})
-            THEN {last3}
-            WHEN len({parts}) = 3
-                 AND ({_in(last3, SUFFIXES_3)} OR {_in(last2, WILD_2)})
-            THEN {expr}
-            WHEN len({parts}) >= 2
-            THEN {last2}
+            {body}
             ELSE {expr}
         END
     """
@@ -282,63 +306,56 @@ def registrable_domain_join(
         ).select(F.col("rule").alias(key), F.lit(1).alias(flag))
 
     parts = F.split(F.col(host_col), r"\.")
-    tagged = (
-        df.withColumn("_l1", F.element_at(parts, -1))
-        .withColumn("_l2", _last_k(parts, 2))
-        .withColumn("_l3", _last_k(parts, 3))
-        .withColumn("_l4", _last_k(parts, 4))
-        .withColumn("_n", F.size(parts))
-    )
-    joined = (
-        tagged.join(
-            F.broadcast(slice_("exc", 3, "_e3", "_he3")),
-            F.col("_l3") == F.col("_e3"), "left",
+    ks = set(range(1, _K_SUF_MAX + 2)) | set(EXC_BY_K)
+    tagged = df.withColumn("_n", F.size(parts))
+    for k in sorted(ks):
+        tagged = tagged.withColumn(f"_l{k}", _last_k(parts, k))
+
+    # one small broadcast left join per non-empty (kind, label-count)
+    # slice of the same bounded policy table — join count is data-
+    # driven, exactly the non-empty tiers of the snapshot
+    joined = tagged
+    for k in sorted(EXC_BY_K, reverse=True):
+        joined = joined.join(
+            F.broadcast(slice_("exc", k, f"_e{k}", f"_he{k}")),
+            F.col(f"_l{k}") == F.col(f"_e{k}"), "left",
         )
-        .join(
-            F.broadcast(slice_("exc", 2, "_e2", "_he2")),
-            F.col("_l2") == F.col("_e2"), "left",
+    for k in sorted(NORMAL_BY_K, reverse=True):
+        joined = joined.join(
+            F.broadcast(slice_("normal", k, f"_s{k}", f"_h{k}")),
+            F.col(f"_l{k}") == F.col(f"_s{k}"), "left",
         )
-        .join(
-            F.broadcast(slice_("normal", 3, "_s3", "_h3")),
-            F.col("_l3") == F.col("_s3"), "left",
+    for k in sorted(WILD_BY_K, reverse=True):
+        joined = joined.join(
+            F.broadcast(slice_("wild", k, f"_w{k}", f"_hw{k}")),
+            F.col(f"_l{k}") == F.col(f"_w{k}"), "left",
         )
-        .join(
-            F.broadcast(slice_("wild", 2, "_w2", "_hw2")),
-            F.col("_l2") == F.col("_w2"), "left",
+
+    def _hit(prefix: str, by_k: dict, k: int) -> Column:
+        return (
+            F.col(f"_{prefix}{k}").isNotNull() if k in by_k else F.lit(False)
         )
-        .join(
-            F.broadcast(slice_("normal", 2, "_s2", "_h2")),
-            F.col("_l2") == F.col("_s2"), "left",
-        )
-        .join(
-            F.broadcast(slice_("wild", 1, "_w1", "_hw1")),
-            F.col("_l1") == F.col("_w1"), "left",
-        )
-    )
+
     n = F.col("_n")
-    domain = (
-        F.when((n >= 3) & F.col("_he3").isNotNull(), F.col("_l3"))
-        .when((n >= 2) & F.col("_he2").isNotNull(), F.col("_l2"))
-        .when(
-            (n >= 4)
-            & (F.col("_h3").isNotNull() | F.col("_hw2").isNotNull()),
-            F.col("_l4"),
+    domain = None
+
+    def _when(cond: Column, val: Column) -> None:
+        nonlocal domain
+        domain = (
+            F.when(cond, val) if domain is None else domain.when(cond, val)
         )
-        .when(
-            (n >= 3)
-            & (F.col("_h2").isNotNull() | F.col("_hw1").isNotNull()),
-            F.col("_l3"),
-        )
-        # bare 3-label public suffixes pass through (same tier as the
-        # expression form — see registrable_domain)
-        .when(
-            (n == 3)
-            & (F.col("_h3").isNotNull() | F.col("_hw2").isNotNull()),
-            F.col(host_col),
-        )
-        .when(n >= 2, F.col("_l2"))
-        .otherwise(F.col(host_col))
-    )
+
+    for k in sorted(EXC_BY_K, reverse=True):
+        _when((n >= k) & _hit("he", EXC_BY_K, k), F.col(f"_l{k}"))
+    for k in range(_K_SUF_MAX, 1, -1):
+        is_suf = _hit("h", NORMAL_BY_K, k) | _hit("hw", WILD_BY_K, k - 1)
+        _when((n >= k + 1) & is_suf, F.col(f"_l{k + 1}"))
+        # bare k-label public suffixes pass through (same tier order as
+        # the expression form — see registrable_domain)
+        if k >= 3:
+            _when((n == k) & is_suf, F.col(host_col))
+    _when(n >= 2, F.col("_l2"))
+    domain = domain.otherwise(F.col(host_col))
     return joined.withColumn(out_col, domain).select(
         *df.columns, out_col
     )

@@ -1,0 +1,231 @@
+"""Maximal-marginal-relevance (MMR) re-ranking over a bounded k-NN
+candidate pool — the diversity-aware retrieval variant the reference's
+RAG surface can enable with one flag (backend/langchain_utils.py:13
+builds the retriever with pure top-k similarity; ``search_type="mmr"``
+is the ubiquitous LangChain/Chroma alternative, same candidate pool,
+greedy re-selection).
+
+Semantics (Carbonell & Goldstein 1998, as implemented by the LangChain
+``maximal_marginal_relevance`` helper): given query q and candidate
+pool C (the top-C most similar items), select k items greedily —
+
+- first pick: argmax relevance = cos(q, d);
+- pick i>1: argmax over remaining d of
+  ``λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)``.
+
+Ties break by neighbor id ascending. λ=1 degenerates to pure top-k;
+λ=0 to pure diversity.
+
+Physical plan (the 100 TB story): the pool is BOUNDED (top-C per query
+from the existing exact/IVF paths, C ≤ 64), so MMR is per-query local
+work, never corpus-scale: ONE aggregation groups each query's pool and
+its C² pairwise similarities into a single row (a struct array + a
+packed-key map), and the k-step greedy runs entirely JVM-side as
+nested higher-order functions — ``aggregate(sequence(1, k), …)`` folds
+the selected-id array, an inner fold does the argmax, an innermost
+fold the max-similarity-to-selected lookup. No Python in the row path,
+no per-iteration shuffle, no driver state: Q queries re-rank as Q
+independent rows, and the scoring scan below the pool window is the
+same broadcast map-only stage as knn_exact.
+
+Determinism / oracle parity: cosines are quantized to 1e-6 integers on
+the portable grid (``floor(x·1e6 + 0.5)``) and λ enters as an integer
+per-mille, so every greedy comparison is exact int64 arithmetic —
+bit-identical between Spark and the DuckDB recursive-CTE oracle
+(plans/vectors.py knn_mmr_rerank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from ..session import default_parallelism
+
+__all__ = ["mmr_rerank", "SIM_SCALE"]
+
+#: quantization grid for cosine scores (1e-6 — six digits carries the
+#: full useful precision of float32 embeddings)
+SIM_SCALE = 1_000_000
+#: packed map key: a·2³² + b (guarded in-plan: ids must fit 32 bits)
+_KEY_SHIFT = 2**32
+#: below any reachable objective (|obj| ≤ 1000·SIM_SCALE + 1000·2·SIM_SCALE)
+_NEG_OBJ = -(2**62)
+#: below any quantized cosine (≥ -SIM_SCALE) but safe to scale by 1000
+_NEG_SIM = -2 * SIM_SCALE
+
+
+def _quant(score) -> F.Column:
+    return F.floor(score * SIM_SCALE + F.lit(0.5)).cast("long")
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fetch_c: int = 16,
+    lam_permille: int = 500,
+    dim: int = V.EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, relevance): greedy MMR selection of
+    ``k`` items from the top-``fetch_c`` cosine candidates per query.
+    ``relevance`` is the plain query-candidate cosine (pround 4), so a
+    caller can see exactly what diversity traded away."""
+    if not 0 <= lam_permille <= 1000:
+        raise ValueError("lam_permille must be in [0, 1000]")
+    if k > fetch_c:
+        raise ValueError("k cannot exceed the candidate pool size")
+    lam = int(lam_permille)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        V.as_double(F.col(query_vec_col)).alias("qv"),
+        V.norm_fixed(F.col(query_vec_col), dim).alias("qnorm"),
+    ).where(F.col("qnorm") > 0)
+    c = vectors.select(
+        F.col(id_col).alias("nid"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+        V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+    ).where(F.col("cnorm") > 0)
+    cond = (
+        F.col("query_id") != F.col("nid") if exclude_self else F.lit(True)
+    )
+    n_parts = default_parallelism()
+    scored = (
+        c.repartition(n_parts)
+        .join(F.broadcast(q), cond)
+        .withColumn(
+            "score",
+            V.dot_fixed(F.col("qv"), F.col("cv"), dim, cast=False)
+            / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    # candidate pool: top-C on the QUANTIZED grid (ties → nid asc) so
+    # pool membership itself is engine-exact; in-plan guard pins the
+    # 32-bit id domain the packed map key needs (value-neutral +0)
+    id_ok = F.coalesce(
+        F.assert_true(
+            (F.col("nid") >= 0) & (F.col("nid") < F.lit(_KEY_SHIFT)),
+            F.lit("mmr_rerank: ids outside [0, 2^32) break map-key packing"),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("nid"))
+    pool = (
+        scored.select(
+            "query_id",
+            "nid",
+            (_quant(F.col("score")) + id_ok).alias("rel"),
+            (F.floor(F.col("score") * 10_000 + F.lit(0.5)) / 10_000).alias(
+                "relevance"
+            ),
+            "cv",
+            "cnorm",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= fetch_c)
+        .drop("rn")
+        # the pool feeds BOTH the struct-array aggregate and the C²
+        # pair self-join — pin it so the corpus scan runs once
+        .localCheckpoint(eager=False)
+    )
+
+    a = pool.select(
+        "query_id", F.col("nid").alias("a"),
+        F.col("cv").alias("va"), F.col("cnorm").alias("na"),
+    )
+    b = pool.select(
+        F.col("query_id").alias("qb"), F.col("nid").alias("b"),
+        F.col("cv").alias("vb"), F.col("cnorm").alias("nb"),
+    )
+    sims = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")),
+        )
+        .select(
+            "query_id",
+            F.struct(
+                (F.col("a") * F.lit(_KEY_SHIFT) + F.col("b")).alias("key"),
+                _quant(
+                    V.dot_fixed(F.col("va"), F.col("vb"), dim, cast=False)
+                    / (F.col("na") * F.col("nb"))
+                ).alias("value"),
+            ).alias("kv"),
+        )
+        .groupBy("query_id")
+        .agg(F.map_from_entries(F.collect_list("kv")).alias("simmap"))
+    )
+    cands = pool.groupBy("query_id").agg(
+        F.collect_list(F.struct("nid", "rel")).alias("cands"),
+        F.map_from_entries(
+            F.collect_list(F.struct("nid", "relevance"))
+        ).alias("relmap"),
+    )
+    state = cands.join(sims, "query_id", "left").withColumn(
+        "simmap",
+        F.coalesce(F.col("simmap"), F.expr("CAST(map() AS MAP<BIGINT,BIGINT>)")),
+    )
+
+    # the greedy loop, entirely in codegen: fold k steps over the
+    # selected array; each step's argmax folds the candidate array;
+    # each objective folds the selected array for max-sim-to-selected
+    def _maxsim(sel, nid):
+        # empty sel → _NEG_SIM, which is an additive constant across
+        # candidates (first pick == pure relevance argmax, as specified)
+        return F.aggregate(
+            sel,
+            F.lit(_NEG_SIM).cast("long"),
+            lambda m, s: F.greatest(
+                m, F.element_at(F.col("simmap"), nid * F.lit(_KEY_SHIFT) + s)
+            ),
+        )
+
+    def _argmax(sel):
+        init = F.struct(
+            F.lit(-1).cast("long").alias("nid"),
+            F.lit(_NEG_OBJ).cast("long").alias("obj"),
+        )
+
+        def step(acc, cand):
+            obj = (
+                F.lit(lam) * cand["rel"]
+                - F.lit(1000 - lam) * _maxsim(sel, cand["nid"])
+            )
+            better = (obj > acc["obj"]) | (
+                (obj == acc["obj"]) & (cand["nid"] < acc["nid"])
+            )
+            return F.when(F.array_contains(sel, cand["nid"]), acc).otherwise(
+                F.when(
+                    better,
+                    F.struct(cand["nid"].alias("nid"), obj.alias("obj")),
+                ).otherwise(acc)
+            )
+
+        return F.aggregate(F.col("cands"), init, step)["nid"]
+
+    selected = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(k))),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+        lambda acc, _i: F.when(_argmax(acc) == -1, acc).otherwise(
+            F.concat(acc, F.array(_argmax(acc)))
+        ),
+    )
+
+    return (
+        state.select(
+            "query_id", "relmap", F.posexplode(selected).alias("pos", "nid")
+        )
+        .select(
+            "query_id",
+            F.col("nid").alias("neighbor_id"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.element_at(F.col("relmap"), F.col("nid")).alias("relevance"),
+        )
+    )

@@ -582,9 +582,31 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(sd_dir, ignore_errors=True)
 
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")
+    return _assert_all_matched(out)
+
+
+def _assert_all_matched(out: DataFrame) -> DataFrame:
+    """In-plan guard (the trainprep.span_scrub pattern): the driver's
+    rows-only check only counts rows, so a matched=false row would
+    otherwise pass it silently — assert_true makes the collect itself
+    raise on any mismatch, naming the operator. The coalesced 0 rides
+    a consumed column, so the guard is un-prunable and value-neutral."""
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("matched"),
+            F.concat(F.lit("streaming gate mismatch: "), F.col("operator")),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return out.select(
+        "operator",
+        (F.col("n_stream") + guard).alias("n_stream"),
+        "n_batch",
+        "matched",
+    )
 
 
 def _cc_edges(df: DataFrame) -> DataFrame:

@@ -922,7 +922,32 @@ def pca_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MMR re-ranking (operators/mmr.py): top-MMR_C exact candidates per
+# query, greedy λ=0.5 diversity re-selection of MMR_K. Reference
+# anchor: backend/langchain_utils.py:13 (search_type="mmr" is the
+# one-flag LangChain/Chroma variant of the pure-similarity retriever).
+MMR_K = 5
+MMR_C = 16
+MMR_LAM = 500  # per-mille
+
+
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 variant — maximal-marginal-relevance re-ranking: k=5 selected
+    from the top-16 cosine candidates, λ=0.5, exact integer greedy."""
+    from ..operators.mmr import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb,
+        emb.where(F.col("vec_id") < N_QUERIES),
+        k=MMR_K,
+        fetch_c=MMR_C,
+        lam_permille=MMR_LAM,
+    )
+
+
 QUERIES = {
+    "knn_mmr_rerank": knn_mmr_rerank,
     "embedding_sq8_error": embedding_sq8_error,
     "semantic_bfs_hops": semantic_bfs_hops,
     "semantic_bfs_production": semantic_bfs_production,

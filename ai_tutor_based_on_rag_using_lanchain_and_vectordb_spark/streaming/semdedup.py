@@ -121,8 +121,12 @@ class SemDedupState:
         if epoch_id <= last:
             return False
 
+        # collapse duplicate ids WITHIN the batch first: a redelivering
+        # source can repeat a vec_id inside one epoch, and the vec_a !=
+        # vec_b pair filter would otherwise skip the self-duplicate —
+        # state must stay a set keyed by id even intra-batch
         new = assign_cells(
-            batch_df,
+            batch_df.dropDuplicates(["vec_id"]),
             n_cells=len(self.centroids),
             dim=self.dim,
             centroids=self.centroids,
@@ -162,7 +166,7 @@ class SemDedupState:
                 "salt_b", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
             )
         )
-        score = V.dot_fixed(F.col("va"), F.col("vb"), cast=False) / (
+        score = V.dot_fixed(F.col("va"), F.col("vb"), self.dim, cast=False) / (
             F.col("norm_a") * F.col("norm_b")
         )
         n_parts = default_parallelism()

@@ -205,3 +205,57 @@ def test_semdedup_state_replay_is_idempotent(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert dec1 == want
+
+
+def test_semdedup_state_non_default_dim_and_intra_batch_dups(
+    spark, sf_dir, tmp_path
+):
+    # regression (round-12 ADVICE): apply_batch's pair score must use
+    # self.dim, not the EMBEDDING_DIM default — at dim=16 a defaulted
+    # dot over-reads past the truncated arrays, NULLing every score
+    # and silently dropping all demotions. Also: duplicate vec_ids
+    # WITHIN one micro-batch (intra-epoch redelivery) must collapse
+    # before pairing, or the self-pair filter hides the duplicate.
+    from pyspark.sql import functions as F
+
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.knn import (
+        fit_ivf_centroids,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.semdedup import (
+        semdedup,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.streaming.semdedup import (
+        SemDedupState,
+    )
+
+    dim = 16
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.slice("embedding", 1, dim).alias("embedding"))
+    )
+    _, cents = fit_ivf_centroids(emb, 4, "embedding")
+    cents = cents[:, :dim]
+    b1 = emb.where("vec_id < 250").localCheckpoint(eager=True)
+    # intra-batch duplicate ids: redeliver part of b2 inside b2 itself
+    b2 = (
+        emb.where("vec_id >= 250")
+        .unionByName(emb.where("vec_id >= 400"))
+        .localCheckpoint(eager=True)
+    )
+
+    st = SemDedupState(str(tmp_path / "sd16"), cents, 0.3, dim=dim)
+    assert st.apply_batch(b1, 0) is True
+    assert st.apply_batch(b2, 1) is True
+    got = sorted(
+        (r.vec_id, r.cell, r.kept) for r in st.decisions(spark).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in semdedup(
+            emb, n_cells=4, threshold=0.3, order="id", dim=dim,
+            centroids=cents,
+        ).collect()
+    )
+    assert got == want
+    # the non-default dim genuinely exercises demotions
+    assert any(not kept for _, _, kept in got), "no demotions at dim=16"

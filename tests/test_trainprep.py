@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as E
 
@@ -80,9 +81,21 @@ def test_span_scrub_keep_first_copy(spark, edge_dir):
     assert rows[201]["removed_chars"] > 0
     assert "lazy dog" not in rows[201]["scrubbed"]
     assert rows[201]["scrubbed"].startswith("prefix text")
-    # length conservation on every doc
+    # length conservation on every doc: scrubbed + removed == the
+    # normalized input length (lower(trim(text)) is the scrub domain)
+    norm_len = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{edge_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.length(F.lower(F.trim("text"))).alias("n"),
+        )
+        .collect()
+    }
     for r in rows.values():
-        assert len(r["scrubbed"]) + r["removed_chars"] >= 0
+        assert (
+            len(r["scrubbed"]) + r["removed_chars"] == norm_len[r["doc_id"]]
+        ), r["doc_id"]
 
 
 def test_dsir_prefers_target_like_docs(spark, edge_dir):

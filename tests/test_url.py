@@ -178,22 +178,24 @@ def test_psl_loader_parses_all_rule_kinds_and_rejects_malformed(tmp_path):
     assert _load_psl_snapshot(str(good)) == (
         ("co.uk", "github.io"), ("ck",), ("www.ck",)
     )
-    long = tmp_path / "long.dat"
-    long.write_text("pvt.k12.ma.us\n")
-    with pytest.raises(ValueError, match="labels"):
-        _load_psl_snapshot(str(long))
+    # the REAL list's deep rules parse (any label count is supported)
+    deep = tmp_path / "deep.dat"
+    deep.write_text("pvt.k12.ma.us\n*.compute.amazonaws.com\n!a.b.c.d\n")
+    assert _load_psl_snapshot(str(deep)) == (
+        ("pvt.k12.ma.us",), ("compute.amazonaws.com",), ("a.b.c.d",)
+    )
+    # single-label normal rules ("com") are the default rule: dropped
+    tld = tmp_path / "tld.dat"
+    tld.write_text("com\nco.uk\n")
+    assert _load_psl_snapshot(str(tld)) == (("co.uk",), (), ())
     embedded = tmp_path / "embedded.dat"
     embedded.write_text("foo.*.bar\n")
     with pytest.raises(ValueError, match="embedded"):
         _load_psl_snapshot(str(embedded))
-    deep_wild = tmp_path / "dw.dat"
-    deep_wild.write_text("*.a.b.c\n")
-    with pytest.raises(ValueError, match="wildcard"):
-        _load_psl_snapshot(str(deep_wild))
-    deep_exc = tmp_path / "de.dat"
-    deep_exc.write_text("!a.b.c.d\n")
+    single_exc = tmp_path / "se.dat"
+    single_exc.write_text("!foo\n")
     with pytest.raises(ValueError, match="exception"):
-        _load_psl_snapshot(str(deep_exc))
+        _load_psl_snapshot(str(single_exc))
 
 
 def test_psl_wildcard_and_exception_rules(spark):
@@ -264,6 +266,62 @@ def test_bare_three_label_suffix_passes_through(spark):
             + registrable_domain_sql("host")
             + " AS d FROM (SELECT unnest(['s3.amazonaws.com',"
             "'b.kawasaki.jp','act.edu.au','x.s3.amazonaws.com']) AS host)"
+        ).fetchall()
+    }
+    assert sql_got == got
+
+
+def test_deep_k_label_rules(spark):
+    # the real list's deep rules, now in the snapshot: a 4-label
+    # normal rule (pvt.k12.ma.us) and a 3-label wildcard parent
+    # (*.compute.amazonaws.com) — the generated tiers must handle
+    # suffix lengths 4 (registrable = last 5) and bare pass-throughs
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.functions.url import (
+        registrable_domain_join,
+    )
+
+    hosts = [
+        ("myschool.pvt.k12.ma.us",),        # suffix + 1 label
+        ("www.myschool.pvt.k12.ma.us",),    # deeper: still last 5
+        ("pvt.k12.ma.us",),                 # bare 4-label suffix
+        ("vm1.uswest.compute.amazonaws.com",),   # wildcard child + 1
+        ("a.vm1.uswest.compute.amazonaws.com",),
+        ("uswest.compute.amazonaws.com",),  # bare wildcard child
+        ("compute.amazonaws.com",),         # the parent itself is NOT
+                                            # a suffix: default rule
+    ]
+    df = spark.createDataFrame(hosts, "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got["myschool.pvt.k12.ma.us"] == "myschool.pvt.k12.ma.us"
+    assert got["www.myschool.pvt.k12.ma.us"] == "myschool.pvt.k12.ma.us"
+    assert got["pvt.k12.ma.us"] == "pvt.k12.ma.us"
+    assert got["vm1.uswest.compute.amazonaws.com"] == (
+        "vm1.uswest.compute.amazonaws.com"
+    )
+    assert got["a.vm1.uswest.compute.amazonaws.com"] == (
+        "vm1.uswest.compute.amazonaws.com"
+    )
+    assert got["uswest.compute.amazonaws.com"] == (
+        "uswest.compute.amazonaws.com"
+    )
+    assert got["compute.amazonaws.com"] == "amazonaws.com"
+    # join form and SQL mirror agree on the deep tiers
+    join = {
+        r.host: r.domain
+        for r in registrable_domain_join(df, "host").collect()
+    }
+    assert join == got
+    lst = ", ".join(f"'{h}'" for (h,) in hosts)
+    sql_got = {
+        h: d
+        for h, d in duckdb.sql(
+            "SELECT host, " + registrable_domain_sql("host")
+            + f" AS d FROM (SELECT unnest([{lst}]) AS host)"
         ).fetchall()
     }
     assert sql_got == got
