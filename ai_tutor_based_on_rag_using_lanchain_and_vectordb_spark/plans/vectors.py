@@ -1025,7 +1025,77 @@ def _rrf_oracle_sql() -> str:
     """
 
 
+# MMR oracle: the greedy loop as a recursive CTE over the SAME
+# quantized-integer grid the Spark operator uses (floor(cos·1e6 + 0.5),
+# λ as integer per-mille), so every argmax compares exact int64s.
+# Seed = per-query argmax relevance; each step re-scores the remaining
+# candidates against the selected list and appends the winner.
+_MMR_QREL = "CAST(floor(({cos}) * 1000000 + 0.5) AS BIGINT)".format(cos=_COS)
+_MMR_ORACLE = f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0),
+    cand AS (
+        SELECT * FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nid,
+                   {_MMR_QREL} AS rel,
+                   (floor(({_COS}) * 10000 + 0.5) / 10000) AS relevance,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_MMR_QREL} DESC, b.vec_id ASC
+                   ) AS rn
+            FROM e a JOIN e b
+              ON a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+        ) WHERE rn <= {MMR_C}
+    ),
+    sims AS (
+        SELECT x.query_id, x.nid AS a_id, y.nid AS b_id,
+               CAST(floor((list_dot_product(va.v, vb.v) /
+                    (sqrt(list_dot_product(va.v, va.v)) *
+                     sqrt(list_dot_product(vb.v, vb.v)))) * 1000000 + 0.5)
+                    AS BIGINT) AS sim
+        FROM cand x
+        JOIN cand y ON x.query_id = y.query_id AND x.nid != y.nid
+        JOIN e va ON va.vec_id = x.nid
+        JOIN e vb ON vb.vec_id = y.nid
+    ),
+    sel(query_id, it, selected, nid) AS (
+        SELECT query_id, 1, [nid], nid FROM (
+            SELECT query_id, nid,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, nid ASC
+                   ) AS rn
+            FROM cand
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT query_id, it + 1, list_append(selected, nid), nid FROM (
+            SELECT g.query_id, g.it, g.selected, g.nid,
+                   row_number() OVER (
+                       PARTITION BY g.query_id
+                       ORDER BY g.obj DESC, g.nid ASC
+                   ) AS rn
+            FROM (
+                SELECT s.query_id, s.it, s.selected, c.nid,
+                       {MMR_LAM} * c.rel
+                           - {1000 - MMR_LAM} * max(m.sim) AS obj
+                FROM sel s
+                JOIN cand c ON c.query_id = s.query_id
+                           AND NOT list_contains(s.selected, c.nid)
+                JOIN sims m ON m.query_id = s.query_id AND m.a_id = c.nid
+                           AND list_contains(s.selected, m.b_id)
+                GROUP BY s.query_id, s.it, s.selected, c.nid, c.rel
+            ) g WHERE g.it < {MMR_K}
+        ) WHERE rn = 1
+    )
+    SELECT s.query_id, s.nid AS neighbor_id, CAST(s.it AS BIGINT) AS rank,
+           c.relevance
+    FROM sel s JOIN cand c ON c.query_id = s.query_id AND c.nid = s.nid
+"""
+
 ORACLE = {
+    "knn_mmr_rerank": _MMR_ORACLE,
     "knn_exact": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                    FROM embeddings

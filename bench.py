@@ -97,6 +97,7 @@ HEADLINE = [
     "weighted_doc_sample",    # E-S weighted reservoir (TakeOrdered top-K)
     "dsir_importance_sample", # hashed-gram LLR weights + A-Res resample
     "doc_span_scrubbed",      # exact-substring cut + residual reassembly
+    "knn_mmr_rerank",         # greedy MMR diversity re-rank (HOF loop)
 ]
 
 
