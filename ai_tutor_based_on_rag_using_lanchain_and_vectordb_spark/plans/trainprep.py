@@ -527,6 +527,221 @@ def doc_span_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_scrub(base)
 
 
+def _span_islands(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, i, e) intervals into maximal
+    disjoint (doc_id, s, e) spans — the duplicate_spans running-max
+    recipe, factored for reuse. Per-task state is one document's
+    interval list (the islands window partitions by doc_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return tagged.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), F.max("e").alias("e")
+    )
+
+
+def _reassemble(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, removed_chars, scrubbed) from disjoint sorted
+    cut spans (doc_id, s, e): inter-span segments + per-doc tail, the
+    span_scrub reassembly factored for reuse."""
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.coalesce(F.lag("e").over(ws), F.lit(0))
+    segs = (
+        spans.withColumn("_pe", prev_e)
+        .join(base, "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            "e",
+            F.expr("substring(t, _pe + 1, s - _pe - 1)").alias("seg"),
+        )
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("_head"),
+        F.max("e").alias("_last_e"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("removed_chars"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_chars", F.lit(0)).cast("long").alias(
+                "removed_chars"
+            ),
+            F.when(
+                F.col("_last_e").isNull(), F.col("t")
+            ).otherwise(
+                F.concat(
+                    F.col("_head"),
+                    F.expr("substring(t, _last_e + 1, length(t))"),
+                )
+            ).alias("scrubbed"),
+        )
+    )
+
+
+def span_scrub_extents(docs: DataFrame) -> DataFrame:
+    """Any-length duplicated-extent scrub with PROTECTED first copies —
+    the suffix-array-islands semantics of the Lee et al. recipe, done
+    with bucketed gram anchors instead of a monolithic corpus suffix
+    array (which does not distribute).
+
+    Defect this fixes over :func:`span_scrub` (the fixed-window form):
+    window-granular keep-first can DESTROY the kept copy when duplicate
+    occurrences interleave or self-overlap. Periodic text is the sharp
+    case: a 4L-char run of one repeated char keeps only window i=1, and
+    the hit island [2, 4L] then eats positions 2..L of that kept window
+    — the corpus retains a 1-char fragment and the duplicated string
+    vanishes everywhere. Extent semantics instead guarantee: **every
+    duplicated L-gram's corpus-first occurrence survives intact** (and
+    with it, a full copy of every duplicated substring of ANY length ≥
+    L, since such a substring's leading gram is duplicated and its
+    first copy sits inside the substring's own first occurrence).
+
+    Relational shape: duplicated-gram occurrences split into HIT
+    (non-first) and PROTECTED (corpus-first) interval sets; each merges
+    into maximal islands per doc (any-length extents emerge here); cut
+    = hit-islands MINUS protected-islands, computed as hit ∩
+    complement(protected) with a per-doc bounded interval-intersection
+    join. Reassembly is the shared segment logic. Same keep-first key
+    packing and in-plan domain guards as span_scrub; everything below
+    the islands windows is the same corpus-linear explode + map-side-
+    combined groupBy, so the 100 TB story is unchanged — the extra
+    work is one more islands window and a per-doc interval join, both
+    bounded by the document's own interval count."""
+    from pyspark.sql import Window
+
+    base = docs
+    len_ok = F.coalesce(
+        F.assert_true(
+            F.length("t") < F.lit(_SPAN_POS_SHIFT),
+            F.lit(
+                "span_scrub_extents: document length >= 2^24 chars breaks "
+                "the keep-first key packing (raise _SPAN_POS_SHIFT)"
+            ),
+        ).cast("int"),
+        F.lit(0),
+    )
+    grams = (
+        base.where(F.length("t") >= SPAN_L)
+        .withColumn("_lok", len_ok)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {SPAN_L - 1} + _lok),"
+                    f" i -> struct(i as i, substring(t, i, {SPAN_L}) as g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.i").alias("i"), F.col("x.g").alias("g"))
+    )
+    id_ok = F.coalesce(
+        F.assert_true(
+            (F.col("doc_id") >= 0)
+            & (F.col("doc_id") < F.lit(_SPAN_MAX_DOC_ID)),
+            F.lit(
+                "span_scrub_extents: doc_id outside [0, 2^39) breaks the "
+                "keep-first key packing"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    key = F.col("doc_id") * F.lit(_SPAN_POS_SHIFT) + F.col("i") + id_ok
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(key).alias("first_key"))
+        .where(F.col("c") >= 2)
+        .select("g", "first_key")
+    )
+    marks = grams.join(dup.hint("shuffle_hash"), "g").select(
+        "doc_id",
+        "i",
+        (F.col("i") + (SPAN_L - 1)).alias("e"),
+        (key == F.col("first_key")).alias("is_first"),
+    )
+    hit_islands = _span_islands(
+        marks.where(~F.col("is_first")).select("doc_id", "i", "e")
+    ).select("doc_id", F.col("s").alias("hs"), F.col("e").alias("he"))
+    prot_islands = _span_islands(
+        marks.where(F.col("is_first")).select("doc_id", "i", "e")
+    ).select("doc_id", F.col("s").alias("ps"), F.col("e").alias("pe"))
+
+    # complement of the protected islands over [1, len(t)], only for
+    # docs that have hits (others pass through untouched anyway)
+    dl = base.select("doc_id", F.length("t").alias("n"))
+    wp = Window.partitionBy("doc_id").orderBy("ps")
+    inner_gaps = (
+        prot_islands.withColumn(
+            "gs", F.coalesce(F.lag("pe").over(wp) + 1, F.lit(1))
+        )
+        .select("doc_id", "gs", (F.col("ps") - 1).alias("ge"))
+        .where(F.col("gs") <= F.col("ge"))
+    )
+    tail_gaps = (
+        prot_islands.groupBy("doc_id")
+        .agg(F.max("pe").alias("le"))
+        .join(dl, "doc_id")
+        .select("doc_id", (F.col("le") + 1).alias("gs"), F.col("n").alias("ge"))
+        .where(F.col("gs") <= F.col("ge"))
+    )
+    unprotected_docs = (
+        hit_islands.select("doc_id")
+        .distinct()
+        .join(prot_islands.select("doc_id").distinct(), "doc_id", "left_anti")
+        .join(dl, "doc_id")
+        .select("doc_id", F.lit(1).alias("gs"), F.col("n").alias("ge"))
+    )
+    gaps = inner_gaps.unionByName(tail_gaps).unionByName(unprotected_docs)
+
+    # cut = hit ∩ complement(protected): both families are disjoint per
+    # doc, so the pairwise intersections are disjoint — no re-merge
+    cut = (
+        hit_islands.join(
+            gaps.hint("shuffle_hash"),
+            ["doc_id"],
+        )
+        .where((F.col("hs") <= F.col("ge")) & (F.col("he") >= F.col("gs")))
+        .select(
+            "doc_id",
+            F.greatest("hs", "gs").alias("s"),
+            F.least("he", "ge").alias("e"),
+        )
+    )
+    return _reassemble(base, cut)
+
+
+def doc_span_scrubbed_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q wrapper of :func:`span_scrub_extents` over the normalized
+    corpus — the any-length, protected-first-copy upgrade of
+    Q(doc_span_scrubbed). Same output schema; differs exactly where
+    interleaved/self-overlapping copies would have destroyed the kept
+    copy under the window form."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.repartition(default_parallelism()).select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    )
+    return span_scrub_extents(base)
+
+
 # Offline-trained quality-classifier weights (bias, punct_ratio,
 # stopword_ratio, tokens/100): logistic regression fit by seeded
 # full-batch gradient descent (500 steps, lr 0.5) against the
@@ -851,6 +1066,7 @@ def term_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dsir_importance_sample": dsir_importance_sample,
     "doc_span_scrubbed": doc_span_scrubbed,
+    "doc_span_scrubbed_sa": doc_span_scrubbed_sa,
     "weighted_doc_sample": weighted_doc_sample,
     "term_pmi_pairs": term_pmi_pairs,
     "corpus_shuffle": corpus_shuffle,
@@ -1159,6 +1375,105 @@ ORACLE["doc_span_scrubbed"] = """
     ), spans AS (
         SELECT doc_id, island, min(i) AS s, max(e) AS e
         FROM islands GROUP BY doc_id, island
+    ), segs AS (
+        SELECT doc_id, s, e,
+               coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                   AS pe
+        FROM spans
+    ), per_doc AS (
+        SELECT segs.doc_id,
+               string_agg(substr(norm.t, pe + 1, s - pe - 1),
+                          '' ORDER BY s) AS head,
+               max(segs.e) AS last_e,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(segs.e - segs.s + 1) AS BIGINT) AS removed_chars
+        FROM segs JOIN norm ON segs.doc_id = norm.doc_id
+        GROUP BY segs.doc_id
+    )
+    SELECT norm.doc_id,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(removed_chars, 0) AS BIGINT) AS removed_chars,
+           CASE WHEN last_e IS NULL THEN norm.t
+                ELSE coalesce(head, '') || substr(norm.t, last_e + 1)
+                END AS scrubbed
+    FROM norm LEFT JOIN per_doc ON norm.doc_id = per_doc.doc_id
+""".format(L=SPAN_L, Lm1=SPAN_L - 1, shift=_SPAN_POS_SHIFT)
+
+# the extents variant: same gram/dup/islands machinery, plus the
+# PROTECTED first-copy islands and the interval subtraction
+# cut = hit-islands ∩ complement(protected-islands)
+ORACLE["doc_span_scrubbed_sa"] = """
+    WITH norm AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, i, substr(t, i, {L}) AS g
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, length(t) - {Lm1})) AS i
+              FROM norm WHERE length(t) >= {L})
+    ), dupg AS (
+        SELECT g, min(doc_id * {shift} + i) AS first_key
+        FROM grams GROUP BY g HAVING count(*) >= 2
+    ), marks AS (
+        SELECT doc_id, i, i + {Lm1} AS e,
+               doc_id * {shift} + i = first_key AS is_first
+        FROM grams JOIN dupg USING (g)
+    ), hti AS (
+        SELECT doc_id, i, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                    OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS ni
+        FROM marks WHERE NOT is_first
+    ), hisl AS (
+        SELECT doc_id, min(i) AS hs, max(e) AS he
+        FROM (SELECT doc_id, i, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS island
+              FROM hti)
+        GROUP BY doc_id, island
+    ), pti AS (
+        SELECT doc_id, i, e,
+               CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                    OR i > max(e) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS ni
+        FROM marks WHERE is_first
+    ), pisl AS (
+        SELECT doc_id, min(i) AS ps, max(e) AS pe
+        FROM (SELECT doc_id, i, e,
+                     sum(ni) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS island
+              FROM pti)
+        GROUP BY doc_id, island
+    ), dl AS (
+        SELECT doc_id, length(t) AS n FROM norm
+    ), gaps AS (
+        SELECT doc_id,
+               coalesce(lag(pe) OVER (PARTITION BY doc_id ORDER BY ps) + 1,
+                        1) AS gs,
+               ps - 1 AS ge
+        FROM pisl
+        QUALIFY gs <= ge
+        UNION ALL
+        SELECT pisl.doc_id, max(pe) + 1 AS gs, any_value(n) AS ge
+        FROM pisl JOIN dl USING (doc_id)
+        GROUP BY pisl.doc_id HAVING max(pe) + 1 <= any_value(n)
+        UNION ALL
+        SELECT h.doc_id, 1 AS gs, dl.n AS ge
+        FROM (SELECT DISTINCT doc_id FROM hisl) h
+        JOIN dl USING (doc_id)
+        WHERE h.doc_id NOT IN (SELECT doc_id FROM pisl)
+    ), spans AS (
+        SELECT hisl.doc_id,
+               greatest(hs, gs) AS s, least(he, ge) AS e
+        FROM hisl JOIN gaps ON hisl.doc_id = gaps.doc_id
+                           AND hs <= ge AND he >= gs
     ), segs AS (
         SELECT doc_id, s, e,
                coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)

@@ -98,6 +98,7 @@ HEADLINE = [
     "dsir_importance_sample", # hashed-gram LLR weights + A-Res resample
     "doc_span_scrubbed",      # exact-substring cut + residual reassembly
     "knn_mmr_rerank",         # greedy MMR diversity re-rank (HOF loop)
+    "doc_span_scrubbed_sa",   # any-length extent scrub (protected firsts)
 ]
 
 

@@ -31,6 +31,12 @@ EDGE_DOCS = (
     # giant exact-dup group) across two languages
     + [(100 + i, "copy pasta boiler plate text", "en" if i % 2 else "de",
         "dup", 28) for i in range(60)]
+    # self-overlapping (periodic) duplicates: the sharp case where the
+    # WINDOW-granular scrub destroys even the kept-first copy (keeps 1
+    # char of doc 300) while the extents form keeps the full first
+    # 40-char gram intact
+    + [(300, "z" * 160, "en", "periodic", 160),
+       (301, "z" * 80, "en", "periodic", 80)]
 )
 
 TRAINPREP = [
@@ -41,6 +47,7 @@ TRAINPREP = [
     "bigram_lm_score",
     "duplicate_spans",
     "doc_span_scrubbed",
+    "doc_span_scrubbed_sa",
     "dsir_importance_sample",
     "quality_classifier_filter",
 ]
@@ -134,3 +141,71 @@ def test_span_scrub_domain_guards_are_loud(spark):
         Exception, match="keep-first key packing|ARITHMETIC_OVERFLOW"
     ):
         span_scrub(df).collect()
+
+
+def test_span_scrub_extents_protects_first_copy(spark, edge_dir):
+    # the divergence fixture: periodic text where the window form
+    # destroys the kept copy and the extents form preserves it
+    win = {
+        r["doc_id"]: r.asDict()
+        for r in E.queries()["doc_span_scrubbed"](spark, edge_dir).collect()
+    }
+    ext = {
+        r["doc_id"]: r.asDict()
+        for r in E.queries()["doc_span_scrubbed_sa"](spark, edge_dir).collect()
+    }
+    # window form: doc 300 keeps only the first char — the duplicated
+    # 40-gram "z"*40 vanishes from the whole corpus
+    assert win[300]["scrubbed"] == "z"
+    assert "z" * 40 not in win[300]["scrubbed"] + win[301]["scrubbed"]
+    # extents form: the corpus-first copy of the gram survives INTACT
+    assert ext[300]["scrubbed"] == "z" * 40
+    assert ext[300]["removed_chars"] == 120
+    assert ext[301]["scrubbed"] == ""
+    # same keep-first rule on the non-overlapping case: identical to
+    # the window form (doc 200 untouched, doc 201's later copy cut)
+    assert ext[200]["n_spans"] == 0
+    assert ext[200]["scrubbed"] == win[200]["scrubbed"]
+    assert "lazy dog" not in ext[201]["scrubbed"]
+    assert ext[201]["scrubbed"].startswith("prefix text")
+    # length conservation holds for the extents form too
+    norm_len = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{edge_dir}/documents.parquet")
+        .select("doc_id", F.length(F.lower(F.trim("text"))).alias("n"))
+        .collect()
+    }
+    for r in ext.values():
+        assert (
+            len(r["scrubbed"]) + r["removed_chars"] == norm_len[r["doc_id"]]
+        ), r["doc_id"]
+
+
+def test_span_scrub_extents_every_dup_gram_survives(spark, edge_dir):
+    # the semantic guarantee the window form lacks: every duplicated
+    # 40-gram's corpus-first occurrence is a substring of its doc's
+    # scrubbed output
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.trainprep import (
+        SPAN_L,
+        _SPAN_POS_SHIFT,
+    )
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").lower().strip()
+        for r in spark.read.parquet(f"{edge_dir}/documents.parquet").collect()
+    }
+    ext = {
+        r["doc_id"]: r["scrubbed"]
+        for r in E.queries()["doc_span_scrubbed_sa"](spark, edge_dir).collect()
+    }
+    first = {}
+    for d in sorted(docs):
+        t = docs[d]
+        for i in range(len(t) - SPAN_L + 1):
+            g = t[i : i + SPAN_L]
+            first.setdefault(g, []).append(d * _SPAN_POS_SHIFT + (i + 1))
+    for g, keys in first.items():
+        if len(keys) < 2:
+            continue
+        kd = min(keys) // _SPAN_POS_SHIFT
+        assert g in ext[kd], (g[:20], kd)
