@@ -582,6 +582,45 @@ def streaming_equivalence_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(sd_dir, ignore_errors=True)
 
+    # st17: streaming DSIR — the importance-resampling weights are a
+    # mergeable sketch (per-bucket target/raw counts), folded per epoch
+    # in foreachBatch (streaming/dsir.py). The re-emitted sample after
+    # the N-batch fold must equal the one-shot batch
+    # dsir_importance_sample EXACTLY (integer count sums → identical
+    # weights → identical race keys), whatever the arrival batching.
+    from ..streaming.dsir import DsirState, stream_dsir
+    from .trainprep import dsir_importance_sample
+
+    ds_dir = tempfile.mkdtemp(prefix="st17_dsir_")
+    try:
+        ds_src = os.path.join(ds_dir, "src")
+        docs_all = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        docs_all.repartition(4).write.parquet(ds_src)
+        ds_stream = (
+            spark.readStream.schema(docs_all.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ds_src)
+        )
+        qds = stream_dsir(
+            ds_stream,
+            os.path.join(ds_dir, "state"),
+            os.path.join(ds_dir, "ckpt"),
+        )
+        qds.awaitTermination(300)
+        st = DsirState(os.path.join(ds_dir, "state"))
+        ds_cols = ["doc_id", "n_grams", "llr", "skey"]
+        samp = st.sample(spark)
+        ds_got = _rows(samp, ds_cols) if samp is not None else []
+        ds_want = _rows(dsir_importance_sample(spark, sf_dir), ds_cols)
+        results.append(
+            ("st17_dsir_sample", len(ds_got), len(ds_want),
+             ds_got == ds_want and st.last_epoch() >= 1)
+        )
+    finally:
+        shutil.rmtree(ds_dir, ignore_errors=True)
+
     out = spark.createDataFrame(
         results, "operator string, n_stream long, n_batch long, matched boolean"
     ).orderBy("operator")

@@ -941,24 +941,46 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc scoring join broadcasts the B-row weight table; the top-K
     is TakeOrdered (per-partition K then a K-row merge) — no global
     sort, nothing corpus-scaled crosses the wire."""
-    toks = _tokenized(spark, sf_dir)
-    bi = toks.select(
-        "doc_id", F.explode(_grams(F.col("ws"), 2)).alias("g")
-    )
-    # pin the hashed feature stream: it feeds BOTH the bucket-stats
+    fbc = dsir_bucket_counts(_tokenized(spark, sf_dir))
+    # pin the hashed feature counts: they feed BOTH the bucket-stats
     # aggregate and the per-doc scoring join, and the char-fold hash is
     # an interpreted (CodegenFallback) higher-order expression — the
     # single most expensive map work in the plan. Without the pin the
-    # explode + fold runs twice; the pinned stream is 2 small ints per
-    # gram occurrence (the 100× probe measured the re-compute at ~2×).
-    fb = bi.select(
-        "doc_id",
-        F.pmod(_portable_gram_hash(F.col("g")), F.lit(DSIR_BUCKETS)).alias("b"),
-    ).localCheckpoint(eager=True)
+    # explode + fold runs twice; the pinned stream is ≤ min(grams, B)
+    # small-int rows per doc (the 100× probe measured the re-compute
+    # at ~2×).
+    return dsir_sample_from_counts(fbc.localCheckpoint(eager=True))
+
+
+def dsir_bucket_counts(toks: DataFrame) -> DataFrame:
+    """(doc_id, b, cnt) hashed-bigram bucket counts per document from a
+    (doc_id, ws) tokenized frame — the mergeable DSIR feature sketch:
+    counts add across any split of the corpus, which is what the
+    streaming twin (streaming/dsir.py, st17) folds per epoch."""
+    bi = toks.select(
+        "doc_id", F.explode(_grams(F.col("ws"), 2)).alias("g")
+    )
+    return (
+        bi.select(
+            "doc_id",
+            F.pmod(
+                _portable_gram_hash(F.col("g")), F.lit(DSIR_BUCKETS)
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_sample_from_counts(fbc: DataFrame) -> DataFrame:
+    """The DSIR weight fit + A-Res resample on (doc_id, b, cnt) bucket
+    counts — exact integer arithmetic throughout, so the result depends
+    only on the SUMMED counts, not how the corpus was split to produce
+    them (batch and N-epoch stream fold agree row for row)."""
     is_t = F.pmod(F.col("doc_id"), F.lit(DSIR_TARGET_MOD)) == 0
-    bc = fb.groupBy("b").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    bc = fbc.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("cnt")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, F.col("cnt")).otherwise(0)).alias("cr"),
     )
     tot = bc.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r"))  # 1 row
     S = F.lit(DSIR_SMOOTH_INV)
@@ -972,12 +994,12 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     lw = bc.crossJoin(F.broadcast(tot)).select("b", lq.alias("lq"))
     ds = (
-        fb.where(~is_t)
+        fbc.where(~is_t)
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum("lq").cast("long").alias("_s"),
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("lq")).cast("long").alias("_s"),
         )
     )
     mix = (

@@ -259,3 +259,46 @@ def test_semdedup_state_non_default_dim_and_intra_batch_dups(
     assert got == want
     # the non-default dim genuinely exercises demotions
     assert any(not kept for _, _, kept in got), "no demotions at dim=16"
+
+
+def test_dsir_state_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.plans.trainprep import (
+        dsir_importance_sample,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.streaming.dsir import (
+        DsirState,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.where("doc_id < 250").localCheckpoint(eager=True)
+    # intra-batch duplicates + cross-epoch overlap with b1: counts must
+    # never double-add
+    b2 = (
+        docs.where("doc_id >= 250")
+        .unionByName(docs.where("doc_id >= 400"))
+        .unionByName(docs.where("doc_id < 50"))
+        .localCheckpoint(eager=True)
+    )
+
+    st = DsirState(str(tmp_path / "dsir"))
+    assert st.apply_batch(b1, 0) is True
+    assert st.apply_batch(b2, 1) is True
+    cols = ["doc_id", "n_grams", "llr", "skey"]
+
+    def rows(df):
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    got1 = rows(st.sample(spark))
+    state_files = sorted(os.listdir(str(tmp_path / "dsir")))
+
+    # redeliver the COMPLETED epoch 1: pure skip, identical state
+    assert st.apply_batch(b2, 1) is False
+    assert sorted(os.listdir(str(tmp_path / "dsir"))) == state_files
+    assert rows(st.sample(spark)) == got1
+
+    # a NEW epoch of already-seen docs adds nothing (set-keyed state)
+    assert st.apply_batch(b1, 2) is True
+    assert rows(st.sample(spark)) == got1
+
+    # and the maintained sample equals the one-shot batch operator
+    assert got1 == rows(dsir_importance_sample(spark, sf_dir))

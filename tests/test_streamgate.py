@@ -21,7 +21,7 @@ def test_streaming_equivalence_gate_all_green(spark):
         "st10_cms_sketch", "st11_gk_quantiles",
         "st12_incremental_components", "st13_bloom_dedup",
         "st14_covariance_moments", "st15_incremental_agg_view",
-        "st16_semdedup",
+        "st16_semdedup", "st17_dsir_sample",
     }
     for name, r in ops.items():
         assert r["matched"], (name, r["n_stream"], r["n_batch"])
