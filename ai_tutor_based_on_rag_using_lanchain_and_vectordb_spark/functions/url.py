@@ -19,16 +19,18 @@ rules ("*.ck", "*.kawasaki.jp"), and exception rules ("!www.ck",
 rules raise loudly rather than mis-applying.
 
 Form choice for Q(domain_curation): measured head-to-head at sf0.1 and
-sf1 on the WARC-derived host stream (tools/bench_psl_forms.py,
-round 12): with the ~100-rule snapshot the inline IN-list expression
-and the broadcast-join form are within noise of each other at both
-scales (expression ≈ join ± 10%), and the expression keeps the whole
-row path inside one WholeStageCodegen span with zero extra plan nodes,
-so Q(domain_curation) stays on the expression. The join form
-(:func:`registrable_domain_join`) is the scale path once a refresh
-brings in the full ~10k-rule list, where literal IN lists would blow
-up codegen; it is equivalence-tested against the expression on every
-rule kind.
+sf1 on the WARC-derived host stream (tools/bench_psl_forms.py →
+BENCH_PSL_FORMS_r12.json): with the ~100-rule snapshot the inline
+IN-list expression is 4-5x FASTER than the broadcast-join form at BOTH
+scales (0.82 s vs 3.53 s at sf0.1; 0.61 s vs 3.26 s at sf1, min-of-3)
+— the join form pays a ~2.6 s plan CONSTANT (one broadcast exchange +
+hash build per (kind, label-count) tier) that the data size never
+amortizes, while the expression adds zero plan nodes and stays inside
+one WholeStageCodegen span. Q(domain_curation) therefore uses the
+expression. The join form (:func:`registrable_domain_join`) is the
+scale path once a refresh brings in the full ~10k-rule list, where
+literal IN lists would blow up Janino codegen; it is equivalence-
+tested against the expression on every rule kind.
 Two equivalent consumers: the inline expression (suffix set as a
 literal IN list — fine up to a few hundred rules) and
 :func:`registrable_domain_join`, the broadcast-joined table form a real

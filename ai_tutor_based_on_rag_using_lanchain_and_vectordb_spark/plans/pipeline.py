@@ -1619,7 +1619,7 @@ def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..functions.url import registrable_domain_join, url_host
+    from ..functions.url import registrable_domain, url_host
     from ..sources import warc as W
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -1631,13 +1631,17 @@ def domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         url_col="url")
     landed = W.wet_documents(spark, out_dir, with_uri=True)
 
-    # table-driven eTLD+1: the suffix set is the checked-in PSL
-    # snapshot broadcast as a bounded policy table (functions/url.py)
-    parsed = registrable_domain_join(
-        landed.select("doc_id", url_host(F.col("url")).alias("host")),
-        "host",
-        "domain",
-    )
+    # eTLD+1 as the INLINE EXPRESSION (the PSL snapshot as literal IN
+    # lists inside one codegen span) — measured 4-5x faster than the
+    # broadcast-join form at sf0.1 AND sf1 (BENCH_PSL_FORMS_r12.json:
+    # the join form pays a ~2.6 s plan constant, one exchange + build
+    # per rule tier, that the data never amortizes; the expression adds
+    # zero plan nodes). registrable_domain_join remains the scale path
+    # for a full ~10k-rule PSL refresh, where IN lists would blow up
+    # codegen — equivalence-tested in tests/test_url.py.
+    parsed = landed.select(
+        "doc_id", url_host(F.col("url")).alias("host")
+    ).withColumn("domain", registrable_domain(F.col("host")))
     blocklist = spark.createDataFrame(
         [(d,) for d in CURATION_BLOCKLIST], "domain string"
     )

@@ -164,6 +164,27 @@ def _python_rss_mb() -> int:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
 
+def _calibration_sec(runs: int = 3) -> float:
+    """Fixed CPU-bound micro-benchmark (single task, pure Python
+    arithmetic, no Spark): a host-speed marker recorded alongside every
+    headline run so cross-round drift on UNTOUCHED queries can be
+    attributed — a loaded/slow host moves this number by the same
+    factor it moves the query walls, a code regression does not move it
+    at all. Min-of-N for the same strictly-additive-noise argument as
+    the query timings."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 31 + i) % 1_000_003
+        best = min(best, time.perf_counter() - t0)
+    # fold acc into the time epsilon-free path so the loop can't be
+    # optimized away by a future interpreter
+    assert acc >= 0
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", CANONICAL_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -295,6 +316,9 @@ def main() -> None:
         "spread": spread,
         "runs": runs,
         "sf": sf_num,
+        # host-speed marker: compare ACROSS rounds to separate host
+        # drift from code regressions (see _calibration_sec)
+        "calibration_sec": _calibration_sec(),
     }
     core = [q for q in CORE27 if q in timings]
     if core:
