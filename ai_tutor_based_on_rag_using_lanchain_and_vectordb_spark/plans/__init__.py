@@ -237,10 +237,62 @@ def _prioritized(full: dict) -> dict:
     return out
 
 
+# In-plan gate guards (plans/guards.py): every rows-only gate query
+# whose output carries a pass-flag column gets an assert_true riding a
+# numeric column, applied HERE at registry level — the driver's
+# rows-only check then fails on the gate's own collect if any flag is
+# false, instead of recording a green row count around a red flag
+# (VERDICT r11 #1's streamgate nit, closed for the whole gate class).
+# Entries: name -> (flag column(s), numeric ride column, ident column).
+_GATE_GUARDS: dict[str, tuple] = {
+    "minhash_recall": ("passed", "n_exact", "strategy"),
+    "hll_rollup_gate": ("passed", "n_days", "strategy"),
+    "splitter_invariants": ("passed", "n_chunks", "strategy"),
+    "audio_spectral_gate": ("passed", "n_checks", "strategy"),
+    "gk_quantile_gate": ("passed", "n", None),
+    "gk_grouped_quantile_gate": ("passed", "n", "lang"),
+    "image_phash_gate": ("passed", "n_pairs", "strategy"),
+    "kmv_overlap_gate": ("passed", "exact", "pair"),
+    "media_decode_gate": ("passed", "n_assets", "strategy"),
+    "multimodal_gate": ("passed", "n_checks", "strategy"),
+    "bloom_fpp_gate": ("passed", "n_keys", None),
+    "curation_pipeline_gate": ("passed", "observed", "check"),
+    "mahalanobis_outlier_gate": ("ok_trace_identity", "n", "label"),
+    "pca_projection_gate": (
+        ["ok_matches_eigenvalue", "ok_nonincreasing"], "n", "component"
+    ),
+    "semdedup_prune_gate": ("passed", "n_vectors", "config"),
+    "embedding_gate": ("passed", "n_docs", "strategy"),
+    "embedding_lsh_recall": ("passed", "n_exact", "strategy"),
+    "knn_ivf_recall": ("passed", "n_queries", "strategy"),
+    "knn_pq_recall": ("passed", "n_queries", "strategy"),
+    "knn_ivfpq_recall": ("passed", "n_queries", "strategy"),
+    "bpe_train_gate": ("passed", "n_merges", "strategy"),
+}
+
+
+def _guard_wrapped(name: str, fn):
+    from .guards import guard_passed
+
+    flags, ride, ident = _GATE_GUARDS[name]
+
+    def wrapped(spark, sf_dir):
+        return guard_passed(
+            fn(spark, sf_dir), flags, ride, label=name, ident_col=ident
+        )
+
+    wrapped.__name__ = f"{name}_guarded"
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries():
     out = {}
     for m in ALL_MODULES:
         out.update(m.QUERIES)
+    for name in _GATE_GUARDS:
+        if name in out:
+            out[name] = _guard_wrapped(name, out[name])
     return _prioritized(out)
 
 

@@ -71,6 +71,12 @@ PROBE_QUERIES = (
     # to catch SUPERLINEAR shapes, which would show as ratios > K.
     "dsir_importance_sample",
     "doc_span_scrubbed",
+    # round-12 operators: the extents scrub adds a second islands
+    # window + per-doc interval join over the same gram stream; MMR is
+    # per-query bounded work (pool C=16) above the knn_exact-shaped
+    # scoring scan
+    "doc_span_scrubbed_sa",
+    "knn_mmr_rerank",
 )
 
 
@@ -209,6 +215,10 @@ def main() -> None:
         "sf10_peak_heap_mb": scaled.get("peak_heap_mb"),
         "sf0_1_python_rss_mb": base.get("python_driver_rss_mb"),
         "sf10_python_rss_mb": scaled.get("python_driver_rss_mb"),
+        # live-set evidence: the near-cap queries re-run at 8 GiB —
+        # passing here proves the ~12 GiB peaks were GC laziness, not
+        # resident state (see NEAR_CAP_QUERIES)
+        "headroom_8g": run_headroom(SCALED_DIR),
     }
     path = os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json")
     with open(path, "w") as f:
