@@ -20,11 +20,14 @@ Physical plan (the 100 TB story): the pool is BOUNDED (top-C per query
 from the existing exact/IVF paths, C ≤ 64), so MMR is per-query local
 work, never corpus-scale: ONE aggregation groups each query's pool and
 its C² pairwise similarities into a single row (a struct array + a
-packed-key map), and the k-step greedy runs entirely JVM-side as
-nested higher-order functions — ``aggregate(sequence(1, k), …)`` folds
-the selected-id array, an inner fold does the argmax, an innermost
-fold the max-similarity-to-selected lookup. No Python in the row path,
-no per-iteration shuffle, no driver state: Q queries re-rank as Q
+POOL-LOCAL-id-keyed map — candidates are re-indexed 0..C-1 inside
+their pool, so the packed map key is < C² regardless of how large the
+global id space grows; scaled corpora with 64-bit ids just work), and
+the k-step greedy runs entirely JVM-side as nested higher-order
+functions — ``aggregate(sequence(1, k), …)`` folds the selected-lid
+array, an inner fold does the argmax, an innermost fold the
+max-similarity-to-selected lookup. No Python in the row path, no
+per-iteration shuffle, no driver state: Q queries re-rank as Q
 independent rows, and the scoring scan below the pool window is the
 same broadcast map-only stage as knn_exact.
 
@@ -32,7 +35,9 @@ Determinism / oracle parity: cosines are quantized to 1e-6 integers on
 the portable grid (``floor(x·1e6 + 0.5)``) and λ enters as an integer
 per-mille, so every greedy comparison is exact int64 arithmetic —
 bit-identical between Spark and the DuckDB recursive-CTE oracle
-(plans/vectors.py knn_mmr_rerank).
+(plans/vectors.py knn_mmr_rerank, which joins on global ids directly
+and needs no packing). Tie-breaks use the GLOBAL neighbor id on both
+sides, so local re-indexing never changes the selection.
 """
 
 from __future__ import annotations
@@ -48,12 +53,13 @@ __all__ = ["mmr_rerank", "SIM_SCALE"]
 #: quantization grid for cosine scores (1e-6 — six digits carries the
 #: full useful precision of float32 embeddings)
 SIM_SCALE = 1_000_000
-#: packed map key: a·2³² + b (guarded in-plan: ids must fit 32 bits)
-_KEY_SHIFT = 2**32
 #: below any reachable objective (|obj| ≤ 1000·SIM_SCALE + 1000·2·SIM_SCALE)
 _NEG_OBJ = -(2**62)
 #: below any quantized cosine (≥ -SIM_SCALE) but safe to scale by 1000
 _NEG_SIM = -2 * SIM_SCALE
+#: pool size ceiling: keeps the local-id-packed sim-map key < 2¹²ᵇⁱᵗˢ
+#: and the per-row C² map bounded (4096 entries at the ceiling)
+MAX_FETCH_C = 64
 
 
 def _quant(score) -> F.Column:
@@ -81,7 +87,11 @@ def mmr_rerank(
         raise ValueError("lam_permille must be in [0, 1000]")
     if k > fetch_c:
         raise ValueError("k cannot exceed the candidate pool size")
+    if fetch_c > MAX_FETCH_C:
+        raise ValueError(f"fetch_c > {MAX_FETCH_C}: the per-row C² sim map "
+                         "stops being 'bounded local work' past that")
     lam = int(lam_permille)
+    stride = F.lit(int(fetch_c)).cast("long")
 
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -107,52 +117,44 @@ def mmr_rerank(
         )
     )
     # candidate pool: top-C on the QUANTIZED grid (ties → nid asc) so
-    # pool membership itself is engine-exact; in-plan guard pins the
-    # 32-bit id domain the packed map key needs (value-neutral +0)
-    id_ok = F.coalesce(
-        F.assert_true(
-            (F.col("nid") >= 0) & (F.col("nid") < F.lit(_KEY_SHIFT)),
-            F.lit("mmr_rerank: ids outside [0, 2^32) break map-key packing"),
-        ).cast("long"),
-        F.lit(0).cast("long"),
-    )
+    # pool membership itself is engine-exact; the window rank minus one
+    # IS the pool-local id the sim map is keyed on
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("nid"))
     pool = (
         scored.select(
             "query_id",
             "nid",
-            (_quant(F.col("score")) + id_ok).alias("rel"),
+            _quant(F.col("score")).alias("rel"),
             (F.floor(F.col("score") * 10_000 + F.lit(0.5)) / 10_000).alias(
                 "relevance"
             ),
             "cv",
             "cnorm",
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= fetch_c)
-        .drop("rn")
+        .withColumn("lid", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("lid") < fetch_c)
         # the pool feeds BOTH the struct-array aggregate and the C²
         # pair self-join — pin it so the corpus scan runs once
         .localCheckpoint(eager=False)
     )
 
     a = pool.select(
-        "query_id", F.col("nid").alias("a"),
+        "query_id", F.col("lid").alias("la"),
         F.col("cv").alias("va"), F.col("cnorm").alias("na"),
     )
     b = pool.select(
-        F.col("query_id").alias("qb"), F.col("nid").alias("b"),
+        F.col("query_id").alias("qb"), F.col("lid").alias("lb"),
         F.col("cv").alias("vb"), F.col("cnorm").alias("nb"),
     )
     sims = (
         a.join(
             b,
-            (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")),
+            (F.col("query_id") == F.col("qb")) & (F.col("la") != F.col("lb")),
         )
         .select(
             "query_id",
             F.struct(
-                (F.col("a") * F.lit(_KEY_SHIFT) + F.col("b")).alias("key"),
+                (F.col("la") * stride + F.col("lb")).alias("key"),
                 _quant(
                     V.dot_fixed(F.col("va"), F.col("vb"), dim, cast=False)
                     / (F.col("na") * F.col("nb"))
@@ -163,10 +165,10 @@ def mmr_rerank(
         .agg(F.map_from_entries(F.collect_list("kv")).alias("simmap"))
     )
     cands = pool.groupBy("query_id").agg(
-        F.collect_list(F.struct("nid", "rel")).alias("cands"),
+        F.collect_list(F.struct("lid", "nid", "rel")).alias("cands"),
         F.map_from_entries(
-            F.collect_list(F.struct("nid", "relevance"))
-        ).alias("relmap"),
+            F.collect_list(F.struct("lid", F.struct("nid", "relevance")))
+        ).alias("outmap"),
     )
     state = cands.join(sims, "query_id", "left").withColumn(
         "simmap",
@@ -174,21 +176,22 @@ def mmr_rerank(
     )
 
     # the greedy loop, entirely in codegen: fold k steps over the
-    # selected array; each step's argmax folds the candidate array;
+    # selected-lid array; each step's argmax folds the candidate array;
     # each objective folds the selected array for max-sim-to-selected
-    def _maxsim(sel, nid):
+    def _maxsim(sel, lid):
         # empty sel → _NEG_SIM, which is an additive constant across
         # candidates (first pick == pure relevance argmax, as specified)
         return F.aggregate(
             sel,
             F.lit(_NEG_SIM).cast("long"),
             lambda m, s: F.greatest(
-                m, F.element_at(F.col("simmap"), nid * F.lit(_KEY_SHIFT) + s)
+                m, F.element_at(F.col("simmap"), lid * stride + s)
             ),
         )
 
     def _argmax(sel):
         init = F.struct(
+            F.lit(-1).cast("long").alias("lid"),
             F.lit(-1).cast("long").alias("nid"),
             F.lit(_NEG_OBJ).cast("long").alias("obj"),
         )
@@ -196,19 +199,26 @@ def mmr_rerank(
         def step(acc, cand):
             obj = (
                 F.lit(lam) * cand["rel"]
-                - F.lit(1000 - lam) * _maxsim(sel, cand["nid"])
+                - F.lit(1000 - lam) * _maxsim(sel, cand["lid"])
             )
+            # tie-break on the GLOBAL id (matches the oracle); acc.nid
+            # is -1 only alongside obj == _NEG_OBJ, which any real obj
+            # beats strictly
             better = (obj > acc["obj"]) | (
                 (obj == acc["obj"]) & (cand["nid"] < acc["nid"])
             )
-            return F.when(F.array_contains(sel, cand["nid"]), acc).otherwise(
+            return F.when(F.array_contains(sel, cand["lid"]), acc).otherwise(
                 F.when(
                     better,
-                    F.struct(cand["nid"].alias("nid"), obj.alias("obj")),
+                    F.struct(
+                        cand["lid"].alias("lid"),
+                        cand["nid"].alias("nid"),
+                        obj.alias("obj"),
+                    ),
                 ).otherwise(acc)
             )
 
-        return F.aggregate(F.col("cands"), init, step)["nid"]
+        return F.aggregate(F.col("cands"), init, step)["lid"]
 
     selected = F.aggregate(
         F.sequence(F.lit(1), F.lit(int(k))),
@@ -220,12 +230,16 @@ def mmr_rerank(
 
     return (
         state.select(
-            "query_id", "relmap", F.posexplode(selected).alias("pos", "nid")
+            "query_id", "outmap", F.posexplode(selected).alias("pos", "lid")
         )
         .select(
             "query_id",
-            F.col("nid").alias("neighbor_id"),
+            F.element_at(F.col("outmap"), F.col("lid"))["nid"].alias(
+                "neighbor_id"
+            ),
             (F.col("pos") + 1).cast("long").alias("rank"),
-            F.element_at(F.col("relmap"), F.col("nid")).alias("relevance"),
+            F.element_at(F.col("outmap"), F.col("lid"))["relevance"].alias(
+                "relevance"
+            ),
         )
     )

@@ -204,6 +204,8 @@ def main() -> None:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY not in HEADLINE: {unknown}")
         headline = [q for q in HEADLINE if q in wanted]
 
+    calib_start = _calibration_sec()
+
     spark = get_spark("ai-tutor-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     all_queries = plans.all_queries()
@@ -304,6 +306,7 @@ def main() -> None:
 
     if heap is not None:
         heap.stop()  # end the 50 ms JVM polling once measurement is done
+    calib_end = _calibration_sec()
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total_wall",
@@ -317,8 +320,13 @@ def main() -> None:
         "runs": runs,
         "sf": sf_num,
         # host-speed marker: compare ACROSS rounds to separate host
-        # drift from code regressions (see _calibration_sec)
-        "calibration_sec": _calibration_sec(),
+        # drift from code regressions (see _calibration_sec). Sampled
+        # BEFORE and AFTER the query loop — a quiet-at-the-edges but
+        # loaded-in-the-middle host shows as start≈end with inflated
+        # walls, so treat max(start,end) as a lower bound on load.
+        "calibration_sec": round(min(calib_start, calib_end), 4),
+        "calibration_start_sec": calib_start,
+        "calibration_end_sec": calib_end,
     }
     core = [q for q in CORE27 if q in timings]
     if core:
