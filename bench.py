@@ -346,8 +346,14 @@ def main() -> None:
     # this guard tools/bench_sf1.py's 10x run clobbers the sf0.1
     # record)
     # realpath on both sides: a symlink / relative / trailing-slash
-    # spelling of the canonical dir must still persist the artifact
-    if not only and os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR):
+    # spelling of the canonical dir must still persist the artifact.
+    # SPARK_GRAFT_BENCH_NO_PERSIST opts a caller out entirely — the
+    # growth probes' BASE pass runs the full headline at the canonical
+    # dir with runs=1, which is indistinguishable from a real headline
+    # run by path/subset alone and used to clobber the min-of-5 record
+    no_persist = os.environ.get("SPARK_GRAFT_BENCH_NO_PERSIST", "") == "1"
+    if (not only and not no_persist
+            and os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR)):
         with open(os.path.join(_REPO_ROOT, "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
 

@@ -57,7 +57,11 @@ def ensure_scaled(rebuild: bool) -> None:
 
 def run_bench(sf_dir: str, runs: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_BENCH_RUNS=str(runs))
+               SPARK_GRAFT_BENCH_RUNS=str(runs),
+               # probe passes must never clobber the repo's min-of-5
+               # BENCH_LOCAL record (the base pass runs the full
+               # headline at the canonical dir)
+               SPARK_GRAFT_BENCH_NO_PERSIST="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO, env=env, capture_output=True, text=True,

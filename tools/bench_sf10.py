@@ -123,6 +123,7 @@ def run_bench(sf_dir: str, queries=PROBE_QUERIES, heap=PROBE_HEAP,
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_BENCH_ONLY=",".join(queries),
         SPARK_GRAFT_BENCH_MEM="1",
+        SPARK_GRAFT_BENCH_NO_PERSIST="1",
         SPARK_DRIVER_MEM=heap,
     )
     proc = subprocess.run(
