@@ -703,7 +703,22 @@ def semantic_bfs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdedup_production vs semdedup_exhaustive; with n_cells=1 the
     edge sets coincide and this reduces to the exact BFS
     (pinned in tests/test_bfs.py). Rows-only: KMeans cells aren't
-    SQL-expressible."""
+    SQL-expressible.
+
+    Memory floor (measured, BENCH_SF10_r12.json headroom_8g): at 100×
+    data under 32 concurrent tasks this query passes a 12 GiB heap but
+    NOT 8 GiB — the one probe query whose near-cap peak is live set,
+    not GC laziness. The resident structure is (a) the materialized
+    cell-blocked edge list (localCheckpoint blocks; O(corpus) rows by
+    the cell-size cap — never quadratic — but stored in memory+disk
+    for the whole loop) plus (b) each round's frontier⋈edges
+    shuffled-hash builds across all concurrent tasks (aggregate ≈ |E|
+    in flight). Both scale LINEARLY with the corpus, so the knob is
+    per-executor sizing, not the algorithm: a cluster divides |E|
+    across executors (32-thread/12 GiB here ≈ 384 MiB per concurrent
+    task at 100×), raises shuffle partitions, or passes
+    ``checkpoint_dir`` to keep edge blocks on reliable storage instead
+    of executor memory."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # bounded sizing preflight, as in the ANN builders
     n_cells = max(1, n // SEMDEDUP_CELL_TARGET)
