@@ -864,7 +864,53 @@ def neardup_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retrieval evaluation: k and the metric operator. Ground truth =
+# boolean AND retrieval (a document is relevant to a query iff it
+# contains EVERY query term) — principled for ranked-vs-boolean
+# evaluation and derivable relationally from the same postings the
+# ranker uses, so ranker and truth can never drift apart on
+# tokenization.
+EVAL_K = 10
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval quality metrics (operators/retrieval_eval.py)
+    for the BM25 ranking on the fixed query set: per query,
+    recall@k / precision@k / MRR / nDCG@k at k=10 against the
+    contains-all-terms relevance set. The regression gate a RAG team
+    runs before shipping a retriever change (the reference has no
+    evaluation surface at all — retriever k is hand-tuned,
+    backend/langchain_utils.py:13)."""
+    from ..operators.bm25 import bm25_postings, bm25_search
+    from ..operators.retrieval_eval import ranking_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = bm25_search(spark, docs, BM25_QUERIES, k=EVAL_K)
+    qterms = [
+        (qid, t)
+        for qid, text in BM25_QUERIES
+        for t in sorted(set(text.split()))
+    ]
+    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    nq = qdf.groupBy("query_id").agg(
+        F.countDistinct("term").alias("nt")
+    )
+    matched = (
+        bm25_postings(docs)
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("c"))
+    )
+    relevant = (
+        matched.join(F.broadcast(nq), "query_id")
+        .where(F.col("c") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    return ranking_metrics(ranked, relevant, EVAL_K).orderBy("query_id")
+
+
 QUERIES = {
+    "retrieval_eval": retrieval_eval,
     "doc_top_terms": doc_top_terms,
     "neardup_local_clustering": neardup_local_clustering,
     "doc_char_entropy": doc_char_entropy,
@@ -1435,6 +1481,88 @@ ORACLE["bm25_search_topk"] = f"""
 """
 # the index path must produce byte-identical results to the direct path
 ORACLE["bm25_index_search"] = ORACLE["bm25_search_topk"]
+
+# retrieval_eval: the bm25_ranked chain + contains-all-terms relevance
+# + the binary-gain metric formulas, log terms pround-quantized before
+# exact decimal sums (the one ln libm relaxation, as in BM25 itself)
+_EVAL_LN2 = repr(__import__("math").log(2.0))
+
+
+def _retrieval_eval_oracle() -> str:
+    def invlog2(expr: str) -> str:
+        return X.pround_sql(f"1.0 / (ln({expr} + 1.0) / {_EVAL_LN2})", 6)
+
+    k = EVAL_K
+    return f"""
+    WITH {bm25_ranked_cte_sql()},
+    nq AS (
+        SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS nt
+        FROM q GROUP BY 1
+    ),
+    relterm AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(count(DISTINCT p.term) AS BIGINT) AS c
+        FROM q JOIN posting p USING (term) GROUP BY 1, 2
+    ),
+    relv AS (
+        SELECT relterm.query_id, doc_id
+        FROM relterm JOIN nq USING (query_id) WHERE c = nt
+    ),
+    nrel AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM relv GROUP BY 1
+    ),
+    topk AS (
+        SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {k}
+    ),
+    hit AS (
+        SELECT t.query_id, t.rank
+        FROM topk t JOIN relv r
+          ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+    ),
+    perq AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS hits,
+               min(rank) AS first_rank,
+               {X.dsum_sql(invlog2("CAST(rank AS DOUBLE)"), 6)} AS dcg
+        FROM hit GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               unnest(generate_series(1, CAST(least(n_rel, {k}) AS BIGINT)))
+                   AS i
+        FROM nrel
+    ),
+    idcg AS (
+        SELECT query_id,
+               {X.dsum_sql(invlog2("CAST(i AS DOUBLE)"), 6)} AS idcg
+        FROM ideal GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT query_id FROM bm25_ranked)
+    SELECT base.query_id,
+           CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           {X.pround_sql(
+               "CASE WHEN coalesce(n_rel, 0) > 0 THEN"
+               " CAST(coalesce(hits, 0) AS DOUBLE) / n_rel"
+               " ELSE 0.0 END", 6)} AS recall_at_k,
+           {X.pround_sql(
+               f"CAST(coalesce(hits, 0) AS DOUBLE) / {float(k)!r}", 6
+           )} AS precision_at_k,
+           {X.pround_sql(
+               "coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0)", 6
+           )} AS mrr,
+           {X.pround_sql(
+               "CASE WHEN idcg IS NOT NULL AND idcg > 0 THEN"
+               " coalesce(dcg, 0.0) / idcg ELSE 0.0 END", 6)} AS ndcg_at_k
+    FROM base
+    LEFT JOIN nrel USING (query_id)
+    LEFT JOIN perq USING (query_id)
+    LEFT JOIN idcg USING (query_id)
+    ORDER BY base.query_id
+"""
+
+
+ORACLE["retrieval_eval"] = _retrieval_eval_oracle()
 
 ORACLE["lang_length_quantiles"] = """
     WITH s AS (
