@@ -129,11 +129,17 @@ def bm25_search(
     b: float = B,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25: (query_id, doc_id, rank,
     score). ``queries`` is a small [(query_id, text)] list — the
-    broadcast side, like the k-NN query vectors."""
-    postings = bm25_postings(docs, id_col, text_col)
+    broadcast side, like the k-NN query vectors. Pass ``postings``
+    (a pinned ``bm25_postings`` frame) when the caller also consumes
+    the postings — e.g. Q(retrieval_eval) derives its relevance truth
+    from the same postings; without sharing, every postings consumer
+    re-runs the corpus explode+aggregate."""
+    if postings is None:
+        postings = bm25_postings(docs, id_col, text_col)
     # doc length + corpus stats reuse the postings aggregation
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(

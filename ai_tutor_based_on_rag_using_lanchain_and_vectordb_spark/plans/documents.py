@@ -885,7 +885,12 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval_eval import ranking_metrics
 
     docs = load_table(spark, sf_dir, "documents")
-    ranked = bm25_search(spark, docs, BM25_QUERIES, k=EVAL_K)
+    # pin the postings ONCE: they feed the ranker (scores, doc lengths,
+    # corpus stats) AND the relevance truth — without the pin each
+    # consumer re-runs the corpus explode+aggregate (~5 extra scans)
+    postings = bm25_postings(docs).localCheckpoint(eager=False)
+    ranked = bm25_search(spark, docs, BM25_QUERIES, k=EVAL_K,
+                         postings=postings)
     qterms = [
         (qid, t)
         for qid, text in BM25_QUERIES
@@ -896,7 +901,7 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").alias("nt")
     )
     matched = (
-        bm25_postings(docs)
+        postings
         .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.countDistinct("term").alias("c"))

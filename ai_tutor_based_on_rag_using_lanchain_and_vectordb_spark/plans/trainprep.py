@@ -672,12 +672,17 @@ def span_scrub_extents(docs: DataFrame) -> DataFrame:
         .where(F.col("c") >= 2)
         .select("g", "first_key")
     )
+    # pin the duplicated-occurrence stream: it feeds BOTH the hit and
+    # the protected islands (and each of those a window + downstream
+    # joins) — without the pin every consumer re-runs the gram explode
+    # + duplicate join. The pinned rows are 3 small ints + a bool per
+    # DUPLICATED occurrence only (the dup join already filtered).
     marks = grams.join(dup.hint("shuffle_hash"), "g").select(
         "doc_id",
         "i",
         (F.col("i") + (SPAN_L - 1)).alias("e"),
         (key == F.col("first_key")).alias("is_first"),
-    )
+    ).localCheckpoint(eager=False)
     hit_islands = _span_islands(
         marks.where(~F.col("is_first")).select("doc_id", "i", "e")
     ).select("doc_id", F.col("s").alias("hs"), F.col("e").alias("he"))

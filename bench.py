@@ -99,6 +99,7 @@ HEADLINE = [
     "doc_span_scrubbed",      # exact-substring cut + residual reassembly
     "knn_mmr_rerank",         # greedy MMR diversity re-rank (HOF loop)
     "doc_span_scrubbed_sa",   # any-length extent scrub (protected firsts)
+    "retrieval_eval",         # recall@k/MRR/nDCG over the BM25 ranking
 ]
 
 
