@@ -66,6 +66,41 @@ def _quant(score) -> F.Column:
     return F.floor(score * SIM_SCALE + F.lit(0.5)).cast("long")
 
 
+def _check_params(k: int, fetch_c: int, lam_permille: int) -> None:
+    if not 0 <= lam_permille <= 1000:
+        raise ValueError("lam_permille must be in [0, 1000]")
+    if k > fetch_c:
+        raise ValueError("k cannot exceed the candidate pool size")
+    if fetch_c > MAX_FETCH_C:
+        raise ValueError(f"fetch_c > {MAX_FETCH_C}: the per-row C² sim map "
+                         "stops being 'bounded local work' past that")
+
+
+def _pool_from_scored(scored: DataFrame, fetch_c: int) -> DataFrame:
+    """Top-C pool with pool-local ids from a (query_id, nid, score,
+    cv, cnorm) scored frame. Membership cuts on the QUANTIZED grid
+    (ties → nid asc) so it is engine-exact; the window rank minus one
+    IS the local id the sim map is keyed on."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("nid"))
+    return (
+        scored.select(
+            "query_id",
+            "nid",
+            _quant(F.col("score")).alias("rel"),
+            (F.floor(F.col("score") * 10_000 + F.lit(0.5)) / 10_000).alias(
+                "relevance"
+            ),
+            "cv",
+            "cnorm",
+        )
+        .withColumn("lid", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("lid") < fetch_c)
+        # the pool feeds BOTH the struct-array aggregate and the C²
+        # pair self-join — pin it so the upstream scan runs once
+        .localCheckpoint(eager=False)
+    )
+
+
 def mmr_rerank(
     vectors: DataFrame,
     queries: DataFrame,
@@ -80,19 +115,10 @@ def mmr_rerank(
     exclude_self: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, relevance): greedy MMR selection of
-    ``k`` items from the top-``fetch_c`` cosine candidates per query.
-    ``relevance`` is the plain query-candidate cosine (pround 4), so a
-    caller can see exactly what diversity traded away."""
-    if not 0 <= lam_permille <= 1000:
-        raise ValueError("lam_permille must be in [0, 1000]")
-    if k > fetch_c:
-        raise ValueError("k cannot exceed the candidate pool size")
-    if fetch_c > MAX_FETCH_C:
-        raise ValueError(f"fetch_c > {MAX_FETCH_C}: the per-row C² sim map "
-                         "stops being 'bounded local work' past that")
-    lam = int(lam_permille)
-    stride = F.lit(int(fetch_c)).cast("long")
-
+    ``k`` items from the top-``fetch_c`` EXACT cosine candidates per
+    query. ``relevance`` is the plain query-candidate cosine (pround
+    4), so a caller can see exactly what diversity traded away."""
+    _check_params(k, fetch_c, lam_permille)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         V.as_double(F.col(query_vec_col)).alias("qv"),
@@ -116,27 +142,53 @@ def mmr_rerank(
             / (F.col("qnorm") * F.col("cnorm")),
         )
     )
-    # candidate pool: top-C on the QUANTIZED grid (ties → nid asc) so
-    # pool membership itself is engine-exact; the window rank minus one
-    # IS the pool-local id the sim map is keyed on
-    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("nid"))
-    pool = (
-        scored.select(
-            "query_id",
-            "nid",
-            _quant(F.col("score")).alias("rel"),
-            (F.floor(F.col("score") * 10_000 + F.lit(0.5)) / 10_000).alias(
-                "relevance"
-            ),
-            "cv",
-            "cnorm",
-        )
-        .withColumn("lid", (F.row_number().over(w) - 1).cast("long"))
-        .where(F.col("lid") < fetch_c)
-        # the pool feeds BOTH the struct-array aggregate and the C²
-        # pair self-join — pin it so the corpus scan runs once
-        .localCheckpoint(eager=False)
+    pool = _pool_from_scored(scored, fetch_c)
+    return _mmr_select(pool, k, fetch_c, int(lam_permille), dim)
+
+
+def mmr_rerank_candidates(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    fetch_c: int = 16,
+    lam_permille: int = 500,
+    dim: int = V.EMBEDDING_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR over a PRE-RETRIEVED candidate set — the production
+    arrangement: any retriever (IVF / PQ / IVF+PQ searcher output)
+    supplies ``candidates`` = (query_id, neighbor_id, score) with
+    score the exact query-candidate cosine of its rerank stage, and
+    MMR re-selects k of the top-``fetch_c``. ``vectors`` is joined
+    only to fetch the candidates' embeddings for the pairwise term —
+    a semi-bounded join of Q·C rows against the corpus, the same
+    shape as the ANN searchers' own rerank fetch. The greedy itself is
+    identical to :func:`mmr_rerank` (shared pool/selection path), so
+    exact-pool vs ANN-pool differences come ONLY from pool membership
+    — which Q(knn_mmr_ivf)'s overlap gate measures."""
+    _check_params(k, fetch_c, lam_permille)
+    cand = candidates.select(
+        "query_id",
+        F.col("neighbor_id").alias("nid"),
+        F.col("score").cast("double").alias("score"),
     )
+    vecs = vectors.select(
+        F.col(id_col).alias("nid"),
+        V.as_double(F.col(vec_col)).alias("cv"),
+        V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+    ).where(F.col("cnorm") > 0)
+    scored = cand.join(vecs.hint("shuffle_hash"), "nid").select(
+        "query_id", "nid", "score", "cv", "cnorm"
+    )
+    pool = _pool_from_scored(scored, fetch_c)
+    return _mmr_select(pool, k, fetch_c, int(lam_permille), dim)
+
+
+def _mmr_select(
+    pool: DataFrame, k: int, fetch_c: int, lam: int, dim: int
+) -> DataFrame:
+    stride = F.lit(int(fetch_c)).cast("long")
 
     a = pool.select(
         "query_id", F.col("lid").alias("la"),

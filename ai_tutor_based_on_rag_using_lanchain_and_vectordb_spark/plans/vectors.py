@@ -961,8 +961,50 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_mmr_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMR production path: candidates from the IVF index (nprobe
+    cell pruning — the scan touches nprobe/n_cells of the corpus)
+    instead of the exact broadcast scoring, re-selected by the SAME
+    shared greedy (operators/mmr.mmr_rerank_candidates). Self-checking
+    overlap gate, exactly like knn_ivf_recall: the ANN-pool MMR
+    selection must overlap the exact-pool selection ≥ 60% on average —
+    differences can come only from pool membership, since the greedy
+    path is shared code. Rows-only: k-means cells aren't
+    SQL-expressible."""
+    from ..operators.knn import knn_ivf
+    from ..operators.mmr import mmr_rerank_candidates
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    cand = knn_ivf(emb, queries, k=MMR_C, n_clusters=8, nprobe=4)
+    approx = mmr_rerank_candidates(
+        cand, emb, k=MMR_K, fetch_c=MMR_C, lam_permille=MMR_LAM
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = knn_mmr_rerank(spark, sf_dir).select("query_id", "neighbor_id")
+    per_q = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*")).alias(
+                "overlap_q"
+            )
+        )
+    )
+    agg = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("overlap_q"), 4).alias("mean_overlap"),
+    )
+    return agg.select(
+        F.lit("mmr_ivf_pool_vs_exact").alias("strategy"),
+        "n_queries",
+        "mean_overlap",
+        (F.col("mean_overlap") >= 0.6).alias("passed"),
+    )
+
+
 QUERIES = {
     "knn_mmr_rerank": knn_mmr_rerank,
+    "knn_mmr_ivf": knn_mmr_ivf,
     "embedding_sq8_error": embedding_sq8_error,
     "semantic_bfs_hops": semantic_bfs_hops,
     "semantic_bfs_production": semantic_bfs_production,

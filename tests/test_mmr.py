@@ -164,3 +164,44 @@ def test_quantization_grid_is_portable(spark):
     want = [math.floor(x * SIM_SCALE + 0.5)
             for x in [0.123456789, -0.5, 0.9999994, 0.0000004]]
     assert got == want
+
+
+def test_candidates_path_with_exact_pool_equals_mmr_rerank(spark, sf_dir):
+    # mmr_rerank_candidates is the SAME selection over a supplied pool:
+    # feeding it the exact top-C scoring must reproduce mmr_rerank
+    # row for row
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.catalog import (
+        load_table,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.knn import (
+        knn_exact_expr,
+    )
+    from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.operators.mmr import (
+        mmr_rerank_candidates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    cand = knn_exact_expr(emb, qs, k=16).select(
+        "query_id", "neighbor_id", "score"
+    )
+    via_cand = sorted(
+        tuple(r)
+        for r in mmr_rerank_candidates(
+            cand, emb, k=5, fetch_c=16, lam_permille=500
+        ).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in mmr_rerank(emb, qs, k=5, fetch_c=16, lam_permille=500)
+        .collect()
+    )
+    assert via_cand == direct
+
+
+def test_ivf_pool_gate_green(spark, sf_dir):
+    import __spark_entry__ as E
+
+    row = E.queries()["knn_mmr_ivf"](spark, sf_dir).collect()[0]
+    assert row["passed"], row
+    assert row["n_queries"] == 5
