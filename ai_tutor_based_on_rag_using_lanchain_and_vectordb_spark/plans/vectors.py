@@ -706,9 +706,12 @@ def semantic_bfs_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible.
 
     Memory floor (measured, BENCH_SF10_r12.json headroom_8g): at 100×
-    data under 32 concurrent tasks this query passes a 12 GiB heap but
-    NOT 8 GiB — the one probe query whose near-cap peak is live set,
-    not GC laziness. The resident structure is (a) the materialized
+    data under 32 concurrent tasks this query sits exactly AT the
+    8 GiB boundary — one probe run completed at 8 GiB (68 s, peak
+    8.13 GiB of 8.19) and one failed there (GC-timing-dependent
+    margin; 12 GiB always passes, 4 GiB always OOMs). So ~8 GiB IS the
+    live working set at this scale. The resident structure is (a) the
+    materialized
     cell-blocked edge list (localCheckpoint blocks; O(corpus) rows by
     the cell-size cap — never quadratic — but stored in memory+disk
     for the whole loop) plus (b) each round's frontier⋈edges

@@ -77,6 +77,7 @@ PROBE_QUERIES = (
     # scoring scan
     "doc_span_scrubbed_sa",
     "knn_mmr_rerank",
+    "retrieval_eval",
 )
 
 
