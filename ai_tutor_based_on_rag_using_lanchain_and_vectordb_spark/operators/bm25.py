@@ -83,7 +83,12 @@ def _score_topk(
 ) -> DataFrame:
     """Shared scoring tail for the direct and index paths (one source of
     truth for the float association the oracle mirrors): matched
-    postings → df counts → per-(query, doc) BM25 sum → top-k window."""
+    postings → df counts → per-(query, doc) BM25 sum → top-k window.
+
+    If ``qdf`` carries a ``weight`` column (the PRF expansion path,
+    :func:`bm25_prf_search`), each contribution is scaled by it BEFORE
+    the pround/decimal-sum — original terms weight 1.0, expansion
+    terms < 1."""
     df_counts = matched.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
@@ -102,6 +107,8 @@ def _score_topk(
         F.col("tf") * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
+    if "weight" in qdf.columns:
+        contrib = contrib * F.col("weight")
     # pre-round each contribution, sum in decimal (order-independent),
     # re-round the total — the bigram_lm_score float-parity pattern
     per_doc = scored.groupBy("query_id", "doc_id").agg(
@@ -153,6 +160,78 @@ def bm25_search(
         F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
     )
     return _score_topk(qdf, matched, dl, stats, k, k1, b)
+
+
+def bm25_prf_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list,
+    k: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    fb_weight: float = 0.4,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback query expansion (the
+    RM3/Rocchio recipe): run the base ranking, harvest the top
+    ``fb_terms`` NEW terms (by summed tf, ties term-asc) from each
+    query's top ``fb_docs`` documents, and re-score with the expanded
+    term set — original terms at weight 1.0, expansion terms at
+    ``fb_weight``. Classic recall lever for short queries; fully
+    deterministic (integer tf sums pick the expansion, the weighted
+    contributions follow the pround/decimal-sum parity convention), so
+    the DuckDB oracle hash-matches end to end.
+
+    Scale shape: both passes are the standard BM25 plan (postings
+    semi-filtered on a broadcast term list before scoring); the
+    postings build is shared via one pin; the feedback join touches
+    only Q·fb_docs document ids; the expanded term list stays a tiny
+    broadcast (Q·(|q| + fb_terms) rows)."""
+    from pyspark.sql import Window
+
+    if postings is None:
+        postings = bm25_postings(docs, id_col, text_col).localCheckpoint(
+            eager=False
+        )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+    )
+    qdf = _query_terms_df(spark, queries)
+    matched1 = postings.join(
+        F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
+    )
+    feedback = _score_topk(qdf, matched1, dl, stats, fb_docs, k1, b).select(
+        "query_id", "doc_id"
+    )
+    # expansion candidates: terms of the feedback docs, minus the
+    # query's own terms, ranked by total tf across the feedback set
+    cand = (
+        feedback.join(postings.hint("shuffle_hash"), "doc_id")
+        .join(qdf, ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").cast("long").alias("w"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("w"), F.asc("term")
+    )
+    expansion = (
+        cand.withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= fb_terms)
+        .select(
+            "query_id", "term", F.lit(float(fb_weight)).alias("weight")
+        )
+    )
+    q2 = qdf.withColumn("weight", F.lit(1.0)).unionByName(expansion)
+    matched2 = postings.join(
+        F.broadcast(q2.select("term").distinct()), "term", "left_semi"
+    )
+    return _score_topk(q2, matched2, dl, stats, k, k1, b)
 
 
 # ------------------------------------------------- persistent index

@@ -914,8 +914,30 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(ranked, relevant, EVAL_K).orderBy("query_id")
 
 
+# PRF expansion knobs (operators/bm25.bm25_prf_search)
+PRF_FB_DOCS = 3
+PRF_FB_TERMS = 5
+PRF_FB_WEIGHT = 0.4
+
+
+def bm25_prf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (RM3/Rocchio): base ranking →
+    top-5 new terms from each query's top-3 docs at weight 0.4 →
+    weighted re-score, top-5. The classic recall lever for the
+    reference's short chat queries; fully oracle-checked including the
+    expansion-term selection and the weighted re-score."""
+    from ..operators.bm25 import bm25_prf_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_prf_search(
+        spark, docs, BM25_QUERIES, k=5,
+        fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS, fb_weight=PRF_FB_WEIGHT,
+    )
+
+
 QUERIES = {
     "retrieval_eval": retrieval_eval,
+    "bm25_prf_search": bm25_prf_search_q,
     "doc_top_terms": doc_top_terms,
     "neardup_local_clustering": neardup_local_clustering,
     "doc_char_entropy": doc_char_entropy,
@@ -1486,6 +1508,100 @@ ORACLE["bm25_search_topk"] = f"""
 """
 # the index path must produce byte-identical results to the direct path
 ORACLE["bm25_index_search"] = ORACLE["bm25_search_topk"]
+
+# bm25_prf_search: two-pass chain — base ranking, expansion-term
+# harvest (summed tf over the top-fb_docs docs, minus original terms,
+# ties term-asc), weighted re-score. Weight multiplies the contribution
+# BEFORE the pround/decimal-sum, exactly as operators/bm25._score_topk.
+_PRF_CONTRIB = (
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))"
+)
+
+
+def _bm25_prf_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    posting AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM posting GROUP BY 1),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    q(query_id, term) AS (VALUES {_BM25_Q_SQL}),
+    dfc1 AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM posting WHERE term IN (SELECT term FROM q) GROUP BY 1
+    ),
+    contrib1 AS (
+        SELECT q.query_id, p.doc_id, {X.pround_sql(_PRF_CONTRIB, 6)} AS c
+        FROM q JOIN posting p USING (term) JOIN dfc1 USING (term)
+        JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats
+    ),
+    s1 AS (
+        SELECT query_id, doc_id, {X.dsum_sql("c", 4)} AS score
+        FROM contrib1 GROUP BY 1, 2
+    ),
+    fb AS (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rn FROM s1
+        ) WHERE rn <= {PRF_FB_DOCS}
+    ),
+    cand AS (
+        SELECT fb.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS w
+        FROM fb JOIN posting p USING (doc_id)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM q
+            WHERE q.query_id = fb.query_id AND q.term = p.term
+        )
+        GROUP BY 1, 2
+    ),
+    expq AS (
+        SELECT query_id, term, {PRF_FB_WEIGHT!r} AS weight FROM (
+            SELECT query_id, term, row_number() OVER (
+                PARTITION BY query_id ORDER BY w DESC, term ASC
+            ) AS rn FROM cand
+        ) WHERE rn <= {PRF_FB_TERMS}
+    ),
+    q2 AS (
+        SELECT query_id, term, 1.0 AS weight FROM q
+        UNION ALL SELECT query_id, term, weight FROM expq
+    ),
+    dfc2 AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM posting WHERE term IN (SELECT term FROM q2) GROUP BY 1
+    ),
+    contrib2 AS (
+        SELECT q2.query_id, p.doc_id,
+               {X.pround_sql(f"({_PRF_CONTRIB}) * weight", 6)} AS c
+        FROM q2 JOIN posting p USING (term) JOIN dfc2 USING (term)
+        JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats
+    ),
+    s2 AS (
+        SELECT query_id, doc_id, {X.dsum_sql("c", 4)} AS score
+        FROM contrib2 GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rank,
+           score
+    FROM s2
+    QUALIFY rank <= 5
+"""
+
+
+ORACLE["bm25_prf_search"] = _bm25_prf_oracle()
 
 # retrieval_eval: the bm25_ranked chain + contains-all-terms relevance
 # + the binary-gain metric formulas, log terms pround-quantized before

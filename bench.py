@@ -100,6 +100,7 @@ HEADLINE = [
     "knn_mmr_rerank",         # greedy MMR diversity re-rank (HOF loop)
     "doc_span_scrubbed_sa",   # any-length extent scrub (protected firsts)
     "retrieval_eval",         # recall@k/MRR/nDCG over the BM25 ranking
+    "bm25_prf_search",        # RM3 pseudo-relevance-feedback expansion
 ]
 
 
