@@ -78,6 +78,7 @@ PROBE_QUERIES = (
     "doc_span_scrubbed_sa",
     "knn_mmr_rerank",
     "retrieval_eval",
+    "bm25_prf_search",
 )
 
 
