@@ -17,65 +17,23 @@ ALL_MODULES = (
     trainprep, streamgate,
 )
 
-# Round-12 driver-sample priority (the driver checks a ~50-query prefix
-# of this registry each round). Per VERDICT r11 "Next round" #1: the 50
-# queries CORRECTNESS_r11 re-checked move to the BACK; the remaining
-# stale rows (latest green record r6/r7, then r8, r9, r10) stay in
-# front, oldest-first, so CORRECTNESS_r12's sample clears the rest of
-# the stale trail. Queries NEW in round 12 go LAST — they are verified
-# by the in-repo driver-sim (/verify) instead, so first-checks don't
+# Round-13 driver-sample priority (the driver checks a ~50-query prefix
+# of this registry each round). Per VERDICT r12 "Next round" #5: the 9
+# queries with no-or-oldest driver-artifact record lead — the 7 added
+# in r11/r12 that have never appeared in a CORRECTNESS artifact
+# (verified green by the in-repo driver-sim instead), then the two r8
+# rows — followed by the r9, r10, r11, r12 tranches oldest-first, each
+# keeping its prior relative order. Queries NEW in round 13 are not
+# listed: _prioritized appends them at the END, so first-checks don't
 # crowd out stale re-checks. Semantically the order is irrelevant.
 _DRIVER_PRIORITY = (
-    "rate_limit_windows",
-    "retention_survivors",
-    "session_stats",
-    "small_qty_avg_revenue",
-    "stratified_exact_sample",
-    "top_revenue_supplier",
-    "unique_sessions",
-    "unpivot_event_fields",
-    "volume_shipping_pairs",
-    "waiting_suppliers",
-    "big_spenders_except",
-    "doc_dedup_exact",
-    "doc_normalized",
-    "doc_pii_scrub",
-    "doc_previews",
-    "engaged_rich_intersect",
-    "lapsed_customers_anti",
-    "local_supplier_volume",
-    "minhash_recall",
-    "nation_region_dim",
-    "order_priority_check",
-    "pricing_summary",
-    "purchase_attribution",
-    "recent_buyers_semi",
-    "running_customer_spend",
-    "segment_rollup",
-    "top_customers",
-    "user_daily_gapfill",
-    "value_histogram",
-    "balance_percentiles",
-    "cheapest_supplier_per_part",
-    "daily_activity",
-    "deterministic_doc_sample",
-    "event_gaps",
-    "hll_rollup_gate",
-    "knn_ivf_approx",
-    "knn_ivfpq_exhaustive",
-    "knn_pq_exhaustive",
-    "midnight_pt_countdown",
-    "neardup_verified_pairs",
-    "purchase_asof_signup",
-    "quality_above_lang_median",
-    "rag_chat_answers",
-    "recursive_chunks",
-    "segment_share",
-    "session_previews",
-    "session_windows",
-    "signup_purchase_funnel",
-    "simhash_neardup",
-    "splitter_invariants",
+    "knn_mmr_rerank",
+    "knn_mmr_ivf",
+    "doc_span_scrubbed",
+    "doc_span_scrubbed_sa",
+    "dsir_importance_sample",
+    "retrieval_eval",
+    "bm25_prf_search",
     "user_event_journeys",
     "validation_flags",
     "association_rules",
@@ -228,6 +186,56 @@ _DRIVER_PRIORITY = (
     "props_variant_stats",
     "quality_classifier_filter",
     "quantile_rollup",
+    "rate_limit_windows",
+    "retention_survivors",
+    "session_stats",
+    "small_qty_avg_revenue",
+    "stratified_exact_sample",
+    "top_revenue_supplier",
+    "unique_sessions",
+    "unpivot_event_fields",
+    "volume_shipping_pairs",
+    "waiting_suppliers",
+    "big_spenders_except",
+    "doc_dedup_exact",
+    "doc_normalized",
+    "doc_pii_scrub",
+    "doc_previews",
+    "engaged_rich_intersect",
+    "lapsed_customers_anti",
+    "local_supplier_volume",
+    "minhash_recall",
+    "nation_region_dim",
+    "order_priority_check",
+    "pricing_summary",
+    "purchase_attribution",
+    "recent_buyers_semi",
+    "running_customer_spend",
+    "segment_rollup",
+    "top_customers",
+    "user_daily_gapfill",
+    "value_histogram",
+    "balance_percentiles",
+    "cheapest_supplier_per_part",
+    "daily_activity",
+    "deterministic_doc_sample",
+    "event_gaps",
+    "hll_rollup_gate",
+    "knn_ivf_approx",
+    "knn_ivfpq_exhaustive",
+    "knn_pq_exhaustive",
+    "midnight_pt_countdown",
+    "neardup_verified_pairs",
+    "purchase_asof_signup",
+    "quality_above_lang_median",
+    "rag_chat_answers",
+    "recursive_chunks",
+    "segment_share",
+    "session_previews",
+    "session_windows",
+    "signup_purchase_funnel",
+    "simhash_neardup",
+    "splitter_invariants",
 )
 
 

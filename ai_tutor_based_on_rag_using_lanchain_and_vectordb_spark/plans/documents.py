@@ -891,10 +891,13 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = bm25_postings(docs).localCheckpoint(eager=False)
     ranked = bm25_search(spark, docs, BM25_QUERIES, k=EVAL_K,
                          postings=postings)
+    # .lower() matches the ranker's tokenization (_query_terms_df):
+    # relevance truth and ranking must share one tokenizer or they
+    # silently diverge the day a query contains uppercase
     qterms = [
         (qid, t)
         for qid, text in BM25_QUERIES
-        for t in sorted(set(text.split()))
+        for t in sorted(set(text.lower().split()))
     ]
     qdf = spark.createDataFrame(qterms, "query_id string, term string")
     nq = qdf.groupBy("query_id").agg(

@@ -100,12 +100,18 @@ class DsirState:
             )
         fbc = dsir_bucket_counts(
             new.select("doc_id", ws_tokens(F.col("text")).alias("ws"))
-        )
+        ).localCheckpoint(eager=True)
         # write THIS epoch's counts (overwrite-safe on replay), then
-        # commit the marker — the bloomdedup crash contract
-        fbc.write.mode("overwrite").parquet(
-            os.path.join(self.root, f"fbc_epoch={int(epoch_id)}")
-        )
+        # commit the marker — the bloomdedup crash contract. An epoch
+        # whose batch fully dedupes away (or carries only <2-token
+        # docs) yields ZERO count rows: skip the write but still commit
+        # the marker — an empty parquet dir has no data files, and a
+        # later counts() read would die on schema inference instead of
+        # returning the correct (empty) contribution.
+        if fbc.count():
+            fbc.write.mode("overwrite").parquet(
+                os.path.join(self.root, f"fbc_epoch={int(epoch_id)}")
+            )
         self._commit(epoch_id)
         return True
 
