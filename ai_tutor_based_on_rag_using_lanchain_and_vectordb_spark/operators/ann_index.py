@@ -127,16 +127,44 @@ def _clear_emptied_partitions(spark, merged, codes_path, touched) -> None:
     the output — a touched cell whose every row moved elsewhere keeps
     its old files and would serve stale codes. Overwrite such cells'
     directories with an empty (schema-bearing) parquet so the stale
-    rows are gone and the reader still discovers the partition."""
-    present = {
-        int(r["cell"]) for r in merged.select("cell").distinct().collect()
-    }
-    empty = spark.createDataFrame([], merged.drop("cell").schema)
-    for cell in touched:
-        if int(cell) not in present:
-            empty.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(codes_path, f"cell={int(cell)}")
-            )
+    rows are gone and the reader still discovers the partition.
+    (Shared generalized form: operators/partdelete.py.)"""
+    from .partdelete import clear_emptied_partitions
+
+    clear_emptied_partitions(spark, merged, codes_path, touched, "cell")
+
+
+def delete_ivf_ids(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Purge vectors from the persistent IVF layout — the vector-store
+    half of the reference's /delete-doc (backend/chroma_utils.py:174
+    deletes by metadata from the Chroma collection; the engine's
+    persistent layouts must be able to forget too, or a GDPR purge /
+    re-crawl replacement hits a wall). ``ids`` is a list or a 1-column
+    DataFrame. Locate is a column-pruned (id, cell) probe; only the
+    cells that contain victim rows are rewritten (dynamic partition
+    overwrite, operators/partdelete.py); ``cur_n`` in the stats file is
+    decremented so the growth-refit trigger stays truthful. Searches
+    against the post-delete layout are row-identical to an index that
+    never contained the victims, quantizer aside (exhaustive configs:
+    exactly identical — Q(purge_document_gate)). Idempotent: deleting
+    an absent id is a no-op."""
+    from .partdelete import delete_ids_from_layout
+
+    n, touched = delete_ids_from_layout(
+        spark, os.path.join(path, "vectors"), ids, id_col, "cell"
+    )
+    stats = read_stats(spark, path)
+    cur_n = int(stats["cur_n"]) - n
+    if n:
+        _write_stats(
+            spark, path, stats["fit_n"], stats["fit_mean_dist"], cur_n
+        )
+    return {"deleted": n, "touched_cells": touched, "cur_n": cur_n}
 
 
 def upsert_ivf_index(

@@ -279,16 +279,72 @@ def build_bm25_index(
     ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
+def delete_bm25_docs(spark: SparkSession, path: str, doc_ids) -> dict:
+    """Purge documents from the persistent BM25 layout — the lexical
+    index's half of the reference's /delete-doc (which removes a
+    document from BOTH stores: backend/main.py:443-486 +
+    chroma_utils.py:174). ``doc_ids`` is a list or a 1-column
+    DataFrame.
+
+    - postings: a document's terms hash to arbitrary buckets, so the
+      locate pass is a column-pruned (doc_id, bucket) probe; only the
+      buckets that actually hold a victim's postings rewrite (dynamic
+      partition overwrite, operators/partdelete.py);
+    - doclens: slim (one (id, long) row per doc) and unpartitioned —
+      anti-filter rewrite of the whole table;
+    - corpus stats (N, avgdl) and per-term df are DERIVED from the
+      surviving rows at open/search time, so correctness after delete
+      is free: a searcher opened post-delete is row-identical to one
+      over an index built from the surviving corpus
+      (Q(purge_document_gate), tests/test_index_delete.py).
+
+    An OPEN Bm25Searcher keeps serving its open-time snapshot's doc set
+    but reads postings from disk — re-open after a delete, exactly as
+    after an upsert. Idempotent: deleting an absent id is a no-op."""
+    from .partdelete import anti_filter, delete_ids_from_layout
+
+    n_postings, touched = delete_ids_from_layout(
+        spark, os.path.join(path, "postings"), doc_ids, "doc_id", "bucket"
+    )
+    dlp = os.path.join(path, "doclens")
+    dl = spark.read.parquet(dlp)
+    kept = anti_filter(dl, doc_ids, "doc_id").localCheckpoint(eager=True)
+    deleted_docs = dl.count() - kept.count()
+    if deleted_docs:
+        kept.write.mode("overwrite").parquet(dlp)
+    return {
+        "deleted_docs": int(deleted_docs),
+        "deleted_postings": int(n_postings),
+        "touched_buckets": touched,
+    }
+
+
 def upsert_bm25_index(
     spark: SparkSession,
     path: str,
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "skip",
 ) -> dict:
-    """Append new documents' postings + lengths; documents already in
-    the index are skipped (postings are doc-local, so append-only
-    upserts keep the index exactly equal to a one-shot build)."""
+    """Merge a batch of documents into the persistent layout.
+
+    - ``mode="skip"`` (default): documents already in the index are
+      skipped — postings are doc-local, so append-only upserts keep the
+      index exactly equal to a one-shot build over distinct doc_ids.
+      This is the right mode for append-only corpora and replayed
+      micro-batches (exactly-once via the doclens-membership anti-join).
+    - ``mode="replace"``: a batch id already present is DELETED first
+      (delete_bm25_docs — only its buckets rewrite) and its new content
+      appended — re-crawl semantics, where a changed page must not keep
+      stale postings. Search results after a replace upsert are
+      row-identical to an index built fresh from the updated corpus
+      (tests/test_index_delete.py). NOT idempotent-by-skip like "skip"
+      mode, but idempotent in effect: replaying the same batch deletes
+      and re-appends identical content.
+    """
+    if mode not in ("skip", "replace"):
+        raise ValueError(f"mode must be 'skip' or 'replace', got {mode!r}")
     n_buckets = spark.read.parquet(os.path.join(path, "meta")).first()[
         "n_buckets"
     ]
@@ -306,11 +362,20 @@ def upsert_bm25_index(
     # AQE/speculation they could keep DIFFERENT rows, leaving doclens
     # inconsistent with the written postings for that doc. The
     # checkpoint also stops the anti-join+dedupe from recomputing 3×.
-    fresh = (
-        docs.join(existing, id_col, "left_anti")
-        .dropDuplicates([id_col])
-        .localCheckpoint(eager=True)
-    )
+    replaced = 0
+    stale = None
+    if mode == "replace":
+        fresh = docs.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        stale = fresh.select(id_col).join(
+            F.broadcast(existing), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        replaced = delete_bm25_docs(spark, path, stale)["deleted_docs"]
+    else:
+        fresh = (
+            docs.join(existing, id_col, "left_anti")
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
     postings = bm25_postings(fresh, id_col, text_col)
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     added = dl.count()
@@ -321,7 +386,23 @@ def upsert_bm25_index(
             "bucket"
         ).parquet(os.path.join(path, "postings"))
         dl.write.mode("append").parquet(os.path.join(path, "doclens"))
-    return {"added": int(added), "skipped": int(n_in - added)}
+    # "added" = genuinely new docs indexed; a replaced doc re-appending
+    # counts under "replaced", not "added" (and a replaced doc whose new
+    # text has no tokens simply ends deleted — still "replaced")
+    n_re = (
+        dl.join(
+            F.broadcast(stale.withColumnRenamed(id_col, "doc_id")),
+            "doc_id",
+            "left_semi",
+        ).count()
+        if stale is not None and replaced
+        else 0
+    )
+    return {
+        "added": int(added - n_re),
+        "replaced": int(replaced),
+        "skipped": int(n_in - added),
+    }
 
 
 def _parquet_file_count(root: str) -> int:

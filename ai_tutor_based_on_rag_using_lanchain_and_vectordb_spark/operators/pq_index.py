@@ -326,6 +326,29 @@ def upsert_ivfpq_index(
 
 
 
+def delete_ivfpq_ids(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Purge vectors from the persistent codes layout (the IVF+PQ
+    counterpart of ann_index.delete_ivf_ids — same /delete-doc parity
+    note). Locate is a column-pruned (id, cell) probe; only cells
+    containing victim rows rewrite (dynamic partition overwrite). The
+    frozen quantizers are untouched — codebooks fitted over a corpus
+    that included the victims remain a valid (merely stale-fit)
+    quantizer for the survivors, and the exact re-rank on top makes
+    full-shortlist searches identical to a fresh build
+    (Q(purge_document_gate)). Idempotent on replay."""
+    from .partdelete import delete_ids_from_layout
+
+    n, touched = delete_ids_from_layout(
+        spark, os.path.join(path, "codes"), ids, id_col, "cell"
+    )
+    return {"deleted": n, "touched_cells": touched}
+
+
 def stream_ivfpq_index(
     stream_df: DataFrame,
     path: str,

@@ -265,6 +265,7 @@ _GATE_GUARDS: dict[str, tuple] = {
     "multimodal_gate": ("passed", "n_checks", "strategy"),
     "bloom_fpp_gate": ("passed", "n_keys", None),
     "curation_pipeline_gate": ("passed", "observed", "check"),
+    "purge_document_gate": ("passed", "observed", "check"),
     "mahalanobis_outlier_gate": ("ok_trace_identity", "n", "label"),
     "pca_projection_gate": (
         ["ok_matches_eigenvalue", "ok_nonincreasing"], "n", "component"

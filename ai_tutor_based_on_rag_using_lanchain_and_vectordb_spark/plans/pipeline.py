@@ -1742,7 +1742,153 @@ def bloom_fpp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purge_document_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete/purge propagation across the three persistent retrieval
+    layouts — reference parity for POST /delete-doc, which removes a
+    document from BOTH stores (backend/main.py:443-486 SQLite +
+    backend/chroma_utils.py:174 Chroma `_collection.delete(where=
+    {"file_id": …})`). The engine's ingest.delete_document covers
+    catalog+chunks; this gate pins that the PERSISTENT indexes can
+    forget too: ingest → index (BM25 postings, IVF vectors, IVF+PQ
+    codes) → delete one *result-bearing* document from each → every
+    search is row-identical to an index built fresh from the surviving
+    corpus, and no stale posting/vector/code survives anywhere.
+
+    Victims are chosen to MATTER: the top-1 hit of a live query in
+    each layout, so the delete must shift ranks, df, N, avgdl — not
+    just drop a row nobody returns. Equality configurations are the
+    exact ones (BM25 is always exact; IVF probes all cells; IVF+PQ
+    re-ranks a full shortlist), so quantizer differences between the
+    deleted and fresh-built indexes cannot mask — or fake — a
+    mismatch. Rows-only (index builds aren't SQL), with every pass
+    flag in-plan-guarded via plans/guards.py.
+
+    Driver-side collects are all bounded: the 1-row victim picks and
+    the Q·k ≤ 30-row search results being compared."""
+    import tempfile
+
+    from ..operators.ann_index import (
+        build_ivf_index,
+        delete_ivf_ids,
+        read_stats,
+        search_ivf_index,
+    )
+    from ..operators.bm25 import (
+        Bm25Searcher,
+        build_bm25_index,
+        delete_bm25_docs,
+    )
+    from ..operators.pq_index import (
+        build_ivfpq_index,
+        delete_ivfpq_ids,
+        search_ivfpq_index,
+    )
+    from .documents import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows: list[tuple[str, int, int]] = []
+
+    def _rowset(df):
+        return {tuple(str(v) for v in r) for r in df.collect()}
+
+    # ---------------- BM25 postings/doclens ----------------
+    bp = tempfile.mkdtemp(prefix="purge_bm25_")
+    build_bm25_index(docs, bp, n_buckets=8)
+    victim = int(
+        Bm25Searcher(spark, bp)
+        .search(BM25_QUERIES[:1], k=1)
+        .collect()[0]["doc_id"]
+    )
+    info = delete_bm25_docs(spark, bp, [victim])
+    rows.append(("bm25_victim_deleted", info["deleted_docs"], 1))
+    bf = tempfile.mkdtemp(prefix="purge_bm25f_")
+    build_bm25_index(docs.where(F.col("doc_id") != victim), bf, n_buckets=8)
+    got = _rowset(Bm25Searcher(spark, bp).search(BM25_QUERIES, k=10))
+    want = _rowset(Bm25Searcher(spark, bf).search(BM25_QUERIES, k=10))
+    rows.append(("bm25_search_equals_fresh_build", len(got ^ want), 0))
+    leftovers = (
+        spark.read.parquet(f"{bp}/postings")
+        .where(F.col("doc_id") == victim)
+        .count()
+        + spark.read.parquet(f"{bp}/doclens")
+        .where(F.col("doc_id") == victim)
+        .count()
+    )
+    rows.append(("bm25_victim_forgotten", int(leftovers), 0))
+
+    # ---------------- IVF vectors ----------------
+    ip = tempfile.mkdtemp(prefix="purge_ivf_")
+    build_ivf_index(emb, ip, n_cells=4)
+    n_cells = spark.read.parquet(f"{ip}/centroids").count()
+    n0 = int(read_stats(spark, ip)["cur_n"])
+    queries = emb.where(F.col("vec_id") < 3).localCheckpoint(eager=True)
+    v_ivf = int(
+        search_ivf_index(spark, ip, queries, k=1, nprobe=n_cells)
+        .collect()[0]["neighbor_id"]
+    )
+    dinfo = delete_ivf_ids(spark, ip, [v_ivf])
+    rows.append(("ivf_victim_deleted", dinfo["deleted"], 1))
+    rows.append(("ivf_stats_decremented", int(dinfo["cur_n"]), n0 - 1))
+    fp = tempfile.mkdtemp(prefix="purge_ivff_")
+    surv_emb = emb.where(F.col("vec_id") != v_ivf)
+    build_ivf_index(surv_emb, fp, n_cells=4)
+    got = _rowset(search_ivf_index(spark, ip, queries, k=5, nprobe=n_cells))
+    want = _rowset(search_ivf_index(spark, fp, queries, k=5, nprobe=n_cells))
+    rows.append(("ivf_search_equals_fresh_build", len(got ^ want), 0))
+    rows.append((
+        "ivf_victim_forgotten",
+        spark.read.parquet(f"{ip}/vectors")
+        .where(F.col("vec_id") == v_ivf)
+        .count(),
+        0,
+    ))
+
+    # ---------------- IVF+PQ codes ----------------
+    pp = tempfile.mkdtemp(prefix="purge_pq_")
+    build_ivfpq_index(emb, pp, n_cells=4, m=8, kc=16)
+    n_emb = emb.count()
+    v_pq = int(
+        search_ivfpq_index(
+            spark, pp, queries, emb, k=1, nprobe=4, shortlist=n_emb
+        ).collect()[0]["neighbor_id"]
+    )
+    pinfo = delete_ivfpq_ids(spark, pp, [v_pq])
+    rows.append(("ivfpq_victim_deleted", pinfo["deleted"], 1))
+    pf = tempfile.mkdtemp(prefix="purge_pqf_")
+    surv2 = emb.where(F.col("vec_id") != v_pq).localCheckpoint(eager=True)
+    build_ivfpq_index(surv2, pf, n_cells=4, m=8, kc=16)
+    got = _rowset(
+        search_ivfpq_index(
+            spark, pp, queries, surv2, k=5, nprobe=4, shortlist=n_emb
+        )
+    )
+    want = _rowset(
+        search_ivfpq_index(
+            spark, pf, queries, surv2, k=5, nprobe=4, shortlist=n_emb
+        )
+    )
+    rows.append(("ivfpq_search_equals_fresh_build", len(got ^ want), 0))
+    rows.append((
+        "ivfpq_victim_forgotten",
+        spark.read.parquet(f"{pp}/codes")
+        .where(F.col("vec_id") == v_pq)
+        .count(),
+        0,
+    ))
+
+    out = spark.createDataFrame(
+        [(c, int(o), int(e)) for c, o, e in rows],
+        "check string, observed long, expected long",
+    )
+    return out.select(
+        "check", "observed", "expected",
+        (F.col("observed") == F.col("expected")).alias("passed"),
+    )
+
+
 QUERIES = {
+    "purge_document_gate": purge_document_gate,
     "curation_pipeline_gate": curation_pipeline_gate,
     "recursive_chunks": recursive_chunks,
     "bloom_novel_docs": bloom_novel_docs,
