@@ -47,14 +47,23 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = V.EMBEDDING_DIM,
+    meta_cols: tuple = (),
 ) -> None:
     """Fit the coarse quantizer and write the cell-partitioned layout
-    (plus centroids and the fit-time stats that drive re-fit triggers)."""
+    (plus centroids and the fit-time stats that drive re-fit triggers).
+
+    ``meta_cols`` rides typed metadata columns (label, doc_id, source)
+    into the vectors layout so searches can FILTER below scoring — the
+    reference's ``where={"file_id": …}`` vector-store pattern
+    (backend/chroma_utils.py:161,250-253) on the production index path
+    (see search_ivf_index's ``where``/``match_cols``). Upsert/refit
+    derive the metadata set from the layout's own schema, so it is
+    declared once, here."""
     model, centroids = fit_ivf_centroids(vectors, n_cells, vec_col)
     assigned = (
         model.transform(unit_vectors_ml(vectors, vec_col))
         .withColumnRenamed("prediction", "cell")
-        .select(id_col, vec_col, "cell")
+        .select(id_col, vec_col, *meta_cols, "cell")
     )
     assigned.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "vectors")
@@ -196,8 +205,17 @@ def upsert_ivf_index(
     cells = [int(c) for c in cent_pdf["cell"].to_numpy()]
     cell_col, dist_col = _nearest_cell_expr(F.col(vec_col), centroids, cells, dim)
 
+    # metadata columns are whatever the layout's own schema carries
+    # beyond (id, vec, cell) — declared once at build time, preserved
+    # here (the batch must supply them; a missing column is a loud
+    # AnalysisException, not silent metadata loss)
+    meta_cols = [
+        c
+        for c in spark.read.parquet(os.path.join(path, "vectors")).schema.names
+        if c not in (id_col, vec_col, "cell")
+    ]
     assigned = (
-        new_vectors.select(id_col, vec_col)
+        new_vectors.select(id_col, vec_col, *meta_cols)
         .dropDuplicates([id_col])
         .withColumn("cell", cell_col)
         .withColumn("_dist", dist_col)
@@ -246,8 +264,8 @@ def upsert_ivf_index(
     )
     existing = spark.read.parquet(vectors_path).where(F.col("cell").isin(touched))
     keep = existing.join(assigned.select(id_col), id_col, "left_anti")
-    merged = keep.select(id_col, vec_col, "cell").unionByName(
-        assigned.select(id_col, vec_col, "cell")
+    merged = keep.select(id_col, vec_col, *meta_cols, "cell").unionByName(
+        assigned.select(id_col, vec_col, *meta_cols, "cell")
     )
     # materialize before overwriting the files the plan reads from
     merged = merged.localCheckpoint(eager=True)
@@ -291,13 +309,18 @@ def refit_ivf_index(
     dim: int = V.EMBEDDING_DIM,
 ) -> None:
     """Re-fit the coarse quantizer over the CURRENT index contents and
-    rewrite the layout (the action behind ``refit_recommended``)."""
+    rewrite the layout (the action behind ``refit_recommended``).
+    Metadata columns the layout carries ride through the rebuild."""
+    raw = spark.read.parquet(os.path.join(path, "vectors"))
+    meta_cols = tuple(
+        c for c in raw.schema.names if c not in (id_col, vec_col, "cell")
+    )
     full = (
-        spark.read.parquet(os.path.join(path, "vectors"))
-        .select(id_col, vec_col)
+        raw.select(id_col, vec_col, *meta_cols)
         .localCheckpoint(eager=True)  # break lineage before overwrite
     )
-    build_ivf_index(full, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col, dim=dim)
+    build_ivf_index(full, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+                    dim=dim, meta_cols=meta_cols)
 
 
 def stream_ivf_index(
@@ -344,9 +367,31 @@ def search_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = V.EMBEDDING_DIM,
+    where: str | None = None,
+    match_cols: tuple = (),
 ) -> DataFrame:
     """Probe top-`nprobe` cells per query; the cell IN-filter prunes
-    partitions of the written layout before any vector math."""
+    partitions of the written layout before any vector math.
+
+    Metadata-filtered search (P4 on the production index path — the
+    reference filters its vector search by metadata,
+    backend/chroma_utils.py:161,250-253; previously only the exact
+    brute-force path Q(knn_label_filtered) could):
+
+    - ``where``: a static SQL predicate over the layout's metadata
+      columns (``"label = 3"``, ``"doc_id IN (…)"``) — applied to the
+      partition-pruned scan BELOW scoring, so parquet row-group
+      pruning and codegen see it before any dot product. This is the
+      Chroma ``where={…}`` per-call filter shape.
+    - ``match_cols``: per-query equality columns — a candidate must
+      equal the QUERY's own value on each (the "restrict to the
+      query's own label/file" shape). The query frame must carry the
+      columns; the equality lands below scoring too.
+
+    k-NN semantics are unchanged: top-k AMONG the rows passing the
+    filter (nprobe=all cells + a filter ≡ exact filtered k-NN —
+    Q(knn_ivf_filtered) carries the label-filtered oracle verbatim).
+    """
     centroids_pdf = spark.read.parquet(os.path.join(path, "centroids")).toPandas()
     cent = np.vstack(centroids_pdf["centroid"].to_numpy())
     cells = centroids_pdf["cell"].to_numpy()
@@ -368,10 +413,15 @@ def search_ivf_index(
     vectors = spark.read.parquet(os.path.join(path, "vectors")).where(
         F.col("cell").isin(probed_cells)  # partition pruning
     )
+    if where is not None:
+        # static metadata predicate: pushed into the pruned scan,
+        # evaluated before any vector math
+        vectors = vectors.where(where)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         V.as_double(F.col(vec_col)).alias("qv"),
         V.norm_fixed(F.col(vec_col), dim).alias("qnorm"),
+        *[F.col(c).alias(f"_q_{c}") for c in match_cols],
     )
     cand = (
         vectors.select(
@@ -379,15 +429,20 @@ def search_ivf_index(
             V.as_double(F.col(vec_col)).alias("cv"),
             "cell",
             V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+            *[F.col(c).alias(f"_c_{c}") for c in match_cols],
         )
         .join(probe_df, "cell")
         .join(F.broadcast(q), "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "score",
-            V.dot_fixed(F.col("qv"), F.col("cv"), dim, cast=False)
-            / (F.col("qnorm") * F.col("cnorm")),
-        )
+    )
+    for c in match_cols:
+        # per-query metadata equality, below scoring (NULL metadata on
+        # either side never matches — three-valued logic drops it)
+        cand = cand.where(F.col(f"_c_{c}") == F.col(f"_q_{c}"))
+    cand = cand.withColumn(
+        "score",
+        V.dot_fixed(F.col("qv"), F.col("cv"), dim, cast=False)
+        / (F.col("qnorm") * F.col("cnorm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -41,17 +41,22 @@ def build_ivfpq_index(
     kc: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple = (),
 ) -> None:
     """Fit the coarse quantizer + subspace codebooks and write the
-    layout: codes parquet partitioned by cell, centroids, codebooks."""
+    layout: codes parquet partitioned by cell, centroids, codebooks.
+    ``meta_cols`` rides typed metadata beside the codes so searches can
+    filter below ADC (IvfPqSearcher.search ``where`` — the reference's
+    ``where={"file_id": …}`` vector-store filter on the compressed
+    path); upserts preserve whatever metadata the layout carries."""
     model, centroids = fit_ivf_centroids(vectors, n_cells, vec_col)
     assigned = (
         model.transform(unit_vectors_ml(vectors, vec_col))
         .withColumnRenamed("prediction", "cell")
-        .select(id_col, vec_col, "cell")
+        .select(id_col, vec_col, *meta_cols, "cell")
     )
     cb = fit_pq_codebooks(vectors, m=m, k=kc, vec_col=vec_col, id_col=id_col)
-    enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell",))
+    enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell", *meta_cols))
     enc.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "codes")
     )
@@ -167,12 +172,20 @@ class IvfPqSearcher:
         nprobe: int | None = None,
         shortlist: int | None = None,
         exclude_self: bool = True,
+        where: str | None = None,
     ) -> DataFrame:
         """Probe → pruned code scan → ADC → exact re-rank. The cell
         IN-filter prunes partitions of the codes layout before any
         byte of code is read; raw vectors are touched only for the
         shortlist. ``nprobe``/``shortlist`` default to
-        :meth:`auto_params` when not given."""
+        :meth:`auto_params` when not given.
+
+        ``where`` is a static SQL predicate over the metadata columns
+        the layout carries (build_ivfpq_index ``meta_cols``) — the
+        reference's ``where={"file_id": …}`` filter, applied to the
+        partition-pruned code scan BEFORE ADC, so the shortlist and
+        the exact re-rank only ever see passing candidates (top-k
+        among the filtered set, not a filtered top-k)."""
         if nprobe is None or shortlist is None:
             auto_np, auto_sl = self.auto_params(k)
             nprobe = auto_np if nprobe is None else nprobe
@@ -186,6 +199,10 @@ class IvfPqSearcher:
         codes = self.spark.read.parquet(
             os.path.join(self.path, "codes")
         ).where(F.col("cell").isin(probed_cells))  # partition pruning
+        if where is not None:
+            # metadata filter below ADC: evaluated in the pruned scan,
+            # before any distance table is consulted
+            codes = codes.where(where)
         cand = codes.join(probe_df, "cell").select(
             "query_id", "vec_id", "codes"
         )
@@ -225,11 +242,12 @@ def search_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    where: str | None = None,
 ) -> DataFrame:
     """One-shot search: open + single :meth:`IvfPqSearcher.search`."""
     return IvfPqSearcher(spark, path, rerank_vectors, id_col, vec_col).search(
         queries, k=k, nprobe=nprobe, shortlist=shortlist,
-        exclude_self=exclude_self,
+        exclude_self=exclude_self, where=where,
     )
 
 
@@ -268,14 +286,23 @@ def upsert_ivfpq_index(
     dim = cb.shape[0] * cb.shape[2]
 
     cell_col, _dist = _nearest_cell_expr(F.col(vec_col), centroids, cells, dim)
+    # preserve whatever metadata the layout carries (declared at build
+    # time via meta_cols; the batch must supply the same columns)
+    codes_path = os.path.join(path, "codes")
+    meta_cols = [
+        c
+        for c in spark.read.parquet(codes_path).schema.names
+        if c not in (id_col, "codes", "vnorm", "cell")
+    ]
     assigned = (
-        new_vectors.select(id_col, vec_col)
+        new_vectors.select(id_col, vec_col, *meta_cols)
         .dropDuplicates([id_col])
         .withColumn("cell", cell_col)
     )
     n_skipped = assigned.where(F.col("cell").isNull()).count()
     assigned = assigned.where(F.col("cell").isNotNull())
-    enc = encode_pq(assigned, cb, id_col, vec_col, keep_cols=("cell",))
+    enc = encode_pq(assigned, cb, id_col, vec_col,
+                    keep_cols=("cell", *meta_cols))
     enc = enc.localCheckpoint(eager=True)
     batch_cells = [
         int(r["cell"]) for r in enc.select("cell").distinct().collect()
@@ -290,7 +317,6 @@ def upsert_ivfpq_index(
 
         mean_adc_error = mean_pq_distortion(assigned, cb, vec_col)
 
-    codes_path = os.path.join(path, "codes")
     prior = (
         spark.read.parquet(codes_path)
         .select(id_col, "cell")
@@ -303,8 +329,8 @@ def upsert_ivfpq_index(
     touched = sorted(set(batch_cells) | {int(r["cell"]) for r in prior})
     existing = spark.read.parquet(codes_path).where(F.col("cell").isin(touched))
     keep = existing.join(enc.select(id_col), id_col, "left_anti")
-    merged = keep.select(id_col, "codes", "vnorm", "cell").unionByName(
-        enc.select(id_col, "codes", "vnorm", "cell")
+    merged = keep.select(id_col, "codes", "vnorm", *meta_cols, "cell").unionByName(
+        enc.select(id_col, "codes", "vnorm", *meta_cols, "cell")
     ).localCheckpoint(eager=True)  # materialize before overwriting inputs
     (
         merged.repartition("cell")

@@ -274,6 +274,7 @@ _GATE_GUARDS: dict[str, tuple] = {
     "embedding_gate": ("passed", "n_docs", "strategy"),
     "embedding_lsh_recall": ("passed", "n_exact", "strategy"),
     "knn_ivf_recall": ("passed", "n_queries", "strategy"),
+    "knn_ivf_filtered_recall": ("passed", "n_queries", "strategy"),
     "knn_mmr_ivf": ("passed", "n_queries", "strategy"),
     "knn_pq_recall": ("passed", "n_queries", "strategy"),
     "knn_ivfpq_recall": ("passed", "n_queries", "strategy"),

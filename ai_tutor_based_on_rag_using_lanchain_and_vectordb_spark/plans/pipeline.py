@@ -1327,6 +1327,123 @@ def knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 on the PRODUCTION index path: metadata-filtered k-NN through
+    the persistent IVF layout (reference: Chroma ``where={"file_id":
+    …}``, backend/chroma_utils.py:250-253). The layout carries ``label``
+    as a typed metadata column (build meta_cols), and the per-query
+    equality (``match_cols``) lands in the partition-pruned scan BELOW
+    scoring — previously only the exact broadcast path
+    Q(knn_label_filtered) could filter; the IVF/PQ searchers had no
+    predicate parameter and a filtered query fell back to brute force
+    (r12 verdict ask #3). Exhaustive configuration (nprobe = all
+    cells), so the result is the EXACT label-filtered top-k and the
+    whole filtered-index composition (build → meta-carrying layout →
+    probe → filter → score) carries Q(knn_label_filtered)'s DuckDB
+    oracle verbatim. Pruned+filtered recall is gated separately in
+    Q(knn_ivf_filtered_recall)."""
+    import tempfile
+
+    from ..functions import vector as V
+    from ..operators.ann_index import build_ivf_index, search_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        V.norm_fixed(F.col("embedding")) > 0
+    )
+    path = tempfile.mkdtemp(prefix="ivf_filtered_")
+    build_ivf_index(emb, path, n_cells=8, meta_cols=("label",))
+    queries = emb.where(F.col("vec_id") < 5)
+    out = search_ivf_index(
+        spark, path, queries, k=5, nprobe=8, match_cols=("label",)
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
+
+
+# the static-filter demo label for the IVF+PQ path (any in-domain value
+# works; 3 is populated at every sf)
+IVFPQ_FILTER_LABEL = 3
+
+
+def knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Chroma-shaped STATIC filter on the compressed production
+    path: ``where="label = 3"`` threaded into the persistent IVF+PQ
+    searcher, applied to the partition-pruned code scan BEFORE ADC —
+    the shortlist and exact re-rank only ever see passing candidates,
+    so the semantics are top-k AMONG the filtered set (not a filtered
+    top-k). Exhaustive configuration (nprobe = all cells, shortlist ≥
+    corpus) reduces the composition to the exact filtered ranking, so
+    the filter+probe+ADC+re-rank chain is driver-oracle-checked end to
+    end."""
+    import tempfile
+
+    from ..functions import vector as V
+    from ..operators.pq_index import build_ivfpq_index, search_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        V.norm_fixed(F.col("embedding")) > 0
+    )
+    path = tempfile.mkdtemp(prefix="ivfpq_filtered_")
+    build_ivfpq_index(emb, path, n_cells=4, m=8, kc=16, meta_cols=("label",))
+    queries = emb.where(F.col("vec_id") < 5)
+    n = emb.count()  # bounded collect: one scalar, exhaustive shortlist
+    out = search_ivfpq_index(
+        spark, path, queries, emb, k=5, nprobe=4, shortlist=n,
+        where=f"label = {IVFPQ_FILTER_LABEL}",
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        X.pround(F.col("score"), 4).alias("score"),
+    )
+
+
+def knn_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered search in its PRUNED production configuration
+    (nprobe=6 of 8 cells + per-query label equality): recall vs the
+    exact filtered ranking (Q(knn_label_filtered), oracle-green) must
+    stay ≥ 0.7 — the filter shrinks each query's candidate pool ~10×,
+    which is exactly when cell pruning could silently collapse a
+    filtered result. Measured 0.88 (sf0.001) / 0.84 (sf0.01), so the
+    gate clears with margin yet catches a collapse. In-plan-guarded;
+    rows-only (k-means cells aren't SQL-expressible)."""
+    import tempfile
+
+    from ..functions import vector as V
+    from ..operators.ann_index import build_ivf_index, search_ivf_index
+    from .vectors import knn_label_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        V.norm_fixed(F.col("embedding")) > 0
+    )
+    path = tempfile.mkdtemp(prefix="ivf_filtered_rc_")
+    build_ivf_index(emb, path, n_cells=8, meta_cols=("label",))
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = search_ivf_index(
+        spark, path, queries, k=5, nprobe=6, match_cols=("label",)
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = knn_label_filtered(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        (F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*")).alias("recall_q")
+    )
+    agg = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("recall_q"), 4).alias("mean_recall"),
+    )
+    return agg.select(
+        F.lit("ivf_filtered_pruned").alias("strategy"),
+        "n_queries",
+        "mean_recall",
+        (F.col("mean_recall") >= 0.7).alias("passed"),
+    )
+
+
 def bpe_train_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py) checked
     merge-for-merge against the in-repo pure-Python reference on the
@@ -1915,6 +2032,9 @@ QUERIES = {
     "knn_ivfpq_approx": knn_ivfpq_approx,
     "knn_ivfpq_exhaustive": knn_ivfpq_exhaustive,
     "knn_ivfpq_recall": knn_ivfpq_recall,
+    "knn_ivf_filtered": knn_ivf_filtered,
+    "knn_ivfpq_filtered": knn_ivfpq_filtered,
+    "knn_ivf_filtered_recall": knn_ivf_filtered_recall,
     "hll_rollup_gate": hll_rollup_gate,
     "gk_quantile_gate": gk_quantile_gate,
     "gk_grouped_quantile_gate": gk_grouped_quantile_gate,
@@ -2032,6 +2152,35 @@ ORACLE["knn_numpy_topk"] = _VEC_ORACLE["knn_exact"]
 ORACLE["knn_ivf_exhaustive"] = _VEC_ORACLE["knn_exact"]
 ORACLE["knn_pq_exhaustive"] = _VEC_ORACLE["knn_exact"]
 ORACLE["knn_ivfpq_exhaustive"] = _VEC_ORACLE["knn_exact"]
+
+# the filtered PERSISTENT-index search in its exhaustive configuration
+# is the exact label-filtered k-NN, so it shares Q(knn_label_filtered)'s
+# oracle verbatim — the metadata-carrying layout, the probe table, and
+# the below-scoring filter are all on the hook for the hash
+ORACLE["knn_ivf_filtered"] = _VEC_ORACLE["knn_label_filtered"]
+
+# static where-filter on the IVF+PQ path, exhaustive configuration:
+# exact top-k among label = IVFPQ_FILTER_LABEL candidates (self
+# excluded), same float association as knn_exact's oracle
+from .vectors import _COS as _COS_SQL  # noqa: E402
+
+ORACLE["knn_ivfpq_filtered"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings
+               WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0)
+    SELECT query_id, neighbor_id, rank, {X.pround_sql("score", 4)} AS score
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS score,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM e a JOIN e b
+          ON a.vec_id < 5 AND a.vec_id != b.vec_id
+         AND b.label = {IVFPQ_FILTER_LABEL}
+    ) WHERE rank <= 5
+"""
 
 # the mergeable-histogram quantile pipeline is plain SQL — replicate the
 # daily-sketch → range-merge → interpolate math bin-for-bin in DuckDB
