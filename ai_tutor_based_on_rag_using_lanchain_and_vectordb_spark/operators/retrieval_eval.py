@@ -54,11 +54,27 @@ def ranking_metrics(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rank",
+    graded: DataFrame | None = None,
+    grade_col: str = "grade",
 ) -> DataFrame:
     """One row per query id present in ``ranked``:
     (query_id, n_rel, hits, recall_at_k, precision_at_k, mrr,
     ndcg_at_k). Queries with an empty relevance set score 0 on every
-    metric (not NULL — a regression gate wants a comparable number)."""
+    metric (not NULL — a regression gate wants a comparable number).
+
+    ``graded`` (optional) adds ``ndcg_graded_at_k``: a (query_id,
+    doc_id, grade) frame of integer relevance grades (e.g. number of
+    matched query terms — binary contains-all-terms truth saturates
+    quickly; integer grades stay oracle-exact). Graded gain is linear
+    (gain = grade): DCG_g = Σ_topk grade/log2(rank+1); IDCG_g sorts
+    the grade set descending and takes the best k positions. Each term
+    is pround(grade · pround(1/log2(·),6), 6) before the exact decimal
+    sum — grade is a small integer so the product rounds once,
+    identically in both engines (the PRF weight-multiply convention).
+    The per-query IDCG top-k is a WindowGroupLimit over the graded
+    set (partial top-k before any exchange)."""
+    from pyspark.sql import Window
+
     q = query_col
     base = ranked.select(q).distinct()
     rel = relevant.select(q, doc_col).distinct()
@@ -89,6 +105,54 @@ def ranking_metrics(
         .join(per_q, q, "left")
         .join(idcg, q, "left")
     )
+    graded_cols = []
+    if graded is not None:
+        g = graded.select(
+            q, doc_col, F.col(grade_col).cast("double").alias("_g")
+        )
+        gdcg = (
+            topk.join(g, [q, doc_col])
+            .groupBy(q)
+            .agg(
+                X.dsum(
+                    X.pround(
+                        F.col("_g")
+                        * _inv_log2(F.col(rank_col).cast("double")),
+                        6,
+                    ),
+                    6,
+                ).alias("dcg_g")
+            )
+        )
+        wg = Window.partitionBy(q).orderBy(
+            F.desc("_g"), F.asc(doc_col)
+        )
+        gidcg = (
+            g.withColumn("_pos", F.row_number().over(wg))
+            .where(F.col("_pos") <= k)
+            .groupBy(q)
+            .agg(
+                X.dsum(
+                    X.pround(
+                        F.col("_g")
+                        * _inv_log2(F.col("_pos").cast("double")),
+                        6,
+                    ),
+                    6,
+                ).alias("idcg_g")
+            )
+        )
+        out = out.join(gdcg, q, "left").join(gidcg, q, "left")
+        graded_cols = [
+            X.pround(
+                F.when(
+                    F.col("idcg_g").isNotNull() & (F.col("idcg_g") > 0),
+                    F.coalesce(F.col("dcg_g"), F.lit(0.0))
+                    / F.col("idcg_g"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg_graded_at_k")
+        ]
     nrel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
     hits = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
     return out.select(
@@ -116,4 +180,5 @@ def ranking_metrics(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("ndcg_at_k"),
+        *graded_cols,
     )

@@ -917,6 +917,78 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(ranked, relevant, EVAL_K).orderBy("query_id")
 
 
+def retrieval_eval_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked-retrieval regression gate EXTENDED to every ranker
+    the engine ships (r12 verdict ask #4): one metric row per (ranker,
+    query) for bm25, knn_exact (the cosine vector ranking — the
+    reference's actual retriever, backend/chroma_utils.py:237-263) and
+    hybrid_rrf — the rankers most likely to drift under quantization /
+    nprobe / pool-size changes. All three share ONE relevance
+    derivation (contains-all-terms from the same pinned postings the
+    BM25 ranker scores with) plus a GRADED truth (grade = number of
+    matched query terms, ask #7: binary contains-all saturates; the
+    integer grade stays oracle-exact), so drift in any ranker moves
+    its row while the truth stays fixed.
+
+    Plan shape: one postings pin feeds the BM25 scoring AND both
+    relevance frames; one vector scoring pass at depth RRF_K feeds the
+    knn ranker (cut to k) and the RRF fusion's vector arm; the bm25
+    ranker is the fusion's lexical arm cut to k — three rankers, zero
+    duplicated scoring."""
+    from ..operators.bm25 import bm25_postings, bm25_search
+    from ..operators.retrieval_eval import ranking_metrics
+    from .vectors import RRF_K, rrf_fuse, vector_ranked_named
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = bm25_postings(docs).localCheckpoint(eager=False)
+    # lexical + vector rankings at fusion depth, each pinned: consumed
+    # by their own metric chain AND the fusion
+    lex = bm25_search(
+        spark, docs, BM25_QUERIES, k=RRF_K, postings=postings
+    ).select("query_id", "doc_id", "rank").localCheckpoint(eager=False)
+    vec = vector_ranked_named(spark, sf_dir, RRF_K).localCheckpoint(
+        eager=False
+    )
+    fused = rrf_fuse([lex, vec], EVAL_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    rankers = {
+        "bm25": lex.where(F.col("rank") <= EVAL_K),
+        "knn_exact": vec.where(F.col("rank") <= EVAL_K),
+        "hybrid_rrf": fused,
+    }
+
+    qterms = [
+        (qid, t)
+        for qid, text in BM25_QUERIES
+        for t in sorted(set(text.lower().split()))
+    ]
+    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    nq = qdf.groupBy("query_id").agg(F.countDistinct("term").alias("nt"))
+    matched = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("term").alias("c"))
+        .localCheckpoint(eager=False)  # feeds binary AND graded truth
+    )
+    relevant = (
+        matched.join(F.broadcast(nq), "query_id")
+        .where(F.col("c") == F.col("nt"))
+        .select("query_id", "doc_id")
+    )
+    graded = matched.select(
+        "query_id", "doc_id", F.col("c").alias("grade")
+    )
+
+    out = None
+    for name, ranked in rankers.items():
+        m = ranking_metrics(
+            ranked, relevant, EVAL_K, graded=graded
+        ).withColumn("ranker", F.lit(name))
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("ranker", "query_id")
+
+
 # PRF expansion knobs (operators/bm25.bm25_prf_search)
 PRF_FB_DOCS = 3
 PRF_FB_TERMS = 5
@@ -940,6 +1012,7 @@ def bm25_prf_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "retrieval_eval": retrieval_eval,
+    "retrieval_eval_rankers": retrieval_eval_rankers,
     "bm25_prf_search": bm25_prf_search_q,
     "doc_top_terms": doc_top_terms,
     "neardup_local_clustering": neardup_local_clustering,
@@ -1687,6 +1760,163 @@ def _retrieval_eval_oracle() -> str:
 
 
 ORACLE["retrieval_eval"] = _retrieval_eval_oracle()
+
+
+# retrieval_eval_rankers: three rankings (bm25 chain, cosine vecrank,
+# their RRF fusion) × the shared relevance truth, plus the graded-gain
+# nDCG (grade = matched query terms; each term pround(grade·invlog2, 6)
+# before the exact decimal sum — the PRF weight-multiply convention)
+def _retrieval_eval_rankers_oracle() -> str:
+    from .vectors import _COS, RRF_C, RRF_K
+
+    def invlog2(expr: str) -> str:
+        return X.pround_sql(f"1.0 / (ln({expr} + 1.0) / {_EVAL_LN2})", 6)
+
+    k = EVAL_K
+    recip = X.pround_sql(f"1.0 / ({RRF_C} + rank)", 6)
+    vq_sql = ", ".join(
+        f"('{qid}', {i})" for i, (qid, _) in enumerate(BM25_QUERIES)
+    )
+    gterm_rank = X.pround_sql(
+        f"CAST(grade AS DOUBLE) * ({invlog2('CAST(rank AS DOUBLE)')})", 6
+    )
+    gterm_pos = X.pround_sql(
+        f"CAST(grade AS DOUBLE) * ({invlog2('CAST(pos AS DOUBLE)')})", 6
+    )
+    return f"""
+    WITH {bm25_ranked_cte_sql()},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0),
+    vq(query_id, qvec) AS (VALUES {vq_sql}),
+    vecrank AS (
+        SELECT * FROM (
+            SELECT vq.query_id, b.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY vq.query_id
+                       ORDER BY {_COS} DESC, b.vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM vq JOIN e a ON a.vec_id = vq.qvec
+                    JOIN e b ON b.vec_id != vq.qvec
+        ) WHERE rank <= {RRF_K}
+    ),
+    allr AS (
+        SELECT query_id, doc_id, {recip} AS c
+        FROM bm25_ranked WHERE rank <= {RRF_K}
+        UNION ALL
+        SELECT query_id, doc_id, {recip} FROM vecrank
+    ),
+    fusedr AS (
+        SELECT query_id, doc_id, {X.dsum_sql("c", 4)} AS rrf_score
+        FROM allr GROUP BY 1, 2
+    ),
+    rrf_ranked AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM fusedr
+    ),
+    rankings AS (
+        SELECT 'bm25' AS ranker, query_id, doc_id, rank
+        FROM bm25_ranked WHERE rank <= {k}
+        UNION ALL
+        SELECT 'knn_exact', query_id, doc_id, rank
+        FROM vecrank WHERE rank <= {k}
+        UNION ALL
+        SELECT 'hybrid_rrf', query_id, doc_id, rank
+        FROM rrf_ranked WHERE rank <= {k}
+    ),
+    nq AS (
+        SELECT query_id, CAST(count(DISTINCT term) AS BIGINT) AS nt
+        FROM q GROUP BY 1
+    ),
+    relterm AS (
+        SELECT q.query_id, p.doc_id,
+               CAST(count(DISTINCT p.term) AS BIGINT) AS c
+        FROM q JOIN posting p USING (term) GROUP BY 1, 2
+    ),
+    relv AS (
+        SELECT relterm.query_id, doc_id
+        FROM relterm JOIN nq USING (query_id) WHERE c = nt
+    ),
+    graded AS (SELECT query_id, doc_id, c AS grade FROM relterm),
+    nrel AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM relv GROUP BY 1
+    ),
+    hit AS (
+        SELECT t.ranker, t.query_id, t.rank
+        FROM rankings t JOIN relv r
+          ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+    ),
+    perq AS (
+        SELECT ranker, query_id, CAST(count(*) AS BIGINT) AS hits,
+               min(rank) AS first_rank,
+               {X.dsum_sql(invlog2("CAST(rank AS DOUBLE)"), 6)} AS dcg
+        FROM hit GROUP BY 1, 2
+    ),
+    ideal AS (
+        SELECT query_id,
+               unnest(generate_series(1, CAST(least(n_rel, {k}) AS BIGINT)))
+                   AS i
+        FROM nrel
+    ),
+    idcg AS (
+        SELECT query_id,
+               {X.dsum_sql(invlog2("CAST(i AS DOUBLE)"), 6)} AS idcg
+        FROM ideal GROUP BY 1
+    ),
+    ghit AS (
+        SELECT t.ranker, t.query_id, {X.dsum_sql(gterm_rank, 6)} AS dcg_g
+        FROM rankings t JOIN graded g
+          ON t.query_id = g.query_id AND t.doc_id = g.doc_id
+        GROUP BY 1, 2
+    ),
+    gpos AS (
+        SELECT query_id, grade,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY grade DESC, doc_id ASC
+               ) AS pos
+        FROM graded
+    ),
+    gidcg AS (
+        SELECT query_id, {X.dsum_sql(gterm_pos, 6)} AS idcg_g
+        FROM gpos WHERE pos <= {k} GROUP BY 1
+    ),
+    base AS (SELECT DISTINCT ranker, query_id FROM rankings)
+    SELECT base.ranker, base.query_id,
+           CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+           {X.pround_sql(
+               "CASE WHEN coalesce(n_rel, 0) > 0 THEN"
+               " CAST(coalesce(hits, 0) AS DOUBLE) / n_rel"
+               " ELSE 0.0 END", 6)} AS recall_at_k,
+           {X.pround_sql(
+               f"CAST(coalesce(hits, 0) AS DOUBLE) / {float(k)!r}", 6
+           )} AS precision_at_k,
+           {X.pround_sql(
+               "coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0)", 6
+           )} AS mrr,
+           {X.pround_sql(
+               "CASE WHEN idcg IS NOT NULL AND idcg > 0 THEN"
+               " coalesce(dcg, 0.0) / idcg ELSE 0.0 END", 6)} AS ndcg_at_k,
+           {X.pround_sql(
+               "CASE WHEN idcg_g IS NOT NULL AND idcg_g > 0 THEN"
+               " coalesce(dcg_g, 0.0) / idcg_g ELSE 0.0 END", 6
+           )} AS ndcg_graded_at_k
+    FROM base
+    LEFT JOIN nrel USING (query_id)
+    LEFT JOIN perq USING (ranker, query_id)
+    LEFT JOIN idcg USING (query_id)
+    LEFT JOIN ghit USING (ranker, query_id)
+    LEFT JOIN gidcg USING (query_id)
+    ORDER BY ranker, base.query_id
+"""
+
+
+ORACLE["retrieval_eval_rankers"] = _retrieval_eval_rankers_oracle()
 
 ORACLE["lang_length_quantiles"] = """
     WITH s AS (

@@ -443,48 +443,49 @@ RRF_C = 60  # the standard RRF damping constant
 RRF_TOPK = 5
 
 
-def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
-    ranking (operators/bm25.py over documents) and the exact-cosine
-    vector ranking (embeddings; vec_id aligns with doc_id), the
-    production RAG pattern the reference's embedding-only retriever
-    (backend/chroma_utils.py) upgrades to.
-
-    rrf(d) = Σ_rankers 1/(C + rank_r(d)) over each ranker's top-RRF_K,
-    top-RRF_TOPK per query by (score desc, doc_id). Rank arithmetic is
-    integer, the reciprocal is one IEEE division — exactly mirrorable
-    in SQL (pre-rounded decimal sum, no ln caveat). Each query's text
-    maps to a designated query vector (position i → vec_id i)."""
-    from ..operators.bm25 import bm25_search
+def vector_ranked_named(
+    spark: SparkSession, sf_dir: str, depth: int
+) -> DataFrame:
+    """The exact-cosine vector ranking keyed by QUERY NAME: each fixed
+    BM25 query maps to its designated query vector (position i →
+    vec_id i; vec_id aligns with doc_id), top-``depth`` per query as
+    (query_id string, doc_id, rank). Shared by the hybrid RRF fusion
+    and the multi-ranker retrieval evaluation — one scoring pass,
+    every consumer cuts its own depth."""
     from .documents import BM25_QUERIES
 
-    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-
-    lex = bm25_search(spark, docs, BM25_QUERIES, k=RRF_K).select(
-        "query_id", "doc_id", "rank"
-    )
     name = F.lit(None).cast("string")
     for i, (qid, _) in enumerate(BM25_QUERIES):
         name = F.when(F.col("query_id") == i, F.lit(qid)).otherwise(name)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    vec = (
+    return (
         _scored_pairs(emb, same_label_only=False)
         .where(F.col("query_id") < len(BM25_QUERIES))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= RRF_K)
+        .where(F.col("rank") <= depth)
         .select(
             name.cast("string").alias("query_id"),
             F.col("neighbor_id").alias("doc_id"),
             "rank",
         )
     )
+
+
+def rrf_fuse(rankings: list, topk: int) -> DataFrame:
+    """Reciprocal Rank Fusion of any number of (query_id, doc_id, rank)
+    rankings: rrf(d) = Σ_rankers 1/(C + rank_r(d)), top-``topk`` per
+    query by (score desc, doc_id). Rank arithmetic is integer, the
+    reciprocal is one IEEE division — exactly mirrorable in SQL
+    (pre-rounded decimal sum, no ln caveat)."""
     contrib = X.pround(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank")), 6)
-    both = lex.select("query_id", "doc_id", contrib.alias("c")).unionByName(
-        vec.select("query_id", "doc_id", contrib.alias("c"))
-    )
+    both = rankings[0].select("query_id", "doc_id", contrib.alias("c"))
+    for r in rankings[1:]:
+        both = both.unionByName(
+            r.select("query_id", "doc_id", contrib.alias("c"))
+        )
     fused = both.groupBy("query_id", "doc_id").agg(
         X.pround(F.sum(F.col("c").cast(X.DEC)).cast("double"), 4).alias(
             "rrf_score"
@@ -496,13 +497,32 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("rank", F.row_number().over(wf))
-        .where(F.col("rank") <= RRF_TOPK)
+        .where(F.col("rank") <= topk)
         .select(
             "query_id", "doc_id",
             F.col("rank").cast("long").alias("rank"),
             "rrf_score", "n_rankers",
         )
     )
+
+
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    ranking (operators/bm25.py over documents) and the exact-cosine
+    vector ranking (embeddings; vec_id aligns with doc_id), the
+    production RAG pattern the reference's embedding-only retriever
+    (backend/chroma_utils.py) upgrades to. Composition of
+    :func:`vector_ranked_named` + :func:`rrf_fuse` over each ranker's
+    top-RRF_K."""
+    from ..operators.bm25 import bm25_search
+    from .documents import BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_search(spark, docs, BM25_QUERIES, k=RRF_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    vec = vector_ranked_named(spark, sf_dir, RRF_K)
+    return rrf_fuse([lex, vec], RRF_TOPK)
 
 
 def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,3 +87,37 @@ def test_bounds_and_monotonicity(spark):
             assert 0.0 <= m[c] <= 1.0
     assert mb["ndcg_at_k"] < mg["ndcg_at_k"]
     assert mb["mrr"] < mg["mrr"]
+
+
+def test_graded_ndcg_hand_computed(spark):
+    import math
+
+    # q1 ranked: docs 10,20,30 at ranks 1..3; graded truth: 10->1,
+    # 20->3, 99->2 (99 not retrieved). k=3.
+    ranked, rel = _dfs(
+        spark,
+        [("q1", 10, 1), ("q1", 20, 2), ("q1", 30, 3)],
+        [("q1", 20)],  # binary truth independent of grades
+    )
+    graded = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 20, 3), ("q1", 99, 2)],
+        "query_id string, doc_id long, grade long",
+    )
+    m = {
+        x["query_id"]: x
+        for x in ranking_metrics(ranked, rel, 3, graded=graded).collect()
+    }["q1"]
+    # DCG_g = 1/log2(2) + 3/log2(3); IDCG_g = grades sorted desc
+    # (3,2,1) at positions 1..3
+    dcg_g = 1 / math.log2(2) + 3 / math.log2(3)
+    idcg_g = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert abs(m["ndcg_graded_at_k"] - dcg_g / idcg_g) < 1e-4
+    # binary columns unchanged by the graded extension
+    assert m["n_rel"] == 1 and m["hits"] == 1
+    # a query with no graded rows scores 0, not NULL
+    ranked2, rel2 = _dfs(spark, [("q2", 10, 1)], [("q2", 10)])
+    m2 = {
+        x["query_id"]: x
+        for x in ranking_metrics(ranked2, rel2, 3, graded=graded).collect()
+    }["q2"]
+    assert m2["ndcg_graded_at_k"] == 0.0
