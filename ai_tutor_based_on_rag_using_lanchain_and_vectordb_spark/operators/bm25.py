@@ -62,6 +62,78 @@ def bm25_postings(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) WITHOUT building corpus-wide postings: dl = count of
+    non-empty whitespace tokens, a map-only codegen expression — row-
+    identical to ``bm25_postings(...).groupBy("doc_id").sum("tf")``
+    (docs with no tokens are absent from both, incl. NULL text where
+    ``size(null)`` is -1). The direct-search paths use this instead of
+    re-aggregating postings per consumer: the (doc, term) shuffle only
+    exists where an actual posting is needed (guide §2.3 — don't
+    shuffle what a scan can compute)."""
+    toks = tokens_col(F.col(text_col))
+    dl = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    dl.cast("long").alias("dl"))
+        .where(F.col("dl") > 0)
+    )
+
+
+def tokenized_base(docs: DataFrame, queries: list,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, dl, qtoks): ONE tokenize pass over the corpus giving
+    every document's length AND its query-term occurrences — the whole
+    per-document input a direct BM25 search needs. ``qtoks`` keeps only
+    tokens in the (literal, driver-known) query term set, filtered
+    INSIDE the scan projection, so downstream consumers never
+    re-tokenize and the only (doc, term) rows that ever shuffle are
+    query-term hits (guide §2.3). dl/tf/df values are identical to the
+    corpus-wide-postings formulation by construction (the term filter
+    commutes with the per-(doc, term) count; dl = Σ tf over ALL terms).
+    Docs with no tokens are absent — same as having no postings.
+
+    Callers pin this frame once (it is slim: two ints + the few
+    matching tokens per doc) and derive matched postings, doc lengths
+    and corpus stats from it without touching the corpus again."""
+    terms = sorted({
+        t for _, text in queries for t in text.lower().split() if t
+    })
+    toks = F.filter(
+        tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("dl"),
+            F.filter("_toks", lambda t: t.isin(terms)).alias("qtoks"),
+        )
+        .where(F.col("dl") > 0)
+    )
+
+
+def matched_from_base(base: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) from a :func:`tokenized_base` frame: one
+    explode of the (already query-term-only) token arrays + the
+    (doc, term) count. ``dl`` rides the group key (functionally
+    dependent on doc_id), so scoring needs NO doc-length join."""
+    return (
+        base.select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def _corpus_stats(dl: DataFrame) -> DataFrame:
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+    )
+
+
 def _query_terms_df(spark: SparkSession, queries: list) -> DataFrame:
     qterms = [
         (qid, t)
@@ -96,9 +168,13 @@ def _score_topk(
         F.broadcast(qdf).alias("q")
         .join(matched, "term")
         .join(F.broadcast(df_counts), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
     )
+    if "dl" not in matched.columns:
+        # index path: matched postings come off the persistent layout
+        # without a length column — join the doclens frame. The direct
+        # paths carry dl inside matched (matched_from_base), so no join.
+        scored = scored.join(dl, "doc_id")
+    scored = scored.crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -137,29 +213,45 @@ def bm25_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25: (query_id, doc_id, rank,
     score). ``queries`` is a small [(query_id, text)] list — the
-    broadcast side, like the k-NN query vectors. Pass ``postings``
-    (a pinned ``bm25_postings`` frame) when the caller also consumes
-    the postings — e.g. Q(retrieval_eval) derives its relevance truth
-    from the same postings; without sharing, every postings consumer
-    re-runs the corpus explode+aggregate."""
-    if postings is None:
-        postings = bm25_postings(docs, id_col, text_col)
-    # doc length + corpus stats reuse the postings aggregation
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
-    )
+    broadcast side, like the k-NN query vectors.
+
+    Physical shape (optimization r13, guide §2.3): the direct path
+    never materializes corpus-wide postings — ONE tokenize pass
+    (:func:`tokenized_base`) yields per-doc lengths and query-term
+    tokens, matched postings aggregate only those hits, dl rides the
+    matched rows (no doc-length join), and corpus stats are one
+    aggregate of the base. Result rows are identical to the
+    corpus-wide-postings formulation (the term filter commutes with
+    the per-(doc, term) count; dl = Σ tf by definition); the plan
+    drops the full-corpus (doc, term) shuffle that used to run once
+    per consumer (dl, stats, matched).
+
+    Pass ``base`` (a pinned :func:`tokenized_base` frame) when the
+    caller also consumes it — e.g. Q(retrieval_eval) derives its
+    relevance truth from the same tokenization. ``postings`` (any
+    (doc_id, term, tf) frame, e.g. the persistent layout's) keeps the
+    former semi-filter shape for callers that already hold postings."""
     qdf = _query_terms_df(spark, queries)
-    # semi-filter postings on the broadcast query-term list FIRST: the
-    # scan touches only matched terms' postings
-    matched = postings.join(
-        F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
-    )
-    return _score_topk(qdf, matched, dl, stats, k, k1, b)
+    if postings is not None:
+        # caller-pinned postings (shared with other consumers): the
+        # semi-filter still touches only matched terms' postings
+        matched = postings.join(
+            F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
+        )
+        dl = doc_lengths(docs, id_col, text_col)
+        return _score_topk(qdf, matched, dl, _corpus_stats(dl), k, k1, b)
+    if base is None:
+        # pinned: matched postings, df counts and corpus stats all read
+        # the one tokenize pass instead of re-tokenizing per consumer
+        base = tokenized_base(docs, queries, id_col, text_col)
+        base = base.localCheckpoint(eager=False)
+    matched = matched_from_base(base)
+    dl = base.select("doc_id", "dl")
+    return _score_topk(qdf, matched, None, _corpus_stats(dl), k, k1, b)
 
 
 def bm25_prf_search(
@@ -186,33 +278,59 @@ def bm25_prf_search(
     contributions follow the pround/decimal-sum parity convention), so
     the DuckDB oracle hash-matches end to end.
 
-    Scale shape: both passes are the standard BM25 plan (postings
-    semi-filtered on a broadcast term list before scoring); the
-    postings build is shared via one pin; the feedback join touches
-    only Q·fb_docs document ids; the expanded term list stays a tiny
-    broadcast (Q·(|q| + fb_terms) rows)."""
+    Scale shape (optimization r13, guide §2.3): no corpus-wide
+    postings frame exists anywhere in the plan. Pass 1 reads a pinned
+    single-tokenize base (:func:`tokenized_base`: per-doc length +
+    query-term tokens; corpus stats are one aggregate of it); the
+    feedback docs' term harvest tokenizes only those Q·fb_docs
+    documents (broadcast semi-join on doc_id below the explode); pass
+    2's matched postings carry dl alongside the explode, semi-filtered
+    on the (derived, tiny) expanded term broadcast before the
+    (doc, term) aggregation. Nothing doc-length-joins — dl rides the
+    matched rows. Passing ``postings`` keeps the old
+    semi-filter-the-pinned-frame shape for callers that share one."""
     from pyspark.sql import Window
 
-    if postings is None:
-        postings = bm25_postings(docs, id_col, text_col).localCheckpoint(
-            eager=False
-        )
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
-    )
     qdf = _query_terms_df(spark, queries)
-    matched1 = postings.join(
-        F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
-    )
-    feedback = _score_topk(qdf, matched1, dl, stats, fb_docs, k1, b).select(
-        "query_id", "doc_id"
-    )
+    if postings is None:
+        base = tokenized_base(docs, queries, id_col, text_col)
+        base = base.localCheckpoint(eager=False)
+        matched1 = matched_from_base(base)
+        dl = base.select("doc_id", "dl")
+        dl_join = None  # dl rides matched1/matched2
+    else:
+        matched1 = postings.join(
+            F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
+        )
+        dl = doc_lengths(docs, id_col, text_col).localCheckpoint(eager=False)
+        dl_join = dl
+    stats = _corpus_stats(dl)
+    # pinned: feedback ids feed the doc semi-filter AND the tf harvest
+    feedback = _score_topk(
+        qdf, matched1, dl_join, stats, fb_docs, k1, b
+    ).select("query_id", "doc_id").localCheckpoint(eager=False)
     # expansion candidates: terms of the feedback docs, minus the
-    # query's own terms, ranked by total tf across the feedback set
+    # query's own terms, ranked by total tf across the feedback set.
+    # Only the Q·fb_docs feedback documents are tokenized here — the
+    # semi-join lands below the explode, so no other doc fans out.
+    if postings is None:
+        fb_post = (
+            docs.join(
+                F.broadcast(feedback.select(F.col("doc_id").alias(id_col))
+                            .distinct()),
+                id_col,
+                "left_semi",
+            )
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens_col(F.col(text_col))).alias("term"))
+            .where(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+    else:
+        fb_post = postings.hint("shuffle_hash")
     cand = (
-        feedback.join(postings.hint("shuffle_hash"), "doc_id")
+        feedback.join(fb_post, "doc_id")
         .join(qdf, ["query_id", "term"], "left_anti")
         .groupBy("query_id", "term")
         .agg(F.sum("tf").cast("long").alias("w"))
@@ -228,10 +346,30 @@ def bm25_prf_search(
         )
     )
     q2 = qdf.withColumn("weight", F.lit(1.0)).unionByName(expansion)
-    matched2 = postings.join(
-        F.broadcast(q2.select("term").distinct()), "term", "left_semi"
-    )
-    return _score_topk(q2, matched2, dl, stats, k, k1, b)
+    if postings is None:
+        # pass-2 matched postings with dl riding along: one tokenize
+        # pass, semi-filtered on the derived expanded-term broadcast
+        # BEFORE the (doc, term) aggregation
+        toks = F.filter(
+            tokens_col(F.col(text_col)), lambda t: t != F.lit("")
+        )
+        matched2 = (
+            docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+            .select(
+                "doc_id",
+                F.size("_toks").cast("long").alias("dl"),
+                F.explode("_toks").alias("term"),
+            )
+            .join(F.broadcast(q2.select("term").distinct()), "term",
+                  "left_semi")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+    else:
+        matched2 = postings.join(
+            F.broadcast(q2.select("term").distinct()), "term", "left_semi"
+        )
+    return _score_topk(q2, matched2, dl_join, stats, k, k1, b)
 
 
 # ------------------------------------------------- persistent index

@@ -80,7 +80,10 @@ def _pool_from_scored(scored: DataFrame, fetch_c: int) -> DataFrame:
     """Top-C pool with pool-local ids from a (query_id, nid, score,
     cv, cnorm) scored frame. Membership cuts on the QUANTIZED grid
     (ties → nid asc) so it is engine-exact; the window rank minus one
-    IS the local id the sim map is keyed on."""
+    IS the local id the sim map is keyed on. Consumed exactly once (the
+    single per-query aggregation in :func:`_mmr_select`), so no pin is
+    needed — optimization r13 removed the C² pair self-join that used
+    to be the second consumer."""
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("nid"))
     return (
         scored.select(
@@ -95,9 +98,6 @@ def _pool_from_scored(scored: DataFrame, fetch_c: int) -> DataFrame:
         )
         .withColumn("lid", (F.row_number().over(w) - 1).cast("long"))
         .where(F.col("lid") < fetch_c)
-        # the pool feeds BOTH the struct-array aggregate and the C²
-        # pair self-join — pin it so the upstream scan runs once
-        .localCheckpoint(eager=False)
     )
 
 
@@ -190,41 +190,65 @@ def _mmr_select(
 ) -> DataFrame:
     stride = F.lit(int(fetch_c)).cast("long")
 
-    a = pool.select(
-        "query_id", F.col("lid").alias("la"),
-        F.col("cv").alias("va"), F.col("cnorm").alias("na"),
+    # ONE aggregation per query (optimization r13): the pool collects
+    # into a single struct array, and the C² pairwise-similarity map is
+    # computed JVM-side from that array with nested higher-order
+    # functions — the former plan's pool self-join + second groupBy +
+    # state join (2 extra Exchanges + a pool pin) collapse into this
+    # projection. V.dot's sequential fold is the same left-associated
+    # summation as dot_fixed, so every quantized sim is bit-identical
+    # to the join form (and to the DuckDB oracle). The map includes the
+    # never-looked-up diagonal (the greedy only consults (lid, s) pairs
+    # with s ∈ selected, lid ∉ selected); with a partially-filled pool
+    # (C' < fetch_c) absent keys behave as before — element_at yields
+    # NULL and greatest() skips it.
+    pooled = pool.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("lid", "nid", "rel", "relevance", "cv", "cnorm")
+            )
+        ).alias("pool"),
     )
-    b = pool.select(
-        F.col("query_id").alias("qb"), F.col("lid").alias("lb"),
-        F.col("cv").alias("vb"), F.col("cnorm").alias("nb"),
-    )
-    sims = (
-        a.join(
-            b,
-            (F.col("query_id") == F.col("qb")) & (F.col("la") != F.col("lb")),
+    simmap = F.map_from_entries(
+        F.flatten(
+            F.transform(
+                F.col("pool"),
+                lambda a: F.transform(
+                    F.col("pool"),
+                    lambda b: F.struct(
+                        (a["lid"] * stride + b["lid"]).alias("key"),
+                        _quant(
+                            V.dot(a["cv"], b["cv"])
+                            / (a["cnorm"] * b["cnorm"])
+                        ).alias("value"),
+                    ),
+                ),
+            )
         )
-        .select(
-            "query_id",
-            F.struct(
-                (F.col("la") * stride + F.col("lb")).alias("key"),
-                _quant(
-                    V.dot_fixed(F.col("va"), F.col("vb"), dim, cast=False)
-                    / (F.col("na") * F.col("nb"))
-                ).alias("value"),
-            ).alias("kv"),
-        )
-        .groupBy("query_id")
-        .agg(F.map_from_entries(F.collect_list("kv")).alias("simmap"))
     )
-    cands = pool.groupBy("query_id").agg(
-        F.collect_list(F.struct("lid", "nid", "rel")).alias("cands"),
+    state = pooled.select(
+        "query_id",
+        F.transform(
+            "pool",
+            lambda p: F.struct(
+                p["lid"].alias("lid"),
+                p["nid"].alias("nid"),
+                p["rel"].alias("rel"),
+            ),
+        ).alias("cands"),
         F.map_from_entries(
-            F.collect_list(F.struct("lid", F.struct("nid", "relevance")))
+            F.transform(
+                "pool",
+                lambda p: F.struct(
+                    p["lid"],
+                    F.struct(
+                        p["nid"].alias("nid"),
+                        p["relevance"].alias("relevance"),
+                    ),
+                ),
+            )
         ).alias("outmap"),
-    )
-    state = cands.join(sims, "query_id", "left").withColumn(
-        "simmap",
-        F.coalesce(F.col("simmap"), F.expr("CAST(map() AS MAP<BIGINT,BIGINT>)")),
+        simmap.alias("simmap"),
     )
 
     # the greedy loop, entirely in codegen: fold k steps over the
@@ -272,12 +296,22 @@ def _mmr_select(
 
         return F.aggregate(F.col("cands"), init, step)["lid"]
 
-    selected = F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(k))),
-        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
-        lambda acc, _i: F.when(_argmax(acc) == -1, acc).otherwise(
-            F.concat(acc, F.array(_argmax(acc)))
+    # always append the step's argmax (−1 once the pool is exhausted)
+    # and strip the −1 suffix afterwards: ONE _argmax evaluation per
+    # step instead of the former test-then-append double evaluation —
+    # halves the expression tree (optimization r13). Equivalent: −1
+    # appears only after every candidate is selected (monotone), a −1
+    # in the accumulator matches no cand.lid (≥ 0), and its _maxsim
+    # lookup key lid·stride − 1 cannot collide with a real key (lb =
+    # stride−1 exists only when the pool is FULL, in which case k ≤ C
+    # means exhaustion — and −1 — is unreachable).
+    selected = F.filter(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(k))),
+            F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+            lambda acc, _i: F.concat(acc, F.array(_argmax(acc))),
         ),
+        lambda x: x != -1,
     )
 
     return (

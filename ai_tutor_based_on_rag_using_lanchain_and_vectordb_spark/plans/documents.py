@@ -881,16 +881,10 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before shipping a retriever change (the reference has no
     evaluation surface at all — retriever k is hand-tuned,
     backend/langchain_utils.py:13)."""
-    from ..operators.bm25 import bm25_postings, bm25_search
+    from ..operators.bm25 import bm25_search, matched_from_base, tokenized_base
     from ..operators.retrieval_eval import ranking_metrics
 
     docs = load_table(spark, sf_dir, "documents")
-    # pin the postings ONCE: they feed the ranker (scores, doc lengths,
-    # corpus stats) AND the relevance truth — without the pin each
-    # consumer re-runs the corpus explode+aggregate (~5 extra scans)
-    postings = bm25_postings(docs).localCheckpoint(eager=False)
-    ranked = bm25_search(spark, docs, BM25_QUERIES, k=EVAL_K,
-                         postings=postings)
     # .lower() matches the ranker's tokenization (_query_terms_df):
     # relevance truth and ranking must share one tokenizer or they
     # silently diverge the day a query contains uppercase
@@ -900,11 +894,18 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in sorted(set(text.lower().split()))
     ]
     qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    # ONE pinned tokenize pass (optimization r13, guide §2.3 —
+    # operators/bm25.tokenized_base) feeds the ranker's scoring, the
+    # corpus stats AND the relevance truth: the shared-tokenizer
+    # invariant, with no corpus-wide postings shuffle anywhere in the
+    # plan and no re-tokenization per consumer
+    base = tokenized_base(docs, BM25_QUERIES).localCheckpoint(eager=False)
+    ranked = bm25_search(spark, docs, BM25_QUERIES, k=EVAL_K, base=base)
     nq = qdf.groupBy("query_id").agg(
         F.countDistinct("term").alias("nt")
     )
     matched = (
-        postings
+        matched_from_base(base)
         .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.countDistinct("term").alias("c"))
@@ -935,16 +936,25 @@ def retrieval_eval_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn ranker (cut to k) and the RRF fusion's vector arm; the bm25
     ranker is the fusion's lexical arm cut to k — three rankers, zero
     duplicated scoring."""
-    from ..operators.bm25 import bm25_postings, bm25_search
+    from ..operators.bm25 import bm25_search, matched_from_base, tokenized_base
     from ..operators.retrieval_eval import ranking_metrics
     from .vectors import RRF_K, rrf_fuse, vector_ranked_named
 
     docs = load_table(spark, sf_dir, "documents")
-    postings = bm25_postings(docs).localCheckpoint(eager=False)
+    qterms = [
+        (qid, t)
+        for qid, text in BM25_QUERIES
+        for t in sorted(set(text.lower().split()))
+    ]
+    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    # ONE pinned tokenize pass (optimization r13, guide §2.3 — see
+    # retrieval_eval): shared by the BM25 scoring and both relevance
+    # truths, no corpus-wide (doc, term) shuffle in the plan
+    base = tokenized_base(docs, BM25_QUERIES).localCheckpoint(eager=False)
     # lexical + vector rankings at fusion depth, each pinned: consumed
     # by their own metric chain AND the fusion
     lex = bm25_search(
-        spark, docs, BM25_QUERIES, k=RRF_K, postings=postings
+        spark, docs, BM25_QUERIES, k=RRF_K, base=base
     ).select("query_id", "doc_id", "rank").localCheckpoint(eager=False)
     vec = vector_ranked_named(spark, sf_dir, RRF_K).localCheckpoint(
         eager=False
@@ -957,16 +967,10 @@ def retrieval_eval_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "knn_exact": vec.where(F.col("rank") <= EVAL_K),
         "hybrid_rrf": fused,
     }
-
-    qterms = [
-        (qid, t)
-        for qid, text in BM25_QUERIES
-        for t in sorted(set(text.lower().split()))
-    ]
-    qdf = spark.createDataFrame(qterms, "query_id string, term string")
     nq = qdf.groupBy("query_id").agg(F.countDistinct("term").alias("nt"))
     matched = (
-        postings.join(F.broadcast(qdf), "term")
+        matched_from_base(base)
+        .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.countDistinct("term").alias("c"))
         .localCheckpoint(eager=False)  # feeds binary AND graded truth
