@@ -116,9 +116,19 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the edge list once: without this every iteration
     # re-derives the upstream pair-generation plan (for near-dup input,
-    # the whole shingle/inverted-index pipeline) from scratch.
+    # the whole shingle/inverted-index pipeline) from scratch. The
+    # symmetrization is ONE explode of (a,b)/(b,a) struct pairs
+    # (optimization r13) — the former self-union executed that upstream
+    # pair pipeline twice, once per union branch.
     sym = _materialize(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("x")
+        ).select(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
     )
     # Size-gated fast path: the count is near-free (sym is already
     # materialized) and decides driver union-find vs distributed
@@ -264,8 +274,18 @@ def k_core(
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
+    # explode-symmetrization (optimization r13): one pass over e, not
+    # one per union branch
     cur = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("x")
+        )
+        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
         .localCheckpoint(eager=True)
     )
     prev_n = cur.count()

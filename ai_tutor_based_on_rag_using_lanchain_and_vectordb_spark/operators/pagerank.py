@@ -43,15 +43,27 @@ def pagerank_undirected(
     endpoints; every node therefore has degree ≥ 1 (no dangling
     mass)."""
     sym = (
+        # explode-symmetrization (optimization r13): both directions
+        # from ONE pass over the edge plan — the former self-union
+        # executed the (possibly expensive) upstream edge computation
+        # twice, once per union branch
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
-            )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("x")
         )
+        .select(F.col("x.src").alias("src"), F.col("x.dst").alias("dst"))
         # materialize once: every iteration joins this edge list, and
-        # without the checkpoint the (possibly expensive) upstream edge
-        # computation would re-execute per iteration
+        # without the checkpoint the upstream edge computation would
+        # re-execute per iteration
         .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
