@@ -683,12 +683,23 @@ def span_scrub_extents(docs: DataFrame) -> DataFrame:
         (F.col("i") + (SPAN_L - 1)).alias("e"),
         (key == F.col("first_key")).alias("is_first"),
     ).localCheckpoint(eager=False)
+    # pin BOTH islands frames (optimization r13): hit islands feed the
+    # cut join AND the unprotected-docs anti-join (2 consumers),
+    # protected islands feed the inner gaps, the tail gaps and that
+    # anti-join (3 consumers) — unpinned, each consumer re-ran its
+    # window+groupBy over the pinned marks (5 island computations per
+    # run instead of 2). The pinned rows are one (doc_id, 2 ints) per
+    # merged island — strictly fewer than the marks already pinned.
     hit_islands = _span_islands(
         marks.where(~F.col("is_first")).select("doc_id", "i", "e")
-    ).select("doc_id", F.col("s").alias("hs"), F.col("e").alias("he"))
+    ).select(
+        "doc_id", F.col("s").alias("hs"), F.col("e").alias("he")
+    ).localCheckpoint(eager=False)
     prot_islands = _span_islands(
         marks.where(F.col("is_first")).select("doc_id", "i", "e")
-    ).select("doc_id", F.col("s").alias("ps"), F.col("e").alias("pe"))
+    ).select(
+        "doc_id", F.col("s").alias("ps"), F.col("e").alias("pe")
+    ).localCheckpoint(eager=False)
 
     # complement of the protected islands over [1, len(t)], only for
     # docs that have hits (others pass through untouched anyway)
