@@ -76,8 +76,14 @@ def ranking_metrics(
     from pyspark.sql import Window
 
     q = query_col
+    # pin both inputs (optimization r13): ``ranked`` feeds the query
+    # universe, the hit semi-join and (graded) the DCG join — unpinned,
+    # each consumer re-ran the caller's whole ranking plan (for the
+    # BM25/fusion rankers, the full scoring pipeline, 2-3×). ``rel``
+    # feeds n_rel and the semi-join. Both frames are top-k/Q-bounded.
+    ranked = ranked.localCheckpoint(eager=False)
     base = ranked.select(q).distinct()
-    rel = relevant.select(q, doc_col).distinct()
+    rel = relevant.select(q, doc_col).distinct().localCheckpoint(eager=False)
     n_rel = rel.groupBy(q).agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
 
     topk = ranked.where(F.col(rank_col) <= k).select(q, doc_col, rank_col)

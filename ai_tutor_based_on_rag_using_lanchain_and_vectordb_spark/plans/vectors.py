@@ -756,9 +756,14 @@ def semantic_bfs_production_df(
     from ..operators.bfs import bfs_hops
     from ..operators.semdedup import assign_cells
 
+    # LAZY pin (optimization r13): the assignment has exactly two
+    # consumers here (the pair generator's duplicate-collapse preflight
+    # count and the scorer itself — fewer than semdedup's four), so the
+    # first consumer materializes the checkpoint inside its own job and
+    # the dedicated eager-materialization job disappears
     assigned = assign_cells(
         emb, n_cells, centroids=centroids
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labeled = assigned.select(
         "vec_id", "embedding", F.col("cell").alias("label")
     )
