@@ -257,9 +257,13 @@ def ngram_jaccard_pairs_df(
         members = None
         reps = docs.select("doc_id", "lang", "text")
 
-    # no .cache(): the shingle projection is cheap to recompute, and a
-    # lingering cached RDD steals executor memory from later queries
-    sh = _shingles(reps)
+    # LAZY pin (optimization r13): the shingle frame feeds BOTH the
+    # per-doc counts and the inverted-index pair generation — unpinned,
+    # the explode + distinct (a full shuffle of every shingle string)
+    # executed once per consumer. localCheckpoint (not .cache()) so the
+    # blocks die with the plan instead of lingering across queries; the
+    # pinned rows are (ids, shingle) — no document text.
+    sh = _shingles(reps).localCheckpoint(eager=False)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Inverted-index pair generation (no self-join): group the posting
     # list per (lang, shingle), emit each unordered doc pair inside the
