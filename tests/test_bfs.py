@@ -92,6 +92,34 @@ def test_random_graphs_match_pure_python_bfs(spark):
         assert got == want, (trial, got, want)
 
 
+def test_driver_gate_equals_distributed_path(spark):
+    """The r13 measured-gate driver fast path must return the exact
+    level sets of the distributed loop (max_driver_edges=0 forces the
+    distributed path on the same graph — the components.py test
+    pattern), including isolated seeds, cycles and the hop cutoff."""
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7), (8, 8)]
+    seeds = [1, 6, 99]
+    for max_hops in (1, 2, 4):
+        fast = bfs_hops(
+            _edges(spark, pairs), _seeds(spark, seeds), max_hops
+        ).collect()
+        slow = bfs_hops(
+            _edges(spark, pairs), _seeds(spark, seeds), max_hops,
+            max_driver_edges=0,
+        ).collect()
+        assert {r["node"]: r["hops"] for r in fast} == {
+            r["node"]: r["hops"] for r in slow
+        }
+    # schema parity too: the driver path must emit the same dtypes
+    fast_df = bfs_hops(_edges(spark, pairs), _seeds(spark, seeds), 2)
+    slow_df = bfs_hops(
+        _edges(spark, pairs), _seeds(spark, seeds), 2, max_driver_edges=0
+    )
+    assert [f.dataType.simpleString() for f in fast_df.schema.fields] == [
+        f.dataType.simpleString() for f in slow_df.schema.fields
+    ]
+
+
 def test_production_bfs_reduces_to_exact_with_one_cell(spark, monkeypatch):
     """n_cells=1 makes the cell-blocked edge set identical to the exact
     same-label pair set restricted to one block — the production BFS
