@@ -7,18 +7,20 @@ similarity graph inherits a provenance signal; conversely for
 known-bad seeds (spam clusters). The output (node, hops) is the raw
 material for distance-weighted sampling or quarantine rules.
 
-Algorithm: classic frontier iteration. dist holds settled nodes; each
-round expands the frontier one hop through the symmetrized edge list,
-anti-joins what's already settled, and stops early when the frontier
-empties. Each round is two hash shuffles (frontier⋈edges + distinct /
-anti-join) on the node key; no driver-side graph state — only the
-frontier-empty count crosses the driver — so the loop runs unchanged
-on a 1000-executor cluster. Rounds are bounded by ``max_hops`` (the
-semantic contract: nodes further than max_hops are NOT emitted), so
-unlike connected components there is no convergence risk: the
+Algorithm: classic frontier iteration. Each round expands the frontier
+one hop through the symmetrized edge list and anti-joins the previous
+two levels (the undirected level property: a neighbor of a level-(h-1)
+node sits at distance h-2, h-1 or h, so excluding those two levels
+leaves exactly the new level). Each round is two hash shuffles
+(frontier⋈edges + distinct / anti-join) on the node key; NO driver-side
+graph state and — since rounds are bounded by ``max_hops`` (the
+semantic contract: nodes further than max_hops are NOT emitted) — no
+per-round driver action either: every level is a lazily-checkpointed
+frame and the whole fixed-depth loop executes inside the consumer's
+job. Unlike connected components there is no convergence risk: the
 fixed-depth recursive-CTE oracle computes the identical level sets.
 
-Per-round ``localCheckpoint`` truncates the growing lineage (the
+Per-level ``localCheckpoint`` truncates the growing lineage (the
 components.py rationale); cluster runs pass ``checkpoint_dir`` for
 reliable HDFS/S3 checkpointing instead.
 """
@@ -76,38 +78,40 @@ def bfs_hops(
     isolated seeds that appear in no edge). Deterministic: BFS level
     sets don't depend on execution order.
 
-    Physical shape (optimization r13): symmetrization is ONE explode
-    of (a,b)/(b,a) struct pairs — the former self-union executed the
-    (possibly expensive) upstream pair pipeline twice, once per union
-    branch. Small graphs take the same measured-gate driver fast path
-    as connected_components (both the materialized edge count AND the
-    seed count must clear ``max_driver_edges``; the counts are
-    near-free on the already-materialized frames) — at sf0.1 the
-    distributed loop costs ~3 Spark jobs per hop in fixed scheduling
-    against milliseconds of driver BFS. Above the gate the loop runs
-    unchanged, with settled levels kept as a lazy union of the pinned
-    per-hop frames instead of re-materializing the whole dist frame
-    every round (one fewer checkpoint job per hop).
+    Physical shape (optimization r13/r14): symmetrization is ONE
+    explode of (a,b)/(b,a) struct pairs — the former self-union
+    executed the (possibly expensive) upstream pair pipeline twice,
+    once per union branch. Small graphs take the same measured-gate
+    driver fast path as connected_components (both the edge count AND
+    the seed count must clear ``max_driver_edges``; each gate count is
+    the action that materializes its lazily-pinned frame, so pin+gate
+    is one job per frame). Above the gate the loop runs with ZERO
+    per-hop driver actions (lazy level pins, two-level anti-join — see
+    the module docstring); the former shape paid a materialization job
+    plus an isEmpty job per hop.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-        def _materialize(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
 
     else:
 
-        def _materialize(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
         F.col("a") != F.col("b")
     )
-    # materialize the symmetrized edge list once: it is re-joined every
-    # round, and the upstream pair pipeline may be expensive. The
-    # explode emits both directions from ONE pass over e.
-    sym = _materialize(
+    # pin the symmetrized edge list once: it is re-joined every round,
+    # and the upstream pair pipeline may be expensive. The explode emits
+    # both directions from ONE pass over e. LAZY pin + count fusion
+    # (optimization r14): the gate count is the materializing action, so
+    # pin+gate is ONE job instead of the former eager-checkpoint job
+    # followed by a count job.
+    sym = _pin(
         e.select(
             F.explode(
                 F.array(
@@ -119,7 +123,7 @@ def bfs_hops(
         .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
         .distinct()
     )
-    dist0 = _materialize(
+    dist0 = _pin(
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0))
@@ -130,26 +134,43 @@ def bfs_hops(
         and dist0.count() <= max_driver_edges
     ):
         return _driver_bfs(spark, sym, dist0, max_hops)
+    # Distributed loop (optimization r14): NO per-hop action at all —
+    # every level is a lazy pin, so the whole fixed-depth loop executes
+    # inside the consumer's single job (the former shape paid one
+    # materialization job + one isEmpty job per hop). An emptied
+    # frontier makes the remaining levels empty joins, which cost
+    # nothing at execution; max_hops is the plan-depth bound (the
+    # fixed-depth semantic contract keeps it a small constant).
+    # Settled-set bookkeeping uses the UNDIRECTED level property: a
+    # neighbor of a node at distance h-1 has distance in {h-2, h-1, h},
+    # so anti-joining the candidates against just the PREVIOUS TWO
+    # levels leaves exactly the new level — the anti-join build side
+    # stays two pinned levels instead of the growing union of all
+    # settled nodes.
+    # Deep-depth guard: with a pathological max_hops the zero-action
+    # loop would build a max_hops-deep plan even after the frontier
+    # empties, so past a small fixed depth each hop pays one fused
+    # pin+count job for its early exit (still half the former two
+    # jobs/hop). The contract depths (≤ 8) stay action-free.
+    check_empty = max_hops > 8
     levels = [dist0]
-    settled = dist0.select("node")
     frontier = dist0.select("node")
+    prev, prev2 = frontier, None
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["a"])
             .select(F.col("b").alias("node"))
             .distinct()
-            .join(settled, "node", "left_anti")
-            .withColumn("hops", F.lit(h))
+            .join(prev, "node", "left_anti")
         )
-        nxt = _materialize(nxt)
-        if nxt.isEmpty():
+        if prev2 is not None:
+            nxt = nxt.join(prev2, "node", "left_anti")
+        nxt = _pin(nxt.withColumn("hops", F.lit(h)))
+        if check_empty and nxt.count() == 0:
             break
         levels.append(nxt)
-        # settled nodes = lazy union of the PINNED levels: no recompute
-        # risk (each level is checkpointed) and no per-round
-        # re-materialization of the whole dist frame
-        settled = settled.unionByName(nxt.select("node"))
         frontier = nxt.select("node")
+        prev, prev2 = frontier, prev
     dist = levels[0]
     for lvl in levels[1:]:
         dist = dist.unionByName(lvl)

@@ -105,22 +105,24 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-        def _materialize(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=False)
 
     else:
 
-        def _materialize(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _pin(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
 
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # Materialize the edge list once: without this every iteration
-    # re-derives the upstream pair-generation plan (for near-dup input,
-    # the whole shingle/inverted-index pipeline) from scratch. The
-    # symmetrization is ONE explode of (a,b)/(b,a) struct pairs
-    # (optimization r13) — the former self-union executed that upstream
-    # pair pipeline twice, once per union branch.
-    sym = _materialize(
+    # Pin the edge list once: without this every iteration re-derives
+    # the upstream pair-generation plan (for near-dup input, the whole
+    # shingle/inverted-index pipeline) from scratch. The symmetrization
+    # is ONE explode of (a,b)/(b,a) struct pairs (optimization r13) —
+    # the former self-union executed that upstream pair pipeline twice,
+    # once per union branch. The pin is LAZY (optimization r14): the
+    # gate count below is the action that materializes it, so pin+gate
+    # is one job instead of an eager-checkpoint job followed by a count.
+    sym = _pin(
         e.select(
             F.explode(
                 F.array(
@@ -130,12 +132,12 @@ def connected_components(
             ).alias("x")
         ).select(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
     )
-    # Size-gated fast path: the count is near-free (sym is already
-    # materialized) and decides driver union-find vs distributed
-    # propagation — the measured-gate strategy, not a guess.
+    # Size-gated fast path: the count doubles as the pin materialization
+    # and decides driver union-find vs distributed propagation — the
+    # measured-gate strategy, not a guess.
     if max_driver_edges and sym.count() <= max_driver_edges:
         return _driver_components(spark, sym)
-    labels = _materialize(
+    labels = _pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -164,10 +166,12 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
             ).alias("label"),
         )
-        # One materialization per round: carry the previous label along
-        # so the convergence check is a filter over the checkpointed
-        # result, not a second full join job.
-        staged = _materialize(
+        # ONE job per round (optimization r14): the round's result is a
+        # LAZY pin carrying the previous label, and the convergence
+        # count over it is the action that materializes the pin — the
+        # former eager checkpoint + count pair cost two driver round
+        # trips per round.
+        staged = _pin(
             jumped.alias("n")
             .join(
                 labels.select("node", F.col("label").alias("old")).alias("o"),
@@ -207,18 +211,20 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        # materialize once (the pagerank pattern): the edge list feeds
-        # degrees, the orientation join, and the closing-edge probe —
-        # without this the (possibly expensive) upstream pair pipeline
-        # re-executes for each of those consumers
-        .localCheckpoint(eager=True)
+        # pin once (the pagerank pattern): the edge list feeds degrees,
+        # the orientation join, and the closing-edge probe — without
+        # this the (possibly expensive) upstream pair pipeline
+        # re-executes for each of those consumers. LAZY (optimization
+        # r14): the single consuming action materializes it in place of
+        # a dedicated eager-checkpoint job.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)  # consumed by the wedge census AND the orientation join
+        .localCheckpoint(eager=False)  # consumed by the wedge census AND the orientation join (lazy: shared blocks, no dedicated job)
     )
     wedges = deg.agg(
         F.coalesce(F.expr("CAST(sum((deg * (deg - 1)) DIV 2) AS BIGINT)"), F.lit(0)).alias(
@@ -234,7 +240,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(key_a < key_b, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=True)  # consumed three times: both wedge legs + closing-edge probe
+    ).localCheckpoint(eager=False)  # consumed three times: both wedge legs + closing-edge probe (lazy pin)
     o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedge_pairs = o1.join(o2, "u").where(
@@ -276,6 +282,9 @@ def k_core(
     )
     # explode-symmetrization (optimization r13): one pass over e, not
     # one per union branch
+    # lazy pin + count fusion (optimization r14): each round's count is
+    # the action that materializes that round's pinned edge set — one
+    # job per peel round instead of two
     cur = (
         e.select(
             F.explode(
@@ -286,7 +295,7 @@ def k_core(
             ).alias("x")
         )
         .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_n = cur.count()
     converged = prev_n == 0
@@ -298,7 +307,7 @@ def k_core(
         nxt = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         cur = nxt
@@ -331,14 +340,14 @@ def local_clustering(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
         .where(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -349,7 +358,7 @@ def local_clustering(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
         F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(key_a < key_b, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
     o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     wedge_pairs = o1.join(o2, "u").where(

@@ -55,16 +55,16 @@ def knn_exact_expr(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
-        V.norm_fixed(F.col(query_vec_col), dim).alias("qnorm"),
+        V.norm_fixed(f"`{query_vec_col}`", dim).alias("qnorm"),
     ).where(F.col("qnorm") > 0)  # zero-norm excluded: cosine undefined
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+        V.norm_fixed(f"`{vec_col}`", dim).alias("cnorm"),
     ).where(F.col("cnorm") > 0)
     cond = F.lit(True) if not exclude_self else F.col("query_id") != F.col("neighbor_id")
     scored = c.join(F.broadcast(q), cond).withColumn(
-        "score", V.dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qnorm") * F.col("cnorm"))
+        "score", V.dot_fixed("qv", "cv", dim) / (F.col("qnorm") * F.col("cnorm"))
     )
     return _topk_window(scored, k)
 
@@ -225,20 +225,20 @@ def knn_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        V.norm_fixed(F.col(vec_col), dim).alias("qnorm"),
+        V.norm_fixed(f"`{vec_col}`", dim).alias("qnorm"),
     )
     cand = (
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             F.col("cell"),
-            V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+            V.norm_fixed(f"`{vec_col}`", dim).alias("cnorm"),
         )
         .join(probe_df, "cell")  # restrict to probed cells per query
         .join(F.broadcast(q), "query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cand.withColumn(
-        "score", V.dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qnorm") * F.col("cnorm"))
+        "score", V.dot_fixed("qv", "cv", dim) / (F.col("qnorm") * F.col("cnorm"))
     )
     return _topk_window(scored, k)

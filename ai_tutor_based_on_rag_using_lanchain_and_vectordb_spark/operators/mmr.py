@@ -122,12 +122,12 @@ def mmr_rerank(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         V.as_double(F.col(query_vec_col)).alias("qv"),
-        V.norm_fixed(F.col(query_vec_col), dim).alias("qnorm"),
+        V.norm_fixed(f"`{query_vec_col}`", dim).alias("qnorm"),
     ).where(F.col("qnorm") > 0)
     c = vectors.select(
         F.col(id_col).alias("nid"),
         V.as_double(F.col(vec_col)).alias("cv"),
-        V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+        V.norm_fixed(f"`{vec_col}`", dim).alias("cnorm"),
     ).where(F.col("cnorm") > 0)
     cond = (
         F.col("query_id") != F.col("nid") if exclude_self else F.lit(True)
@@ -138,7 +138,7 @@ def mmr_rerank(
         .join(F.broadcast(q), cond)
         .withColumn(
             "score",
-            V.dot_fixed(F.col("qv"), F.col("cv"), dim, cast=False)
+            V.dot_fixed("qv", "cv", dim, cast=False)
             / (F.col("qnorm") * F.col("cnorm")),
         )
     )
@@ -176,7 +176,7 @@ def mmr_rerank_candidates(
     vecs = vectors.select(
         F.col(id_col).alias("nid"),
         V.as_double(F.col(vec_col)).alias("cv"),
-        V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+        V.norm_fixed(f"`{vec_col}`", dim).alias("cnorm"),
     ).where(F.col("cnorm") > 0)
     scored = cand.join(vecs.hint("shuffle_hash"), "nid").select(
         "query_id", "nid", "score", "cv", "cnorm"

@@ -61,16 +61,20 @@ def pagerank_undirected(
             ).alias("x")
         )
         .select(F.col("x.src").alias("src"), F.col("x.dst").alias("dst"))
-        # materialize once: every iteration joins this edge list, and
-        # without the checkpoint the upstream edge computation would
-        # re-execute per iteration
-        .localCheckpoint(eager=True)
+        # pin once: every iteration joins this edge list, and without
+        # the checkpoint the upstream edge computation would re-execute
+        # per iteration. LAZY (optimization r14): the node-count action
+        # below materializes sym and deg together in one job — the
+        # former two eager checkpoints plus the count cost three driver
+        # round trips.
+        .localCheckpoint(eager=False)
     )
     deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     deg = deg.select(F.col("src").alias("node_id"), "deg").localCheckpoint(
-        eager=True
+        eager=False
     )
-    # the only driver-side scalar: the node count (bounded: one value)
+    # the only driver-side scalar: the node count (bounded: one value);
+    # this action materializes both lazy pins above
     n = deg.count()
     if n == 0:
         return deg.select("node_id", F.lit(0.0).alias("rank"))
@@ -96,7 +100,11 @@ def pagerank_undirected(
                     F.lit(teleport) + F.lit(damping) * F.col("s"), digits
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # cut lineage each iteration
+            # cut lineage each iteration; LAZY (optimization r14): the
+            # iteration count is FIXED — no per-round driver decision —
+            # so all five pins materialize inside the consumer's single
+            # job instead of five dedicated checkpoint jobs
+            .localCheckpoint(eager=False)
         )
     return state.select("node_id", "rank")
 

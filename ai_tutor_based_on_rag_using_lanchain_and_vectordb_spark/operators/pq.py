@@ -312,7 +312,7 @@ def _exact_rerank(
             rerank_vectors.select(
                 F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("cv"),
-                V.norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+                V.norm_fixed(f"`{vec_col}`", dim).alias("cnorm"),
             ),
             "neighbor_id",
         )
@@ -320,7 +320,7 @@ def _exact_rerank(
         .where(F.col("cnorm") > 0)
         .withColumn(
             "score",
-            V.dot_fixed(F.col("qv"), F.col("cv"), dim) / F.col("cnorm"),
+            V.dot_fixed("qv", "cv", dim) / F.col("cnorm"),
         )
     )
     return KNN._topk_window(exact, k)

@@ -285,7 +285,7 @@ def upsert_ivfpq_index(
     cb = read_codebooks(spark, path)
     dim = cb.shape[0] * cb.shape[2]
 
-    cell_col, _dist = _nearest_cell_expr(F.col(vec_col), centroids, cells, dim)
+    cell_col, _dist = _nearest_cell_expr(f"`{vec_col}`", centroids, cells, dim)
     # preserve whatever metadata the layout carries (declared at build
     # time via meta_cols; the batch must supply the same columns)
     codes_path = os.path.join(path, "codes")

@@ -1069,7 +1069,7 @@ def knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vector as V
 
     emb = load_table(spark, sf_dir, "embeddings").where(
-        V.norm_fixed(F.col("embedding")) > 0
+        V.norm_fixed("embedding") > 0
     )
     queries = emb.where(F.col("vec_id") < 5)
     out = KNN.knn_ivf(emb, queries, k=5, n_clusters=8, nprobe=8)
@@ -1348,7 +1348,7 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann_index import build_ivf_index, search_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings").where(
-        V.norm_fixed(F.col("embedding")) > 0
+        V.norm_fixed("embedding") > 0
     )
     path = tempfile.mkdtemp(prefix="ivf_filtered_")
     build_ivf_index(emb, path, n_cells=8, meta_cols=("label",))
@@ -1384,7 +1384,7 @@ def knn_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq_index import build_ivfpq_index, search_ivfpq_index
 
     emb = load_table(spark, sf_dir, "embeddings").where(
-        V.norm_fixed(F.col("embedding")) > 0
+        V.norm_fixed("embedding") > 0
     )
     path = tempfile.mkdtemp(prefix="ivfpq_filtered_")
     build_ivfpq_index(emb, path, n_cells=4, m=8, kc=16, meta_cols=("label",))
@@ -1417,7 +1417,7 @@ def knn_ivf_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectors import knn_label_filtered
 
     emb = load_table(spark, sf_dir, "embeddings").where(
-        V.norm_fixed(F.col("embedding")) > 0
+        V.norm_fixed("embedding") > 0
     )
     path = tempfile.mkdtemp(prefix="ivf_filtered_rc_")
     build_ivf_index(emb, path, n_cells=8, meta_cols=("label",))

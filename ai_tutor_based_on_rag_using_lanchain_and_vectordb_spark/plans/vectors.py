@@ -37,13 +37,13 @@ def _scored_pairs(embeddings: DataFrame, same_label_only: bool) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         V.as_double(F.col("embedding")).alias("qv"),
         F.col("label").alias("qlabel"),
-        V.norm_fixed(F.col("embedding")).alias("qnorm"),
+        V.norm_fixed("embedding").alias("qnorm"),
     )
     cand = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         V.as_double(F.col("embedding")).alias("cv"),
         F.col("label").alias("clabel"),
-        V.norm_fixed(F.col("embedding")).alias("cnorm"),
+        V.norm_fixed("embedding").alias("cnorm"),
     )
     cond = F.col("query_id") != F.col("neighbor_id")
     if same_label_only:
@@ -58,7 +58,7 @@ def _scored_pairs(embeddings: DataFrame, same_label_only: bool) -> DataFrame:
         .join(F.broadcast(queries), cond)
         .withColumn(
             "score",
-            V.dot_fixed(F.col("qv"), F.col("cv"), cast=False)
+            V.dot_fixed("qv", "cv", cast=False)
             / (F.col("qnorm") * F.col("cnorm")),
         )
     )
@@ -130,16 +130,16 @@ def _salted_pair_scores(
         F.col("vec_id").alias("vec_a"),
         V.as_double(F.col("embedding")).alias("va"),
         F.col("label").alias("la"),
-        V.norm_fixed(F.col("embedding")).alias("norm_a"),
+        V.norm_fixed("embedding").alias("norm_a"),
         salt_a.alias("salt_a"),
     ).where(F.col("norm_a") > 0)  # zero-norm excluded: cosine undefined
     b = vectors.select(
         F.col("vec_id").alias("vec_b"),
         V.as_double(F.col("embedding")).alias("vb"),
         F.col("label").alias("lb"),
-        V.norm_fixed(F.col("embedding")).alias("norm_b"),
+        V.norm_fixed("embedding").alias("norm_b"),
     ).where(F.col("norm_b") > 0)
-    score = V.dot_fixed(F.col("va"), F.col("vb"), cast=False) / (
+    score = V.dot_fixed("va", "vb", cast=False) / (
         F.col("norm_a") * F.col("norm_b")
     )
     if broadcast_build:
@@ -348,9 +348,9 @@ def embedding_neardup_pairs_df(
     )
     # within-group pairs: score = the rep's self-cosine, evaluated with
     # the exact expression shape of the pair join so floats agree
-    vdbl = V.as_double(F.col("embedding"))
+    vdbl = V.as_double_sql("embedding")
     self_score = V.dot_fixed(vdbl, vdbl, cast=False) / (
-        V.norm_fixed(F.col("embedding")) * V.norm_fixed(F.col("embedding"))
+        V.norm_fixed("embedding") * V.norm_fixed("embedding")
     )
     from ..plans.documents import _pairs_from_sorted_ids
 
@@ -358,7 +358,7 @@ def embedding_neardup_pairs_df(
         groups.where(F.size("_ids") >= 2)
         # zero-norm excluded (cosine undefined); also keeps the division
         # 0/0-free under ANSI mode
-        .where(V.norm_fixed(F.col("embedding")) > 0)
+        .where(V.norm_fixed("embedding") > 0)
         .withColumn("_s", self_score)
         .where(F.col("_s") >= threshold)
         .select(

@@ -151,7 +151,7 @@ class SemDedupState:
             F.col("vec_id").alias("vec_a"),
             V.as_double(F.col("embedding")).alias("va"),
             F.col("cell").alias("ca"),
-            V.norm_fixed(F.col("embedding"), self.dim).alias("norm_a"),
+            V.norm_fixed("embedding", self.dim).alias("norm_a"),
             salt_a.alias("salt_a"),
         ).where(F.col("norm_a") > 0)
         b = (
@@ -159,14 +159,14 @@ class SemDedupState:
                 F.col("vec_id").alias("vec_b"),
                 V.as_double(F.col("embedding")).alias("vb"),
                 F.col("cell").alias("cb"),
-                V.norm_fixed(F.col("embedding"), self.dim).alias("norm_b"),
+                V.norm_fixed("embedding", self.dim).alias("norm_b"),
             )
             .where(F.col("norm_b") > 0)
             .withColumn(
                 "salt_b", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
             )
         )
-        score = V.dot_fixed(F.col("va"), F.col("vb"), self.dim, cast=False) / (
+        score = V.dot_fixed("va", "vb", self.dim, cast=False) / (
             F.col("norm_a") * F.col("norm_b")
         )
         n_parts = default_parallelism()

@@ -11,6 +11,50 @@ from ai_tutor_based_on_rag_using_lanchain_and_vectordb_spark.session import get_
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Long-running suites (media decoders, codec cross-validation, fuzzers)
+# deselected from a plain ``pytest tests/`` run so the default gate
+# finishes inside a CI/driver window (the r13 driver's pytest run was
+# cut off at ~22% of the ~75-minute full suite — an invisible-failure
+# risk). Coverage is NOT deleted: run the slow set with ``-m slow``,
+# or everything with SPARK_GRAFT_FULL_TESTS=1 (or any explicit -m
+# expression, which disables this default entirely).
+SLOW_MODULES = {
+    "test_mediadecode",
+    "test_minidecode",
+    "test_flac",
+    "test_mpeg1",
+    "test_mpegps",
+    "test_decoder_fuzz",
+    "test_libjpeg_crossval",
+    "test_property_fuzz",
+    "test_multimodal",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running decode/fuzz/crossval suites, deselected from "
+        'plain runs (select with -m slow, or run all with -m "slow or '
+        'not slow" / SPARK_GRAFT_FULL_TESTS=1)',
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for it in items:
+        mod = it.nodeid.split("::", 1)[0].rsplit("/", 1)[-1].removesuffix(".py")
+        if mod in SLOW_MODULES:
+            it.add_marker(pytest.mark.slow)
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    if config.getoption("-m"):
+        return  # an explicit -m expression takes full control
+    selected = [it for it in items if "slow" not in it.keywords]
+    deselected = [it for it in items if "slow" in it.keywords]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
 
 @pytest.fixture(scope="session")
 def spark():

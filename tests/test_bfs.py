@@ -151,3 +151,42 @@ def test_production_bfs_reduces_to_exact_with_one_cell(spark, monkeypatch):
         ).collect()
     }
     assert prod == want
+
+
+def test_random_graphs_distributed_path_matches_python_bfs(spark):
+    """Same property check FORCED onto the distributed loop
+    (max_driver_edges=0) — exercises the r14 two-level anti-join
+    bookkeeping (candidates minus the previous two levels) and the
+    action-free lazy level pins on cyclic, multi-seed random graphs."""
+    import random
+    from collections import deque
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 25
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+        seeds = sorted(rng.sample(range(n), 3))
+        max_hops = rng.choice([2, 4, 9])  # 9 exercises the deep-depth guard
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        want = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if want[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = want[u] + 1
+                    dq.append(v)
+        rows = bfs_hops(
+            _edges(spark, [(a, b) for a, b in pairs]),
+            _seeds(spark, seeds),
+            max_hops,
+            max_driver_edges=0,
+        ).collect()
+        got = {r["node"]: r["hops"] for r in rows}
+        assert got == want, (trial, got, want)
