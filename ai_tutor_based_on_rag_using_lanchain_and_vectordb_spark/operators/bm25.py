@@ -238,11 +238,18 @@ def bm25_search(
     qdf = _query_terms_df(spark, queries)
     if postings is not None:
         # caller-pinned postings (shared with other consumers): the
-        # semi-filter still touches only matched terms' postings
+        # semi-filter still touches only matched terms' postings.
+        # dl derives from the POSTINGS frame itself (dl = Σ tf over all
+        # terms, by definition) so scores stay self-consistent with
+        # whatever postings the caller holds — a post-delete/filtered
+        # layout must not be scored against lengths re-tokenized from a
+        # diverged docs frame (and the corpus is not re-read).
         matched = postings.join(
             F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
         )
-        dl = doc_lengths(docs, id_col, text_col)
+        dl = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        )
         return _score_topk(qdf, matched, dl, _corpus_stats(dl), k, k1, b)
     if base is None:
         # pinned: matched postings, df counts and corpus stats all read
@@ -302,7 +309,11 @@ def bm25_prf_search(
         matched1 = postings.join(
             F.broadcast(qdf.select("term").distinct()), "term", "left_semi"
         )
-        dl = doc_lengths(docs, id_col, text_col).localCheckpoint(eager=False)
+        # dl from the POSTINGS frame (see bm25_search) — self-consistent
+        # with the caller's layout, no corpus re-tokenize
+        dl = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        ).localCheckpoint(eager=False)
         dl_join = dl
     stats = _corpus_stats(dl)
     # pinned: feedback ids feed the doc semi-filter AND the tf harvest
@@ -348,20 +359,33 @@ def bm25_prf_search(
     q2 = qdf.withColumn("weight", F.lit(1.0)).unionByName(expansion)
     if postings is None:
         # pass-2 matched postings with dl riding along: one tokenize
-        # pass, semi-filtered on the derived expanded-term broadcast
-        # BEFORE the (doc, term) aggregation
+        # pass. The expanded term set is DERIVED (not driver-literal),
+        # so the in-scan filter attaches it as a broadcast 1-row
+        # collect_set and filters INSIDE the token array (optimization
+        # r14) — only expanded-term hits ever leave the projection.
+        # The former shape exploded EVERY token of EVERY document and
+        # semi-joined above the explode: a corpus-wide row fan-out
+        # (plus a join) for a ~Q·(terms+fb_terms)-term filter.
         toks = F.filter(
             tokens_col(F.col(text_col)), lambda t: t != F.lit("")
         )
+        q2_terms = q2.select("term").distinct().agg(
+            F.collect_set("term").alias("_q2terms")
+        )
         matched2 = (
-            docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+            docs.crossJoin(F.broadcast(q2_terms))
+            .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+                    "_q2terms")
             .select(
                 "doc_id",
                 F.size("_toks").cast("long").alias("dl"),
-                F.explode("_toks").alias("term"),
+                F.explode(
+                    F.filter(
+                        "_toks",
+                        lambda t: F.array_contains(F.col("_q2terms"), t),
+                    )
+                ).alias("term"),
             )
-            .join(F.broadcast(q2.select("term").distinct()), "term",
-                  "left_semi")
             .groupBy("doc_id", "dl", "term")
             .agg(F.count("*").cast("long").alias("tf"))
         )

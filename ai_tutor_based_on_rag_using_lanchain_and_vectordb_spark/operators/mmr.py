@@ -143,7 +143,7 @@ def mmr_rerank(
         )
     )
     pool = _pool_from_scored(scored, fetch_c)
-    return _mmr_select(pool, k, fetch_c, int(lam_permille), dim)
+    return _mmr_select(pool, k, fetch_c, int(lam_permille))
 
 
 def mmr_rerank_candidates(
@@ -182,11 +182,11 @@ def mmr_rerank_candidates(
         "query_id", "nid", "score", "cv", "cnorm"
     )
     pool = _pool_from_scored(scored, fetch_c)
-    return _mmr_select(pool, k, fetch_c, int(lam_permille), dim)
+    return _mmr_select(pool, k, fetch_c, int(lam_permille))
 
 
 def _mmr_select(
-    pool: DataFrame, k: int, fetch_c: int, lam: int, dim: int
+    pool: DataFrame, k: int, fetch_c: int, lam: int
 ) -> DataFrame:
     stride = F.lit(int(fetch_c)).cast("long")
 

@@ -81,9 +81,15 @@ def ranking_metrics(
     # each consumer re-ran the caller's whole ranking plan (for the
     # BM25/fusion rankers, the full scoring pipeline, 2-3×). ``rel``
     # feeds n_rel and the semi-join. Both frames are top-k/Q-bounded.
-    ranked = ranked.localCheckpoint(eager=False)
+    # Streaming inputs cannot be checkpointed — skip the pin there (the
+    # micro-batch planner handles subtree reuse); a caller-side pin of
+    # an already-pinned frame only copies Q·k rows, which is noise.
+    if not ranked.isStreaming:
+        ranked = ranked.localCheckpoint(eager=False)
     base = ranked.select(q).distinct()
-    rel = relevant.select(q, doc_col).distinct().localCheckpoint(eager=False)
+    rel = relevant.select(q, doc_col).distinct()
+    if not rel.isStreaming:
+        rel = rel.localCheckpoint(eager=False)
     n_rel = rel.groupBy(q).agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
 
     topk = ranked.where(F.col(rank_col) <= k).select(q, doc_col, rank_col)

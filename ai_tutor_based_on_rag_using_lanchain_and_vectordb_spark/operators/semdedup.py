@@ -215,8 +215,11 @@ def semdedup(
     # branches and the final flag join — without the pin each branch
     # re-runs the scan + argmin and the DAG deepens by the whole pair
     # machinery per branch. The assignment is (id, vec, cell, dist) —
-    # the operator's working set, same bound as the index build.
-    assigned = assigned.localCheckpoint(eager=True)
+    # the operator's working set, same bound as the index build. LAZY
+    # (optimization r14): the collapse preflight (has_exact_duplicates,
+    # the first action over it) materializes the pin inside its own
+    # job, dropping the dedicated eager-checkpoint round trip.
+    assigned = assigned.localCheckpoint(eager=False)
     if order == "centroid" and n_cells == 1 and centroids is None:
         assigned = _mean_direction_dist(
             assigned.drop("centroid_dist"), id_col, vec_col, dim

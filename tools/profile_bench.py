@@ -159,42 +159,41 @@ def main() -> None:
                 with open(p) as fh:
                     yield from fh
 
-    if True:
-        for line in _lines():
-            if not line.strip():
+    for line in _lines():
+        if not line.strip():
+            continue
+        ev = json.loads(line)
+        et = ev.get("Event")
+        if et == "SparkListenerJobStart":
+            grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if grp in per:
+                job_group[ev["Job ID"]] = grp
+                per[grp]["n_jobs"] += 1
+                for sid in ev.get("Stage IDs", []):
+                    stage_owner[sid] = grp
+        elif et == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            grp = stage_owner.get(si["Stage ID"])
+            if grp and si.get("Submission Time"):
+                per[grp]["n_stages"] += 1
+        elif et == "SparkListenerTaskEnd":
+            grp = stage_owner.get(ev["Stage ID"])
+            if not grp:
                 continue
-            ev = json.loads(line)
-            et = ev.get("Event")
-            if et == "SparkListenerJobStart":
-                grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                if grp in per:
-                    job_group[ev["Job ID"]] = grp
-                    per[grp]["n_jobs"] += 1
-                    for sid in ev.get("Stage IDs", []):
-                        stage_owner[sid] = grp
-            elif et == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                grp = stage_owner.get(si["Stage ID"])
-                if grp and si.get("Submission Time"):
-                    per[grp]["n_stages"] += 1
-            elif et == "SparkListenerTaskEnd":
-                grp = stage_owner.get(ev["Stage ID"])
-                if not grp:
-                    continue
-                p = per[grp]
-                p["n_tasks"] += 1
-                tm = ev.get("Task Metrics") or {}
-                p["task_time_s"] += (tm.get("Executor Run Time") or 0) / 1e3
-                srm = tm.get("Shuffle Read Metrics") or {}
-                p["shuffle_read_mb"] += (
-                    (srm.get("Local Bytes Read") or 0)
-                    + (srm.get("Remote Bytes Read") or 0)
-                ) / 1e6
-                swm = tm.get("Shuffle Write Metrics") or {}
-                p["shuffle_write_mb"] += (swm.get("Shuffle Bytes Written") or 0) / 1e6
-                im = tm.get("Input Metrics") or {}
-                p["input_mb"] += (im.get("Bytes Read") or 0) / 1e6
-                p["spill_mb"] += (tm.get("Disk Bytes Spilled") or 0) / 1e6
+            p = per[grp]
+            p["n_tasks"] += 1
+            tm = ev.get("Task Metrics") or {}
+            p["task_time_s"] += (tm.get("Executor Run Time") or 0) / 1e3
+            srm = tm.get("Shuffle Read Metrics") or {}
+            p["shuffle_read_mb"] += (
+                (srm.get("Local Bytes Read") or 0)
+                + (srm.get("Remote Bytes Read") or 0)
+            ) / 1e6
+            swm = tm.get("Shuffle Write Metrics") or {}
+            p["shuffle_write_mb"] += (swm.get("Shuffle Bytes Written") or 0) / 1e6
+            im = tm.get("Input Metrics") or {}
+            p["input_mb"] += (im.get("Bytes Read") or 0) / 1e6
+            p["spill_mb"] += (tm.get("Disk Bytes Spilled") or 0) / 1e6
 
     print(f"{'query':34s} {'wall':>7s} {'jobs':>5s} {'stages':>6s} "
           f"{'tasks':>6s} {'cpu_s':>7s} {'shR_mb':>7s} {'shW_mb':>7s}",
