@@ -12,13 +12,13 @@ one hop through the symmetrized edge list and anti-joins the previous
 two levels (the undirected level property: a neighbor of a level-(h-1)
 node sits at distance h-2, h-1 or h, so excluding those two levels
 leaves exactly the new level). Each round is two hash shuffles
-(frontier⋈edges + distinct / anti-join) on the node key; NO driver-side
-graph state and — since rounds are bounded by ``max_hops`` (the
-semantic contract: nodes further than max_hops are NOT emitted) — no
-per-round driver action either: every level is a lazily-checkpointed
-frame and the whole fixed-depth loop executes inside the consumer's
-job. Unlike connected components there is no convergence risk: the
-fixed-depth recursive-CTE oracle computes the identical level sets.
+(frontier⋈edges + distinct / anti-join) on the node key and ONE driver
+round trip (a fused pin+count that materializes the level's lazy
+checkpoint and decides the early exit); rounds are bounded by
+``max_hops`` (the semantic contract: nodes further than max_hops are
+NOT emitted), so unlike connected components there is no convergence
+risk: the fixed-depth recursive-CTE oracle computes the identical
+level sets.
 
 Per-level ``localCheckpoint`` truncates the growing lineage (the
 components.py rationale); cluster runs pass ``checkpoint_dir`` for
@@ -85,10 +85,10 @@ def bfs_hops(
     driver fast path as connected_components (both the edge count AND
     the seed count must clear ``max_driver_edges``; each gate count is
     the action that materializes its lazily-pinned frame, so pin+gate
-    is one job per frame). Above the gate the loop runs with ZERO
-    per-hop driver actions (lazy level pins, two-level anti-join — see
-    the module docstring); the former shape paid a materialization job
-    plus an isEmpty job per hop.
+    is one job per frame). Above the gate each hop costs ONE fused
+    pin+count job (the former shape paid a materialization job plus an
+    isEmpty job per hop) and anti-joins only the previous two levels —
+    see the module docstring.
     """
     spark = edges.sparkSession
     if checkpoint_dir is not None:
@@ -134,25 +134,20 @@ def bfs_hops(
         and dist0.count() <= max_driver_edges
     ):
         return _driver_bfs(spark, sym, dist0, max_hops)
-    # Distributed loop (optimization r14): NO per-hop action at all —
-    # every level is a lazy pin, so the whole fixed-depth loop executes
-    # inside the consumer's single job (the former shape paid one
-    # materialization job + one isEmpty job per hop). An emptied
-    # frontier makes the remaining levels empty joins, which cost
-    # nothing at execution; max_hops is the plan-depth bound (the
-    # fixed-depth semantic contract keeps it a small constant).
-    # Settled-set bookkeeping uses the UNDIRECTED level property: a
-    # neighbor of a node at distance h-1 has distance in {h-2, h-1, h},
-    # so anti-joining the candidates against just the PREVIOUS TWO
-    # levels leaves exactly the new level — the anti-join build side
-    # stays two pinned levels instead of the growing union of all
-    # settled nodes.
-    # Deep-depth guard: with a pathological max_hops the zero-action
-    # loop would build a max_hops-deep plan even after the frontier
-    # empties, so past a small fixed depth each hop pays one fused
-    # pin+count job for its early exit (still half the former two
-    # jobs/hop). The contract depths (≤ 8) stay action-free.
-    check_empty = max_hops > 8
+    # Distributed loop (optimization r14). Settled-set bookkeeping uses
+    # the UNDIRECTED level property: a neighbor of a node at distance
+    # h-1 has distance in {h-2, h-1, h}, so anti-joining the candidates
+    # against just the PREVIOUS TWO levels leaves exactly the new level
+    # — the anti-join build side stays two pinned levels instead of the
+    # growing union of all settled nodes.
+    # One fused pin+count job per hop: the count materializes the
+    # level's lazy pin AND decides the early exit — half the former two
+    # driver round trips per hop. (A fully action-free loop — all hops
+    # deferred to the consumer's single job — was tried first and
+    # reverted: at the 100× probe's 12 GiB heap it runs every hop's
+    # shuffles CONCURRENTLY, pushing the peak to the cap and losing
+    # checkpoint blocks; the per-hop count re-bounds execution memory
+    # to one hop, exactly the r13 memory profile.)
     levels = [dist0]
     frontier = dist0.select("node")
     prev, prev2 = frontier, None
@@ -166,7 +161,7 @@ def bfs_hops(
         if prev2 is not None:
             nxt = nxt.join(prev2, "node", "left_anti")
         nxt = _pin(nxt.withColumn("hops", F.lit(h)))
-        if check_empty and nxt.count() == 0:
+        if nxt.count() == 0:
             break
         levels.append(nxt)
         frontier = nxt.select("node")
